@@ -12,6 +12,12 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // events.ts is parquet TIMESTAMP(NANOS): read as long, convert in
+      // Tables.events (Spark's reader rejects NANOS otherwise).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Write LTZ timestamps as INT64 micros (not INT96) so the driver's
+      // DuckDB-side read sees the same values it computes.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -1,0 +1,190 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.Tables.Q
+
+/** Grouped and global aggregations — SURVEY.md §2.6.
+  *
+  * Polars groupby().agg() surface (count/sum/mean/min/max/median/quantile/
+  * std/var/first/last/n_unique/approx_unique/agg_list/value_counts) granted to
+  * generated code by the reference (prompts/generate_python_code.py:27-28);
+  * golden sum-after-filter semantics pinned by
+  * /root/reference/examples/from_dataframe.py:13-15.
+  *
+  * Determinism: money sums go through DECIMAL(18,2)/(18,4) so the result is
+  * exact under any partial-aggregation merge order (double summation order
+  * differs between Spark partials and the DuckDB oracle); averages divide the
+  * exact decimal sum as double and round. Spark's partial+final split gives
+  * map-side combine on every groupBy here — at 100 TB these are one shuffle
+  * of pre-aggregated partials, keyed small (flags / short keys).
+  */
+object Aggregates {
+
+  val queries: Map[String, Q] = Map(
+    // TPC-H Q1-shaped pricing summary: the flagship grouped aggregate.
+    "q_group_agg" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          expr("round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)")
+            .as("sum_qty"),
+          expr("round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)")
+            .as("sum_base_price"),
+          expr("round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE), 2)")
+            .as("sum_disc_price"),
+          expr("round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) * CAST(1 + l_tax AS DECIMAL(18,2))) AS DOUBLE), 2)")
+            .as("sum_charge"),
+          expr("round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity), 4)")
+            .as("avg_qty"),
+          expr("round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice), 4)")
+            .as("avg_price"),
+          expr("round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(l_discount), 4)")
+            .as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // Exact quantiles (polars median/quantile): Spark `percentile` (exact,
+    // linear interpolation) === DuckDB `quantile_cont` (SURVEY §7.4.3).
+    "q_quantile" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_quantity, 0.25)"), 4).as("q1"),
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("med"),
+          round(expr("percentile(l_quantity, 0.75)"), 4).as("q3"))
+        .orderBy("l_returnflag")),
+
+    // Sample std/var/cov (polars default ddof=1 → *_samp).
+    "q_stats_spread" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 4).as("var_qty"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qd"))
+        .orderBy("l_returnflag")),
+
+    // value_counts (polars .value_counts()).
+    "q_value_counts" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("event_type"))),
+
+    // n_unique per group (polars groupby().n_unique()).
+    "q_group_distinct" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(countDistinct(col("o_custkey")).as("n_cust"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderstatus")),
+
+    // approx_unique → HLL sketch. No SQL oracle (approximate); the driver
+    // records a rows-only check. The exact count rides along so the result
+    // itself documents the sketch's error at this scale.
+    "q_approx_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))),
+
+    // first/last by explicit event-time order (polars first/last are
+    // physical-order ops; Spark needs the declared sort key — SURVEY §7.4.1).
+    "q_first_last" -> ((s, d) => {
+      val wAsc = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val wDesc = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          row_number().over(wAsc).as("ra"), row_number().over(wDesc).as("rd"))
+        .groupBy("user_id")
+        .agg(max(when(col("ra") === 1, col("event_type"))).as("first_type"),
+          max(when(col("rd") === 1, col("event_type"))).as("last_type"))
+        .orderBy("user_id")
+    }),
+
+    // agg_list (polars groupby().agg(pl.col(..).list())) — rendered as a
+    // sorted CSV string so the oracle hash is order-stable (SURVEY §7.4.6).
+    "q_collect_list" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(expr("array_join(transform(array_sort(collect_list(l_linenumber)), x -> CAST(x AS STRING)), ',')")
+          .as("lines"))
+        .orderBy("l_orderkey")),
+
+    // Horizontal (row-wise) fold across columns (pl.fold / sum_horizontal)
+    // via the `aggregate` higher-order function — stays in codegen.
+    "q_horizontal_sum" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(expr("aggregate(array(l_quantity, l_discount, l_tax), 0D, (acc, x) -> acc + x)"), 4)
+            .as("hsum"))
+        .orderBy("l_orderkey", "l_linenumber", "hsum")),
+
+    // Correlation matrix over numeric columns (plot_correlation_heatmap
+    // shortcut, /root/reference/helpers/shortcuts.py:184-195).
+    "q_corr_matrix" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+          round(corr(col("l_quantity"), col("l_discount")), 6).as("corr_qty_disc"),
+          round(corr(col("l_extendedprice"), col("l_discount")), 6).as("corr_price_disc")))
+  )
+
+  private val decSum =
+    "round(CAST(sum(CAST(%s AS DECIMAL(18,2))) AS DOUBLE), 2)"
+  private val decAvg =
+    "round(CAST(sum(CAST(%s AS DECIMAL(18,2))) AS DOUBLE) / count(%s), 4)"
+
+  val oracle: Map[String, String] = Map(
+    "q_group_agg" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        decSum.format("l_quantity") + " AS sum_qty, " +
+        decSum.format("l_extendedprice") + " AS sum_base_price, " +
+        "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_disc_price, " +
+        "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) * CAST(1 + l_tax AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_charge, " +
+        decAvg.format("l_quantity", "l_quantity") + " AS avg_qty, " +
+        decAvg.format("l_extendedprice", "l_extendedprice") + " AS avg_price, " +
+        decAvg.format("l_discount", "l_discount") + " AS avg_disc, " +
+        "count(*) AS count_order " +
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' " +
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+    "q_quantile" ->
+      ("SELECT l_returnflag, round(quantile_cont(l_quantity, 0.25), 4) AS q1, " +
+        "round(quantile_cont(l_quantity, 0.5), 4) AS med, " +
+        "round(quantile_cont(l_quantity, 0.75), 4) AS q3 " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q_stats_spread" ->
+      ("SELECT l_returnflag, round(stddev_samp(l_quantity), 4) AS sd_qty, " +
+        "round(var_samp(l_quantity), 4) AS var_qty, " +
+        "round(covar_samp(l_quantity, l_discount), 6) AS cov_qd " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q_value_counts" ->
+      ("SELECT event_type, count(*) AS n FROM events GROUP BY event_type " +
+        "ORDER BY n DESC, event_type"),
+    "q_group_distinct" ->
+      ("SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust, " +
+        "count(*) AS n_orders FROM orders GROUP BY o_orderstatus " +
+        "ORDER BY o_orderstatus"),
+    "q_first_last" ->
+      ("WITH ranked AS (SELECT user_id, event_type, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ra, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rd " +
+        "FROM events) " +
+        "SELECT user_id, max(CASE WHEN ra = 1 THEN event_type END) AS first_type, " +
+        "max(CASE WHEN rd = 1 THEN event_type END) AS last_type " +
+        "FROM ranked GROUP BY user_id ORDER BY user_id"),
+    "q_collect_list" ->
+      ("SELECT l_orderkey, string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS lines " +
+        "FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey"),
+    "q_horizontal_sum" ->
+      ("SELECT l_orderkey, l_linenumber, " +
+        "round(l_quantity + l_discount + l_tax, 4) AS hsum " +
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber, hsum"),
+    "q_corr_matrix" ->
+      ("SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price, " +
+        "round(corr(l_quantity, l_discount), 6) AS corr_qty_disc, " +
+        "round(corr(l_extendedprice, l_discount), 6) AS corr_price_disc " +
+        "FROM lineitem")
+  )
+}

@@ -1,0 +1,168 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.Tables.Q
+
+/** Join strategies — SURVEY.md §2.5.
+  *
+  * Polars `df.join(how = inner|left|outer|semi|anti|cross)` plus `join_asof`;
+  * golden inner-join+argmax semantics pinned by
+  * /root/reference/examples/with_multiple_dataframes.py:7-27.
+  *
+  * Scale notes: dimension sides (customer, part, nation, region, supplier)
+  * are orders of magnitude smaller than fact tables, so they are explicitly
+  * `broadcast()` — no shuffle of the fact side at any SF. The as-of join is
+  * the union-tag + running-last pattern: ONE shuffle of events by user_id,
+  * no range explosion, no driver collect — it scales linearly with rows and
+  * is skew-bounded by per-user event counts (AQE handles stragglers).
+  */
+object Joins {
+
+  val queries: Map[String, Q] = Map(
+    // Inner equi-join fact→dim, dim broadcast.
+    "q_join_inner" -> ((s, d) =>
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"), "inner")
+        .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
+        .orderBy("o_orderkey")),
+
+    // Left outer join keeping customers with no orders; count(col) skips the
+    // null-extended rows in both engines.
+    "q_join_left" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          round(sum(coalesce(col("o_totalprice"), lit(0.0))), 2).as("total"))
+        .orderBy("c_custkey")),
+
+    // Full outer join over distinct key sets with presence flags.
+    "q_join_full" -> ((s, d) => {
+      val cn = Tables.customer(s, d)
+        .select(col("c_nationkey").as("nationkey")).distinct()
+        .withColumn("has_cust", lit(true))
+      val sn = Tables.supplier(s, d)
+        .select(col("s_nationkey").as("nationkey")).distinct()
+        .withColumn("has_supp", lit(true))
+      cn.join(sn, Seq("nationkey"), "full")
+        .select(col("nationkey"),
+          coalesce(col("has_cust"), lit(false)).as("has_cust"),
+          coalesce(col("has_supp"), lit(false)).as("has_supp"))
+        .orderBy("nationkey")
+    }),
+
+    // Left semi (EXISTS) / left anti (NOT EXISTS).
+    "q_join_semi" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"),
+          "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey")),
+
+    "q_join_anti" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"),
+          "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")),
+
+    // Cartesian product of two tiny dims.
+    "q_join_cross" -> ((s, d) =>
+      Tables.region(s, d).crossJoin(Tables.nation(s, d))
+        .select(col("r_name"), col("n_name"))
+        .orderBy("r_name", "n_name")),
+
+    // Pure theta (non-equi) join — BNLJ on a tiny broadcast side.
+    "q_join_range" -> ((s, d) => {
+      val a = Tables.nation(s, d).select(col("n_nationkey").as("k"))
+      val b = Tables.nation(s, d).select(col("n_nationkey").as("j"))
+      a.join(broadcast(b), col("j") < col("k"), "left")
+        .groupBy("k").agg(count(col("j")).as("n_smaller"))
+        .orderBy("k")
+    }),
+
+    // Equi-join with a range residual (band join): the equi key keeps it a
+    // hash/broadcast join; the band condition is a post-join filter, so no
+    // cross-product blowup at scale.
+    "q_join_band" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey") &&
+            col("l_quantity").between(col("p_size") - 5, col("p_size") + 5))
+        .groupBy("p_brand").agg(count(lit(1)).as("n"))
+        .orderBy("p_brand")),
+
+    // As-of join (backward, per-user): every purchase picks the most recent
+    // click at-or-before its timestamp. Union-tag + running
+    // last(_, ignoreNulls) — the scalable Spark encoding of polars
+    // join_asof(strategy='backward', by='user_id') (SURVEY §2.5, §7.4.2).
+    // Clicks sort before purchases at equal ts (is_p tiebreak) to match
+    // ASOF's inclusive `>=` bound.
+    "q_join_asof" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(1).as("is_p"),
+          col("event_id"),
+          lit(null).cast("long").as("click_id"),
+          lit(null).cast("double").as("click_value"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(0).as("is_p"),
+          lit(null).cast("long").as("event_id"),
+          col("event_id").as("click_id"),
+          col("value").as("click_value"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("is_p").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      purchases.unionByName(clicks)
+        .withColumn("asof_click", last(col("click_id"), ignoreNulls = true).over(w))
+        .withColumn("asof_value", last(col("click_value"), ignoreNulls = true).over(w))
+        .filter(col("is_p") === 1)
+        .select(col("event_id"), col("user_id"),
+          col("asof_click").as("click_id"), col("asof_value").as("click_value"))
+        .orderBy("event_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_join_inner" ->
+      ("SELECT o_orderkey, c_name, o_totalprice FROM orders " +
+        "JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey"),
+    "q_join_left" ->
+      ("SELECT c_custkey, c_name, count(o_orderkey) AS n_orders, " +
+        "round(sum(coalesce(o_totalprice, 0)), 2) AS total " +
+        "FROM customer LEFT JOIN orders ON c_custkey = o_custkey " +
+        "GROUP BY c_custkey, c_name ORDER BY c_custkey"),
+    "q_join_full" ->
+      ("SELECT coalesce(c.nationkey, s.nationkey) AS nationkey, " +
+        "c.nationkey IS NOT NULL AS has_cust, " +
+        "s.nationkey IS NOT NULL AS has_supp " +
+        "FROM (SELECT DISTINCT c_nationkey AS nationkey FROM customer) c " +
+        "FULL JOIN (SELECT DISTINCT s_nationkey AS nationkey FROM supplier) s " +
+        "ON c.nationkey = s.nationkey ORDER BY nationkey"),
+    "q_join_semi" ->
+      ("SELECT c_custkey, c_name FROM customer WHERE EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey"),
+    "q_join_anti" ->
+      ("SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey"),
+    "q_join_cross" ->
+      ("SELECT r_name, n_name FROM region CROSS JOIN nation " +
+        "ORDER BY r_name, n_name"),
+    "q_join_range" ->
+      ("SELECT a.n_nationkey AS k, count(b.n_nationkey) AS n_smaller " +
+        "FROM nation a LEFT JOIN nation b ON b.n_nationkey < a.n_nationkey " +
+        "GROUP BY a.n_nationkey ORDER BY k"),
+    "q_join_band" ->
+      ("SELECT p_brand, count(*) AS n FROM lineitem JOIN part " +
+        "ON l_partkey = p_partkey AND l_quantity BETWEEN p_size - 5 AND p_size + 5 " +
+        "GROUP BY p_brand ORDER BY p_brand"),
+    "q_join_asof" ->
+      ("SELECT p.event_id, p.user_id, c.event_id AS click_id, " +
+        "c.value AS click_value " +
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
+        "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c " +
+        "ON p.user_id = c.user_id AND p.ts >= c.ts ORDER BY p.event_id")
+  )
+}

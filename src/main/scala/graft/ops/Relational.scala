@@ -1,0 +1,183 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.Tables.Q
+
+/** Scans, projection, filtering, predicates, casts, distinct/dup flags.
+  *
+  * Covers SURVEY.md §2.3 (sources) and §2.4 (projection/filter/predicates):
+  * the polars `select / with_columns / filter / is_in / is_between /
+  * when-then-otherwise / cast / unique / is_duplicated / is_first` surface
+  * (reference grants these to generated code via the polars API,
+  * /root/reference/prompts/generate_python_code.py:27-28; golden filter+count
+  * semantics pinned by /root/reference/examples/from_csv.py:12-14).
+  *
+  * Scale notes: every query here is a single parquet scan with filters and
+  * projections that Catalyst pushes into the scan; the only shuffles are the
+  * final total-order sorts demanded by oracle determinism (BASELINE.md) and
+  * the hash aggregations, which carry map-side partial aggregation.
+  */
+object Relational {
+
+  val queries: Map[String, Q] = Map(
+    // Full scan of a dimension table (polars pl.read_parquet).
+    "q_scan_parquet" -> ((s, d) => Tables.region(s, d).orderBy("r_regionkey")),
+
+    // In-memory literal frame — the reference's only polars-native example
+    // (fruits, examples/single_dataframe_example.py:4-9).
+    "q_literal_df" -> ((s, d) => {
+      import s.implicits._
+      Seq(
+        (1, "banana", 5, "beetle"), (2, "banana", 4, "audi"),
+        (3, "apple", 3, "beetle"), (4, "apple", 2, "audi"),
+        (5, "banana", 1, "beetle"))
+        .toDF("a", "fruits", "b", "cars").orderBy("a")
+    }),
+
+    // Projection + rename (polars select / rename).
+    "q_project" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey").as("part_id"), col("p_name").as("name"),
+          col("p_retailprice").as("price"))
+        .orderBy("part_id")),
+
+    // Derived columns (polars with_columns): arithmetic + string concat.
+    "q_derive" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          // price and discount are 2-decimal, so the product is an exact
+          // 4-decimal rational: round(..,4) is reproducible across engines
+          // (round(..,2) can straddle a half-boundary differently).
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            .as("revenue"),
+          concat_ws("-", col("l_returnflag"), col("l_linestatus")).as("rf_ls"))
+        .orderBy("l_orderkey", "l_linenumber", "revenue", "rf_ls")),
+
+    // Filter + count — the reference's flagship golden semantics
+    // (examples/from_csv.py:12-14: Gender='male' AND loan_status='PAIDOFF').
+    "q_filter_count" -> ((s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "F" &&
+          col("o_orderpriority") === "1-URGENT")
+        .agg(count(lit(1)).as("n"))),
+
+    // Range + membership predicates (polars is_between / is_in).
+    "q_filter_range" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity").between(10, 20) &&
+          col("l_shipdate").between(
+            lit("1996-01-01").cast("timestamp"),
+            lit("1997-12-31").cast("timestamp")) &&
+          col("l_returnflag").isin("A", "R"))
+        .agg(count(lit(1)).as("n"),
+          round(sum("l_extendedprice"), 2).as("total"))),
+
+    // Conditional expression (polars when/then/otherwise).
+    "q_case_when" -> ((s, d) =>
+      Tables.orders(s, d)
+        .withColumn("bucket",
+          when(col("o_totalprice") < 50000, "low")
+            .when(col("o_totalprice") < 150000, "mid")
+            .otherwise("high"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket")),
+
+    // Cast / parse round-trip (polars cast + .str.strptime; the loan CSV's
+    // M/d/yyyy dates, FIXTURES.md A1). Truncating double→int cast.
+    "q_cast_parse" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          to_date(date_format(col("o_orderdate"), "MM/dd/yyyy"), "MM/dd/yyyy")
+            .as("d"),
+          col("o_totalprice").cast("int").as("price_int"))
+        .orderBy("o_orderkey")),
+
+    // Distinct rows (polars unique).
+    "q_distinct" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select("o_orderstatus", "o_orderpriority").distinct()
+        .orderBy("o_orderstatus", "o_orderpriority")),
+
+    // Duplicate / first-in-group flags (polars is_duplicated / is_first).
+    // lineitem ships exact duplicate (l_orderkey, l_linenumber) rows, so the
+    // flags are defined value-wise (count over the full key / min linenumber
+    // in group) rather than via row_number, whose tie order is
+    // nondeterministic across engines (SURVEY §7.4.1).
+    "q_dup_flags" -> ((s, d) => {
+      val byPair = Window.partitionBy("l_orderkey", "l_linenumber")
+      val byKey = Window.partitionBy("l_orderkey")
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (count(lit(1)).over(byPair) > 1).as("is_dup"),
+          (col("l_linenumber") === min(col("l_linenumber")).over(byKey))
+            .as("is_first"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // Null predicates + fill (polars is_null / fill_null / drop_nulls).
+    // l_discount=0 is mapped to null first so the null paths are exercised
+    // on data that ships without nulls.
+    "q_null_handling" -> ((s, d) => {
+      val dn = when(col("l_discount") === 0.0, lit(null))
+        .otherwise(col("l_discount"))
+      Tables.lineitem(s, d)
+        .withColumn("disc_n", dn)
+        .groupBy("l_returnflag")
+        .agg(count(when(col("disc_n").isNull, lit(1))).as("n_null"),
+          count(col("disc_n")).as("n_notnull"),
+          round(sum(coalesce(col("disc_n"), lit(0.05))), 2).as("sum_filled"))
+        .orderBy("l_returnflag")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_scan_parquet" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "q_literal_df" ->
+      ("SELECT * FROM (VALUES (1,'banana',5,'beetle'),(2,'banana',4,'audi')," +
+        "(3,'apple',3,'beetle'),(4,'apple',2,'audi'),(5,'banana',1,'beetle'))" +
+        " AS t(a, fruits, b, cars) ORDER BY a"),
+    "q_project" ->
+      ("SELECT p_partkey AS part_id, p_name AS name, p_retailprice AS price " +
+        "FROM part ORDER BY part_id"),
+    "q_derive" ->
+      ("SELECT l_orderkey, l_linenumber, " +
+        "round(l_extendedprice * (1 - l_discount), 4) AS revenue, " +
+        "concat_ws('-', l_returnflag, l_linestatus) AS rf_ls " +
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber, revenue, rf_ls"),
+    "q_filter_count" ->
+      ("SELECT count(*) AS n FROM orders " +
+        "WHERE o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'"),
+    "q_filter_range" ->
+      ("SELECT count(*) AS n, round(sum(l_extendedprice), 2) AS total " +
+        "FROM lineitem WHERE l_quantity BETWEEN 10 AND 20 " +
+        "AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31' " +
+        "AND l_returnflag IN ('A','R')"),
+    "q_case_when" ->
+      ("SELECT CASE WHEN o_totalprice < 50000 THEN 'low' " +
+        "WHEN o_totalprice < 150000 THEN 'mid' ELSE 'high' END AS bucket, " +
+        "count(*) AS n FROM orders GROUP BY 1 ORDER BY bucket"),
+    "q_cast_parse" ->
+      ("SELECT o_orderkey, " +
+        "CAST(strptime(strftime(o_orderdate, '%m/%d/%Y'), '%m/%d/%Y') AS DATE) AS d, " +
+        "CAST(trunc(o_totalprice) AS INTEGER) AS price_int " +
+        "FROM orders ORDER BY o_orderkey"),
+    "q_distinct" ->
+      ("SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders " +
+        "ORDER BY o_orderstatus, o_orderpriority"),
+    "q_dup_flags" ->
+      ("SELECT l_orderkey, l_linenumber, " +
+        "count(*) OVER (PARTITION BY l_orderkey, l_linenumber) > 1 AS is_dup, " +
+        "l_linenumber = min(l_linenumber) OVER (PARTITION BY l_orderkey) AS is_first " +
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber"),
+    "q_null_handling" ->
+      ("SELECT l_returnflag, " +
+        "count(CASE WHEN nullif(l_discount, 0.0) IS NULL THEN 1 END) AS n_null, " +
+        "count(nullif(l_discount, 0.0)) AS n_notnull, " +
+        "round(sum(coalesce(nullif(l_discount, 0.0), 0.05)), 2) AS sum_filled " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")
+  )
+}

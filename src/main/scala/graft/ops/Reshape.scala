@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.Tables.Q
+
+/** Sort / top-k / set ops / melt / pivot / explode / dummies — SURVEY.md §2.8.
+  *
+  * Polars sort/top_k/concat/melt/pivot/explode/to_dummies surface.
+  * Scale notes: q_topk compiles to TakeOrderedAndProject (per-partition heap,
+  * no global sort shuffle); unions are metadata-only (no shuffle); pivot uses
+  * an explicit value list so Spark skips the extra distinct-values job.
+  */
+object Reshape {
+
+  val queries: Map[String, Q] = Map(
+    // Multi-key sort with mixed direction (polars sort(by, descending)).
+    "q_sort_multi" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate",
+          "l_quantity")
+        .orderBy(desc("l_returnflag"), asc("l_shipdate"), asc("l_orderkey"),
+          asc("l_linenumber"), asc("l_quantity"))),
+
+    // top_k(k, by) → orderBy().limit() → TakeOrderedAndProject.
+    "q_topk" -> ((s, d) =>
+      Tables.orders(s, d)
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)),
+
+    // Vertical concat (pl.concat how=vertical / vstack).
+    "q_union" -> ((s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_name").as("name"), lit("customer").as("src"))
+        .unionByName(Tables.supplier(s, d)
+          .select(col("s_name").as("name"), lit("supplier").as("src")))
+        .orderBy("name", "src")),
+
+    // Diagonal concat (pl.concat how=diagonal): schema-merging union.
+    "q_union_diag" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey").as("key"), col("c_name").as("name"),
+          col("c_acctbal").as("acctbal"))
+      val sup = Tables.supplier(s, d)
+        .select(col("s_suppkey").as("key"), col("s_name").as("name"),
+          col("s_acctbal").as("acctbal"), col("s_nationkey").as("nationkey"))
+      c.unionByName(sup, allowMissingColumns = true).orderBy("key", "name")
+    }),
+
+    // Set intersection / difference (distinct semantics, like SQL).
+    "q_intersect" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey")),
+
+    "q_except" -> ((s, d) =>
+      Tables.nation(s, d).select(col("n_nationkey").as("nationkey"))
+        .except(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey")),
+
+    // melt: wide→long (polars melt(id_vars, value_vars)).
+    "q_melt" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"), col("p_size").cast("double").as("size"),
+          col("p_retailprice").as("retailprice"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("size"), col("retailprice")), "attr", "val")
+        .orderBy("p_partkey", "attr")),
+
+    // pivot: long→wide with an explicit value list (no discovery job).
+    "q_pivot" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0)
+        .orderBy("yr")),
+
+    // explode: unnest a list column built by split.
+    "q_explode" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy("word")),
+
+    // to_dummies: one-hot of a categorical column.
+    "q_dummies" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          (col("o_orderstatus") === "F").cast("int").as("status_F"),
+          (col("o_orderstatus") === "O").cast("int").as("status_O"),
+          (col("o_orderstatus") === "P").cast("int").as("status_P"))
+        .orderBy("o_orderkey"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_sort_multi" ->
+      ("SELECT l_orderkey, l_linenumber, l_returnflag, l_shipdate, l_quantity " +
+        "FROM lineitem ORDER BY l_returnflag DESC, l_shipdate, l_orderkey, l_linenumber, l_quantity"),
+    "q_topk" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"),
+    "q_union" ->
+      ("SELECT c_name AS name, 'customer' AS src FROM customer " +
+        "UNION ALL SELECT s_name, 'supplier' FROM supplier " +
+        "ORDER BY name, src"),
+    "q_union_diag" ->
+      ("SELECT c_custkey AS key, c_name AS name, c_acctbal AS acctbal, " +
+        "CAST(NULL AS INTEGER) AS nationkey FROM customer " +
+        "UNION ALL SELECT s_suppkey, s_name, s_acctbal, s_nationkey FROM supplier " +
+        "ORDER BY key, name"),
+    "q_intersect" ->
+      ("SELECT c_nationkey AS nationkey FROM customer " +
+        "INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey"),
+    "q_except" ->
+      ("SELECT n_nationkey AS nationkey FROM nation " +
+        "EXCEPT SELECT s_nationkey FROM supplier ORDER BY nationkey"),
+    "q_melt" ->
+      ("SELECT p_partkey, attr, val FROM " +
+        "(SELECT p_partkey, CAST(p_size AS DOUBLE) AS size, p_retailprice AS retailprice FROM part) " +
+        "UNPIVOT (val FOR attr IN (size, retailprice)) " +
+        "ORDER BY p_partkey, attr"),
+    "q_pivot" ->
+      ("SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, " +
+        "count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS \"F\", " +
+        "count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS \"O\", " +
+        "count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS \"P\" " +
+        "FROM orders GROUP BY 1 ORDER BY yr"),
+    "q_explode" ->
+      ("SELECT word, count(*) AS n FROM " +
+        "(SELECT unnest(string_split(text, ' ')) AS word FROM documents) " +
+        "WHERE length(word) > 0 GROUP BY word ORDER BY word"),
+    "q_dummies" ->
+      ("SELECT o_orderkey, CAST(o_orderstatus = 'F' AS INTEGER) AS status_F, " +
+        "CAST(o_orderstatus = 'O' AS INTEGER) AS status_O, " +
+        "CAST(o_orderstatus = 'P' AS INTEGER) AS status_P " +
+        "FROM orders ORDER BY o_orderkey")
+  )
+}
