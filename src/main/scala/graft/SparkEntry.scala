@@ -14,7 +14,10 @@ object SparkEntry {
     (ops.Relational.queries, ops.Relational.oracle),
     (ops.Aggregates.queries, ops.Aggregates.oracle),
     (ops.Joins.queries, ops.Joins.oracle),
-    (ops.Reshape.queries, ops.Reshape.oracle)
+    (ops.Reshape.queries, ops.Reshape.oracle),
+    (ops.ScalarFuncs.queries, ops.ScalarFuncs.oracle),
+    (ops.Windows.queries, ops.Windows.oracle),
+    (ops.Analytics.queries, ops.Analytics.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,248 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.Tables.Q
+
+/** Window / rolling / temporal grouping — SURVEY.md §2.7.
+  *
+  * Polars `expr.over / rank / shift / diff / pct_change / cum* / rolling_* /
+  * groupby_rolling / groupby_dynamic / upsample` surface. Polars windows are
+  * physical-order ops; every Spark counterpart declares its sort key
+  * explicitly (ts, event_id) — SURVEY §7.4.1.
+  *
+  * Scale notes: all per-user windows share ONE shuffle on user_id; Spark
+  * plans consecutive window functions over the same (partition, order) spec
+  * in a single Window exec. groupby_dynamic maps to the built-in `window()`
+  * expression = a map-side bucket computation + ordinary hash aggregate (no
+  * per-window state). q_roc needs a global cumulative ordering — inherently
+  * a single-partition window at curve granularity; at 100 TB you'd bin
+  * scores first (the binned variant is what q_histogram demonstrates).
+  */
+object Windows {
+
+  private def byUser = Window.partitionBy("user_id")
+    .orderBy(col("ts").asc, col("event_id").asc)
+
+  val queries: Map[String, Q] = Map(
+    // expr.over(keys): deviation from the group mean, broadcast to rows.
+    "q_window_over" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          // round the partition mean first: both engines agree at 6
+          // decimals, and subtracting an exact 6-decimal constant from a
+          // 2-decimal value keeps round(..,6) away from half-boundaries.
+          round(col("value") - round(avg(col("value"))
+            .over(Window.partitionBy("user_id")), 6), 6).as("dev"))
+        .orderBy("event_id")),
+
+    // rank/dense_rank over natural ties + row_number with a total tiebreak.
+    "q_rank" -> ((s, d) => {
+      val ties = Window.partitionBy("c_nationkey").orderBy(desc("c_acctbal"))
+      val total = Window.partitionBy("c_nationkey")
+        .orderBy(desc("c_acctbal"), asc("c_custkey"))
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"),
+          rank().over(ties).as("rnk"),
+          dense_rank().over(ties).as("drnk"),
+          row_number().over(total).as("rn"))
+        .orderBy("c_custkey")
+    }),
+
+    // shift(±1) → lag/lead.
+    "q_lag_lead" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          lag("value", 1).over(byUser).as("prev_value"),
+          lead("value", 1).over(byUser).as("next_value"))
+        .orderBy("event_id")),
+
+    // diff / pct_change.
+    "q_diff" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          round(col("value") - lag("value", 1).over(byUser), 4).as("d1"),
+          round(col("value") / lag("value", 1).over(byUser) - 1, 6).as("pct"))
+        .orderBy("event_id")),
+
+    // cumsum / cummax / cumcount.
+    "q_cumsum" -> ((s, d) => {
+      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"),
+          round(sum("value").over(run), 4).as("cum_sum"),
+          max("value").over(run).as("cum_max"),
+          count(lit(1)).over(run).as("cum_n"))
+        .orderBy("event_id")
+    }),
+
+    // rolling_mean/median/std over a trailing 4-row frame
+    // (shortcuts.py:295-352; frame = rowsBetween(-(n-1), 0)).
+    "q_rolling_mean" -> ((s, d) => {
+      val w4 = byUser.rowsBetween(-3, 0)
+      Tables.events(s, d)
+        .select(col("event_id"),
+          round(avg("value").over(w4), 4).as("roll_mean"),
+          round(sum("value").over(w4), 4).as("roll_sum"),
+          min("value").over(w4).as("roll_min"),
+          max("value").over(w4).as("roll_max"))
+        .orderBy("event_id")
+    }),
+
+    "q_rolling_median" -> ((s, d) => {
+      val w4 = byUser.rowsBetween(-3, 0)
+      Tables.events(s, d)
+        .select(col("event_id"),
+          round(expr("percentile(value, 0.5)")
+            .over(w4), 4).as("roll_med"))
+        .orderBy("event_id")
+    }),
+
+    "q_rolling_std" -> ((s, d) => {
+      val w4 = byUser.rowsBetween(-3, 0)
+      Tables.events(s, d)
+        .select(col("event_id"),
+          round(stddev_samp(col("value")).over(w4), 6).as("roll_std"))
+        .orderBy("event_id")
+    }),
+
+    // groupby_rolling(index_column=ts, period=10m): time-based trailing
+    // window via rangeBetween on epoch micros.
+    "q_rolling_time" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(unix_micros(col("ts").cast("timestamp")))
+        .rangeBetween(-600000000L, 0)
+      Tables.events(s, d)
+        .select(col("event_id"),
+          round(sum("value").over(w), 4).as("sum_10m"),
+          count(lit(1)).over(w).as("n_10m"))
+        .orderBy("event_id")
+    }),
+
+    // groupby_dynamic(every=1h, period=1h): tumbling window.
+    "q_window_tumbling" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .select(col("w.start").cast("timestamp_ntz").as("ws"),
+          col("event_type"), col("n"), col("total"))
+        .orderBy("ws", "event_type")),
+
+    // groupby_dynamic(every=10m, period=30m): sliding window (each event in
+    // 3 overlapping windows).
+    "q_window_sliding" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "30 minutes", "10 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .select(col("w.start").cast("timestamp_ntz").as("ws"), col("n"),
+          col("total"))
+        .orderBy("ws")),
+
+    // upsample: regularize each user's events onto a daily grid
+    // (sequence + explode + left join), zero-filled.
+    "q_upsample" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val grid = e.groupBy("user_id")
+        .agg(date_trunc("day", min(col("ts"))).cast("timestamp_ntz").as("d0"),
+          date_trunc("day", max(col("ts"))).cast("timestamp_ntz").as("d1"))
+        .select(col("user_id"),
+          explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val daily = e
+        .groupBy(col("user_id"),
+          date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("total"), lit(0.0)).as("total"))
+        .orderBy("user_id", "day")
+    }),
+
+    // fill_null(strategy='forward'): per-user forward fill of a nulled-out
+    // measure (views dropped), SURVEY §2.9 null handling.
+    "q_ffill" -> ((s, d) => {
+      val masked = when(col("event_type") === "view", lit(null))
+        .otherwise(col("value"))
+      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"),
+          last(masked, ignoreNulls = true).over(run).as("filled"))
+        .orderBy("event_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_window_over" ->
+      ("SELECT event_id, round(value - round(avg(value) OVER (PARTITION BY user_id), 6), 6) AS dev " +
+        "FROM events ORDER BY event_id"),
+    "q_rank" ->
+      ("SELECT c_custkey, c_nationkey, " +
+        "CAST(rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS INTEGER) AS rnk, " +
+        "CAST(dense_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS INTEGER) AS drnk, " +
+        "CAST(row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS rn " +
+        "FROM customer ORDER BY c_custkey"),
+    "q_lag_lead" ->
+      ("SELECT event_id, " +
+        "lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value, " +
+        "lead(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value " +
+        "FROM events ORDER BY event_id"),
+    "q_diff" ->
+      ("SELECT event_id, " +
+        "round(value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS d1, " +
+        "round(value / lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1, 6) AS pct " +
+        "FROM events ORDER BY event_id"),
+    "q_cumsum" ->
+      ("SELECT event_id, " +
+        "round(sum(value) OVER w, 4) AS cum_sum, " +
+        "max(value) OVER w AS cum_max, " +
+        "count(*) OVER w AS cum_n " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) ORDER BY event_id"),
+    "q_rolling_mean" ->
+      ("SELECT event_id, round(avg(value) OVER w, 4) AS roll_mean, " +
+        "round(sum(value) OVER w, 4) AS roll_sum, " +
+        "min(value) OVER w AS roll_min, max(value) OVER w AS roll_max " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) ORDER BY event_id"),
+    "q_rolling_median" ->
+      ("SELECT event_id, round(quantile_cont(value, 0.5) OVER w, 4) AS roll_med " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) ORDER BY event_id"),
+    "q_rolling_std" ->
+      ("SELECT event_id, round(stddev_samp(value) OVER w, 6) AS roll_std " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) ORDER BY event_id"),
+    "q_rolling_time" ->
+      ("SELECT event_id, round(sum(value) OVER w, 4) AS sum_10m, " +
+        "count(*) OVER w AS n_10m " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) " +
+        "RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) ORDER BY event_id"),
+    "q_window_tumbling" ->
+      ("SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type, " +
+        "count(*) AS n, round(sum(value), 2) AS total " +
+        "FROM events GROUP BY 1, 2 ORDER BY ws, event_type"),
+    "q_window_sliding" ->
+      ("SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000 - j * 600000000) AS ws, " +
+        "count(*) AS n, round(sum(value), 2) AS total " +
+        "FROM events, (SELECT unnest([0, 1, 2]) AS j) " +
+        "WHERE TRUE GROUP BY 1 ORDER BY ws"),
+    "q_upsample" ->
+      ("WITH bounds AS (SELECT user_id, " +
+        "CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS d0, " +
+        "CAST(date_trunc('day', max(ts)) AS TIMESTAMP) AS d1 " +
+        "FROM events GROUP BY user_id), " +
+        "grid AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM bounds), " +
+        "daily AS (SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, " +
+        "count(*) AS n, round(sum(value), 2) AS total FROM events GROUP BY 1, 2) " +
+        "SELECT g.user_id, g.day, coalesce(d.n, 0) AS n, coalesce(d.total, 0.0) AS total " +
+        "FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day " +
+        "ORDER BY g.user_id, g.day"),
+    "q_ffill" ->
+      ("SELECT event_id, last_value(CASE WHEN event_type = 'view' THEN NULL ELSE value END IGNORE NULLS) " +
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled " +
+        "FROM events ORDER BY event_id")
+  )
+}
