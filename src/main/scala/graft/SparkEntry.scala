@@ -17,7 +17,11 @@ object SparkEntry {
     (ops.Reshape.queries, ops.Reshape.oracle),
     (ops.ScalarFuncs.queries, ops.ScalarFuncs.oracle),
     (ops.Windows.queries, ops.Windows.oracle),
-    (ops.Analytics.queries, ops.Analytics.oracle)
+    (ops.Analytics.queries, ops.Analytics.oracle),
+    (ops.TextAnalysis.queries, ops.TextAnalysis.oracle),
+    (ops.Dedup.queries, ops.Dedup.oracle),
+    (ops.Similarity.queries, ops.Similarity.oracle),
+    (ops.Multimodal.queries, ops.Multimodal.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,214 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.Tables.Q
+
+/** Deduplication operators for LLM training-data pipelines (builder-prompt
+  * mandate): exact, MinHash+LSH banding, SimHash, n-gram Jaccard,
+  * embedding-cosine near-dup.
+  *
+  * The shipped corpus has no near-duplicates, so each query unions in
+  * deterministically mutated copies (doc_id/vec_id + 100000, every 10th row)
+  * — the operator must find exactly those planted pairs. All hashing is md5
+  * (identical lowercase hex in Spark, the oracle, and JVM MessageDigest), so
+  * signatures agree bit-for-bit across engines.
+  *
+  * Scale design: MinHash banding is the O(n) path — shingle explode →
+  * per-doc signature (one shuffle on doc_id, map-side combined mins) → band
+  * self-join keyed on (band, bucket-hash), which only materializes colliding
+  * candidates, never the n² pair space. Jaccard verification touches
+  * candidates only. SimHash is fully row-local (one pass, zero shuffles
+  * before the bucket count). The quadratic embedding query is the
+  * correctness baseline; the scale path is LSH bucketing (Similarity.scala).
+  */
+object Dedup {
+
+  /** documents ∪ mutated copies (first word replaced). */
+  private def textCorpus(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val mutated = Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        regexp_replace(col("text"), "^[^ ]+", "zzz").as("text"))
+    base.unionByName(mutated)
+  }
+
+  private val duckCorpus =
+    "corpus AS (SELECT doc_id, text FROM documents UNION ALL " +
+      "SELECT doc_id + 100000 AS doc_id, regexp_replace(text, '^[^ ]+', 'zzz') AS text " +
+      "FROM documents WHERE doc_id % 10 = 0)"
+
+  /** distinct (doc_id, 3-word shingle). try_element_at: trailing windows
+    * shorter than 3 words degrade gracefully (concat_ws skips nulls), same
+    * as the oracle's out-of-range list index → NULL. */
+  private def shingles(corpus: DataFrame): DataFrame =
+    corpus.select(col("doc_id"),
+      expr("explode(transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)), " +
+        "i -> concat_ws(' ', try_element_at(split(text, ' '), i), " +
+        "try_element_at(split(text, ' '), i + 1), " +
+        "try_element_at(split(text, ' '), i + 2))))").as("shingle"))
+      .distinct()
+
+  private val duckShingles =
+    "sh AS (SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i + 1], w[i + 2]) AS shingle FROM " +
+      "(SELECT doc_id, string_split(text, ' ') AS w, " +
+      "unnest(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1))) AS i FROM corpus))"
+
+  /** 8-permutation MinHash signature per doc. */
+  private def signatures(sh: DataFrame): DataFrame = {
+    val aggs = (0 to 7).map(k =>
+      min(md5(concat(lit(s"$k:"), col("shingle")))).as(s"s$k"))
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  private val duckSig =
+    "sig AS (SELECT doc_id, " +
+      (0 to 7).map(k => s"min(md5('$k:' || shingle)) AS s$k").mkString(", ") +
+      " FROM sh GROUP BY doc_id)"
+
+  /** 4 bands × 2 rows: band bucket key = md5 of the two row signatures. */
+  private def bands(sig: DataFrame): DataFrame =
+    (0 to 3).map(b => sig.select(col("doc_id"), lit(b).as("band"),
+      md5(concat(col(s"s${2 * b}"), col(s"s${2 * b + 1}"))).as("bkey")))
+      .reduce(_.unionByName(_))
+
+  private val duckBands =
+    "bands AS (" + (0 to 3).map(b =>
+      s"SELECT doc_id, $b AS band, md5(s${2 * b} || s${2 * b + 1}) AS bkey FROM sig")
+      .mkString(" UNION ALL ") + ")"
+
+  private def candidatePairs(bands: DataFrame): DataFrame =
+    bands.as("x").join(bands.as("y"),
+      col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+
+  private val duckPairs =
+    "pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x " +
+      "JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)"
+
+  private val duckChain =
+    s"WITH $duckCorpus, $duckShingles, $duckSig, $duckBands, $duckPairs"
+
+  /** 16 simhash bit sums, one per bit, weighted by word multiplicity. */
+  private def simhashBitSum(j: Int, dialect: String): String = dialect match {
+    case "spark" =>
+      s"aggregate(filter(split(text, ' '), x -> length(x) > 0), 0, " +
+        s"(acc, w) -> acc + IF(substr(md5(concat('$j:', w)), 1, 1) <= '7', 1, -1))"
+    case _ =>
+      s"list_sum(list_transform(list_filter(string_split(text, ' '), x -> length(x) > 0), " +
+        s"w -> CASE WHEN substr(md5('$j:' || w), 1, 1) <= '7' THEN 1 ELSE -1 END))"
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup: hash-groupBy on content digest, keep lowest id.
+    "q_dedup_exact" -> ((s, d) =>
+      textCorpus(s, d)
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+        .select("doc_id", "n_copies")
+        .orderBy("doc_id")),
+
+    // MinHash + LSH banding: candidate near-dup pairs.
+    "q_dedup_minhash" -> ((s, d) =>
+      candidatePairs(bands(signatures(shingles(textCorpus(s, d)))))
+        .orderBy("a", "b")),
+
+    // n-gram Jaccard: exact similarity, verified on banding candidates only.
+    "q_dedup_ngram" -> ((s, d) => {
+      val sh = shingles(textCorpus(s, d))
+      val pairs = candidatePairs(bands(signatures(sh)))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = pairs
+        .join(sh.as("sa"), col("a") === col("sa.doc_id"))
+        .join(sh.as("sb"),
+          col("b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
+        .groupBy("a", "b").agg(count(lit(1)).as("ni"))
+      inter
+        .join(sizes.as("za"), col("a") === col("za.doc_id"))
+        .join(sizes.as("zb"), col("b") === col("zb.doc_id"))
+        .select(col("a"), col("b"),
+          round(col("ni").cast("double") / (col("za.n") + col("zb.n") - col("ni")), 4)
+            .as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy("a", "b")
+    }),
+
+    // SimHash: 16-bit row-local signature; bucket size flags near-dups.
+    "q_dedup_simhash" -> ((s, d) => {
+      val bitSums = (0 until 16).map(j =>
+        expr(simhashBitSum(j, "spark")).as(s"b$j"))
+      val withBits = textCorpus(s, d).select(col("doc_id") +: bitSums: _*)
+      val sim = concat((0 until 16).map(j =>
+        when(col(s"b$j") > 0, "1").otherwise("0")): _*)
+      withBits.select(col("doc_id"), sim.as("simhash"))
+        .withColumn("n_bucket",
+          count(lit(1)).over(Window.partitionBy("simhash")))
+        .orderBy("doc_id")
+    }),
+
+    // Embedding-cosine near-dup: exact quadratic baseline over the planted
+    // corpus (scaled copies ⇒ cosine 1.0). Production path: LSH buckets
+    // (q_ann_lsh).
+    "q_dedup_embedding" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val mutated = e.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          expr("transform(embedding, x -> CAST(x * 2 AS FLOAT))").as("embedding"))
+      val n = e.select(col("vec_id"), col("embedding")).unionByName(mutated)
+        .select(col("vec_id"), col("embedding"),
+          expr("sqrt(aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
+            .as("nrm"))
+      val a = n.select(col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na"))
+      val b = n.select(col("vec_id").as("b"), col("embedding").as("eb"), col("nrm").as("nb"))
+      a.join(b, col("a") < col("b"))
+        .withColumn("cos",
+          round(expr("aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)")
+            / (col("na") * col("nb")), 6))
+        .filter(col("cos") >= 0.99)
+        .select("a", "b", "cos")
+        .orderBy("a", "b")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      (s"WITH $duckCorpus " +
+        "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM corpus " +
+        "GROUP BY md5(text) ORDER BY doc_id"),
+    "q_dedup_minhash" ->
+      (s"$duckChain SELECT a, b FROM pairs ORDER BY a, b"),
+    "q_dedup_ngram" ->
+      (s"$duckChain, " +
+        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+        "inter AS (SELECT p.a, p.b, count(*) AS ni FROM pairs p " +
+        "JOIN sh sa ON sa.doc_id = p.a " +
+        "JOIN sh sb ON sb.doc_id = p.b AND sb.shingle = sa.shingle " +
+        "GROUP BY p.a, p.b) " +
+        "SELECT i.a, i.b, round(CAST(ni AS DOUBLE) / (za.n + zb.n - ni), 4) AS jaccard " +
+        "FROM inter i JOIN sizes za ON za.doc_id = i.a JOIN sizes zb ON zb.doc_id = i.b " +
+        "WHERE round(CAST(ni AS DOUBLE) / (za.n + zb.n - ni), 4) >= 0.5 ORDER BY a, b"),
+    "q_dedup_simhash" ->
+      (s"WITH $duckCorpus, bits AS (SELECT doc_id, " +
+        (0 until 16).map(j => s"${simhashBitSum(j, "duck")} AS b$j").mkString(", ") +
+        " FROM corpus) " +
+        "SELECT doc_id, " +
+        (0 until 16).map(j => s"CASE WHEN b$j > 0 THEN '1' ELSE '0' END").mkString(" || ") +
+        " AS simhash, count(*) OVER (PARTITION BY " +
+        (0 until 16).map(j => s"CASE WHEN b$j > 0 THEN '1' ELSE '0' END").mkString(" || ") +
+        ") AS n_bucket FROM bits ORDER BY doc_id"),
+    "q_dedup_embedding" ->
+      ("WITH corpus AS (SELECT vec_id, embedding FROM embeddings UNION ALL " +
+        "SELECT vec_id + 100000 AS vec_id, list_transform(embedding, x -> CAST(x * 2 AS FLOAT)) AS embedding " +
+        "FROM embeddings WHERE vec_id % 10 = 0), " +
+        "n AS (SELECT vec_id, embedding, " +
+        "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm FROM corpus) " +
+        "SELECT a.vec_id AS a, b.vec_id AS b, " +
+        "round(list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (a.nrm * b.nrm), 6) AS cos " +
+        "FROM n a JOIN n b ON a.vec_id < b.vec_id " +
+        "WHERE round(list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (a.nrm * b.nrm), 6) >= 0.99 " +
+        "ORDER BY a, b")
+  )
+}

@@ -1,0 +1,131 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.Tables.Q
+
+/** Approximate-nearest-neighbor search over the embedding column
+  * (builder-prompt mandate): brute-force cosine top-k as the correctness
+  * baseline, random-hyperplane LSH bucketing as the scale path.
+  *
+  * Scale design: brute-force is a broadcast of the (small) query set against
+  * the corpus — a map-side nested-loop with per-query top-k, no corpus
+  * shuffle. LSH assigns each vector an 8-bit signature from fixed random
+  * hyperplanes (derived from md5 so Spark, the oracle, and tests agree),
+  * then joins only within buckets: candidate count drops from O(n·q) to
+  * O(n·q/2^bits) and the join is a plain equi-join on the bucket key, which
+  * is exactly the shape that scales on a cluster (shuffle by signature).
+  */
+object Similarity {
+
+  val Dim = 64
+  val Planes = 8
+
+  /** Deterministic ±1 hyperplane components: sign of the first hex digit of
+    * md5("p:d"). Reproducible anywhere md5 exists. */
+  private[ops] def plane(p: Int): IndexedSeq[Double] = (0 until Dim).map { dd =>
+    val h = MessageDigest.getInstance("MD5")
+      .digest(s"$p:$dd".getBytes(StandardCharsets.UTF_8))
+    if ((h(0) & 0xff) < 0x80) 1.0 else -1.0
+  }
+
+  private def planeLit(p: Int, dialect: String): String = {
+    val xs = plane(p).map(v => if (v > 0) "1.0" else "-1.0")
+    if (dialect == "spark") xs.mkString("array(", ", ", ")")
+    else xs.mkString("[", ", ", "]")
+  }
+
+  /** bit p of the LSH signature, both dialects. */
+  private def bitExpr(p: Int, dialect: String): String = dialect match {
+    case "spark" =>
+      s"CASE WHEN aggregate(zip_with(embedding, ${planeLit(p, "spark")}, " +
+        s"(x, h) -> CAST(x AS DOUBLE) * h), 0D, (acc, v) -> acc + v) > 0 THEN '1' ELSE '0' END"
+    case _ =>
+      s"CASE WHEN list_sum(list_transform(list_zip(embedding, ${planeLit(p, "duck")}), " +
+        s"p -> CAST(p[1] AS DOUBLE) * p[2])) > 0 THEN '1' ELSE '0' END"
+  }
+
+  private def sigExpr(dialect: String): String =
+    if (dialect == "spark")
+      (0 until Planes).map(bitExpr(_, "spark")).mkString("concat(", ", ", ")")
+    else (0 until Planes).map(bitExpr(_, "duck")).mkString(" || ")
+
+  private val sparkDot =
+    "aggregate(zip_with(eq, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+  private val duckDot =
+    "list_sum(list_transform(list_zip(q.embedding, c.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+
+  private def normed(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+      expr("sqrt(aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
+        .as("nrm"))
+
+  private val duckNormed =
+    "n AS (SELECT vec_id, embedding, " +
+      "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm " +
+      "FROM embeddings)"
+
+  val queries: Map[String, Q] = Map(
+    // Brute-force cosine top-5 for each query vector (vec_id < 20): the
+    // exact baseline every ANN variant is judged against.
+    "q_ann_bruteforce" -> ((s, d) => {
+      val n = normed(s, d)
+      val q = n.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q"), col("embedding").as("eq"), col("nrm").as("nq"))
+      val c = n.select(col("vec_id").as("b"), col("embedding").as("eb"), col("nrm").as("nb"))
+      val w = Window.partitionBy("q").orderBy(desc("cos"), asc("b"))
+      broadcast(q).join(c, col("q") =!= col("b"))
+        .withColumn("cos", round(expr(sparkDot) / (col("nq") * col("nb")), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("q"), col("rank"), col("b").as("neighbor"), col("cos"))
+        .orderBy("q", "rank")
+    }),
+
+    // LSH-bucketed ANN: candidates share the 8-bit hyperplane signature;
+    // top-3 within bucket. Approximate by construction — the oracle runs
+    // the identical bucketing, so results still hash-match.
+    "q_ann_lsh" -> ((s, d) => {
+      val n = normed(s, d).withColumn("sig", expr(sigExpr("spark")))
+      val q = n.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("q"), col("embedding").as("eq"),
+          col("nrm").as("nq"), col("sig"))
+      val c = n.select(col("vec_id").as("b"), col("embedding").as("eb"),
+        col("nrm").as("nb"), col("sig"))
+      val w = Window.partitionBy("q").orderBy(desc("cos"), asc("b"))
+      q.join(c, Seq("sig")).filter(col("q") =!= col("b"))
+        .withColumn("cos", round(expr(sparkDot) / (col("nq") * col("nb")), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("q"), col("rank"), col("b").as("neighbor"), col("cos"))
+        .orderBy("q", "rank")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_ann_bruteforce" ->
+      (s"WITH $duckNormed, scored AS (" +
+        "SELECT q.vec_id AS q, c.vec_id AS neighbor, " +
+        s"round($duckDot / (q.nrm * c.nrm), 6) AS cos " +
+        "FROM n q JOIN n c ON q.vec_id < 20 AND q.vec_id <> c.vec_id), " +
+        "ranked AS (SELECT q, neighbor, cos, " +
+        "CAST(row_number() OVER (PARTITION BY q ORDER BY cos DESC, neighbor) AS INTEGER) AS rank " +
+        "FROM scored) " +
+        "SELECT q, rank, neighbor, cos FROM ranked WHERE rank <= 5 ORDER BY q, rank"),
+    "q_ann_lsh" ->
+      (s"WITH $duckNormed, sigs AS (SELECT vec_id, embedding, nrm, " +
+        s"${sigExpr("duck")} AS sig FROM n), " +
+        "scored AS (SELECT q.vec_id AS q, c.vec_id AS neighbor, " +
+        s"round($duckDot / (q.nrm * c.nrm), 6) AS cos " +
+        "FROM sigs q JOIN sigs c ON q.sig = c.sig AND q.vec_id < 50 AND q.vec_id <> c.vec_id), " +
+        "ranked AS (SELECT q, neighbor, cos, " +
+        "CAST(row_number() OVER (PARTITION BY q ORDER BY cos DESC, neighbor) AS INTEGER) AS rank " +
+        "FROM scored) " +
+        "SELECT q, rank, neighbor, cos FROM ranked WHERE rank <= 3 ORDER BY q, rank")
+  )
+}
