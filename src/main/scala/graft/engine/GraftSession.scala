@@ -1,0 +1,216 @@
+package graft.engine
+
+import java.security.MessageDigest
+import java.time.LocalDate
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Typed error surface — SURVEY.md §2.1 exceptions mapping
+  * (/root/reference/helpers/exceptions.py:8-73). The reference's silent
+  * retry-exhaustion fall-through (SURVEY §7.5.2) is fixed: exhaustion is a
+  * first-class error. */
+sealed trait GraftError { def message: String }
+final case class NoSqlFound(message: String) extends GraftError
+final case class BadSql(message: String) extends GraftError
+final case class RetriesExhausted(message: String) extends GraftError
+
+/** Engine configuration — SURVEY.md §2.1 `PolarsAI.__init__` mapping
+  * (/root/reference/polarsai/__init__.py:78-163): verbosity, cache toggle,
+  * conversational answers, retry budget, prompt overrides. */
+final case class GraftConfig(
+    verbose: Boolean = false,
+    conversational: Boolean = false,
+    enableCache: Boolean = true,
+    maxRetries: Int = 3,
+    showSql: Boolean = false,
+    customPrompts: Map[String, (String, Seq[Prompts.TableCtx]) => String] = Map.empty)
+
+/** The answer envelope: rendered text plus the raw result and telemetry. */
+final case class Answer(
+    text: String,
+    df: Option[DataFrame],
+    sql: Option[String],
+    error: Option[GraftError])
+
+/** The conversational engine — SURVEY.md §2.1 `run`/`run_code` mapping:
+  * the reference's cache → head/shape → prompt → codegen → sanitize →
+  * execute → retry → answer loop (/root/reference/polarsai/__init__.py:
+  * 214-341,490-582) rebuilt Spark-natively with SQL as the codegen target.
+  *
+  * Execution is `spark.sql` over read-only temp views `df` / `df1..dfN`
+  * (the reference's exec-environment binding, :530-537), so Catalyst
+  * analyzes, optimizes, and distributes the generated query — the stage
+  * where the reference runs single-machine eager Polars kernels.
+  */
+final class GraftSession(
+    val spark: SparkSession,
+    val llm: LlmClient,
+    val config: GraftConfig = GraftConfig()) {
+
+  /** Cache keyed on question + schema fingerprint + view names — fixing the
+    * reference's prompt-text-only keying that returns stale code after a
+    * schema change (SURVEY §7.5.1; helpers/cache.py:24-44). */
+  private val cache = mutable.Map.empty[String, String]
+
+  // telemetry mirroring the reference's fields (polarsai/__init__.py:73-76)
+  @volatile var lastPrompt: Option[String] = None
+  @volatile var lastSqlGenerated: Option[String] = None
+  @volatile var lastSqlExecuted: Option[String] = None
+  @volatile var lastError: Option[String] = None
+  @volatile var lastDurationMs: Long = 0L
+  val logs: mutable.ArrayBuffer[String] = mutable.ArrayBuffer.empty
+
+  private def log(msg: String): Unit = {
+    logs += msg
+    if (config.verbose) println(s"[graft] $msg")
+  }
+
+  /** Single-table entry point (reference `run(df, prompt)`). */
+  def ask(df: DataFrame, question: String): Answer =
+    ask(Seq(df), question)
+
+  /** Multi-table entry point: tables are bound as `df` (single) or
+    * `df1..dfN` (multiple), like the reference (:532-537). */
+  def ask(dfs: Seq[DataFrame], question: String): Answer = {
+    val t0 = System.nanoTime()
+    try {
+      val names =
+        if (dfs.length == 1) Seq("df")
+        else dfs.indices.map(i => s"df${i + 1}")
+      names.zip(dfs).foreach { case (n, df) => df.createOrReplaceTempView(n) }
+      val tables = names.zip(dfs).map { case (n, df) => Prompts.describe(n, df) }
+
+      val key = cacheKey(question, tables)
+      val cached = if (config.enableCache) cache.get(key) else None
+      val sql0 = cached.getOrElse(generate(question, tables))
+      if (config.enableCache && cached.isEmpty) cache(key) = sql0
+      if (config.showSql) println(sql0)
+
+      run(question, sql0, tables, names.toSet) match {
+        case Right(df) => render(question, df, sql0)
+        case Left(err) =>
+          lastError = Some(err.message)
+          Answer(envelope(err.message), None, lastSqlExecuted, Some(err))
+      }
+    } catch {
+      case e: Exception =>
+        lastError = Some(e.getMessage)
+        Answer(envelope(e.getMessage), None, lastSqlExecuted,
+          Some(BadSql(String.valueOf(e.getMessage))))
+    } finally {
+      lastDurationMs = (System.nanoTime() - t0) / 1000000
+      log(s"Executed in: ${lastDurationMs}ms")
+    }
+  }
+
+  /** prompt → LLM → fence extraction (parse gate happens in run()). */
+  private def generate(question: String, tables: Seq[Prompts.TableCtx]): String = {
+    val prompt = config.customPrompts.get(Prompts.GenerateSqlKey)
+      .map(f => f(question, tables))
+      .getOrElse(Prompts.generateSql(question, tables, LocalDate.now()))
+    lastPrompt = Some(prompt)
+    val sql = SqlExtractor.extract(llm.predict(prompt))
+    if (sql.isEmpty)
+      throw new IllegalArgumentException("No SQL found in LLM response")
+    lastSqlGenerated = Some(sql)
+    sql
+  }
+
+  /** guard → execute → ≤maxRetries correction loop (reference run_code,
+    * :540-554; retries rebuild the prompt with the engine's error text). */
+  private def run(question: String, firstSql: String,
+      tables: Seq[Prompts.TableCtx],
+      views: Set[String]): Either[GraftError, DataFrame] = {
+    var sql = firstSql
+    var lastErr = ""
+    for (attempt <- 0 to config.maxRetries) {
+      SqlGuard.check(spark, sql, views) match {
+        case SqlGuard.Rejected(reason) => lastErr = reason
+        case SqlGuard.Ok =>
+          try {
+            lastSqlExecuted = Some(sql)
+            val out = spark.sql(sql)
+            out.schema // force analysis so AnalysisException surfaces here
+            return Right(out)
+          } catch { case e: Exception => lastErr = String.valueOf(e.getMessage) }
+      }
+      log(s"attempt ${attempt + 1} failed: $lastErr")
+      if (attempt < config.maxRetries) {
+        val prompt = Prompts.correctError(question, sql, lastErr, tables)
+        lastPrompt = Some(prompt)
+        sql = SqlExtractor.extract(llm.predict(prompt))
+        lastSqlGenerated = Some(sql)
+      }
+    }
+    Left(RetriesExhausted(lastErr))
+  }
+
+  /** Result extraction (reference :556-582): a 1×1 frame renders as the
+    * scalar; otherwise a bounded tabular preview. Optionally rephrased by a
+    * second LLM call (conversational_answer, :197-212 — broken in the
+    * reference, SURVEY §7.5.3; intended semantics restored here). */
+  private def render(question: String, df: DataFrame, sql: String): Answer = {
+    val cols = df.columns
+    val head = df.limit(21).collect()
+    val text =
+      if (head.length == 1 && cols.length == 1) String.valueOf(head(0).get(0))
+      else {
+        val shown = head.take(20).map(_.toSeq.map(String.valueOf).mkString("\t"))
+        val more = if (head.length > 20) "\n…" else ""
+        (cols.mkString("\t") +: shown).mkString("\n") + more
+      }
+    val finalText =
+      if (config.conversational)
+        llm.predict(Prompts.generateResponse(question, text))
+      else text
+    Answer(finalText, Some(df), Some(sql), None)
+  }
+
+  /** Reference's exact error envelope (polarsai/__init__.py:334-341). */
+  private def envelope(err: String): String =
+    "Unfortunately, I was not able to answer your question, " +
+      s"because of the following error:\n\n$err\n"
+
+  private def cacheKey(question: String, tables: Seq[Prompts.TableCtx]): String = {
+    val fingerprint = tables.map(t => s"${t.name}:${t.head.linesIterator.take(1).mkString}")
+      .mkString("|")
+    MessageDigest.getInstance("MD5")
+      .digest(s"$question||$fingerprint".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  def clearCache(): Unit = cache.clear()
+  def cacheSize: Int = cache.size
+}
+
+/** Canned-prompt shortcut recipes — SURVEY.md §2.2
+  * (/root/reference/helpers/shortcuts.py). Pure prompt templating over
+  * ask(), exactly like the reference (each method builds an English prompt
+  * and delegates); the `{window}` f-string bug in the reference's rolling_*
+  * shortcuts (SURVEY §7.5.6) is fixed by actually interpolating. */
+final class Shortcuts(session: GraftSession) {
+  private def run(df: DataFrame, prompt: String): Answer = session.ask(df, prompt)
+
+  def cleanData(df: DataFrame): Answer =
+    run(df, "Remove duplicate rows and rows with null values, and return the cleaned data")
+  def imputeMissingValues(df: DataFrame): Answer =
+    run(df, "Fill missing values with the column mean")
+  def generateFeatures(df: DataFrame): Answer =
+    run(df, "Generate new derived feature columns from the existing columns")
+  def plotHistogram(df: DataFrame, column: String): Answer =
+    run(df, s"Bucket the column $column into fixed-width bins and count rows per bin")
+  def plotCorrelationHeatmap(df: DataFrame): Answer =
+    run(df, "Compute the correlation between every pair of numeric columns")
+  def plotConfusionMatrix(df: DataFrame, truth: String, pred: String): Answer =
+    run(df, s"Count rows by ($truth, $pred) pairs")
+  def boxplot(df: DataFrame, column: String, by: String): Answer =
+    run(df, s"Compute min, 25th/50th/75th percentile and max of $column grouped by $by")
+  def rollingMean(df: DataFrame, column: String, window: Int): Answer =
+    run(df, s"Calculate the rolling mean of $column over a trailing window of $window rows")
+  def rollingMedian(df: DataFrame, column: String, window: Int): Answer =
+    run(df, s"Calculate the rolling median of $column over a trailing window of $window rows")
+  def rollingStd(df: DataFrame, column: String, window: Int): Answer =
+    run(df, s"Calculate the rolling standard deviation of $column over a trailing window of $window rows")
+}

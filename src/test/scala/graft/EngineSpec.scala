@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.engine._
+
+/** Engine e2e through FakeLlm — the reference's own test seam
+  * (llm/deprecated/fake.py), SURVEY.md §5.2.3. */
+class EngineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDf = Seq(
+    (1, "banana", 5), (2, "banana", 4), (3, "apple", 3),
+    (4, "apple", 2), (5, "banana", 1)).toDF("a", "fruits", "b")
+
+  test("canned SQL end-to-end: scalar answer") {
+    val llm = FakeLlm("```sql\nSELECT CAST(sum(a) AS BIGINT) AS s FROM df\n```")
+    val s = new GraftSession(spark, llm)
+    val ans = s.ask(freshDf, "what is the sum of the A column?")
+    assert(ans.error.isEmpty, ans.text)
+    assert(ans.text == "15")
+    assert(llm.lastPrompt.get.contains("what is the sum of the A column?"))
+    assert(llm.lastPrompt.get.contains("Table `df`"))
+  }
+
+  test("tabular answer renders header + rows") {
+    val llm = FakeLlm("```sql\nSELECT fruits, count(*) AS n FROM df GROUP BY fruits ORDER BY fruits\n```")
+    val ans = new GraftSession(spark, llm).ask(freshDf, "count by fruit")
+    assert(ans.error.isEmpty)
+    assert(ans.text.linesIterator.next() == "fruits\tn")
+    assert(ans.text.contains("apple\t2") && ans.text.contains("banana\t3"))
+  }
+
+  test("retry loop: invalid SQL then valid SQL succeeds on attempt 2") {
+    val llm = FakeLlm(
+      "```sql\nSELECT nope_column FROM df\n```",
+      "```sql\nSELECT count(*) AS n FROM df\n```")
+    val s = new GraftSession(spark, llm)
+    val ans = s.ask(freshDf, "how many rows?")
+    assert(ans.error.isEmpty, ans.text)
+    assert(ans.text == "5")
+    assert(llm.callCount == 2)
+    assert(llm.allPrompts(1).contains("nope_column")) // correction prompt carries the failed SQL
+  }
+
+  test("retries exhausted surfaces a typed error (reference defect 7.5.2 fixed)") {
+    val llm = FakeLlm("```sql\nSELECT nope FROM df\n```") // sticks on bad SQL
+    val s = new GraftSession(spark, llm, GraftConfig(maxRetries = 2))
+    val ans = s.ask(freshDf, "?")
+    assert(ans.error.exists(_.isInstanceOf[RetriesExhausted]))
+    assert(ans.text.startsWith("Unfortunately, I was not able to answer your question"))
+  }
+
+  test("guard rejects DML/DDL injection") {
+    for (bad <- Seq(
+        "DROP TABLE df",
+        "INSERT INTO df VALUES (1, 'x', 2)",
+        "CREATE TABLE t AS SELECT * FROM df",
+        "UPDATE df SET a = 1")) {
+      val ans = new GraftSession(spark, FakeLlm(s"```sql\n$bad\n```"),
+        GraftConfig(maxRetries = 0)).ask(freshDf, "?")
+      assert(ans.error.isDefined, s"should reject: $bad")
+    }
+  }
+
+  test("guard rejects unknown tables and env-leaking functions") {
+    val unknown = new GraftSession(spark,
+      FakeLlm("```sql\nSELECT * FROM secrets\n```"), GraftConfig(maxRetries = 0))
+      .ask(freshDf, "?")
+    assert(unknown.error.isDefined)
+    val leak = new GraftSession(spark,
+      FakeLlm("```sql\nSELECT input_file_name() FROM df\n```"),
+      GraftConfig(maxRetries = 0)).ask(freshDf, "?")
+    assert(leak.error.isDefined)
+  }
+
+  test("guard allows CTEs over registered views") {
+    val llm = FakeLlm(
+      "```sql\nWITH t AS (SELECT a FROM df WHERE a > 2) SELECT count(*) AS n FROM t\n```")
+    val ans = new GraftSession(spark, llm).ask(freshDf, "?")
+    assert(ans.error.isEmpty, ans.text)
+    assert(ans.text == "3")
+  }
+
+  test("cache: identical question+schema skips the LLM; different question does not") {
+    val llm = FakeLlm("```sql\nSELECT count(*) AS n FROM df\n```")
+    val s = new GraftSession(spark, llm)
+    assert(s.ask(freshDf, "how many rows?").text == "5")
+    assert(s.ask(freshDf, "how many rows?").text == "5")
+    assert(llm.callCount == 1) // second ask served from cache
+    s.ask(freshDf, "how many rows are there?")
+    assert(llm.callCount == 2)
+  }
+
+  test("multi-table binding df1..dfN (reference :532-535) + join answer") {
+    val employees = Seq((1, "Olivia", "Eng"), (2, "Noah", "Ops"))
+      .toDF("EmployeeID", "Name", "Department")
+    val salaries = Seq((1, 9000), (2, 7000)).toDF("EmployeeID", "Salary")
+    val llm = FakeLlm(
+      "```sql\nSELECT Name FROM df1 JOIN df2 ON df1.EmployeeID = df2.EmployeeID ORDER BY Salary DESC LIMIT 1\n```")
+    val ans = new GraftSession(spark, llm).ask(Seq(employees, salaries), "Who gets paid the most?")
+    assert(ans.error.isEmpty, ans.text)
+    assert(ans.text == "Olivia")
+    assert(llm.lastPrompt.get.contains("Table `df1`") &&
+      llm.lastPrompt.get.contains("Table `df2`"))
+  }
+
+  test("conversational answer uses a second LLM round-trip") {
+    val llm = FakeLlm(
+      "```sql\nSELECT count(*) AS n FROM df\n```",
+      "There are 5 rows in your data.")
+    val s = new GraftSession(spark, llm, GraftConfig(conversational = true))
+    assert(s.ask(freshDf, "how many rows?").text == "There are 5 rows in your data.")
+    assert(llm.callCount == 2)
+  }
+
+  test("error envelope matches the reference string contract") {
+    val ans = new GraftSession(spark, FakeLlm("no code here at all"),
+      GraftConfig(maxRetries = 0)).ask(freshDf, "?")
+    assert(ans.text.startsWith(
+      "Unfortunately, I was not able to answer your question, because of the following error:"))
+  }
+
+  test("shortcuts delegate through ask() with canned prompts") {
+    val llm = FakeLlm("```sql\nSELECT fruits, count(*) AS n FROM df GROUP BY fruits ORDER BY fruits\n```")
+    val s = new GraftSession(spark, llm)
+    val ans = new Shortcuts(s).plotHistogram(freshDf, "fruits")
+    assert(ans.error.isEmpty)
+    assert(llm.lastPrompt.get.contains("fruits"))
+  }
+
+  test("SqlExtractor handles fences, tags and bare SQL") {
+    assert(SqlExtractor.extract("```sql\nSELECT 1\n```") == "SELECT 1")
+    assert(SqlExtractor.extract("```\nSELECT 1\n```") == "SELECT 1")
+    assert(SqlExtractor.extract("Here you go:\n```sql\nSELECT 1\n```\nEnjoy!") == "SELECT 1")
+    assert(SqlExtractor.extract("SELECT 1") == "SELECT 1")
+  }
+}

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Per-operator spot checks on sf0.001 + algebraic property tests
+  * (SURVEY.md §5.2.2/§5.2.4). The exhaustive hash-parity gate is driver-run
+  * (Verify + DuckDB); these assert semantics a hash can't explain. */
+class OpsSpec extends SparkSpec {
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("every registered query has matching column names with its oracle declaration") {
+    // oracle coverage: every query either has oracle SQL or is documented
+    // approximate (rows-only check)
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle == Set("q_approx_distinct"), s"missing oracle: $noOracle")
+  }
+
+  test("entry() returns rows (driver t1 smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("semi ∪ anti partitions the left input") {
+    val semi = q("q_join_semi").count()
+    val anti = q("q_join_anti").count()
+    val customers = Tables.customer(spark, sf).count()
+    assert(semi + anti == customers)
+  }
+
+  test("cumsum last element equals group sum") {
+    val e = Tables.events(spark, sf)
+    val total = e.agg(round(sum("value"), 4)).head.getDouble(0)
+    val lastCum = q("q_cumsum")
+      .groupBy().agg(round(sum(col("cum_sum") - col("cum_sum") + lit(0)), 4)) // placeholder no-op guard
+    // per-user: max(cum_n) rows' cum_sum must equal the user's total
+    import spark.implicits._
+    val perUser = e.groupBy("user_id").agg(round(sum("value"), 4).as("total"))
+    val lastRows = e.select(col("user_id"), col("event_id"))
+      .groupBy("user_id").agg(max("event_id").as("event_id"))
+      .join(q("q_cumsum"), "event_id")
+    val joined = lastRows.join(perUser, "user_id")
+      .select(abs(col("cum_sum") - col("total")).as("diff"))
+      .agg(max("diff")).head.getDouble(0)
+    assert(joined < 1e-6, s"cumsum tail mismatch: $joined (grand total $total)")
+  }
+
+  test("rolling window of 1 row would be identity (frame sanity via roll_min<=mean<=roll_max)") {
+    val bad = q("q_rolling_mean")
+      .filter(col("roll_mean") < col("roll_min") - 1e-9 ||
+        col("roll_mean") > col("roll_max") + 1e-9)
+      .count()
+    assert(bad == 0)
+  }
+
+  test("melt ∘ pivot round-trip preserves cell values") {
+    val melted = q("q_melt") // (p_partkey, attr, val)
+    val back = melted.groupBy("p_partkey")
+      .pivot("attr", Seq("size", "retailprice")).agg(first("val"))
+    val orig = Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_size").cast("double").as("size"),
+        col("p_retailprice").as("retailprice"))
+    assert(back.exceptAll(orig).count() == 0 && orig.exceptAll(back).count() == 0)
+  }
+
+  test("as-of join: every matched click is at-or-before its purchase") {
+    val e = Tables.events(spark, sf)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val bad = q("q_join_asof").filter(col("click_id").isNotNull)
+      .join(clicks, "click_id")
+      .join(e.select(col("event_id"), col("ts").as("p_ts")), "event_id")
+      .filter(col("click_ts") > col("p_ts")).count()
+    assert(bad == 0)
+  }
+
+  test("dedup_minhash finds the planted near-duplicate pairs with high recall") {
+    val pairs = q("q_dedup_minhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 10 === 0).select("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 100000L)).toSet
+    val recall = planted.count(pairs.contains).toDouble / planted.size
+    assert(recall >= 0.8, s"minhash recall $recall over ${planted.size} planted pairs")
+  }
+
+  test("dedup_embedding finds exactly the planted scaled copies at cos>=0.99") {
+    val found = q("q_dedup_embedding").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 10 === 0).select("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 100000L)).toSet
+    assert(found == planted, s"extra=${found -- planted} missing=${planted -- found}")
+  }
+
+  test("ann_bruteforce: 5 neighbors per query, cosine within [-1, 1], ranks 1..5") {
+    val rows = q("q_ann_bruteforce").collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 20)
+    assert(byQ.values.forall(_.map(_.getInt(1)).sorted.sameElements(1 to 5)))
+    assert(rows.forall(r => math.abs(r.getDouble(3)) <= 1.0 + 1e-9))
+  }
+
+  test("lang_id predictions are deterministic members of the label set") {
+    val preds = q("q_lang_id").select("pred").distinct().collect().map(_.getString(0)).toSet
+    assert(preds.subsetOf(Set("de", "en", "es", "fr")))
+  }
+}
