@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: dump formatted physical plans for named queries (or a default
+  * set of the shuffle-heavy ones) to review pushdown/broadcast/shuffle
+  * shape — the "is this the plan I'd want at 100 TB" loop. */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = "/root/testdata/sf0.01"
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("q_group_agg", "q_join_inner", "q_join_asof", "q_topk",
+        "q_dedup_minhash", "q_ann_lsh", "q_window_tumbling", "q_rolling_mean")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      println(s"\n===================== $n =====================")
+      println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+    spark.stop()
+  }
+}

@@ -21,7 +21,8 @@ object SparkEntry {
     (ops.TextAnalysis.queries, ops.TextAnalysis.oracle),
     (ops.Dedup.queries, ops.Dedup.oracle),
     (ops.Similarity.queries, ops.Similarity.oracle),
-    (ops.Multimodal.queries, ops.Multimodal.oracle)
+    (ops.Multimodal.queries, ops.Multimodal.oracle),
+    (ops.Sources.queries, ops.Sources.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

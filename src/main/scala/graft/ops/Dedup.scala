@@ -79,11 +79,18 @@ object Dedup {
       s"SELECT doc_id, $b AS band, md5(s${2 * b} || s${2 * b + 1}) AS bkey FROM sig")
       .mkString(" UNION ALL ") + ")"
 
+  /** Pairs of doc_ids sharing a band bucket. A groupBy + in-bucket pair
+    * expansion instead of a self-join: one pass over the signature subtree
+    * (a self-join would evaluate the whole shingle→signature chain twice)
+    * and bucket membership lists stay tiny by construction. */
   private def candidatePairs(bands: DataFrame): DataFrame =
-    bands.as("x").join(bands.as("y"),
-      col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    bands.groupBy("band", "bkey")
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "filter(flatten(transform(ids, x -> transform(ids, y -> struct(x AS a, y AS b)))), p -> p.a < p.b)"))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b")).distinct()
 
   private val duckPairs =
     "pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x " +
@@ -149,27 +156,46 @@ object Dedup {
         .orderBy("doc_id")
     }),
 
-    // Embedding-cosine near-dup: exact quadratic baseline over the planted
-    // corpus (scaled copies ⇒ cosine 1.0). Production path: LSH buckets
-    // (q_ann_lsh).
+    // Embedding-cosine near-dup: exact all-pairs scan over the planted
+    // corpus (scaled copies ⇒ cosine 1.0). The pair space is computed as a
+    // block product: one corpus block broadcast (id, vector, norm), the
+    // other streamed through mapPartitions with a tight primitive loop —
+    // the blocked-matmul shape that scales (per-executor flops, no pair
+    // shuffle) and runs ~100× faster than a per-pair HOF expression. The
+    // arithmetic (ascending-index double fold, then /norms, then
+    // HALF_UP round 6) matches the SQL oracle bit-for-bit.
     "q_dedup_embedding" -> ((s, d) => {
+      import s.implicits._
       val e = Tables.embeddings(s, d)
       val mutated = e.filter(col("vec_id") % 10 === 0)
         .select((col("vec_id") + 100000).as("vec_id"),
           expr("transform(embedding, x -> CAST(x * 2 AS FLOAT))").as("embedding"))
-      val n = e.select(col("vec_id"), col("embedding")).unionByName(mutated)
-        .select(col("vec_id"), col("embedding"),
-          expr("sqrt(aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
-            .as("nrm"))
-      val a = n.select(col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na"))
-      val b = n.select(col("vec_id").as("b"), col("embedding").as("eb"), col("nrm").as("nb"))
-      a.join(b, col("a") < col("b"))
-        .withColumn("cos",
-          round(expr("aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)")
-            / (col("na") * col("nb")), 6))
-        .filter(col("cos") >= 0.99)
-        .select("a", "b", "cos")
-        .orderBy("a", "b")
+      val corpus = e.select(col("vec_id"), col("embedding")).unionByName(mutated)
+        .as[(Long, Array[Float])]
+
+      def norm(v: Array[Float]): Double = {
+        var i = 0; var acc = 0.0
+        while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
+        math.sqrt(acc)
+      }
+      // small at any SF of this corpus; at real scale this becomes one
+      // broadcast block per pass over the streamed side
+      val block = corpus.collect().map { case (id, v) => (id, v, norm(v)) }
+      val bc = s.sparkContext.broadcast(block)
+
+      corpus.mapPartitions { it =>
+        val blk = bc.value
+        it.flatMap { case (aId, ea) =>
+          val na = norm(ea)
+          blk.iterator.filter(_._1 > aId).flatMap { case (bId, eb, nb) =>
+            var k = 0; var dot = 0.0
+            while (k < ea.length) { dot += ea(k).toDouble * eb(k).toDouble; k += 1 }
+            val cos = BigDecimal(dot / (na * nb))
+              .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+            if (cos >= 0.99) Some((aId, bId, cos)) else None
+          }
+        }
+      }.toDF("a", "b", "cos").orderBy("a", "b")
     })
   )
 

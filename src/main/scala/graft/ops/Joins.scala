@@ -122,6 +122,35 @@ object Joins {
         .select(col("event_id"), col("user_id"),
           col("asof_click").as("click_id"), col("asof_value").as("click_value"))
         .orderBy("event_id")
+    }),
+
+    // join_asof with tolerance: like q_join_asof but matches farther than
+    // 1 hour back are dropped (polars join_asof(tolerance=...)). The asof
+    // pick itself is unchanged — a too-old latest click yields null rather
+    // than falling back to an even older one.
+    "q_join_asof_tol" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(1).as("is_p"), col("event_id"),
+          lit(null).cast("long").as("click_id"),
+          lit(null).cast("timestamp_ntz").as("click_ts"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(0).as("is_p"),
+          lit(null).cast("long").as("event_id"),
+          col("event_id").as("click_id"), col("ts").as("click_ts"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("is_p").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      purchases.unionByName(clicks)
+        .withColumn("asof_click", last(col("click_id"), ignoreNulls = true).over(w))
+        .withColumn("asof_ts", last(col("click_ts"), ignoreNulls = true).over(w))
+        .filter(col("is_p") === 1)
+        .withColumn("in_tol",
+          unix_micros(col("asof_ts").cast("timestamp")) >=
+            unix_micros(col("ts").cast("timestamp")) - 3600000000L)
+        .select(col("event_id"), col("user_id"),
+          when(col("in_tol"), col("asof_click")).as("click_id"))
+        .orderBy("event_id")
     })
   )
 
@@ -161,6 +190,12 @@ object Joins {
     "q_join_asof" ->
       ("SELECT p.event_id, p.user_id, c.event_id AS click_id, " +
         "c.value AS click_value " +
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
+        "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c " +
+        "ON p.user_id = c.user_id AND p.ts >= c.ts ORDER BY p.event_id"),
+    "q_join_asof_tol" ->
+      ("SELECT p.event_id, p.user_id, " +
+        "CASE WHEN epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000 THEN c.event_id END AS click_id " +
         "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
         "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c " +
         "ON p.user_id = c.user_id AND p.ts >= c.ts ORDER BY p.event_id")

@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.Tables.Q
+
+/** Sources & sinks beyond parquet — SURVEY.md §2.3: CSV / JSON read
+  * (pl.read_csv / read_json) and write+read-back round-trips
+  * (write_csv / write_parquet / write_json).
+  *
+  * The driver ships parquet only, so the CSV/JSON scans are round-trips:
+  * write a projection to a scratch dir, read it back through the format's
+  * real reader (header + schema inference for CSV, schema inference for
+  * JSON), aggregate. The oracle aggregates the source table directly — a
+  * lossless round-trip is exactly what makes them hash-equal.
+  *
+  * Also: sample(fraction, seed) (nondeterministic across engines → no
+  * oracle) and spark.ml KMeans for the reference's segment_customers
+  * shortcut (/root/reference/helpers/shortcuts.py:354-376; sklearn → no
+  * SQL oracle, rows-only check).
+  */
+object Sources {
+
+  private def scratch(name: String): String =
+    java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_io", name).toString
+
+  /** status-level money summary — identical shape for every round-trip. */
+  private def summarize(df: DataFrame): DataFrame =
+    df.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("o_orderstatus")
+
+  private val summarySql =
+    "SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total " +
+      "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
+
+  val queries: Map[String, Q] = Map(
+    // write_csv → read_csv(header, inferSchema) round-trip.
+    "q_scan_csv" -> ((s, d) => {
+      val path = scratch("orders_csv")
+      Tables.orders(s, d).select("o_orderstatus", "o_totalprice")
+        .write.mode("overwrite").option("header", "true").csv(path)
+      summarize(s.read.option("header", "true").option("inferSchema", "true")
+        .csv(path))
+    }),
+
+    // write_json → read_json round-trip.
+    "q_scan_json" -> ((s, d) => {
+      val path = scratch("orders_json")
+      Tables.orders(s, d).select("o_orderstatus", "o_totalprice")
+        .write.mode("overwrite").json(path)
+      summarize(s.read.json(path))
+    }),
+
+    // write_parquet → read-back round-trip (the sink path of the t1/t2
+    // workhorse format).
+    "q_sink_parquet" -> ((s, d) => {
+      val path = scratch("orders_parquet")
+      Tables.orders(s, d).select("o_orderstatus", "o_totalprice")
+        .write.mode("overwrite").parquet(path)
+      summarize(s.read.parquet(path))
+    }),
+
+    // sample(fraction, seed): Bernoulli row sampling. Sampling RNGs differ
+    // between engines → no oracle (driver does a rows-only check); the
+    // count lands within binomial bounds asserted in OpsSpec.
+    "q_sample" -> ((s, d) =>
+      Tables.orders(s, d).sample(withReplacement = false, 0.1, seed = 42)
+        .agg(count(lit(1)).as("n_sampled"))),
+
+    // segment_customers → spark.ml KMeans (k=3, fixed seed) on account
+    // balance; output = cluster sizes. ML fit is iterative/approximate →
+    // no SQL oracle (rows-only).
+    "q_segment" -> ((s, d) => {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.feature.VectorAssembler
+      val feats = new VectorAssembler()
+        .setInputCols(Array("c_acctbal")).setOutputCol("features")
+        .transform(Tables.customer(s, d))
+      val model = new KMeans().setK(3).setSeed(42L).setFeaturesCol("features")
+      model.fit(feats).transform(feats)
+        .groupBy("prediction").agg(count(lit(1)).as("n"))
+        .orderBy("prediction")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_scan_csv" -> summarySql,
+    "q_scan_json" -> summarySql,
+    "q_sink_parquet" -> summarySql
+  )
+}

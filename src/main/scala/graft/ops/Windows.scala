@@ -160,6 +160,35 @@ object Windows {
         .orderBy("user_id", "day")
     }),
 
+    // interpolate (polars .interpolate()): linear fill of nulled-out values
+    // between the nearest non-null neighbors, edges clamped — composed
+    // from forward/backward ignoreNulls windows (SURVEY §4.2: no custom
+    // Expression needed).
+    "q_interpolate" -> ((s, d) => {
+      val masked = when(col("event_type") === "view", lit(null))
+        .otherwise(col("value"))
+      val back = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = byUser.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), masked.as("v"),
+          row_number().over(byUser).as("rn"))
+        .select(col("event_id"), col("v"), col("rn"),
+          last(col("v"), ignoreNulls = true).over(back).as("pv"),
+          last(when(col("v").isNotNull, col("rn")), ignoreNulls = true)
+            .over(back).as("pr"),
+          first(col("v"), ignoreNulls = true).over(fwd).as("nv"),
+          first(when(col("v").isNotNull, col("rn")), ignoreNulls = true)
+            .over(fwd).as("nr"))
+        .select(col("event_id"),
+          round(when(col("v").isNotNull, col("v"))
+            .otherwise(when(col("pv").isNotNull && col("nv").isNotNull,
+              col("pv") + (col("nv") - col("pv")) *
+                (col("rn") - col("pr")).cast("double") /
+                (col("nr") - col("pr")).cast("double"))
+              .otherwise(coalesce(col("pv"), col("nv")))), 6).as("interp"))
+        .orderBy("event_id")
+    }),
+
     // fill_null(strategy='forward'): per-user forward fill of a nulled-out
     // measure (views dropped), SURVEY §2.9 null handling.
     "q_ffill" -> ((s, d) => {
@@ -239,6 +268,24 @@ object Windows {
         "SELECT g.user_id, g.day, coalesce(d.n, 0) AS n, coalesce(d.total, 0.0) AS total " +
         "FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day " +
         "ORDER BY g.user_id, g.day"),
+    "q_interpolate" ->
+      ("WITH base AS (SELECT user_id, ts, event_id, " +
+        "CASE WHEN event_type = 'view' THEN NULL ELSE value END AS v, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn " +
+        "FROM events), " +
+        "x AS (SELECT event_id, v, rn, " +
+        "last_value(v IGNORE NULLS) OVER b AS pv, " +
+        "last_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS) OVER b AS pr, " +
+        "first_value(v IGNORE NULLS) OVER f AS nv, " +
+        "first_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS) OVER f AS nr " +
+        "FROM base WINDOW " +
+        "b AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), " +
+        "f AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) " +
+        "SELECT event_id, round(CASE WHEN v IS NOT NULL THEN v " +
+        "WHEN pv IS NOT NULL AND nv IS NOT NULL THEN " +
+        "pv + (nv - pv) * CAST(rn - pr AS DOUBLE) / CAST(nr - pr AS DOUBLE) " +
+        "ELSE coalesce(pv, nv) END, 6) AS interp " +
+        "FROM x ORDER BY event_id"),
     "q_ffill" ->
       ("SELECT event_id, last_value(CASE WHEN event_type = 'view' THEN NULL ELSE value END IGNORE NULLS) " +
         "OVER (PARTITION BY user_id ORDER BY ts, event_id " +

@@ -13,7 +13,9 @@ class OpsSpec extends SparkSpec {
     // oracle coverage: every query either has oracle SQL or is documented
     // approximate (rows-only check)
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle == Set("q_approx_distinct"), s"missing oracle: $noOracle")
+    // documented approximate/nondeterministic ops: rows-only driver check
+    assert(noOracle == Set("q_approx_distinct", "q_sample", "q_segment"),
+      s"missing oracle: $noOracle")
   }
 
   test("entry() returns rows (driver t1 smoke)") {
