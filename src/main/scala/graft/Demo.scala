@@ -32,6 +32,11 @@ object Demo {
 
     println(s"telemetry: lastDurationMs=${session.lastDurationMs} " +
       s"cacheSize=${session.cacheSize} lastSql=${session.lastSqlExecuted}")
+
+    // chart-question path: aggregated data + a renderable Vega-Lite spec
+    import org.apache.spark.sql.functions.{count => cnt, lit}
+    val byStatus = orders.groupBy("o_orderstatus").agg(cnt(lit(1)).as("n"))
+    println(engine.Charts.vegaLite(byStatus, engine.Charts.Bar, "o_orderstatus", "n"))
     spark.stop()
   }
 }

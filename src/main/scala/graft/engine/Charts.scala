@@ -1,0 +1,62 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+
+/** Chart-capture analog — SURVEY.md §2.1 `add_save_chart` mapping
+  * (/root/reference/helpers/save_chart.py:52-116).
+  *
+  * The reference rewrites generated matplotlib code to save PNGs; there is
+  * no matplotlib on the JVM, so chart questions return the aggregated
+  * result DataFrame plus a renderable Vega-Lite JSON spec artifact (SURVEY
+  * §2.2 mapping). Data is inlined from an already-aggregated (small) frame —
+  * the aggregation ran distributed; only the plotted points are collected.
+  */
+object Charts {
+
+  sealed abstract class Kind(val mark: String)
+  case object Bar extends Kind("bar")
+  case object Line extends Kind("line")
+  case object Point extends Kind("point")
+  case object Area extends Kind("area")
+
+  private def jsonVal(v: Any): String = v match {
+    case null => "null"
+    case _: Int | _: Long | _: Double | _: Float | _: Short | _: Byte => v.toString
+    case b: Boolean => b.toString
+    case other => "\"" + other.toString.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+  }
+
+  private def fieldType(df: DataFrame, name: String): String =
+    df.schema(name).dataType.typeName match {
+      case "string" | "boolean" => "nominal"
+      case "timestamp" | "timestamp_ntz" | "date" => "temporal"
+      case _ => "quantitative"
+    }
+
+  /** Build a Vega-Lite v5 spec with inline data from an aggregated frame.
+    * `maxRows` guards against accidentally inlining an unaggregated table. */
+  def vegaLite(df: DataFrame, kind: Kind, x: String, y: String,
+      maxRows: Int = 5000): String = {
+    val rows = df.select(x, y).limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"chart data exceeds $maxRows rows — aggregate before plotting")
+    val values = rows.map { r =>
+      s"""{"$x": ${jsonVal(r.get(0))}, "$y": ${jsonVal(r.get(1))}}"""
+    }.mkString("[", ",", "]")
+    s"""{
+       |  "$$schema": "https://vega.github.io/schema/vega-lite/v5.json",
+       |  "mark": "${kind.mark}",
+       |  "data": {"values": $values},
+       |  "encoding": {
+       |    "x": {"field": "$x", "type": "${fieldType(df, x)}"},
+       |    "y": {"field": "$y", "type": "${fieldType(df, y)}"}
+       |  }
+       |}""".stripMargin
+  }
+}

@@ -75,6 +75,15 @@ object Relational {
         .agg(count(lit(1)).as("n"),
           round(sum("l_extendedprice"), 2).as("total"))),
 
+    // is_in membership + sum — the reference's A2 golden semantics
+    // (examples/from_dataframe.py:13-15: country in set ⇒ sum(gdp)).
+    "q_sum_filtered" -> ((s, d) =>
+      Tables.customer(s, d)
+        .filter(col("c_mktsegment").isin("AUTOMOBILE", "MACHINERY"))
+        .agg(count(lit(1)).as("n"),
+          expr("round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)")
+            .as("total_bal"))),
+
     // Conditional expression (polars when/then/otherwise).
     "q_case_when" -> ((s, d) =>
       Tables.orders(s, d)
@@ -156,6 +165,10 @@ object Relational {
         "FROM lineitem WHERE l_quantity BETWEEN 10 AND 20 " +
         "AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31' " +
         "AND l_returnflag IN ('A','R')"),
+    "q_sum_filtered" ->
+      ("SELECT count(*) AS n, " +
+        "round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_bal " +
+        "FROM customer WHERE c_mktsegment IN ('AUTOMOBILE', 'MACHINERY')"),
     "q_case_when" ->
       ("SELECT CASE WHEN o_totalprice < 50000 THEN 'low' " +
         "WHEN o_totalprice < 150000 THEN 'mid' ELSE 'high' END AS bucket, " +

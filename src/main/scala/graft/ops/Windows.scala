@@ -78,6 +78,29 @@ object Windows {
         .orderBy("event_id")
     }),
 
+    // cumprod (polars .cumprod()): no product aggregate in Spark SQL —
+    // exp(Σ ln) over the running frame, the standard rewrite (SURVEY
+    // §2.7). Factors 1+discount stay near 1 so the product is stable.
+    "q_cumprod" -> ((s, d) => {
+      val byOrder = Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_extendedprice", "l_discount")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+          col("l_discount"),
+          round(exp(sum(log(lit(1) + col("l_discount"))).over(byOrder)), 6)
+            .as("cumprod_growth"))
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+    }),
+
+    // qcut (polars pl.qcut): quantile bucketing via ntile.
+    "q_qcut" -> ((s, d) => {
+      val byPrice = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), ntile(4).over(byPrice).as("quartile"))
+        .orderBy("o_orderkey")
+    }),
+
     // rolling_mean/median/std over a trailing 4-row frame
     // (shortcuts.py:295-352; frame = rowsBetween(-(n-1), 0)).
     "q_rolling_mean" -> ((s, d) => {
@@ -229,6 +252,16 @@ object Windows {
         "count(*) OVER w AS cum_n " +
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) ORDER BY event_id"),
+    "q_cumprod" ->
+      ("SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount, " +
+        "round(exp(sum(ln(1 + l_discount)) OVER (PARTITION BY l_orderkey " +
+        "ORDER BY l_linenumber, l_extendedprice, l_discount " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS cumprod_growth " +
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_discount"),
+    "q_qcut" ->
+      ("SELECT o_orderkey, " +
+        "CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS quartile " +
+        "FROM orders ORDER BY o_orderkey"),
     "q_rolling_mean" ->
       ("SELECT event_id, round(avg(value) OVER w, 4) AS roll_mean, " +
         "round(sum(value) OVER w, 4) AS roll_sum, " +

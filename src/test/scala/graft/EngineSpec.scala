@@ -128,6 +128,19 @@ class EngineSpec extends SparkSpec {
     assert(llm.lastPrompt.get.contains("fruits"))
   }
 
+  test("Charts.vegaLite inlines aggregated data with typed encodings") {
+    val agg = freshDf.groupBy("fruits").count()
+    val spec = Charts.vegaLite(agg, Charts.Bar, "fruits", "count")
+    assert(spec.contains("\"mark\": \"bar\""))
+    assert(spec.contains("\"field\": \"fruits\", \"type\": \"nominal\""))
+    assert(spec.contains("\"field\": \"count\", \"type\": \"quantitative\""))
+    assert(spec.contains("\"fruits\": \"banana\", \"count\": 3"))
+    // guard: refuses to inline unaggregated data beyond maxRows
+    intercept[IllegalArgumentException] {
+      Charts.vegaLite(freshDf, Charts.Point, "a", "b", maxRows = 2)
+    }
+  }
+
   test("SqlExtractor handles fences, tags and bare SQL") {
     assert(SqlExtractor.extract("```sql\nSELECT 1\n```") == "SELECT 1")
     assert(SqlExtractor.extract("```\nSELECT 1\n```") == "SELECT 1")
