@@ -47,6 +47,22 @@ object Aggregates {
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
 
+    // Skew-resistant two-phase aggregation: salt the hot key space, partial
+    // per (key, salt), then final per key. With decimal-exact sums the
+    // regrouped result is identical to the direct aggregate — the pattern
+    // that keeps one giant key from pinning a single reducer at 100 TB
+    // (AQE skew-join handles the join side; this handles aggregation).
+    "q_group_agg_salted" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .withColumn("salt", pmod(col("l_orderkey"), lit(8)))
+        .groupBy("l_returnflag", "salt")
+        .agg(count(lit(1)).as("pn"),
+          expr("sum(CAST(l_quantity AS DECIMAL(18,2)))").as("pq"))
+        .groupBy("l_returnflag")
+        .agg(sum("pn").as("n"),
+          expr("round(CAST(sum(pq) AS DOUBLE), 2)").as("sum_qty"))
+        .orderBy("l_returnflag")),
+
     // Exact quantiles (polars median/quantile): Spark `percentile` (exact,
     // linear interpolation) === DuckDB `quantile_cont` (SURVEY §7.4.3).
     "q_quantile" -> ((s, d) =>
@@ -149,6 +165,10 @@ object Aggregates {
         "count(*) AS count_order " +
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' " +
         "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+    "q_group_agg_salted" ->
+      ("SELECT l_returnflag, count(*) AS n, " +
+        "round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "q_quantile" ->
       ("SELECT l_returnflag, round(quantile_cont(l_quantity, 0.25), 4) AS q1, " +
         "round(quantile_cont(l_quantity, 0.5), 4) AS med, " +

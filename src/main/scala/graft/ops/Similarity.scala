@@ -55,15 +55,17 @@ object Similarity {
       (0 until Planes).map(bitExpr(_, "spark")).mkString("concat(", ", ", ")")
     else (0 until Planes).map(bitExpr(_, "duck")).mkString(" || ")
 
-  private val sparkDot =
-    "aggregate(zip_with(eq, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+  /** codegen'd native kernel (graft.functions.FloatDotProduct) — same
+    * ascending-fold arithmetic as the HOF/oracle formulations. */
+  private val sparkDot = "dot_f(eq, eb)"
   private val duckDot =
     "list_sum(list_transform(list_zip(q.embedding, c.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
 
-  private def normed(s: SparkSession, d: String): DataFrame =
+  private def normed(s: SparkSession, d: String): DataFrame = {
+    graft.functions.FloatDotProduct.register(s)
     Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
-      expr("sqrt(aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")
-        .as("nrm"))
+      expr("sqrt(dot_f(embedding, embedding))").as("nrm"))
+  }
 
   private val duckNormed =
     "n AS (SELECT vec_id, embedding, " +

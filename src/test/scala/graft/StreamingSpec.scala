@@ -47,4 +47,43 @@ class StreamingSpec extends SparkSpec {
 
     assert(streamed.nonEmpty && streamed.sameElements(batch))
   }
+
+  test("stateful streaming: mapGroupsWithState running per-user counts == batch counts") {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import org.apache.spark.sql.streaming.GroupState
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_state")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+
+    val counts = spark.readStream.schema(schema).parquet(dir.toString)
+      .select("user_id", "event_id").as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[(Long, Long)], state: GroupState[Long]) =>
+          val c = state.getOption.getOrElse(0L) + it.size
+          state.update(c)
+          (user, c)
+      }
+
+    val q = counts.writeStream.outputMode("update")
+      .format("memory").queryName("state_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("state_out")
+      .groupBy("_1").agg(org.apache.spark.sql.functions.max("_2").as("n"))
+      .orderBy("_1").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val batch = Tables.events(spark, sf).groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .orderBy("user_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(streamed.nonEmpty && streamed.sameElements(batch))
+  }
 }
