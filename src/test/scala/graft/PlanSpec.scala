@@ -1,0 +1,72 @@
+package graft
+
+/** Physical-plan shape assertions: the 100 TB design properties (pushdown,
+  * broadcast, no gratuitous shuffles, heap-based top-k) locked in as tests
+  * so a regression in query construction fails loudly, not just slowly. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  private def countOccurrences(s: String, sub: String): Int =
+    s.sliding(sub.length).count(_ == sub)
+
+  test("q_group_agg: shipdate filter pushed to the parquet scan, partial+final agg") {
+    val p = plan("q_group_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      "filter must reach the scan")
+    assert(countOccurrences(p, "HashAggregate") >= 2, "expect partial+final aggregation")
+  }
+
+  test("q_group_agg: scan reads only the needed columns") {
+    val p = plan("q_group_agg")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("l_orderkey") && !read.contains("l_partkey"),
+      s"unused columns not pruned: $read")
+  }
+
+  test("q_join_inner: dimension side broadcast (no fact shuffle for the join)") {
+    assert(plan("q_join_inner").contains("BroadcastHashJoin"))
+  }
+
+  test("q_join_band: stays an equi hash join with the band as residual (no BNLJ)") {
+    val p = plan("q_join_band")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "band condition must not degrade the join to a nested loop")
+  }
+
+  test("q_topk: compiles to TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q_join_asof: exactly one shuffle before the running window") {
+    val p = plan("q_join_asof")
+    // user_id exchange for the window + the final output sort = 2 exchanges
+    assert(countOccurrences(p, "Exchange hashpartitioning") <= 1,
+      s"as-of join should shuffle once by user_id:\n$p")
+  }
+
+  test("q_cumsum: one Window exec serves all three running aggregates") {
+    val p = plan("q_cumsum")
+    assert(countOccurrences(p, "RunningWindowFunction") <= 1 &&
+      countOccurrences(p, "Window") - countOccurrences(p, "WindowGroupLimit") >= 1)
+    assert(countOccurrences(p, "Exchange hashpartitioning") <= 1,
+      "all per-user running aggs must share one shuffle")
+  }
+
+  test("q_ann_bruteforce: query side broadcast, native dot_f in the plan") {
+    val p = plan("q_ann_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(p.contains("dot_f"), "native expression should appear in the plan")
+  }
+
+  test("q_scan_parquet/q_project: no shuffle except the output sort") {
+    for (n <- Seq("q_scan_parquet", "q_project")) {
+      val p = plan(n)
+      assert(countOccurrences(p, "Exchange hashpartitioning") == 0,
+        s"$n should only range-partition for the sort")
+    }
+  }
+}
