@@ -42,14 +42,25 @@ object Dedup {
 
   /** distinct (doc_id, 3-word shingle). try_element_at: trailing windows
     * shorter than 3 words degrade gracefully (concat_ws skips nulls), same
-    * as the oracle's out-of-range list index → NULL. */
-  private def shingles(corpus: DataFrame): DataFrame =
-    corpus.select(col("doc_id"),
-      expr("explode(transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)), " +
-        "i -> concat_ws(' ', try_element_at(split(text, ' '), i), " +
-        "try_element_at(split(text, ' '), i + 1), " +
-        "try_element_at(split(text, ' '), i + 2))))").as("shingle"))
-      .distinct()
+    * as the oracle's out-of-range list index → NULL.
+    *
+    * Persisted + memoized per (session, sfDir): the shingle set feeds the
+    * signature chain AND the Jaccard verification twice — recomputing the
+    * explode+distinct per consumer would multiply the dominant shuffle.
+    * (The at-scale equivalent: materialize the shingle table once per
+    * dedup run.) */
+  private val shingleCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    shingleCache.getOrElseUpdate((s, d),
+      textCorpus(s, d).select(col("doc_id"),
+        expr("explode(transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)), " +
+          "i -> concat_ws(' ', try_element_at(split(text, ' '), i), " +
+          "try_element_at(split(text, ' '), i + 1), " +
+          "try_element_at(split(text, ' '), i + 2))))").as("shingle"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   private val duckShingles =
     "sh AS (SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i + 1], w[i + 2]) AS shingle FROM " +
@@ -68,11 +79,15 @@ object Dedup {
       (0 to 7).map(k => s"min(md5('$k:' || shingle)) AS s$k").mkString(", ") +
       " FROM sh GROUP BY doc_id)"
 
-  /** 4 bands × 2 rows: band bucket key = md5 of the two row signatures. */
+  /** 4 bands × 2 rows: band bucket key = md5 of the two row signatures.
+    * One explode pass, not a 4-way self-union — a union of selects would
+    * re-evaluate the whole shingle→signature subtree once per band. */
   private def bands(sig: DataFrame): DataFrame =
-    (0 to 3).map(b => sig.select(col("doc_id"), lit(b).as("band"),
-      md5(concat(col(s"s${2 * b}"), col(s"s${2 * b + 1}"))).as("bkey")))
-      .reduce(_.unionByName(_))
+    sig.select(col("doc_id"), explode(array((0 to 3).map(b =>
+        struct(lit(b).as("band"),
+          md5(concat(col(s"s${2 * b}"), col(s"s${2 * b + 1}"))).as("bkey"))): _*))
+        .as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
 
   private val duckBands =
     "bands AS (" + (0 to 3).map(b =>
@@ -91,6 +106,16 @@ object Dedup {
         "filter(flatten(transform(ids, x -> transform(ids, y -> struct(x AS a, y AS b)))), p -> p.a < p.b)"))
         .as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b")).distinct()
+
+  /** Full banding pipeline, memoized: the candidate set is consumed by both
+    * the minhash query and the Jaccard verifier. */
+  private val pairsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def minhashPairs(s: SparkSession, d: String): DataFrame =
+    pairsCache.getOrElseUpdate((s, d),
+      candidatePairs(bands(signatures(shingles(s, d))))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   private val duckPairs =
     "pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x " +
@@ -120,13 +145,12 @@ object Dedup {
 
     // MinHash + LSH banding: candidate near-dup pairs.
     "q_dedup_minhash" -> ((s, d) =>
-      candidatePairs(bands(signatures(shingles(textCorpus(s, d)))))
-        .orderBy("a", "b")),
+      minhashPairs(s, d).orderBy("a", "b")),
 
     // n-gram Jaccard: exact similarity, verified on banding candidates only.
     "q_dedup_ngram" -> ((s, d) => {
-      val sh = shingles(textCorpus(s, d))
-      val pairs = candidatePairs(bands(signatures(sh)))
+      val sh = shingles(s, d)
+      val pairs = minhashPairs(s, d)
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = pairs
         .join(sh.as("sa"), col("a") === col("sa.doc_id"))
