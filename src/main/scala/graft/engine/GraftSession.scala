@@ -74,13 +74,20 @@ final class GraftSession(
   /** Multi-table entry point: tables are bound as `df` (single) or
     * `df1..dfN` (multiple), like the reference (:532-537). */
   def ask(dfs: Seq[DataFrame], question: String): Answer = {
+    val names =
+      if (dfs.length == 1) Seq("df")
+      else dfs.indices.map(i => s"df${i + 1}")
+    askNamed(names.zip(dfs), question)
+  }
+
+  /** Named-table entry point: real table names in prompts and SQL — the
+    * ergonomic superset of the reference's positional df1..dfN binding. */
+  def askNamed(tables0: Seq[(String, DataFrame)], question: String): Answer = {
     val t0 = System.nanoTime()
     try {
-      val names =
-        if (dfs.length == 1) Seq("df")
-        else dfs.indices.map(i => s"df${i + 1}")
-      names.zip(dfs).foreach { case (n, df) => df.createOrReplaceTempView(n) }
-      val tables = names.zip(dfs).map { case (n, df) => Prompts.describe(n, df) }
+      tables0.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+      val tables = tables0.map { case (n, df) => Prompts.describe(n, df) }
+      val names = tables0.map(_._1)
 
       val key = cacheKey(question, tables)
       val cached = if (config.enableCache) cache.get(key) else None

@@ -138,6 +138,24 @@ object Aggregates {
             .as("hsum"))
         .orderBy("l_orderkey", "l_linenumber", "hsum")),
 
+    // describe / summary (polars df.describe()): count/mean/std/min/max
+    // per numeric column, spelled as explicit aggregates so the oracle can
+    // hash-match (df.summary() renders strings).
+    "q_describe" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .agg(count(col("l_quantity")).as("n_qty"),
+          expr("round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity), 4)")
+            .as("mean_qty"),
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          count(col("l_extendedprice")).as("n_price"),
+          expr("round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice), 4)")
+            .as("mean_price"),
+          round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"))),
+
     // Correlation matrix over numeric columns (plot_correlation_heatmap
     // shortcut, /root/reference/helpers/shortcuts.py:184-195).
     "q_corr_matrix" -> ((s, d) =>
@@ -201,6 +219,16 @@ object Aggregates {
       ("SELECT l_orderkey, l_linenumber, " +
         "round(l_quantity + l_discount + l_tax, 4) AS hsum " +
         "FROM lineitem ORDER BY l_orderkey, l_linenumber, hsum"),
+    "q_describe" ->
+      ("SELECT count(l_quantity) AS n_qty, " +
+        "round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity), 4) AS mean_qty, " +
+        "round(stddev_samp(l_quantity), 4) AS sd_qty, " +
+        "min(l_quantity) AS min_qty, max(l_quantity) AS max_qty, " +
+        "count(l_extendedprice) AS n_price, " +
+        "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice), 4) AS mean_price, " +
+        "round(stddev_samp(l_extendedprice), 4) AS sd_price, " +
+        "min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price " +
+        "FROM lineitem"),
     "q_corr_matrix" ->
       ("SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price, " +
         "round(corr(l_quantity, l_discount), 6) AS corr_qty_disc, " +

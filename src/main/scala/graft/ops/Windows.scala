@@ -93,7 +93,10 @@ object Windows {
         .orderBy("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
     }),
 
-    // qcut (polars pl.qcut): quantile bucketing via ntile.
+    // qcut (polars pl.qcut): quantile bucketing via ntile. Rank-exact
+    // bucketing needs a global order (single-partition window, like q_roc);
+    // at 100 TB you'd switch to approx-quantile cut points + a bucketing
+    // join — q_histogram shows that shape.
     "q_qcut" -> ((s, d) => {
       val byPrice = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
       Tables.orders(s, d)

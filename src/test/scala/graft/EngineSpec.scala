@@ -104,6 +104,16 @@ class EngineSpec extends SparkSpec {
       llm.lastPrompt.get.contains("Table `df2`"))
   }
 
+  test("askNamed binds real table names") {
+    val llm = FakeLlm(
+      "```sql\nSELECT count(*) AS n FROM fruit_sales WHERE fruits = 'banana'\n```")
+    val ans = new GraftSession(spark, llm)
+      .askNamed(Seq("fruit_sales" -> freshDf), "how many banana rows?")
+    assert(ans.error.isEmpty, ans.text)
+    assert(ans.text == "3")
+    assert(llm.lastPrompt.get.contains("Table `fruit_sales`"))
+  }
+
   test("conversational answer uses a second LLM round-trip") {
     val llm = FakeLlm(
       "```sql\nSELECT count(*) AS n FROM df\n```",
