@@ -25,6 +25,7 @@ final case class GraftConfig(
     enableCache: Boolean = true,
     maxRetries: Int = 3,
     showSql: Boolean = false,
+    anonymizeHead: Boolean = false,
     customPrompts: Map[String, (String, Seq[Prompts.TableCtx]) => String] = Map.empty)
 
 /** The answer envelope: rendered text plus the raw result and telemetry. */
@@ -86,7 +87,8 @@ final class GraftSession(
     val t0 = System.nanoTime()
     try {
       tables0.foreach { case (n, df) => df.createOrReplaceTempView(n) }
-      val tables = tables0.map { case (n, df) => Prompts.describe(n, df) }
+      val tables = tables0.map { case (n, df) =>
+        Prompts.describe(n, df, anonymize = config.anonymizeHead) }
       val names = tables0.map(_._1)
 
       val key = cacheKey(question, tables)

@@ -22,15 +22,32 @@ object Prompts {
   final case class TableCtx(name: String, rows: Long, cols: Int, head: String)
 
   /** Render schema + first rows as text (the prompt's only schema channel).
-    * Collect is bounded to `n` rows — never a full materialization. */
-  def describe(name: String, df: DataFrame, n: Int = 5): TableCtx = {
+    * Collect is bounded to `n` rows — never a full materialization.
+    *
+    * `anonymize`: the reference's `anonymize_df` parameter is accepted but
+    * dead (SURVEY §7.5.5 — the upstream privacy feature was dropped in the
+    * port). Implemented here for real: cell values are replaced by
+    * deterministic type-shaped placeholders, so the model still sees shape
+    * and dtypes but no data leaves the cluster in prompts. */
+  def describe(name: String, df: DataFrame, n: Int = 5,
+      anonymize: Boolean = false): TableCtx = {
     val fields = df.schema.fields
     val header = fields.map(f => s"${f.name} (${f.dataType.simpleString})")
       .mkString(" | ")
-    val rows = df.limit(n).collect().map(_.toSeq.map {
+    def mask(v: Any, rowIdx: Int): String = v match {
       case null => "null"
-      case v => v.toString
-    }.mkString(" | "))
+      case _: String => s"str_$rowIdx"
+      case _: Int | _: Long | _: Short | _: Byte => (1000 + rowIdx).toString
+      case _: Double | _: Float => s"${1000 + rowIdx}.0"
+      case _: Boolean => (rowIdx % 2 == 0).toString
+      case other => s"${other.getClass.getSimpleName.toLowerCase}_$rowIdx"
+    }
+    val rows = df.limit(n).collect().zipWithIndex.map { case (r, i) =>
+      r.toSeq.map { v =>
+        if (anonymize) mask(v, i)
+        else if (v == null) "null" else v.toString
+      }.mkString(" | ")
+    }
     TableCtx(name, df.count(), fields.length,
       (header +: rows).mkString("\n"))
   }

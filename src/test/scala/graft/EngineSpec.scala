@@ -114,6 +114,17 @@ class EngineSpec extends SparkSpec {
     assert(llm.lastPrompt.get.contains("Table `fruit_sales`"))
   }
 
+  test("anonymizeHead: prompts carry schema but no real data values") {
+    val llm = FakeLlm("```sql\nSELECT count(*) AS n FROM df\n```")
+    val s = new GraftSession(spark, llm, GraftConfig(anonymizeHead = true))
+    s.ask(freshDf, "how many rows?")
+    val p = llm.lastPrompt.get
+    assert(p.contains("fruits (string)"), "schema must still be visible")
+    assert(!p.contains("banana") && !p.contains("beetle") && !p.contains("audi"),
+      "real cell values must not appear in the prompt")
+    assert(p.contains("str_0"), "placeholders stand in for values")
+  }
+
   test("conversational answer uses a second LLM round-trip") {
     val llm = FakeLlm(
       "```sql\nSELECT count(*) AS n FROM df\n```",

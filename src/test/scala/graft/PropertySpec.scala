@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Generator-driven algebraic laws over random small frames
+  * (SURVEY.md §5.2.4). Spark jobs are slow per-check, so each property runs
+  * a handful of seeded generated cases (raw ScalaCheck generators — the
+  * scalatest bridge artifact is not in the offline cache). */
+class PropertySpec extends SparkSpec {
+
+  /** n deterministic samples from a generator. */
+  private def forAll[T](g: Gen[T], n: Int = 5)(body: T => Unit): Unit =
+    (0 until n).foreach { i =>
+      body(g.pureApply(Gen.Parameters.default.withSize(30), Seed(42L + i)))
+    }
+
+  private def forAll2[A, B](ga: Gen[A], gb: Gen[B], n: Int = 5)(body: (A, B) => Unit): Unit =
+    (0 until n).foreach { i =>
+      body(ga.pureApply(Gen.Parameters.default.withSize(30), Seed(42L + i)),
+        gb.pureApply(Gen.Parameters.default.withSize(30), Seed(1042L + i)))
+    }
+
+  private val rowsGen: Gen[List[(Int, Double)]] =
+    Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 5), Gen.choose(-100.0, 100.0)))
+
+  test("rolling mean over a 1-row frame is the identity") {
+    import spark.implicits._
+    forAll(rowsGen) { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((k, v), i) => (k, i.toLong, v) }.toDF("k", "seq", "v")
+      val w1 = Window.partitionBy("k").orderBy("seq").rowsBetween(0, 0)
+      val bad = df.withColumn("m", avg("v").over(w1))
+        .filter(abs(col("m") - col("v")) > 1e-12).count()
+      assert(bad == 0)
+    }
+  }
+
+  test("cumsum's last element per key equals the key's sum") {
+    import spark.implicits._
+    forAll(rowsGen) { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((k, v), i) => (k, i.toLong, v) }.toDF("k", "seq", "v")
+      val run = Window.partitionBy("k").orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val lastCum = df.withColumn("c", sum("v").over(run))
+        .groupBy("k").agg(max(struct(col("seq"), col("c"))).as("m"))
+        .select(col("k"), col("m.c").as("c"))
+      val totals = df.groupBy("k").agg(sum("v").as("s"))
+      val bad = lastCum.join(totals, "k")
+        .filter(abs(col("c") - col("s")) > 1e-9).count()
+      assert(bad == 0)
+    }
+  }
+
+  test("semi ∪ anti partitions the left frame for any key overlap") {
+    import spark.implicits._
+    forAll2(rowsGen, rowsGen) { (l, r) =>
+      val left = l.map(_._1).toDF("k")
+      val right = r.map(_._1).toDF("k")
+      val semi = left.join(right, Seq("k"), "left_semi").count()
+      val anti = left.join(right, Seq("k"), "left_anti").count()
+      assert(semi + anti == left.count())
+    }
+  }
+
+  test("unpivot ∘ pivot(first) restores the original cells") {
+    import spark.implicits._
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 1000), Gen.choose(-10.0, 10.0), Gen.choose(-10.0, 10.0)))) { rows =>
+      val df = rows.map { case (id, a, b) => (id, a, b) }
+        .distinctBy(_._1).toDF("id", "a", "b")
+      val melted = df.unpivot(Array(col("id")), Array(col("a"), col("b")), "attr", "v")
+      val back = melted.groupBy("id").pivot("attr", Seq("a", "b")).agg(first("v"))
+      assert(back.exceptAll(df).count() == 0 && df.exceptAll(back).count() == 0)
+    }
+  }
+
+  test("dot_f is symmetric and Cauchy-Schwarz-bounded on random float vectors") {
+    import spark.implicits._
+    graft.functions.FloatDotProduct.register(spark)
+    forAll(Gen.nonEmptyListOf(Gen.listOfN(8, Gen.choose(-5.0f, 5.0f)))) { vecs =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v")
+      val a = df.select(col("id").as("ai"), col("v").as("va"))
+      val b = df.select(col("id").as("bi"), col("v").as("vb"))
+      val bad = a.crossJoin(b).select(
+          expr("dot_f(va, vb)").as("ab"),
+          expr("dot_f(vb, va)").as("ba"),
+          expr("sqrt(dot_f(va, va)) * sqrt(dot_f(vb, vb))").as("bound"))
+        .filter(col("ab") =!= col("ba") ||
+          abs(col("ab")) > col("bound") + lit(1e-6)).count()
+      assert(bad == 0)
+    }
+  }
+}
