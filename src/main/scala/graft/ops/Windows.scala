@@ -64,7 +64,14 @@ object Windows {
       Tables.events(s, d)
         .select(col("event_id"),
           round(col("value") - lag("value", 1).over(byUser), 4).as("d1"),
-          round(col("value") / lag("value", 1).over(byUser) - 1, 6).as("pct"))
+          // nullif guards a zero previous value: ANSI Spark would raise
+          // DIVIDE_BY_ZERO while the oracle would produce inf — both
+          // engines agree on NULL instead. floor-scaling instead of round:
+          // both engines floor the identical scaled double, so the result
+          // is bit-equal even when the quotient sits on a rounding
+          // half-boundary (observed at sf0.1).
+          (floor((col("value") / nullif(lag("value", 1).over(byUser), lit(0.0)) - 1)
+            * 1000000) / 1000000).as("pct"))
         .orderBy("event_id")),
 
     // cumsum / cummax / cumcount.
@@ -246,7 +253,7 @@ object Windows {
     "q_diff" ->
       ("SELECT event_id, " +
         "round(value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS d1, " +
-        "round(value / lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1, 6) AS pct " +
+        "floor((value / nullif(lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0.0) - 1) * 1000000) / 1000000 AS pct " +
         "FROM events ORDER BY event_id"),
     "q_cumsum" ->
       ("SELECT event_id, " +
