@@ -192,6 +192,23 @@ final class GraftSession(
 
   def clearCache(): Unit = cache.clear()
   def cacheSize: Int = cache.size
+
+  /** Guarded SQL passthrough: run caller-supplied SQL through the same
+    * SqlGuard sandbox as LLM-generated SQL, against the given tables. For
+    * callers who want the safety rails without the LLM round-trip. */
+  def runSql(tables: Seq[(String, DataFrame)], sql: String): Either[GraftError, DataFrame] = {
+    tables.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+    SqlGuard.check(spark, sql, tables.map(_._1).toSet) match {
+      case SqlGuard.Rejected(reason) => Left(BadSql(reason))
+      case SqlGuard.Ok =>
+        try {
+          val out = spark.sql(sql)
+          out.schema
+          lastSqlExecuted = Some(sql)
+          Right(out)
+        } catch { case e: Exception => Left(BadSql(String.valueOf(e.getMessage))) }
+    }
+  }
 }
 
 /** Canned-prompt shortcut recipes — SURVEY.md §2.2

@@ -51,12 +51,13 @@ object Windows {
         .orderBy("c_custkey")
     }),
 
-    // shift(±1) → lag/lead.
+    // shift(±1) → lag/lead; shift_and_fill → lag with a default.
     "q_lag_lead" -> ((s, d) =>
       Tables.events(s, d)
         .select(col("event_id"),
           lag("value", 1).over(byUser).as("prev_value"),
-          lead("value", 1).over(byUser).as("next_value"))
+          lead("value", 1).over(byUser).as("next_value"),
+          lag(col("value"), 1, 0.0).over(byUser).as("prev_filled"))
         .orderBy("event_id")),
 
     // diff / pct_change.
@@ -248,7 +249,8 @@ object Windows {
     "q_lag_lead" ->
       ("SELECT event_id, " +
         "lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value, " +
-        "lead(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value " +
+        "lead(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value, " +
+        "lag(value, 1, 0.0) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_filled " +
         "FROM events ORDER BY event_id"),
     "q_diff" ->
       ("SELECT event_id, " +

@@ -162,6 +162,14 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("runSql: guarded passthrough accepts queries, rejects DDL") {
+    val s = new GraftSession(spark, FakeLlm("unused"))
+    val ok = s.runSql(Seq("t" -> freshDf), "SELECT count(*) AS n FROM t")
+    assert(ok.isRight && ok.toOption.get.head.getLong(0) == 5L)
+    assert(s.runSql(Seq("t" -> freshDf), "DROP TABLE t").isLeft)
+    assert(s.runSql(Seq("t" -> freshDf), "SELECT * FROM other").isLeft)
+  }
+
   test("SqlExtractor handles fences, tags and bare SQL") {
     assert(SqlExtractor.extract("```sql\nSELECT 1\n```") == "SELECT 1")
     assert(SqlExtractor.extract("```\nSELECT 1\n```") == "SELECT 1")
