@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.Tables.Q
@@ -47,6 +48,22 @@ object Reshape {
         .select(col("s_suppkey").as("key"), col("s_name").as("name"),
           col("s_acctbal").as("acctbal"), col("s_nationkey").as("nationkey"))
       c.unionByName(sup, allowMissingColumns = true).orderBy("key", "name")
+    }),
+
+    // Horizontal concat (pl.concat how=horizontal / hstack). Positional
+    // alignment is meaningless on unordered Spark frames (SURVEY §2.8), so
+    // both sides carry an explicit order and are zipped by rank — the only
+    // scale-sane reading of hstack (row_number + equi-join on position).
+    "q_hstack" -> ((s, d) => {
+      val byKey = Window.orderBy("c_custkey")
+      val byBal = Window.orderBy(desc("c_acctbal"), asc("c_custkey"))
+      val left = Tables.customer(s, d)
+        .select(row_number().over(byKey).as("pos"), col("c_custkey"),
+          col("c_name"))
+      val right = Tables.customer(s, d)
+        .select(row_number().over(byBal).as("pos"),
+          col("c_acctbal").as("bal_ranked"))
+      left.join(right, "pos").orderBy("pos")
     }),
 
     // Set intersection / difference (distinct semantics, like SQL).
@@ -112,6 +129,13 @@ object Reshape {
         "CAST(NULL AS INTEGER) AS nationkey FROM customer " +
         "UNION ALL SELECT s_suppkey, s_name, s_acctbal, s_nationkey FROM supplier " +
         "ORDER BY key, name"),
+    "q_hstack" ->
+      ("WITH l AS (SELECT CAST(row_number() OVER (ORDER BY c_custkey) AS INTEGER) AS pos, " +
+        "c_custkey, c_name FROM customer), " +
+        "r AS (SELECT CAST(row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS pos, " +
+        "c_acctbal AS bal_ranked FROM customer) " +
+        "SELECT l.pos, l.c_custkey, l.c_name, r.bal_ranked " +
+        "FROM l JOIN r ON l.pos = r.pos ORDER BY l.pos"),
     "q_intersect" ->
       ("SELECT c_nationkey AS nationkey FROM customer " +
         "INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey"),

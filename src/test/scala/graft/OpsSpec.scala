@@ -32,10 +32,7 @@ class OpsSpec extends SparkSpec {
   test("cumsum last element equals group sum") {
     val e = Tables.events(spark, sf)
     val total = e.agg(round(sum("value"), 4)).head.getDouble(0)
-    val lastCum = q("q_cumsum")
-      .groupBy().agg(round(sum(col("cum_sum") - col("cum_sum") + lit(0)), 4)) // placeholder no-op guard
-    // per-user: max(cum_n) rows' cum_sum must equal the user's total
-    import spark.implicits._
+    // per-user: the last event's cum_sum must equal the user's total
     val perUser = e.groupBy("user_id").agg(round(sum("value"), 4).as("total"))
     val lastRows = e.select(col("user_id"), col("event_id"))
       .groupBy("user_id").agg(max("event_id").as("event_id"))
