@@ -138,6 +138,21 @@ object Aggregates {
             .as("hsum"))
         .orderBy("l_orderkey", "l_linenumber", "hsum")),
 
+    // mode (polars .mode()): most frequent value per group, smallest value
+    // winning ties — spelled as count + rank so tie-breaking is
+    // deterministic across engines (builtin mode() picks arbitrarily).
+    "q_mode" -> ((s, d) => {
+      val byFreq = Window.partitionBy("l_returnflag")
+        .orderBy(desc("cnt"), asc("l_quantity"))
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_quantity").agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(byFreq))
+        .filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+          col("cnt").as("n_occurrences"))
+        .orderBy("l_returnflag")
+    }),
+
     // describe / summary (polars df.describe()): count/mean/std/min/max
     // per numeric column, spelled as explicit aggregates so the oracle can
     // hash-match (df.summary() renders strings).
@@ -219,6 +234,13 @@ object Aggregates {
       ("SELECT l_orderkey, l_linenumber, " +
         "round(l_quantity + l_discount + l_tax, 4) AS hsum " +
         "FROM lineitem ORDER BY l_orderkey, l_linenumber, hsum"),
+    "q_mode" ->
+      ("WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS cnt " +
+        "FROM lineitem GROUP BY 1, 2), " +
+        "r AS (SELECT l_returnflag, l_quantity, cnt, row_number() OVER " +
+        "(PARTITION BY l_returnflag ORDER BY cnt DESC, l_quantity) AS rn FROM c) " +
+        "SELECT l_returnflag, l_quantity AS mode_qty, cnt AS n_occurrences " +
+        "FROM r WHERE rn = 1 ORDER BY l_returnflag"),
     "q_describe" ->
       ("SELECT count(l_quantity) AS n_qty, " +
         "round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity), 4) AS mean_qty, " +

@@ -108,7 +108,11 @@ object ScalarFuncs {
           round(expr("aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE))"), 6)
             .as("vsum"),
           round(expr("sqrt(aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"), 6)
-            .as("vnorm"))
+            .as("vnorm"),
+          expr("CAST(array_position(embedding, array_min(embedding)) AS INT)")
+            .as("argmin"),
+          expr("CAST(array_position(embedding, array_max(embedding)) AS INT)")
+            .as("argmax"))
         .orderBy("vec_id")),
 
     // .struct.* family: pack columns into a struct, extract fields back.
@@ -190,7 +194,9 @@ object ScalarFuncs {
         "round(CAST(list_min(embedding) AS DOUBLE), 6) AS vmin, " +
         "round(CAST(list_max(embedding) AS DOUBLE), 6) AS vmax, " +
         "round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS vsum, " +
-        "round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS vnorm " +
+        "round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS vnorm, " +
+        "CAST(list_position(embedding, list_min(embedding)) AS INTEGER) AS argmin, " +
+        "CAST(list_position(embedding, list_max(embedding)) AS INTEGER) AS argmax " +
         "FROM embeddings ORDER BY vec_id"),
     "q_struct_funcs" ->
       ("SELECT c_custkey, struct_pack(n := c_name, b := c_acctbal).n AS name, " +

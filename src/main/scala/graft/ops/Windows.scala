@@ -43,11 +43,15 @@ object Windows {
       val ties = Window.partitionBy("c_nationkey").orderBy(desc("c_acctbal"))
       val total = Window.partitionBy("c_nationkey")
         .orderBy(desc("c_acctbal"), asc("c_custkey"))
+      val peers = Window.partitionBy("c_nationkey", "c_acctbal")
       Tables.customer(s, d)
         .select(col("c_custkey"), col("c_nationkey"),
           rank().over(ties).as("rnk"),
           dense_rank().over(ties).as("drnk"),
-          row_number().over(total).as("rn"))
+          row_number().over(total).as("rn"),
+          // polars rank(method='average'): min-rank + half the tie span
+          (rank().over(ties) + (count(lit(1)).over(peers) - 1) / 2.0)
+            .as("avg_rnk"))
         .orderBy("c_custkey")
     }),
 
@@ -244,7 +248,9 @@ object Windows {
       ("SELECT c_custkey, c_nationkey, " +
         "CAST(rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS INTEGER) AS rnk, " +
         "CAST(dense_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS INTEGER) AS drnk, " +
-        "CAST(row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS rn " +
+        "CAST(row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS rn, " +
+        "rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) + " +
+        "(count(*) OVER (PARTITION BY c_nationkey, c_acctbal) - 1) / 2.0 AS avg_rnk " +
         "FROM customer ORDER BY c_custkey"),
     "q_lag_lead" ->
       ("SELECT event_id, " +
