@@ -125,6 +125,23 @@ object ScalarFuncs {
           (col("st.b") > 0).as("positive"))
         .orderBy("c_custkey")),
 
+    // NaN vs null (polars is_nan / fill_nan vs is_null — distinct concepts
+    // in both models, SURVEY §1.3/§7.4.4). NaN and null are injected
+    // deterministically, then counted and repaired separately.
+    "q_nan_handling" -> ((s, d) => {
+      val v = when(col("l_quantity") > 45, expr("CAST('NaN' AS DOUBLE)"))
+        .when(col("l_quantity") < 5, lit(null))
+        .otherwise(col("l_discount"))
+      Tables.lineitem(s, d)
+        .withColumn("v", v)
+        .groupBy("l_returnflag")
+        .agg(count(when(expr("isnan(v)"), lit(1))).as("n_nan"),
+          count(when(col("v").isNull, lit(1))).as("n_null"),
+          count(when(!col("v").isNull && !expr("isnan(v)"), lit(1))).as("n_clean"),
+          round(sum(nanvl(col("v"), lit(0.0))), 2).as("sum_nan_repaired"))
+        .orderBy("l_returnflag")
+    }),
+
     // json extraction over events.props (polars .str.json_extract; the
     // stdlib `json` module is whitelisted in the reference,
     // helpers/constants.py:78).
@@ -202,6 +219,14 @@ object ScalarFuncs {
       ("SELECT c_custkey, struct_pack(n := c_name, b := c_acctbal).n AS name, " +
         "struct_pack(n := c_name, b := c_acctbal).b > 0 AS positive " +
         "FROM customer ORDER BY c_custkey"),
+    "q_nan_handling" ->
+      ("WITH x AS (SELECT l_returnflag, CASE WHEN l_quantity > 45 THEN CAST('NaN' AS DOUBLE) " +
+        "WHEN l_quantity < 5 THEN NULL ELSE l_discount END AS v FROM lineitem) " +
+        "SELECT l_returnflag, count(CASE WHEN isnan(v) THEN 1 END) AS n_nan, " +
+        "count(CASE WHEN v IS NULL THEN 1 END) AS n_null, " +
+        "count(CASE WHEN v IS NOT NULL AND NOT isnan(v) THEN 1 END) AS n_clean, " +
+        "round(sum(CASE WHEN isnan(v) THEN 0.0 ELSE v END), 2) AS sum_nan_repaired " +
+        "FROM x GROUP BY l_returnflag ORDER BY l_returnflag"),
     "q_json_funcs" ->
       ("SELECT event_id, " +
         "CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, " +

@@ -233,9 +233,11 @@ object Windows {
       val masked = when(col("event_type") === "view", lit(null))
         .otherwise(col("value"))
       val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = byUser.rowsBetween(Window.currentRow, Window.unboundedFollowing)
       Tables.events(s, d)
         .select(col("event_id"),
-          last(masked, ignoreNulls = true).over(run).as("filled"))
+          last(masked, ignoreNulls = true).over(run).as("filled"),
+          first(masked, ignoreNulls = true).over(fwd).as("bfilled"))
         .orderBy("event_id")
     })
   )
@@ -340,7 +342,10 @@ object Windows {
     "q_ffill" ->
       ("SELECT event_id, last_value(CASE WHEN event_type = 'view' THEN NULL ELSE value END IGNORE NULLS) " +
         "OVER (PARTITION BY user_id ORDER BY ts, event_id " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled, " +
+        "first_value(CASE WHEN event_type = 'view' THEN NULL ELSE value END IGNORE NULLS) " +
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bfilled " +
         "FROM events ORDER BY event_id")
   )
 }
