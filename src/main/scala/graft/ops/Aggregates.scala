@@ -138,6 +138,19 @@ object Aggregates {
             .as("hsum"))
         .orderBy("l_orderkey", "l_linenumber", "hsum")),
 
+    // product aggregate via a custom typed Aggregator (no Spark SQL
+    // builtin): per-order growth factor Π(1 + discount). Partial products
+    // merge in arbitrary order; double rounding at 6dp absorbs the
+    // order-dependent last-ulp wiggle (groups are small).
+    "q_product_agg" -> ((s, d) => {
+      graft.functions.ProductAgg.register(s)
+      Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(round(expr("product_agg(1 + l_discount)"), 6).as("growth"),
+          count(lit(1)).as("n_items"))
+        .orderBy("l_orderkey")
+    }),
+
     // mode (polars .mode()): most frequent value per group, smallest value
     // winning ties — spelled as count + rank so tie-breaking is
     // deterministic across engines (builtin mode() picks arbitrarily).
@@ -234,6 +247,10 @@ object Aggregates {
       ("SELECT l_orderkey, l_linenumber, " +
         "round(l_quantity + l_discount + l_tax, 4) AS hsum " +
         "FROM lineitem ORDER BY l_orderkey, l_linenumber, hsum"),
+    "q_product_agg" ->
+      ("SELECT l_orderkey, round(product(1 + l_discount), 6) AS growth, " +
+        "count(*) AS n_items FROM lineitem GROUP BY l_orderkey " +
+        "ORDER BY l_orderkey"),
     "q_mode" ->
       ("WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS cnt " +
         "FROM lineitem GROUP BY 1, 2), " +
