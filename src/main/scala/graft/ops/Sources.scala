@@ -63,6 +63,16 @@ object Sources {
       summarize(s.read.parquet(path))
     }),
 
+    // write_orc → read-back round-trip (columnar alternative to parquet,
+    // built into spark-sql; the reference's Arrow IPC slot — Spark has no
+    // native Arrow file reader, ORC is the columnar stand-in, SURVEY §2.3).
+    "q_scan_orc" -> ((s, d) => {
+      val path = scratch("orders_orc")
+      Tables.orders(s, d).select("o_orderstatus", "o_totalprice")
+        .write.mode("overwrite").orc(path)
+      summarize(s.read.orc(path))
+    }),
+
     // sample(fraction, seed): Bernoulli row sampling. Sampling RNGs differ
     // between engines → no oracle (driver does a rows-only check); the
     // count lands within binomial bounds asserted in OpsSpec.
@@ -89,6 +99,7 @@ object Sources {
   val oracle: Map[String, String] = Map(
     "q_scan_csv" -> summarySql,
     "q_scan_json" -> summarySql,
+    "q_scan_orc" -> summarySql,
     "q_sink_parquet" -> summarySql
   )
 }
