@@ -22,7 +22,8 @@ object SparkEntry {
     (ops.Dedup.queries, ops.Dedup.oracle),
     (ops.Similarity.queries, ops.Similarity.oracle),
     (ops.Multimodal.queries, ops.Multimodal.oracle),
-    (ops.Sources.queries, ops.Sources.oracle)
+    (ops.Sources.queries, ops.Sources.oracle),
+    (ops.AsOf.queries, ops.AsOf.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

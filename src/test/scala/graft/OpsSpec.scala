@@ -72,6 +72,13 @@ class OpsSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("native as-of join ≡ union-tag window encoding") {
+    val native = q("q_join_asof_native")
+    val unionTag = q("q_join_asof")
+    assert(native.exceptAll(unionTag).count() == 0 &&
+      unionTag.exceptAll(native).count() == 0)
+  }
+
   test("dedup_minhash finds the planted near-duplicate pairs with high recall") {
     val pairs = q("q_dedup_minhash").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

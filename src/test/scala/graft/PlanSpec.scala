@@ -62,6 +62,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("dot_f"), "native expression should appear in the plan")
   }
 
+  test("q_join_asof_native: custom AsOfJoin exec with sort-merge movement") {
+    val p = plan("q_join_asof_native")
+    assert(p.contains("AsOfJoin"), "custom operator must be planned")
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 2,
+      "one hash exchange per side, nothing else")
+  }
+
   test("q_scan_parquet/q_project: no shuffle except the output sort") {
     for (n <- Seq("q_scan_parquet", "q_project")) {
       val p = plan(n)
