@@ -34,7 +34,11 @@ object ScalarFuncs {
           lpad(col("p_brand"), 12, "#").as("pad"),
           trim(col("p_name")).as("trimmed"),
           concat_ws("|", col("p_brand"), col("p_type")).as("cat"),
-          element_at(split(col("p_name"), " "), 1).as("tok1"))
+          element_at(split(col("p_name"), " "), 1).as("tok1"),
+          expr("array_join(regexp_extract_all(p_name, '[a-z]+', 0), ',')")
+            .as("all_words"),
+          expr("size(regexp_extract_all(p_name, '[a-z]+', 0))")
+            .as("n_matches"))
         .orderBy("p_partkey")),
 
     // .dt.* family: parts, truncate, format, diff, interval arithmetic.
@@ -164,7 +168,9 @@ object ScalarFuncs {
         "regexp_replace(p_name, '[aeiou]', '_', 'g') AS devowel, " +
         "lpad(p_brand, 12, '#') AS pad, trim(p_name) AS trimmed, " +
         "concat_ws('|', p_brand, p_type) AS cat, " +
-        "string_split(p_name, ' ')[1] AS tok1 " +
+        "string_split(p_name, ' ')[1] AS tok1, " +
+        "array_to_string(regexp_extract_all(p_name, '[a-z]+', 0), ',') AS all_words, " +
+        "CAST(len(regexp_extract_all(p_name, '[a-z]+', 0)) AS INTEGER) AS n_matches " +
         "FROM part ORDER BY p_partkey"),
     "q_date_funcs" ->
       ("SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS yr, " +
