@@ -124,6 +124,65 @@ object Joins {
         .orderBy("event_id")
     }),
 
+    // join_asof(strategy='forward'): first click at-or-after each purchase.
+    // Same union-tag pattern run in reverse time order.
+    "q_join_asof_fwd" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(1).as("is_p"), col("event_id"),
+          lit(null).cast("long").as("click_id"),
+          lit(null).cast("double").as("click_value"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(0).as("is_p"),
+          lit(null).cast("long").as("event_id"),
+          col("event_id").as("click_id"), col("value").as("click_value"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("is_p").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      purchases.unionByName(clicks)
+        .withColumn("asof_click", last(col("click_id"), ignoreNulls = true).over(w))
+        .withColumn("asof_value", last(col("click_value"), ignoreNulls = true).over(w))
+        .filter(col("is_p") === 1)
+        .select(col("event_id"), col("user_id"),
+          col("asof_click").as("click_id"), col("asof_value").as("click_value"))
+        .orderBy("event_id")
+    }),
+
+    // join_asof(strategy='nearest'): closer of the backward and forward
+    // matches, backward winning exact-distance ties. Both directions come
+    // from the same union-tagged frame — two window specs, one shuffle.
+    "q_join_asof_nearest" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(1).as("is_p"), col("event_id"),
+          lit(null).cast("long").as("click_id"),
+          lit(null).cast("timestamp_ntz").as("click_ts"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(0).as("is_p"),
+          lit(null).cast("long").as("event_id"),
+          col("event_id").as("click_id"), col("ts").as("click_ts"))
+      val wB = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("is_p").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wF = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("is_p").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val us = (c: org.apache.spark.sql.Column) => unix_micros(c.cast("timestamp"))
+      purchases.unionByName(clicks)
+        .withColumn("b_id", last(col("click_id"), ignoreNulls = true).over(wB))
+        .withColumn("b_ts", last(col("click_ts"), ignoreNulls = true).over(wB))
+        .withColumn("f_id", last(col("click_id"), ignoreNulls = true).over(wF))
+        .withColumn("f_ts", last(col("click_ts"), ignoreNulls = true).over(wF))
+        .filter(col("is_p") === 1)
+        .select(col("event_id"), col("user_id"),
+          when(col("b_id").isNull, col("f_id"))
+            .when(col("f_id").isNull, col("b_id"))
+            .when(us(col("ts")) - us(col("b_ts")) <= us(col("f_ts")) - us(col("ts")),
+              col("b_id"))
+            .otherwise(col("f_id")).as("click_id"))
+        .orderBy("event_id")
+    }),
+
     // join_asof with tolerance: like q_join_asof but matches farther than
     // 1 hour back are dropped (polars join_asof(tolerance=...)). The asof
     // pick itself is unchanged — a too-old latest click yields null rather
@@ -193,6 +252,24 @@ object Joins {
         "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
         "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c " +
         "ON p.user_id = c.user_id AND p.ts >= c.ts ORDER BY p.event_id"),
+    "q_join_asof_fwd" ->
+      ("SELECT p.event_id, p.user_id, c.event_id AS click_id, " +
+        "c.value AS click_value " +
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p " +
+        "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c " +
+        "ON p.user_id = c.user_id AND p.ts <= c.ts ORDER BY p.event_id"),
+    "q_join_asof_nearest" ->
+      ("WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'), " +
+        "c AS (SELECT * FROM events WHERE event_type = 'click') " +
+        "SELECT p.event_id, p.user_id, " +
+        "CASE WHEN b.event_id IS NULL THEN f.event_id " +
+        "WHEN f.event_id IS NULL THEN b.event_id " +
+        "WHEN epoch_us(p.ts) - epoch_us(b.ts) <= epoch_us(f.ts) - epoch_us(p.ts) " +
+        "THEN b.event_id ELSE f.event_id END AS click_id " +
+        "FROM p " +
+        "ASOF LEFT JOIN c b ON p.user_id = b.user_id AND p.ts >= b.ts " +
+        "ASOF LEFT JOIN c f ON p.user_id = f.user_id AND p.ts <= f.ts " +
+        "ORDER BY p.event_id"),
     "q_join_asof_tol" ->
       ("SELECT p.event_id, p.user_id, " +
         "CASE WHEN epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000 THEN c.event_id END AS click_id " +
