@@ -26,6 +26,9 @@ final case class GraftConfig(
     maxRetries: Int = 3,
     showSql: Boolean = false,
     anonymizeHead: Boolean = false,
+    // exact df.count() per table per ask (reference shape parity; flip off
+    // at large scale to use free optimizer stats / "unknown" instead)
+    exactRowCount: Boolean = true,
     customPrompts: Map[String, (String, Seq[Prompts.TableCtx]) => String] = Map.empty)
 
 /** The answer envelope: rendered text plus the raw result and telemetry. */
@@ -88,7 +91,8 @@ final class GraftSession(
     try {
       tables0.foreach { case (n, df) => df.createOrReplaceTempView(n) }
       val tables = tables0.map { case (n, df) =>
-        Prompts.describe(n, df, anonymize = config.anonymizeHead) }
+        Prompts.describe(n, df, anonymize = config.anonymizeHead,
+          exactRowCount = config.exactRowCount) }
       val names = tables0.map(_._1)
 
       val key = cacheKey(question, tables)

@@ -19,7 +19,19 @@ import org.apache.spark.sql.DataFrame
   */
 object Prompts {
 
-  final case class TableCtx(name: String, rows: Long, cols: Int, head: String)
+  final case class TableCtx(name: String, rows: Long, cols: Int, head: String) {
+    def rowsText: String = if (rows >= 0) rows.toString else "an unknown number of"
+  }
+
+  /** Row count for the prompt. The reference embeds exact df.shape — O(1)
+    * in polars but a full scan in Spark. Default: use Catalyst's stats
+    * estimate when the optimizer has one (free), fall back to -1
+    * ("unknown") rather than scanning; `exact = true` forces a count for
+    * small-data reference parity. */
+  def rowCount(df: DataFrame, exact: Boolean): Long =
+    if (exact) df.count()
+    else df.queryExecution.optimizedPlan.stats.rowCount
+      .map(_.longValue).getOrElse(-1L)
 
   /** Render schema + first rows as text (the prompt's only schema channel).
     * Collect is bounded to `n` rows — never a full materialization.
@@ -30,7 +42,7 @@ object Prompts {
     * deterministic type-shaped placeholders, so the model still sees shape
     * and dtypes but no data leaves the cluster in prompts. */
   def describe(name: String, df: DataFrame, n: Int = 5,
-      anonymize: Boolean = false): TableCtx = {
+      anonymize: Boolean = false, exactRowCount: Boolean = true): TableCtx = {
     val fields = df.schema.fields
     val header = fields.map(f => s"${f.name} (${f.dataType.simpleString})")
       .mkString(" | ")
@@ -48,7 +60,7 @@ object Prompts {
         else if (v == null) "null" else v.toString
       }.mkString(" | ")
     }
-    TableCtx(name, df.count(), fields.length,
+    TableCtx(name, rowCount(df, exactRowCount), fields.length,
       (header +: rows).mkString("\n"))
   }
 
@@ -61,7 +73,7 @@ object Prompts {
   def generateSql(question: String, tables: Seq[TableCtx],
       today: LocalDate = LocalDate.now()): String = {
     val tb = tables.map(t =>
-      s"Table `${t.name}`, with ${t.rows} rows and ${t.cols} columns. " +
+      s"Table `${t.name}`, with ${t.rowsText} rows and ${t.cols} columns. " +
         s"Schema and first rows:\n${t.head}").mkString("\n\n")
     s"""Today is $today.
        |You are provided with the following tables, registered as Spark SQL views:
@@ -82,7 +94,7 @@ object Prompts {
   def correctError(question: String, failedSql: String, error: String,
       tables: Seq[TableCtx]): String = {
     val tb = tables.map(t =>
-      s"Table `${t.name}`, with ${t.rows} rows and ${t.cols} columns. " +
+      s"Table `${t.name}`, with ${t.rowsText} rows and ${t.cols} columns. " +
         s"Schema and first rows:\n${t.head}").mkString("\n\n")
     s"""$tb
        |
