@@ -86,6 +86,7 @@ object Windows {
         .select(col("event_id"),
           round(sum("value").over(run), 4).as("cum_sum"),
           max("value").over(run).as("cum_max"),
+          min("value").over(run).as("cum_min"),
           count(lit(1)).over(run).as("cum_n"))
         .orderBy("event_id")
     }),
@@ -114,6 +115,20 @@ object Windows {
       Tables.orders(s, d)
         .select(col("o_orderkey"), ntile(4).over(byPrice).as("quartile"))
         .orderBy("o_orderkey")
+    }),
+
+    // groupby.head(n): first rows per group by declared order. Catalyst
+    // plans the rank-filter as WindowGroupLimit: a per-partition top-n
+    // heap BEFORE the shuffle, so only n rows per group move (asserted in
+    // PlanSpec).
+    "q_group_head" -> ((s, d) => {
+      val w = Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_extendedprice", "l_discount", "l_quantity")
+      Tables.lineitem(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select("l_orderkey", "rn", "l_linenumber", "l_extendedprice")
+        .orderBy("l_orderkey", "rn")
     }),
 
     // rolling_mean/median/std over a trailing 4-row frame
@@ -269,6 +284,7 @@ object Windows {
       ("SELECT event_id, " +
         "round(sum(value) OVER w, 4) AS cum_sum, " +
         "max(value) OVER w AS cum_max, " +
+        "min(value) OVER w AS cum_min, " +
         "count(*) OVER w AS cum_n " +
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) ORDER BY event_id"),
@@ -282,6 +298,12 @@ object Windows {
       ("SELECT o_orderkey, " +
         "CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS quartile " +
         "FROM orders ORDER BY o_orderkey"),
+    "q_group_head" ->
+      ("WITH r AS (SELECT l_orderkey, l_linenumber, l_extendedprice, " +
+        "CAST(row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice, l_discount, l_quantity) AS INTEGER) AS rn " +
+        "FROM lineitem) " +
+        "SELECT l_orderkey, rn, l_linenumber, l_extendedprice FROM r " +
+        "WHERE rn <= 2 ORDER BY l_orderkey, rn"),
     "q_rolling_mean" ->
       ("SELECT event_id, round(avg(value) OVER w, 4) AS roll_mean, " +
         "round(sum(value) OVER w, 4) AS roll_sum, " +

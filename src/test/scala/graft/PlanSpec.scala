@@ -62,6 +62,10 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("dot_f"), "native expression should appear in the plan")
   }
 
+  test("q_group_head: rank filter becomes WindowGroupLimit (pre-shuffle top-n)") {
+    assert(plan("q_group_head").contains("WindowGroupLimit"))
+  }
+
   test("q_join_asof_native: custom AsOfJoin exec with sort-merge movement") {
     val p = plan("q_join_asof_native")
     assert(p.contains("AsOfJoin"), "custom operator must be planned")
