@@ -73,6 +73,31 @@ class EngineSpec extends SparkSpec {
     assert(leak.error.isDefined)
   }
 
+  test("guard rejects unknown relations hidden in subqueries and CTE bodies") {
+    // IN-subquery referencing an unregistered table
+    val sub = new GraftSession(spark,
+      FakeLlm("```sql\nSELECT a FROM df WHERE a IN (SELECT x FROM secrets)\n```"),
+      GraftConfig(maxRetries = 0)).ask(freshDf, "?")
+    assert(sub.error.isDefined, "subquery relation must be validated")
+    // CTE whose *body* reads an unregistered table (innerChildren path)
+    val cte = new GraftSession(spark,
+      FakeLlm("```sql\nWITH t AS (SELECT x FROM secrets) SELECT count(*) FROM t\n```"),
+      GraftConfig(maxRetries = 0)).ask(freshDf, "?")
+    assert(cte.error.isDefined, "CTE body relations must be validated")
+    // scalar subquery with a banned function
+    val fn = new GraftSession(spark,
+      FakeLlm("```sql\nSELECT (SELECT current_user()) AS u FROM df\n```"),
+      GraftConfig(maxRetries = 0)).ask(freshDf, "?")
+    assert(fn.error.isDefined, "banned functions inside subqueries must be caught")
+    // statement-level bans beyond DML: SET / EXPLAIN / SHOW
+    for (bad <- Seq("SET spark.sql.ansi.enabled=false",
+        "EXPLAIN SELECT * FROM df", "SHOW TABLES")) {
+      val ans = new GraftSession(spark, FakeLlm(s"```sql\n$bad\n```"),
+        GraftConfig(maxRetries = 0)).ask(freshDf, "?")
+      assert(ans.error.isDefined, s"should reject: $bad")
+    }
+  }
+
   test("guard allows CTEs over registered views") {
     val llm = FakeLlm(
       "```sql\nWITH t AS (SELECT a FROM df WHERE a > 2) SELECT count(*) AS n FROM t\n```")
