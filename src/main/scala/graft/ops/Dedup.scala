@@ -54,11 +54,14 @@ object Dedup {
 
   private def shingles(s: SparkSession, d: String): DataFrame =
     shingleCache.getOrElseUpdate((s, d),
-      textCorpus(s, d).select(col("doc_id"),
-        expr("explode(transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)), " +
-          "i -> concat_ws(' ', try_element_at(split(text, ' '), i), " +
-          "try_element_at(split(text, ' '), i + 1), " +
-          "try_element_at(split(text, ' '), i + 2))))").as("shingle"))
+      textCorpus(s, d)
+        // split once per row — inside the lambda it would re-split per
+        // shingle element
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"),
+          expr("explode(transform(sequence(1, greatest(size(w) - 2, 1)), " +
+            "i -> concat_ws(' ', try_element_at(w, i), " +
+            "try_element_at(w, i + 1), try_element_at(w, i + 2))))").as("shingle"))
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
@@ -127,7 +130,8 @@ object Dedup {
   /** 16 simhash bit sums, one per bit, weighted by word multiplicity. */
   private def simhashBitSum(j: Int, dialect: String): String = dialect match {
     case "spark" =>
-      s"aggregate(filter(split(text, ' '), x -> length(x) > 0), 0, " +
+      // `words` is a precomputed column (split once, filtered once)
+      s"aggregate(words, 0, " +
         s"(acc, w) -> acc + IF(substr(md5(concat('$j:', w)), 1, 1) <= '7', 1, -1))"
     case _ =>
       s"list_sum(list_transform(list_filter(string_split(text, ' '), x -> length(x) > 0), " +
@@ -171,7 +175,10 @@ object Dedup {
     "q_dedup_simhash" -> ((s, d) => {
       val bitSums = (0 until 16).map(j =>
         expr(simhashBitSum(j, "spark")).as(s"b$j"))
-      val withBits = textCorpus(s, d).select(col("doc_id") +: bitSums: _*)
+      val withBits = textCorpus(s, d)
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), x -> length(x) > 0)").as("words"))
+        .select(col("doc_id") +: bitSums: _*)
       val sim = concat((0 until 16).map(j =>
         when(col(s"b$j") > 0, "1").otherwise("0")): _*)
       withBits.select(col("doc_id"), sim.as("simhash"))
