@@ -43,19 +43,24 @@ object Charts {
     * `maxRows` guards against accidentally inlining an unaggregated table. */
   def vegaLite(df: DataFrame, kind: Kind, x: String, y: String,
       maxRows: Int = 5000): String = {
-    val rows = df.select(x, y).limit(maxRows + 1).collect()
+    // df.col resolves names directly (no expression parsing), so column
+    // names containing quotes/spaces reach the escaper instead of erroring.
+    val rows = df.select(df.col(x), df.col(y)).limit(maxRows + 1).collect()
     require(rows.length <= maxRows,
       s"chart data exceeds $maxRows rows — aggregate before plotting")
+    // Column names pass through the same escaping as cell values — a quote
+    // or backslash in a name must not break the JSON or inject spec keys.
+    val (xKey, yKey) = (jsonVal(x), jsonVal(y))
     val values = rows.map { r =>
-      s"""{"$x": ${jsonVal(r.get(0))}, "$y": ${jsonVal(r.get(1))}}"""
+      s"""{$xKey: ${jsonVal(r.get(0))}, $yKey: ${jsonVal(r.get(1))}}"""
     }.mkString("[", ",", "]")
     s"""{
        |  "$$schema": "https://vega.github.io/schema/vega-lite/v5.json",
        |  "mark": "${kind.mark}",
        |  "data": {"values": $values},
        |  "encoding": {
-       |    "x": {"field": "$x", "type": "${fieldType(df, x)}"},
-       |    "y": {"field": "$y", "type": "${fieldType(df, y)}"}
+       |    "x": {"field": $xKey, "type": "${fieldType(df, x)}"},
+       |    "y": {"field": $yKey, "type": "${fieldType(df, y)}"}
        |  }
        |}""".stripMargin
   }

@@ -29,6 +29,10 @@ final case class GraftConfig(
     // exact df.count() per table per ask (reference shape parity; flip off
     // at large scale to use free optimizer stats / "unknown" instead)
     exactRowCount: Boolean = true,
+    // when set, generated SQL may ONLY call these functions (the
+    // reference's whitelist mode, constants.py:69-83); the env-leak
+    // denylist still applies on top
+    functionAllowlist: Option[Set[String]] = None,
     customPrompts: Map[String, (String, Seq[Prompts.TableCtx]) => String] = Map.empty)
 
 /** The answer envelope: rendered text plus the raw result and telemetry. */
@@ -98,12 +102,17 @@ final class GraftSession(
       val key = cacheKey(question, tables)
       val cached = if (config.enableCache) cache.get(key) else None
       val sql0 = cached.getOrElse(generate(question, tables))
-      if (config.enableCache && cached.isEmpty) cache(key) = sql0
       if (config.showSql) println(sql0)
 
       run(question, sql0, tables, names.toSet) match {
-        case Right(df) => render(question, df, sql0)
+        case Right((df, executedSql, head)) =>
+          // Cache the SQL that actually executed — a first generation that
+          // needed the correction loop must not replay its bad draft on the
+          // next identical ask, and failures are never cached.
+          if (config.enableCache) cache(key) = executedSql
+          render(question, df, executedSql, head)
         case Left(err) =>
+          if (config.enableCache) cache.remove(key)
           lastError = Some(err.message)
           Answer(envelope(err.message), None, lastSqlExecuted, Some(err))
       }
@@ -132,21 +141,29 @@ final class GraftSession(
   }
 
   /** guard → execute → ≤maxRetries correction loop (reference run_code,
-    * :540-554; retries rebuild the prompt with the engine's error text). */
+    * :540-554; retries rebuild the prompt with the engine's error text).
+    *
+    * A bounded result (limit 21, the render preview size) is materialized
+    * INSIDE the loop so execution-time failures (ANSI arithmetic, cast
+    * errors) feed the correction prompt like the reference's run_code does,
+    * instead of first surfacing at render and bypassing the retries.
+    * Returns the frame, the SQL that actually succeeded, and the collected
+    * preview rows (so render doesn't re-execute). */
   private def run(question: String, firstSql: String,
       tables: Seq[Prompts.TableCtx],
-      views: Set[String]): Either[GraftError, DataFrame] = {
+      views: Set[String]): Either[GraftError, (DataFrame, String, Array[org.apache.spark.sql.Row])] = {
     var sql = firstSql
     var lastErr = ""
     for (attempt <- 0 to config.maxRetries) {
-      SqlGuard.check(spark, sql, views) match {
+      SqlGuard.check(spark, sql, views, config.functionAllowlist) match {
         case SqlGuard.Rejected(reason) => lastErr = reason
         case SqlGuard.Ok =>
           try {
             lastSqlExecuted = Some(sql)
             val out = spark.sql(sql)
             out.schema // force analysis so AnalysisException surfaces here
-            return Right(out)
+            val head = out.limit(21).collect() // surface runtime errors here too
+            return Right((out, sql, head))
           } catch { case e: Exception => lastErr = String.valueOf(e.getMessage) }
       }
       log(s"attempt ${attempt + 1} failed: $lastErr")
@@ -164,9 +181,9 @@ final class GraftSession(
     * scalar; otherwise a bounded tabular preview. Optionally rephrased by a
     * second LLM call (conversational_answer, :197-212 — broken in the
     * reference, SURVEY §7.5.3; intended semantics restored here). */
-  private def render(question: String, df: DataFrame, sql: String): Answer = {
+  private def render(question: String, df: DataFrame, sql: String,
+      head: Array[org.apache.spark.sql.Row]): Answer = {
     val cols = df.columns
-    val head = df.limit(21).collect()
     val text =
       if (head.length == 1 && cols.length == 1) String.valueOf(head(0).get(0))
       else {
@@ -202,7 +219,7 @@ final class GraftSession(
     * callers who want the safety rails without the LLM round-trip. */
   def runSql(tables: Seq[(String, DataFrame)], sql: String): Either[GraftError, DataFrame] = {
     tables.foreach { case (n, df) => df.createOrReplaceTempView(n) }
-    SqlGuard.check(spark, sql, tables.map(_._1).toSet) match {
+    SqlGuard.check(spark, sql, tables.map(_._1).toSet, config.functionAllowlist) match {
       case SqlGuard.Rejected(reason) => Left(BadSql(reason))
       case SqlGuard.Ok =>
         try {

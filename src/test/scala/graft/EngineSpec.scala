@@ -98,6 +98,51 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("guard fails closed on EXECUTE IMMEDIATE and unlisted statement kinds") {
+    // EXECUTE IMMEDIATE parses to UnresolvedExecuteImmediate (not a
+    // Command), carrying its payload as a string literal — a denylist
+    // regex never sees the inner SQL. The node allowlist rejects it.
+    for (bad <- Seq(
+        "EXECUTE IMMEDIATE 'DROP TABLE df'",
+        "EXECUTE IMMEDIATE 'SELECT 1'",
+        "DECLARE v INT")) {
+      val ans = new GraftSession(spark, FakeLlm(s"```sql\n$bad\n```"),
+        GraftConfig(maxRetries = 0)).ask(freshDf, "?")
+      assert(ans.error.isDefined, s"should reject: $bad")
+    }
+  }
+
+  test("guard bans env-leak function aliases, incl. via UNION exfil") {
+    for (fn <- Seq("user()", "current_schema()", "session_user()",
+        "current_timezone()", "current_database()")) {
+      val ans = new GraftSession(spark, FakeLlm(s"```sql\nSELECT $fn FROM df\n```"),
+        GraftConfig(maxRetries = 0)).ask(freshDf, "?")
+      assert(ans.error.isDefined, s"should reject alias: $fn")
+    }
+    // UNION-based exfil through an otherwise registered-view-only query
+    val u = new GraftSession(spark,
+      FakeLlm("```sql\nSELECT fruits FROM df UNION ALL SELECT current_schema()\n```"),
+      GraftConfig(maxRetries = 0)).ask(freshDf, "?")
+    assert(u.error.isDefined, "UNION branch functions must be validated")
+  }
+
+  test("guard TVF allowlist: range passes, unlisted table functions fail closed") {
+    val s = new GraftSession(spark, FakeLlm("unused"))
+    val ok = s.runSql(Seq("t" -> freshDf), "SELECT count(*) AS n FROM range(10)")
+    assert(ok.isRight && ok.toOption.get.head.getLong(0) == 10L)
+    assert(s.runSql(Seq("t" -> freshDf), "SELECT * FROM mystery_tvf(1)").isLeft)
+  }
+
+  test("functionAllowlist mode: only listed functions may be called") {
+    val cfg = GraftConfig(maxRetries = 0, functionAllowlist = Some(Set("count")))
+    val ok = new GraftSession(spark,
+      FakeLlm("```sql\nSELECT count(*) AS n FROM df\n```"), cfg).ask(freshDf, "?")
+    assert(ok.error.isEmpty, ok.text)
+    val bad = new GraftSession(spark,
+      FakeLlm("```sql\nSELECT sum(a) AS s FROM df\n```"), cfg).ask(freshDf, "?")
+    assert(bad.error.isDefined, "sum is not in the allowlist")
+  }
+
   test("guard allows CTEs over registered views") {
     val llm = FakeLlm(
       "```sql\nWITH t AS (SELECT a FROM df WHERE a > 2) SELECT count(*) AS n FROM t\n```")
@@ -114,6 +159,41 @@ class EngineSpec extends SparkSpec {
     assert(llm.callCount == 1) // second ask served from cache
     s.ask(freshDf, "how many rows are there?")
     assert(llm.callCount == 2)
+  }
+
+  test("cache stores the corrected SQL, not the failed first draft") {
+    val llm = FakeLlm(
+      "```sql\nSELECT nope FROM df\n```",
+      "```sql\nSELECT count(*) AS n FROM df\n```")
+    val s = new GraftSession(spark, llm)
+    assert(s.ask(freshDf, "how many rows?").text == "5")
+    assert(llm.callCount == 2)
+    assert(s.ask(freshDf, "how many rows?").text == "5")
+    assert(llm.callCount == 2,
+      "repeat ask must replay the corrected SQL from cache, not the bad draft")
+  }
+
+  test("failed asks are not cached") {
+    val llm = FakeLlm("```sql\nSELECT nope FROM df\n```")
+    val s = new GraftSession(spark, llm, GraftConfig(maxRetries = 0))
+    assert(s.ask(freshDf, "?").error.isDefined)
+    assert(s.cacheSize == 0)
+  }
+
+  test("execution-time errors feed the correction loop, not just analysis errors") {
+    // raise_error passes parse + analysis and first fails when rows are
+    // materialized — the bounded collect inside run() must catch it and
+    // retry (reference run_code retries on execution exceptions too).
+    val llm = FakeLlm(
+      "```sql\nSELECT raise_error('boom') AS x FROM df\n```",
+      "```sql\nSELECT count(*) AS n FROM df\n```")
+    val s = new GraftSession(spark, llm)
+    val ans = s.ask(freshDf, "?")
+    assert(ans.error.isEmpty, ans.text)
+    assert(ans.text == "5")
+    assert(llm.callCount == 2)
+    assert(llm.allPrompts(1).contains("raise_error"),
+      "correction prompt carries the runtime-failing SQL")
   }
 
   test("multi-table binding df1..dfN (reference :532-535) + join answer") {
@@ -185,6 +265,13 @@ class EngineSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Charts.vegaLite(freshDf, Charts.Point, "a", "b", maxRows = 2)
     }
+  }
+
+  test("Charts.vegaLite escapes column names in data keys and encodings") {
+    val df = Seq(("x", 1L)).toDF("fr\"uit", "n")
+    val spec = Charts.vegaLite(df, Charts.Bar, "fr\"uit", "n")
+    assert(spec.contains("\"fr\\\"uit\""), spec)
+    assert(!spec.contains("\"fr\"uit\""), "unescaped name would break the JSON")
   }
 
   test("runSql: guarded passthrough accepts queries, rejects DDL") {
