@@ -65,6 +65,30 @@ object Analytics {
         .orderBy("event_id")
     }),
 
+    // plot_roc_curve, scale path: scores binned to fixed-width buckets
+    // (width 0.05 ⇒ ≤1e4 bins over the score range regardless of row
+    // count), per-bin positive/negative counts aggregated distributed
+    // (partial+final), then ONE cumulative window over the bounded bin
+    // table. The single-partition stage sees bin-cardinality rows, never
+    // corpus-cardinality — the curve at bin granularity, fully parallel
+    // where it matters.
+    "q_roc_binned" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val isP = when(col("event_type") === "purchase", 1L).otherwise(0L)
+      val bins = e.groupBy(floor(col("value") * 20).cast("long").as("bin"))
+        .agg(sum(isP).as("p"), sum(lit(1L) - isP).as("n"))
+      val w = Window.orderBy(desc("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val totals = bins.agg(sum("p").as("tot_p"), sum("n").as("tot_n"))
+      bins.select(col("bin"),
+          sum("p").over(w).as("tp"), sum("n").over(w).as("fp"))
+        .crossJoin(broadcast(totals))
+        .select(col("bin"),
+          round(col("tp").cast("double") / col("tot_p"), 6).as("tpr"),
+          round(col("fp").cast("double") / col("tot_n"), 6).as("fpr"))
+        .orderBy("bin")
+    }),
+
     // clean_data: normalize text, drop empties, dedup keeping first id.
     "q_clean_data" -> ((s, d) =>
       Tables.documents(s, d)
@@ -129,6 +153,17 @@ object Analytics {
         "SELECT event_id, round(CAST(tp AS DOUBLE) / tot_p, 6) AS tpr, " +
         "round(CAST(fp AS DOUBLE) / tot_n, 6) AS fpr " +
         "FROM r, t ORDER BY event_id"),
+    "q_roc_binned" ->
+      ("WITH b AS (SELECT CAST(floor(value * 20) AS BIGINT) AS bin, " +
+        "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p, " +
+        "sum(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) AS n " +
+        "FROM events GROUP BY 1), " +
+        "t AS (SELECT sum(p) AS tot_p, sum(n) AS tot_n FROM b), " +
+        "r AS (SELECT bin, sum(p) OVER w AS tp, sum(n) OVER w AS fp FROM b " +
+        "WINDOW w AS (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
+        "SELECT bin, round(CAST(tp AS DOUBLE) / tot_p, 6) AS tpr, " +
+        "round(CAST(fp AS DOUBLE) / tot_n, 6) AS fpr " +
+        "FROM r, t ORDER BY bin"),
     "q_clean_data" ->
       ("SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM " +
         "(SELECT doc_id, trim(lower(text)) AS norm FROM documents) " +

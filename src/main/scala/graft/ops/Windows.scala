@@ -117,6 +117,27 @@ object Windows {
         .orderBy("o_orderkey")
     }),
 
+    // qcut, scale path: exact per-group quantile cut points (a tiny
+    // aggregate — one row per group) broadcast back onto the fact table,
+    // bucket assigned by comparison. No global window anywhere: the only
+    // shuffle is the cut-point aggregation, and the assignment pass is
+    // map-side. Cut points are rounded to 4dp first so both engines
+    // compare against the identical constants.
+    "q_qcut_cutpoints" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val cuts = o.groupBy("o_orderstatus")
+        .agg(round(expr("percentile(o_totalprice, 0.25)"), 4).as("c1"),
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("c2"),
+          round(expr("percentile(o_totalprice, 0.75)"), 4).as("c3"))
+      o.join(broadcast(cuts), Seq("o_orderstatus"))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          when(col("o_totalprice") <= col("c1"), 1)
+            .when(col("o_totalprice") <= col("c2"), 2)
+            .when(col("o_totalprice") <= col("c3"), 3)
+            .otherwise(4).as("quartile"))
+        .orderBy("o_orderkey")
+    }),
+
     // groupby.head(n): first rows per group by declared order. Catalyst
     // plans the rank-filter as WindowGroupLimit: a per-partition top-n
     // heap BEFORE the shuffle, so only n rows per group move (asserted in
@@ -298,6 +319,16 @@ object Windows {
       ("SELECT o_orderkey, " +
         "CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS quartile " +
         "FROM orders ORDER BY o_orderkey"),
+    "q_qcut_cutpoints" ->
+      ("WITH c AS (SELECT o_orderstatus, " +
+        "round(quantile_cont(o_totalprice, 0.25), 4) AS c1, " +
+        "round(quantile_cont(o_totalprice, 0.5), 4) AS c2, " +
+        "round(quantile_cont(o_totalprice, 0.75), 4) AS c3 " +
+        "FROM orders GROUP BY o_orderstatus) " +
+        "SELECT o.o_orderkey, o.o_orderstatus, " +
+        "CASE WHEN o_totalprice <= c1 THEN 1 WHEN o_totalprice <= c2 THEN 2 " +
+        "WHEN o_totalprice <= c3 THEN 3 ELSE 4 END AS quartile " +
+        "FROM orders o JOIN c USING (o_orderstatus) ORDER BY o_orderkey"),
     "q_group_head" ->
       ("WITH r AS (SELECT l_orderkey, l_linenumber, l_extendedprice, " +
         "CAST(row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice, l_discount, l_quantity) AS INTEGER) AS rn " +

@@ -62,6 +62,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("dot_f"), "native expression should appear in the plan")
   }
 
+  test("q_qcut_cutpoints: broadcast cut points, no window anywhere") {
+    val p = plan("q_qcut_cutpoints")
+    assert(p.contains("BroadcastHashJoin"), "cut points must broadcast onto the fact side")
+    assert(!p.contains("Window"), s"no window may appear in the scale qcut:\n$p")
+  }
+
+  test("q_roc_binned: cumulative window runs over the bin aggregate, not raw rows") {
+    val p = plan("q_roc_binned")
+    val wIdx = p.indexOf("Window")
+    assert(wIdx >= 0, "binned ROC keeps one cumulative window over bins")
+    assert(p.indexOf("HashAggregate", wIdx) > wIdx,
+      "the window input must be the bounded per-bin aggregate, not the corpus")
+  }
+
+  test("q_dedup_embedding: LSH signature equi-join, no driver materialization") {
+    val p = plan("q_dedup_embedding")
+    assert(!p.contains("Scan ExistingRDD") && !p.contains("MapPartitions") &&
+      !p.contains("LocalTableScan"),
+      s"corpus must stay distributed (no collect/parallelize):\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      "candidate generation must be an equi-join on the LSH signature")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "must not degrade to an all-pairs product")
+  }
+
   test("q_group_head: rank filter becomes WindowGroupLimit (pre-shuffle top-n)") {
     assert(plan("q_group_head").contains("WindowGroupLimit"))
   }
