@@ -26,6 +26,9 @@ object Bench {
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // each dedup query pays for its own shared stages — no timing rides
+      // on another query's persisted shingle/candidate caches
+      ops.Dedup.clearCaches()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -29,7 +29,9 @@ object Tables {
     * casting TIMESTAMP_NS to TIMESTAMP, so oracle comparisons line up.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // idempotent: only touch session conf when the flag isn't already on
+    if (s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").forall(_ != "true"))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     apply(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts DIV 1000"))

@@ -17,6 +17,57 @@ trait LlmClient {
   def name: String = getClass.getSimpleName
 }
 
+/** OpenAI-compatible chat-completions client — the reference's only working
+  * backend is LangChain OpenAI (/root/reference/polarsai/__init__.py:178-182);
+  * this is the config-only JVM equivalent: POST {url}/chat/completions with
+  * a single user message, return choices[0].message.content.
+  *
+  * Config resolves from constructor args, then GRAFT_LLM_URL /
+  * GRAFT_LLM_MODEL / GRAFT_LLM_KEY env vars. Never exercised against a live
+  * endpoint in CI (zero-egress sandbox) — EngineSpec round-trips it through
+  * an in-process stub server.
+  */
+final class HttpLlm(
+    url: String = sys.env.getOrElse("GRAFT_LLM_URL", "http://localhost:8000/v1"),
+    model: String = sys.env.getOrElse("GRAFT_LLM_MODEL", "gpt-4o-mini"),
+    apiKey: String = sys.env.getOrElse("GRAFT_LLM_KEY", ""),
+    temperature: Double = 0.0,
+    timeoutSec: Long = 120) extends LlmClient {
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private val client = java.net.http.HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(timeoutSec)).build()
+
+  override def name: String = s"HttpLlm($model)"
+
+  override def predict(prompt: String): String = {
+    val root = mapper.createObjectNode()
+    root.put("model", model)
+    root.put("temperature", temperature)
+    val m = root.putArray("messages").addObject()
+    m.put("role", "user")
+    m.put("content", prompt)
+    val req = java.net.http.HttpRequest
+      .newBuilder(java.net.URI.create(s"${url.stripSuffix("/")}/chat/completions"))
+      .timeout(java.time.Duration.ofSeconds(timeoutSec))
+      .header("Content-Type", "application/json")
+      .header("Authorization", s"Bearer $apiKey")
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+        mapper.writeValueAsString(root)))
+      .build()
+    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() / 100 != 2)
+      throw new RuntimeException(
+        s"LLM HTTP ${resp.statusCode()}: ${resp.body().take(500)}")
+    val content = mapper.readTree(resp.body())
+      .path("choices").path(0).path("message").path("content")
+    if (content.isMissingNode)
+      throw new RuntimeException(
+        s"LLM response missing choices[0].message.content: ${resp.body().take(500)}")
+    content.asText()
+  }
+}
+
 /** Deterministic stub: replays `responses` in order (sticking on the last
   * one), records every prompt — the test seam for the whole engine.
   * Mirrors FakeLLM semantics (llm/deprecated/fake.py:9-24). */

@@ -27,6 +27,18 @@ import graft.Tables.Q
   */
 object Dedup {
 
+  /** Unpersist and drop the memoized shingle/candidate stages. Scopes the
+    * per-(session, sfDir) persists to a dedup run: call when the run ends
+    * in a long-lived session (and between bench timings so no query rides
+    * on another's cached stages). One-run-per-JVM harness processes never
+    * need it. */
+  def clearCaches(): Unit = {
+    shingleCache.values.foreach(_.unpersist(blocking = false))
+    shingleCache.clear()
+    pairsCache.values.foreach(_.unpersist(blocking = false))
+    pairsCache.clear()
+  }
+
   /** documents ∪ mutated copies (first word replaced). */
   private def textCorpus(s: SparkSession, d: String): DataFrame = {
     val base = Tables.documents(s, d).select(col("doc_id"), col("text"))

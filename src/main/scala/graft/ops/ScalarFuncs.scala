@@ -60,6 +60,24 @@ object ScalarFuncs {
             .cast("timestamp_ntz").as("plus30"))
         .orderBy("o_orderkey")),
 
+    // .dt time-of-day + timezone family (polars .dt.hour/minute/second/
+    // strftime('%H:%M')/convert_time_zone) over sub-day events.ts.
+    // Zone conversions are genuine region-zone (DST-aware) ops both ways:
+    // from_utc_timestamp interprets the naive ts as UTC and localizes;
+    // to_utc_timestamp interprets it as zone-local and normalizes to UTC.
+    "q_time_funcs" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          hour(col("ts")).as("hr"),
+          minute(col("ts")).as("mi"),
+          second(col("ts")).as("sec"),
+          date_format(col("ts"), "HH:mm").as("hm"),
+          date_format(from_utc_timestamp(col("ts"), "America/New_York"),
+            "yyyy-MM-dd HH:mm:ss").as("ny_local"),
+          date_format(to_utc_timestamp(col("ts"), "Asia/Kolkata"),
+            "yyyy-MM-dd HH:mm:ss").as("from_kolkata_utc"))
+        .orderBy("event_id")),
+
     // math family: abs/sqrt/pow/ln/log10/exp/floor/ceil/sign/mod/least/
     // greatest (clip)/sin/cos. Sort key is total over the generating columns
     // (lineitem has duplicate (orderkey, linenumber) rows).
@@ -184,6 +202,14 @@ object ScalarFuncs {
         "CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since, " +
         "o_orderdate + INTERVAL 30 DAY AS plus30 " +
         "FROM orders ORDER BY o_orderkey"),
+    "q_time_funcs" ->
+      ("SELECT event_id, CAST(hour(ts) AS INTEGER) AS hr, " +
+        "CAST(minute(ts) AS INTEGER) AS mi, " +
+        "CAST(second(ts) AS INTEGER) AS sec, " +
+        "strftime(ts, '%H:%M') AS hm, " +
+        "strftime(timezone('America/New_York', timezone('UTC', CAST(ts AS TIMESTAMP))), '%Y-%m-%d %H:%M:%S') AS ny_local, " +
+        "strftime(timezone('UTC', timezone('Asia/Kolkata', CAST(ts AS TIMESTAMP))), '%Y-%m-%d %H:%M:%S') AS from_kolkata_utc " +
+        "FROM events ORDER BY event_id"),
     "q_math_funcs" ->
       ("SELECT l_orderkey, l_linenumber, " +
         "round(abs(l_extendedprice * -1), 2) AS abs_price, " +

@@ -22,9 +22,14 @@ import graft.Tables.Q
   */
 object Sources {
 
+  /** Round-trip scratch root. On a cluster this must be a shared filesystem
+    * (HDFS/S3/NFS) visible to every executor — set SPARK_GRAFT_SCRATCH;
+    * local tmpdir is only correct in local mode. */
   private def scratch(name: String): String =
-    java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_io", name).toString
+    sys.env.get("SPARK_GRAFT_SCRATCH")
+      .map(root => s"${root.stripSuffix("/")}/graft_io/$name")
+      .getOrElse(java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_io", name).toString)
 
   /** status-level money summary — identical shape for every round-trip. */
   private def summarize(df: DataFrame): DataFrame =

@@ -12,21 +12,29 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * preference order (SURVEY.md §4.2: "the one place a custom operator could
   * pay off").
   *
-  * Semantics: polars `join_asof(strategy='backward', by=key)` / DuckDB
-  * `ASOF LEFT JOIN ... ON l.key = r.key AND l.ts >= r.ts` — each left row
-  * picks the latest right row at-or-before its timestamp within its key
-  * group, or nulls.
+  * Semantics: polars `join_asof(strategy=..., by=key, tolerance=...)` /
+  * DuckDB `ASOF LEFT JOIN` — each left row picks, within its key group:
+  *   - backward: the latest right row at-or-before its timestamp;
+  *   - forward: the earliest right row at-or-after its timestamp;
+  *   - nearest: the closer of the two, backward winning exact ties;
+  * and nulls when no match (or when `toleranceMicros` is set and the pick
+  * is farther than the tolerance).
   *
   * Scale shape: both sides hash-partition by key and sort by (key, ts) —
   * exactly a sort-merge join's movement — then a single forward merge pass
-  * per partition with O(1) state (the last right row seen). No union blowup,
-  * no window buffering, no range explosion; AQE still handles skew on the
-  * exchanges it inserts for the required distribution.
+  * per partition with O(1) state (the last consumed right row plus the
+  * buffered head as the forward candidate). No union blowup, no window
+  * buffering, no range explosion; AQE still handles skew on the exchanges
+  * it inserts for the required distribution.
   */
 case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTs: Expression, rightTs: Expression) extends BinaryNode {
+    leftTs: Expression, rightTs: Expression,
+    strategy: String = "backward",
+    toleranceMicros: Option[Long] = None) extends BinaryNode {
+  require(Set("backward", "forward", "nearest").contains(strategy),
+    s"unknown as-of strategy: $strategy")
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -36,8 +44,8 @@ case class AsOfJoinPlan(
 
 object AsOfStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, strategy, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, strategy, tol) :: Nil
     case _ => Nil
   }
 }
@@ -45,7 +53,9 @@ object AsOfStrategy extends SparkStrategy {
 case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTs: Expression, rightTs: Expression) extends BinaryExecNode {
+    leftTs: Expression, rightTs: Expression,
+    strategy: String = "backward",
+    toleranceMicros: Option[Long] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -64,6 +74,17 @@ case class AsOfJoinExec(
   override def outputOrdering: Seq[SortOrder] =
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending))
 
+  /** Micros/integral view of a time value — needed only by nearest
+    * (distance compare) and tolerance. Timestamps are Long internally. */
+  private def toLong(v: Any): Long = v match {
+    case l: java.lang.Long => l.longValue()
+    case i: java.lang.Integer => i.longValue()
+    case s: java.lang.Short => s.longValue()
+    case b: java.lang.Byte => b.longValue()
+    case other => throw new IllegalArgumentException(
+      s"as-of nearest/tolerance requires an integral or timestamp time column, got $other")
+  }
+
   override protected def doExecute(): RDD[InternalRow] = {
     val lkB = BindReferences.bindReference(leftKey, left.output)
     val ltB = BindReferences.bindReference(leftTs, left.output)
@@ -73,35 +94,65 @@ case class AsOfJoinExec(
     val tsOrd = TypeUtils.getInterpretedOrdering(leftTs.dataType)
     val rightWidth = right.output.length
     val schema = output
+    val strat = strategy
+    val tol = toleranceMicros
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val project = UnsafeProjection.create(schema.map(_.dataType).toArray)
       val joined = new JoinedRow
       val nullRight = InternalRow.fromSeq(Seq.fill(rightWidth)(null))
       val buffered = rIter.buffered
+      // equal-ts right rows belong to the backward candidate except under
+      // strategy=forward, where they are the forward candidate instead
+      val consumeEqualTs = strat != "forward"
 
-      // last right row (copied — unsafe rows are reused) per current key
+      // last consumed right row (copied — unsafe rows are reused) + its key
       var lastKey: Any = null
       var lastRow: InternalRow = null
 
       lIter.map { lRow =>
         val lk = lkB.eval(lRow)
         val lt = ltB.eval(lRow)
-        // advance the right side while its (key, ts) <= (lk, lt)
+        // consume the right side up to this left row's boundary
         var advancing = true
         while (advancing && buffered.hasNext) {
           val rRow = buffered.head
           val rk = rkB.eval(rRow)
           val keyCmp = keyOrd.compare(rk, lk)
-          if (keyCmp < 0 ||
-            (keyCmp == 0 && tsOrd.compare(rtB.eval(rRow), lt) <= 0)) {
+          val consume =
+            if (keyCmp != 0) keyCmp < 0
+            else {
+              val tsCmp = tsOrd.compare(rtB.eval(rRow), lt)
+              if (consumeEqualTs) tsCmp <= 0 else tsCmp < 0
+            }
+          if (consume) {
             lastKey = rk
             lastRow = rRow.copy()
             buffered.next()
           } else advancing = false
         }
-        val matches = lastRow != null && keyOrd.compare(lastKey, lk) == 0
-        project(joined(lRow, if (matches) lastRow else nullRight))
+        val back =
+          if (lastRow != null && keyOrd.compare(lastKey, lk) == 0) lastRow else null
+        lazy val fwd =
+          if (buffered.hasNext && keyOrd.compare(rkB.eval(buffered.head), lk) == 0)
+            buffered.head
+          else null
+        val chosen = strat match {
+          case "backward" => back
+          case "forward" => fwd
+          case "nearest" =>
+            if (back == null) fwd
+            else if (fwd == null) back
+            else {
+              val backDist = toLong(lt) - toLong(rtB.eval(back))
+              val fwdDist = toLong(rtB.eval(fwd)) - toLong(lt)
+              if (backDist <= fwdDist) back else fwd
+            }
+        }
+        val withinTol = chosen != null && tol.forall { t =>
+          math.abs(toLong(lt) - toLong(rtB.eval(chosen))) <= t
+        }
+        project(joined(lRow, if (withinTol) chosen else nullRight))
       }
     }
   }

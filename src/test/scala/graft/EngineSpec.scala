@@ -282,6 +282,70 @@ class EngineSpec extends SparkSpec {
     assert(s.runSql(Seq("t" -> freshDf), "SELECT * FROM other").isLeft)
   }
 
+  test("HttpLlm round-trips an OpenAI-compatible endpoint (in-process stub)") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    @volatile var seenAuth = ""
+    @volatile var seenBody = ""
+    server.createContext("/v1/chat/completions", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        seenAuth = ex.getRequestHeaders.getFirst("Authorization")
+        seenBody = new String(ex.getRequestBody.readAllBytes, "UTF-8")
+        val content = "```sql\\nSELECT count(*) AS n FROM df\\n```"
+        val resp =
+          s"""{"choices":[{"message":{"role":"assistant","content":"$content"}}]}"""
+            .getBytes("UTF-8")
+        ex.getResponseHeaders.add("Content-Type", "application/json")
+        ex.sendResponseHeaders(200, resp.length)
+        ex.getResponseBody.write(resp)
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val llm = new HttpLlm(
+        url = s"http://127.0.0.1:${server.getAddress.getPort}/v1",
+        model = "stub-model", apiKey = "sk-test")
+      val ans = new GraftSession(spark, llm).ask(freshDf, "how many rows?")
+      assert(ans.error.isEmpty, ans.text)
+      assert(ans.text == "5")
+      assert(seenAuth == "Bearer sk-test")
+      assert(seenBody.contains("\"model\":\"stub-model\"") &&
+        seenBody.contains("how many rows?"))
+    } finally server.stop(0)
+  }
+
+  test("HttpLlm surfaces HTTP errors and malformed payloads as exceptions") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/err/chat/completions", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val resp = """{"error":"rate limited"}""".getBytes("UTF-8")
+        ex.sendResponseHeaders(429, resp.length)
+        ex.getResponseBody.write(resp); ex.close()
+      }
+    })
+    server.createContext("/bad/chat/completions", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val resp = """{"unexpected":"shape"}""".getBytes("UTF-8")
+        ex.sendResponseHeaders(200, resp.length)
+        ex.getResponseBody.write(resp); ex.close()
+      }
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val err = intercept[RuntimeException] {
+        new HttpLlm(url = s"$base/err").predict("hi")
+      }
+      assert(err.getMessage.contains("429"))
+      val bad = intercept[RuntimeException] {
+        new HttpLlm(url = s"$base/bad").predict("hi")
+      }
+      assert(bad.getMessage.contains("choices"))
+    } finally server.stop(0)
+  }
+
   test("SqlExtractor handles fences, tags and bare SQL") {
     assert(SqlExtractor.extract("```sql\nSELECT 1\n```") == "SELECT 1")
     assert(SqlExtractor.extract("```\nSELECT 1\n```") == "SELECT 1")

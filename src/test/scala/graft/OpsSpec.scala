@@ -72,11 +72,18 @@ class OpsSpec extends SparkSpec {
     assert(bad == 0)
   }
 
-  test("native as-of join ≡ union-tag window encoding") {
-    val native = q("q_join_asof_native")
-    val unionTag = q("q_join_asof")
-    assert(native.exceptAll(unionTag).count() == 0 &&
-      unionTag.exceptAll(native).count() == 0)
+  test("native as-of join ≡ union-tag window encoding (all strategies)") {
+    for ((nat, win) <- Seq(
+        "q_join_asof_native" -> "q_join_asof",
+        "q_join_asof_fwd_native" -> "q_join_asof_fwd",
+        "q_join_asof_nearest_native" -> "q_join_asof_nearest",
+        "q_join_asof_tol_native" -> "q_join_asof_tol")) {
+      val native = q(nat)
+      val unionTag = q(win)
+      assert(native.exceptAll(unionTag).count() == 0 &&
+        unionTag.exceptAll(native).count() == 0,
+        s"$nat must match $win row-for-row")
+    }
   }
 
   test("dedup_minhash finds the planted near-duplicate pairs with high recall") {
