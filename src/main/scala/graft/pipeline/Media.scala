@@ -37,6 +37,8 @@ object Media {
     def decodeDims(payload: Array[Byte]): (Int, Int)
     /** Frame-sample offsets for time-coded media (video/audio). */
     def sampleOffsets(payload: Array[Byte], maxFrames: Int): Seq[Int]
+    /** Re-encoded payload at target dimensions. */
+    def resize(payload: Array[Byte], width: Int, height: Int): Array[Byte]
   }
 
   /** STUB: a real decoder would parse the container header here
@@ -47,7 +49,16 @@ object Media {
       (payload.length * 7 % 1024, payload.length * 13 % 768)
     override def sampleOffsets(payload: Array[Byte], maxFrames: Int): Seq[Int] =
       (0 to math.min(payload.length / 100, maxFrames - 1)).map(_ * 100)
+    /** Deterministic stand-in for a re-encode: output size scales with the
+      * target pixel count, content is a truncation/cycle of the input. */
+    override def resize(payload: Array[Byte], width: Int, height: Int): Array[Byte] = {
+      val outLen = math.max(16, width * height / 64)
+      Array.tabulate(outLen)(i => payload(i % math.max(payload.length, 1)))
+    }
   }
+
+  final case class ResizedMedia(
+      docId: Long, mime: String, width: Int, height: Int, payload: Array[Byte])
 
   /** Partition-batched extraction: decoder init happens once per partition
     * (the expensive part of real codecs), rows stream through. */
@@ -64,6 +75,21 @@ object Media {
           decoder.sampleOffsets(r.payload, maxFrames))
       }
     }(org.apache.spark.sql.Encoders.product[MediaFeatures])
+  }
+
+  /** Partition-batched resize: the write-side transform of a media
+    * pipeline (thumbnailing, normalization before feature extraction).
+    * Same batch mechanics as extractFeatures — codec context once per
+    * partition, rows streamed. */
+  def resizeTo(rows: Dataset[MediaRow], decoder: Decoder,
+      width: Int, height: Int): Dataset[ResizedMedia] = {
+    rows.mapPartitions { it =>
+      // per-partition setup slot (a real encoder allocates buffers here)
+      it.map { r =>
+        ResizedMedia(r.docId, r.mime, width, height,
+          decoder.resize(r.payload, width, height))
+      }
+    }(org.apache.spark.sql.Encoders.product[ResizedMedia])
   }
 
   /** Text table → media rows (UTF-8 payloads) for offline testing. */

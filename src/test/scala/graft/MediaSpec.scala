@@ -28,4 +28,17 @@ class MediaSpec extends SparkSpec {
       .collect().map(f => f.docId -> f.digest).toMap
     assert(feats.forall(f => feats2(f.docId) == f.digest))
   }
+
+  test("resizeTo: partition-batched resize with target-dim-scaled payloads") {
+    val rows = Media.fromDocuments(spark, sf)
+    val resized = Media.resizeTo(rows, Media.FakeDecoder, 64, 64).collect()
+    assert(resized.length == 500)
+    // output size follows the stub formula: max(16, w*h/64)
+    assert(resized.forall(r => r.width == 64 && r.height == 64 &&
+      r.payload.length == 64 * 64 / 64))
+    // deterministic across partition layouts
+    val again = Media.resizeTo(rows.repartition(5), Media.FakeDecoder, 64, 64)
+      .collect().map(r => r.docId -> r.payload.toSeq).toMap
+    assert(resized.forall(r => again(r.docId) == r.payload.toSeq))
+  }
 }

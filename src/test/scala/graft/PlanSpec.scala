@@ -92,11 +92,14 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_group_head").contains("WindowGroupLimit"))
   }
 
-  test("q_join_asof_native: custom AsOfJoin exec with sort-merge movement") {
-    val p = plan("q_join_asof_native")
-    assert(p.contains("AsOfJoin"), "custom operator must be planned")
-    assert(countOccurrences(p, "Exchange hashpartitioning") == 2,
-      "one hash exchange per side, nothing else")
+  test("q_join_asof_native: custom AsOfJoin exec with sort-merge movement (all strategies)") {
+    for (n <- Seq("q_join_asof_native", "q_join_asof_fwd_native",
+        "q_join_asof_nearest_native", "q_join_asof_tol_native")) {
+      val p = plan(n)
+      assert(p.contains("AsOfJoin"), s"$n: custom operator must be planned")
+      assert(countOccurrences(p, "Exchange hashpartitioning") == 2,
+        s"$n: one hash exchange per side, nothing else")
+    }
   }
 
   test("q_scan_parquet/q_project: no shuffle except the output sort") {

@@ -86,4 +86,36 @@ class StreamingSpec extends SparkSpec {
       .orderBy("user_id").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(streamed.nonEmpty && streamed.sameElements(batch))
   }
+
+  test("streaming exact dedup: watermarked dropDuplicates == batch distinct") {
+    // The streaming face of q_dedup_exact: content-hash dedup with
+    // dropDuplicates over a watermarked stream — Spark keeps per-key state
+    // only within the watermark horizon, so state is bounded at scale.
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+
+    val deduped = spark.readStream.schema(schema).parquet(dir.toString)
+      // synthetic event-time: documents carry none; a constant keeps every
+      // row inside one watermark window for the equivalence check
+      .withColumn("etime", lit("2024-01-01 00:00:00").cast("timestamp"))
+      .withColumn("h", md5(col("text")))
+      .withWatermark("etime", "1 hour")
+      .dropDuplicates("h", "etime")
+      .select("h")
+
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamedN = spark.table("dedup_out").distinct().count()
+    val batchN = Tables.documents(spark, sf)
+      .select(md5(col("text"))).distinct().count()
+    assert(streamedN == batchN && batchN > 0)
+  }
 }
