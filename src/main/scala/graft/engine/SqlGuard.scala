@@ -47,6 +47,8 @@ object SqlGuard {
     "CTERelationRef", "Sample",
     // windows / reshape
     "WithWindowDefinition", "Pivot", "Unpivot", "Generate",
+    // DISTRIBUTE BY / CLUSTER BY — a shuffle directive, read-only
+    "RepartitionByExpression",
     // hints are advisory only
     "UnresolvedHint")
 

@@ -89,6 +89,43 @@ object Similarity {
         .orderBy("q", "rank")
     }),
 
+    // IVF-bucketed ANN (the centroid-partitioned alternative to LSH): the
+    // first 16 corpus vectors serve as deterministic coarse centroids
+    // (a real index would k-means them — the bucketing mechanics are
+    // identical and this keeps a SQL oracle). Every vector is assigned to
+    // its nearest centroid via a 16-row broadcast + argmin, then search
+    // touches only the query's cell: an equi-join on cell id that shuffles
+    // by cell — candidates cut ~K×, same shape as the LSH path.
+    "q_ann_ivf" -> ((s, d) => {
+      val n = normed(s, d)
+      val cents = n.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("ec"),
+          col("nrm").as("nc"))
+      // nearest centroid by cosine; ties to the lowest centroid id
+      def assign(df: DataFrame, idCol: String): DataFrame = {
+        val w = Window.partitionBy(idCol).orderBy(desc("csim"), asc("cid"))
+        df.crossJoin(broadcast(cents))
+          .withColumn("csim",
+            round(expr(s"dot_f(embedding, ec)") / (col("nrm") * col("nc")), 6))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .drop("ec", "nc", "csim", "rk")
+      }
+      val corpus = assign(n, "vec_id")
+        .select(col("vec_id").as("b"), col("embedding").as("eb"),
+          col("nrm").as("nb"), col("cid"))
+      val queries = assign(n.filter(col("vec_id") < 30), "vec_id")
+        .select(col("vec_id").as("q"), col("embedding").as("eq"),
+          col("nrm").as("nq"), col("cid"))
+      val w = Window.partitionBy("q").orderBy(desc("cos"), asc("b"))
+      queries.join(corpus, Seq("cid")).filter(col("q") =!= col("b"))
+        .withColumn("cos", round(expr(sparkDot) / (col("nq") * col("nb")), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("q"), col("rank"), col("b").as("neighbor"), col("cos"))
+        .orderBy("q", "rank")
+    }),
+
     // LSH-bucketed ANN: candidates share the 8-bit hyperplane signature;
     // top-3 within bucket. Approximate by construction — the oracle runs
     // the identical bucketing, so results still hash-match.
@@ -119,6 +156,21 @@ object Similarity {
         "CAST(row_number() OVER (PARTITION BY q ORDER BY cos DESC, neighbor) AS INTEGER) AS rank " +
         "FROM scored) " +
         "SELECT q, rank, neighbor, cos FROM ranked WHERE rank <= 5 ORDER BY q, rank"),
+    "q_ann_ivf" ->
+      (s"WITH $duckNormed, " +
+        "cents AS (SELECT vec_id AS cid, embedding AS ec, nrm AS nc FROM n WHERE vec_id < 16), " +
+        "asgn AS (SELECT v.vec_id, v.embedding, v.nrm, c.cid, " +
+        "row_number() OVER (PARTITION BY v.vec_id ORDER BY " +
+        "round(list_sum(list_transform(list_zip(v.embedding, c.ec), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (v.nrm * c.nc), 6) DESC, c.cid) AS rk " +
+        "FROM n v, cents c), " +
+        "cell AS (SELECT vec_id, embedding, nrm, cid FROM asgn WHERE rk = 1), " +
+        "scored AS (SELECT q.vec_id AS q, c2.vec_id AS neighbor, " +
+        "round(list_sum(list_transform(list_zip(q.embedding, c2.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (q.nrm * c2.nrm), 6) AS cos " +
+        "FROM cell q JOIN cell c2 ON q.cid = c2.cid AND q.vec_id < 30 AND q.vec_id <> c2.vec_id), " +
+        "ranked AS (SELECT q, neighbor, cos, " +
+        "CAST(row_number() OVER (PARTITION BY q ORDER BY cos DESC, neighbor) AS INTEGER) AS rank " +
+        "FROM scored) " +
+        "SELECT q, rank, neighbor, cos FROM ranked WHERE rank <= 3 ORDER BY q, rank"),
     "q_ann_lsh" ->
       (s"WITH $duckNormed, sigs AS (SELECT vec_id, embedding, nrm, " +
         s"${sigExpr("duck")} AS sig FROM n), " +

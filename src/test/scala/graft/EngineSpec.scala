@@ -133,6 +133,13 @@ class EngineSpec extends SparkSpec {
     assert(s.runSql(Seq("t" -> freshDf), "SELECT * FROM mystery_tvf(1)").isLeft)
   }
 
+  test("guard allows read-only shuffle directives (DISTRIBUTE BY)") {
+    val s = new GraftSession(spark, FakeLlm("unused"))
+    val ok = s.runSql(Seq("t" -> freshDf),
+      "SELECT a, fruits FROM t DISTRIBUTE BY fruits")
+    assert(ok.isRight, ok.left.toOption.map(_.message).getOrElse(""))
+  }
+
   test("functionAllowlist mode: only listed functions may be called") {
     val cfg = GraftConfig(maxRetries = 0, functionAllowlist = Some(Set("count")))
     val ok = new GraftSession(spark,

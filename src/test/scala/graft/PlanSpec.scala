@@ -62,6 +62,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("dot_f"), "native expression should appear in the plan")
   }
 
+  test("q_ann_ivf: cell search is a hash equi-join on the centroid cell") {
+    val p = plan("q_ann_ivf")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"cell-to-cell candidate join must be an equi-join:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      "only the bounded 16-row centroid broadcast may be non-equi")
+  }
+
+  test("q_time_funcs: pure row-local projection — zero hash exchanges") {
+    assert(countOccurrences(plan("q_time_funcs"), "Exchange hashpartitioning") == 0)
+  }
+
+  test("q_dedup_minhash: banding chain never degrades to cartesian/BNLJ") {
+    val p = plan("q_dedup_minhash")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q_qcut_cutpoints: broadcast cut points, no window anywhere") {
     val p = plan("q_qcut_cutpoints")
     assert(p.contains("BroadcastHashJoin"), "cut points must broadcast onto the fact side")
