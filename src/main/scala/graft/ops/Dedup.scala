@@ -65,16 +65,22 @@ object Dedup {
   private val shingleCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Raw exploded shingle stream — NOT distinct, NOT persisted. Feeds the
+    * signature aggregation, where `min` is idempotent over duplicates, so
+    * the distinct's full-width shuffle is pure waste there. */
+  private def shingleStream(s: SparkSession, d: String): DataFrame =
+    textCorpus(s, d)
+      // split once per row — inside the lambda it would re-split per
+      // shingle element
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        expr("explode(transform(sequence(1, greatest(size(w) - 2, 1)), " +
+          "i -> concat_ws(' ', try_element_at(w, i), " +
+          "try_element_at(w, i + 1), try_element_at(w, i + 2))))").as("shingle"))
+
   private def shingles(s: SparkSession, d: String): DataFrame =
     shingleCache.getOrElseUpdate((s, d),
-      textCorpus(s, d)
-        // split once per row — inside the lambda it would re-split per
-        // shingle element
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .select(col("doc_id"),
-          expr("explode(transform(sequence(1, greatest(size(w) - 2, 1)), " +
-            "i -> concat_ws(' ', try_element_at(w, i), " +
-            "try_element_at(w, i + 1), try_element_at(w, i + 2))))").as("shingle"))
+      shingleStream(s, d)
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
@@ -130,7 +136,10 @@ object Dedup {
 
   private def minhashPairs(s: SparkSession, d: String): DataFrame =
     pairsCache.getOrElseUpdate((s, d),
-      candidatePairs(bands(signatures(shingles(s, d))))
+      // signatures aggregate the RAW shingle stream: one map-side-combined
+      // shuffle of 8 mins per doc instead of distinct's full-width shuffle
+      // followed by a second aggregation
+      candidatePairs(bands(signatures(shingleStream(s, d))))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   private val duckPairs =
