@@ -1,0 +1,38 @@
+package graft
+
+/** Partition-count invariance: the same query must produce byte-identical
+  * results whatever `spark.sql.shuffle.partitions` is — the local stand-in
+  * for "the answer doesn't change when the cluster size does". Covers the
+  * operators whose implementations are most sensitive to partitioning:
+  * decimal aggregation merge order, positional zip (count-offset indexing),
+  * LSH bucket joins, the custom as-of merge pass, binned/cut-point scale
+  * twins, and running windows. */
+class InvarianceSpec extends SparkSpec {
+
+  private val qids = Seq(
+    "q_group_agg",        // decimal partial+final merge order
+    "q_cumsum",           // running window per key
+    "q_roc_binned",       // distributed bins + bounded cumulative window
+    "q_qcut_cutpoints",   // broadcast cut points
+    "q_hstack",           // 2-pass count-offset positional zip
+    "q_row_count",        // same, single-frame
+    "q_dedup_embedding",  // LSH signature equi-join
+    "q_join_asof_native", // custom sort-merge as-of exec
+    "q_transpose")        // melt+pivot
+
+  test("results are invariant under shuffle-partition counts 3/13/32") {
+    val original = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      for (qid <- qids) {
+        val runs = Seq("3", "13", "32").map { n =>
+          spark.conf.set("spark.sql.shuffle.partitions", n)
+          ops.Dedup.clearCaches() // no memoized plan may leak across configs
+          SparkEntry.queries(qid)(spark, sf).collect().map(_.toString).toSeq
+        }
+        assert(runs(0) == runs(1) && runs(1) == runs(2),
+          s"$qid changes results across shuffle-partition counts")
+        assert(runs(0).nonEmpty, s"$qid returned no rows")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", original)
+  }
+}
