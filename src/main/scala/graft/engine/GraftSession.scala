@@ -260,4 +260,20 @@ final class Shortcuts(session: GraftSession) {
     run(df, s"Calculate the rolling median of $column over a trailing window of $window rows")
   def rollingStd(df: DataFrame, column: String, window: Int): Answer =
     run(df, s"Calculate the rolling standard deviation of $column over a trailing window of $window rows")
+
+  // Chart shortcuts (shortcuts.py:82-241): the reference renders matplotlib;
+  // here each returns the aggregated frame — feed it to Charts.vegaLite
+  // with the matching mark for the renderable artifact.
+  def plotPieChart(df: DataFrame, labels: String, values: String): Answer =
+    run(df, s"Sum $values per $labels so each row is one pie slice")
+  def plotBarChart(df: DataFrame, x: String, y: String): Answer =
+    run(df, s"Aggregate $y per $x for a bar chart, ordered by $x")
+  def plotLineChart(df: DataFrame, x: String, y: String): Answer =
+    run(df, s"Return $x and $y ordered by $x for a line chart")
+  def plotScatterChart(df: DataFrame, x: String, y: String): Answer =
+    run(df, s"Return the $x and $y columns as points for a scatter chart")
+  def plotRocCurve(df: DataFrame, yTrue: String, score: String): Answer =
+    run(df, s"Compute the ROC curve points: true positive rate and false positive rate of $yTrue swept over $score thresholds")
+  def segmentCustomers(df: DataFrame, features: Seq[String], n: Int): Answer =
+    run(df, s"Cluster the rows into $n segments using ${features.mkString(", ")} and count rows per segment")
 }

@@ -261,6 +261,16 @@ class EngineSpec extends SparkSpec {
     assert(llm.lastPrompt.get.contains("fruits"))
   }
 
+  test("chart shortcuts aggregate and feed Charts.vegaLite marks") {
+    val llm = FakeLlm("```sql\nSELECT fruits, CAST(sum(b) AS BIGINT) AS total FROM df GROUP BY fruits ORDER BY fruits\n```")
+    val s = new GraftSession(spark, llm)
+    val ans = new Shortcuts(s).plotPieChart(freshDf, "fruits", "b")
+    assert(ans.error.isEmpty, ans.text)
+    assert(llm.lastPrompt.get.contains("pie slice"))
+    val spec = Charts.vegaLite(ans.df.get, Charts.Bar, "fruits", "total")
+    assert(spec.contains("\"banana\"") && spec.contains("\"mark\": \"bar\""))
+  }
+
   test("Charts.vegaLite inlines aggregated data with typed encodings") {
     val agg = freshDf.groupBy("fruits").count()
     val spec = Charts.vegaLite(agg, Charts.Bar, "fruits", "count")
