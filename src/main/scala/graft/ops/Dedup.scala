@@ -65,11 +65,12 @@ object Dedup {
   private val shingleCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  /** Raw exploded shingle stream — NOT distinct, NOT persisted. Feeds the
-    * signature aggregation, where `min` is idempotent over duplicates, so
-    * the distinct's full-width shuffle is pure waste there. */
-  private def shingleStream(s: SparkSession, d: String): DataFrame =
-    textCorpus(s, d)
+  /** Raw exploded shingle stream over any (doc_id, text) corpus — NOT
+    * distinct, NOT persisted. Feeds the signature aggregation, where `min`
+    * is idempotent over duplicates, so the distinct's full-width shuffle is
+    * pure waste there. */
+  private def shinglesOf(corpus: DataFrame): DataFrame =
+    corpus
       // split once per row — inside the lambda it would re-split per
       // shingle element
       .select(col("doc_id"), split(col("text"), " ").as("w"))
@@ -77,6 +78,9 @@ object Dedup {
         expr("explode(transform(sequence(1, greatest(size(w) - 2, 1)), " +
           "i -> concat_ws(' ', try_element_at(w, i), " +
           "try_element_at(w, i + 1), try_element_at(w, i + 2))))").as("shingle"))
+
+  private def shingleStream(s: SparkSession, d: String): DataFrame =
+    shinglesOf(textCorpus(s, d))
 
   private def shingles(s: SparkSession, d: String): DataFrame =
     shingleCache.getOrElseUpdate((s, d),
@@ -209,6 +213,48 @@ object Dedup {
         .orderBy("doc_id")
     }),
 
+    // End-to-end curation pipeline — the composed shape a training-data
+    // run actually executes, every stage the distributed one: (1) row-local
+    // quality gate at scan speed; (2) exact dedup keep-first via a window
+    // over the content hash (high-cardinality partition key — no hot
+    // groups); (3) MinHash banding near-dup candidates + Jaccard
+    // verification on candidates only, dropping the higher id of each
+    // verified pair; (4) per-source survivor stats. Provenance (source)
+    // rides the whole pipeline.
+    "q_pipeline_curate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus0 = docs.select(col("doc_id"), col("text"), col("source"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            regexp_replace(col("text"), "^[^ ]+", "zzz").as("text"),
+            lit("mutated").as("source")))
+      val quality = corpus0.filter(length(col("text")) >= 50 &&
+        expr("size(filter(split(text, ' '), x -> length(x) > 0))") >= 10)
+      val wh = Window.partitionBy("h").orderBy("doc_id")
+      val exact = quality.withColumn("h", md5(col("text")))
+        .withColumn("rn", row_number().over(wh))
+        .filter(col("rn") === 1).drop("h", "rn")
+      val sh = shinglesOf(exact).distinct()
+      val pairs = candidatePairs(bands(signatures(shinglesOf(exact))))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = pairs
+        .join(sh.as("sa"), col("a") === col("sa.doc_id"))
+        .join(sh.as("sb"),
+          col("b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
+        .groupBy("a", "b").agg(count(lit(1)).as("ni"))
+      val dropIds = inter
+        .join(sizes.as("za"), col("a") === col("za.doc_id"))
+        .join(sizes.as("zb"), col("b") === col("zb.doc_id"))
+        .filter(col("ni").cast("double") / (col("za.n") + col("zb.n") - col("ni")) >= 0.5)
+        .select(col("b").as("doc_id")).distinct()
+      exact.join(dropIds, Seq("doc_id"), "left_anti")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(expr("size(filter(split(text, '[^a-zA-Z0-9]+'), x -> length(x) > 0))"))
+            .as("total_tokens"))
+        .orderBy("source")
+    }),
+
     // Embedding-cosine near-dup, LSH-bucketed: each vector gets the 8-bit
     // random-hyperplane signature (Similarity.sigExpr — sign of dot with
     // fixed ±1 planes, invariant under the positive scaling that produces
@@ -266,6 +312,28 @@ object Dedup {
         " AS simhash, count(*) OVER (PARTITION BY " +
         (0 until 16).map(j => s"CASE WHEN b$j > 0 THEN '1' ELSE '0' END").mkString(" || ") +
         ") AS n_bucket FROM bits ORDER BY doc_id"),
+    "q_pipeline_curate" ->
+      ("WITH corpus0 AS (SELECT doc_id, text, source FROM documents UNION ALL " +
+        "SELECT doc_id + 100000 AS doc_id, regexp_replace(text, '^[^ ]+', 'zzz') AS text, " +
+        "'mutated' AS source FROM documents WHERE doc_id % 10 = 0), " +
+        "quality AS (SELECT * FROM corpus0 WHERE length(text) >= 50 AND " +
+        "len(list_filter(string_split(text, ' '), x -> length(x) > 0)) >= 10), " +
+        "exactfull AS (SELECT doc_id, text, source FROM " +
+        "(SELECT q.*, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM quality q) " +
+        "WHERE rn = 1), " +
+        "corpus AS (SELECT doc_id, text FROM exactfull), " +
+        s"$duckShingles, $duckSig, $duckBands, $duckPairs, " +
+        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+        "inter AS (SELECT p.a, p.b, count(*) AS ni FROM pairs p " +
+        "JOIN sh sa ON sa.doc_id = p.a " +
+        "JOIN sh sb ON sb.doc_id = p.b AND sb.shingle = sa.shingle GROUP BY p.a, p.b), " +
+        "dropids AS (SELECT DISTINCT i.b AS doc_id FROM inter i " +
+        "JOIN sizes za ON za.doc_id = i.a JOIN sizes zb ON zb.doc_id = i.b " +
+        "WHERE CAST(ni AS DOUBLE) / (za.n + zb.n - ni) >= 0.5) " +
+        "SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(len(list_filter(str_split_regex(text, '[^a-zA-Z0-9]+'), x -> length(x) > 0))) AS BIGINT) AS total_tokens " +
+        "FROM exactfull e LEFT JOIN dropids dr ON e.doc_id = dr.doc_id " +
+        "WHERE dr.doc_id IS NULL GROUP BY source ORDER BY source"),
     "q_dedup_embedding" ->
       ("WITH corpus AS (SELECT vec_id, embedding FROM embeddings UNION ALL " +
         "SELECT vec_id + 100000 AS vec_id, list_transform(embedding, x -> CAST(x * 2 AS FLOAT)) AS embedding " +

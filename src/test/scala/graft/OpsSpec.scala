@@ -86,6 +86,17 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("pipeline_curate removes most planted near-dups, keeps provenance") {
+    val out = q("q_pipeline_curate").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val planted = Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0).count()
+    val survivors = out.getOrElse("mutated", 0L)
+    assert(survivors < planted,
+      s"near-dup removal must drop planted copies (survived $survivors of $planted)")
+    assert(out.values.sum > 0, "curated corpus must be non-empty")
+  }
+
   test("dedup_minhash finds the planted near-duplicate pairs with high recall") {
     val pairs = q("q_dedup_minhash").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -80,6 +80,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q_pipeline_curate: the whole curation pipeline stays equi-join-only") {
+    val p = plan("q_pipeline_curate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "no stage of the pipeline may fall back to an all-pairs product")
+  }
+
   test("q_qcut_cutpoints: broadcast cut points, no window anywhere") {
     val p = plan("q_qcut_cutpoints")
     assert(p.contains("BroadcastHashJoin"), "cut points must broadcast onto the fact side")
