@@ -32,7 +32,9 @@ final class HttpLlm(
     model: String = sys.env.getOrElse("GRAFT_LLM_MODEL", "gpt-4o-mini"),
     apiKey: String = sys.env.getOrElse("GRAFT_LLM_KEY", ""),
     temperature: Double = 0.0,
-    timeoutSec: Long = 120) extends LlmClient {
+    timeoutSec: Long = 120,
+    maxAttempts: Int = 3,
+    backoffMs: Long = 200) extends LlmClient {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
   private val client = java.net.http.HttpClient.newBuilder()
@@ -40,7 +42,26 @@ final class HttpLlm(
 
   override def name: String = s"HttpLlm($model)"
 
+  /** Rate limits (429) and server errors (5xx) are transient: linear
+    * backoff, up to maxAttempts. Client errors and shape errors fail fast
+    * (a 401 won't heal by retrying). */
   override def predict(prompt: String): String = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try return predictOnce(prompt)
+      catch {
+        case e: RetryableHttp if attempt < maxAttempts =>
+          Thread.sleep(backoffMs * attempt)
+        case e: RetryableHttp => throw new RuntimeException(e.getMessage)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private final class RetryableHttp(msg: String) extends RuntimeException(msg)
+
+  private def predictOnce(prompt: String): String = {
     val root = mapper.createObjectNode()
     root.put("model", model)
     root.put("temperature", temperature)
@@ -56,9 +77,12 @@ final class HttpLlm(
         mapper.writeValueAsString(root)))
       .build()
     val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
-    if (resp.statusCode() / 100 != 2)
+    val code = resp.statusCode()
+    if (code == 429 || code / 100 == 5)
+      throw new RetryableHttp(s"LLM HTTP $code: ${resp.body().take(500)}")
+    if (code / 100 != 2)
       throw new RuntimeException(
-        s"LLM HTTP ${resp.statusCode()}: ${resp.body().take(500)}")
+        s"LLM HTTP $code: ${resp.body().take(500)}")
     val content = mapper.readTree(resp.body())
       .path("choices").path(0).path("message").path("content")
     if (content.isMissingNode)

@@ -349,17 +349,33 @@ class EngineSpec extends SparkSpec {
         ex.getResponseBody.write(resp); ex.close()
       }
     })
+    val flakyCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+    server.createContext("/flaky/chat/completions", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val resp =
+          if (flakyCalls.incrementAndGet() == 1) {
+            ex.sendResponseHeaders(503, 2); "{}".getBytes("UTF-8")
+          } else {
+            val ok = """{"choices":[{"message":{"content":"pong"}}]}""".getBytes("UTF-8")
+            ex.sendResponseHeaders(200, ok.length); ok
+          }
+        ex.getResponseBody.write(resp); ex.close()
+      }
+    })
     server.start()
     try {
       val base = s"http://127.0.0.1:${server.getAddress.getPort}"
       val err = intercept[RuntimeException] {
-        new HttpLlm(url = s"$base/err").predict("hi")
+        new HttpLlm(url = s"$base/err", maxAttempts = 2, backoffMs = 1).predict("hi")
       }
       assert(err.getMessage.contains("429"))
       val bad = intercept[RuntimeException] {
         new HttpLlm(url = s"$base/bad").predict("hi")
       }
       assert(bad.getMessage.contains("choices"))
+      // transient 503 heals on retry
+      assert(new HttpLlm(url = s"$base/flaky", backoffMs = 1).predict("hi") == "pong")
+      assert(flakyCalls.get() == 2)
     } finally server.stop(0)
   }
 
