@@ -23,6 +23,9 @@ final case class GraftConfig(
     verbose: Boolean = false,
     conversational: Boolean = false,
     enableCache: Boolean = true,
+    // file-backed write-through cache (reference helpers/cache.py:24-44 is
+    // pickle-on-disk; here a JSON map) — survives across sessions
+    cachePath: Option[String] = None,
     maxRetries: Int = 3,
     showSql: Boolean = false,
     anonymizeHead: Boolean = false,
@@ -59,8 +62,32 @@ final class GraftSession(
 
   /** Cache keyed on question + schema fingerprint + view names — fixing the
     * reference's prompt-text-only keying that returns stale code after a
-    * schema change (SURVEY §7.5.1; helpers/cache.py:24-44). */
+    * schema change (SURVEY §7.5.1; helpers/cache.py:24-44). Optionally
+    * file-backed (config.cachePath): loaded once here, written through on
+    * every successful update via atomic tmp+rename. */
   private val cache = mutable.Map.empty[String, String]
+  locally {
+    for (p <- config.cachePath) {
+      val f = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.exists(f) && java.nio.file.Files.size(f) > 0) {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val tree = mapper.readTree(java.nio.file.Files.readAllBytes(f))
+        tree.properties().forEach(e => cache(e.getKey) = e.getValue.asText())
+      }
+    }
+  }
+
+  private def persistCache(): Unit = for (p <- config.cachePath) synchronized {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    cache.foreach { case (k, v) => root.put(k, v) }
+    val target = java.nio.file.Paths.get(p)
+    val tmp = java.nio.file.Paths.get(p + ".tmp")
+    java.nio.file.Files.write(tmp, mapper.writeValueAsBytes(root))
+    java.nio.file.Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
 
   // telemetry mirroring the reference's fields (polarsai/__init__.py:73-76)
   @volatile var lastPrompt: Option[String] = None
@@ -109,10 +136,13 @@ final class GraftSession(
           // Cache the SQL that actually executed — a first generation that
           // needed the correction loop must not replay its bad draft on the
           // next identical ask, and failures are never cached.
-          if (config.enableCache) cache(key) = executedSql
+          if (config.enableCache && !cached.contains(executedSql)) {
+            cache(key) = executedSql
+            persistCache()
+          }
           render(question, df, executedSql, head)
         case Left(err) =>
-          if (config.enableCache) cache.remove(key)
+          if (config.enableCache && cache.remove(key).isDefined) persistCache()
           lastError = Some(err.message)
           Answer(envelope(err.message), None, lastSqlExecuted, Some(err))
       }
@@ -211,7 +241,7 @@ final class GraftSession(
       .map("%02x".format(_)).mkString
   }
 
-  def clearCache(): Unit = cache.clear()
+  def clearCache(): Unit = { cache.clear(); persistCache() }
   def cacheSize: Int = cache.size
 
   /** Guarded SQL passthrough: run caller-supplied SQL through the same

@@ -180,6 +180,24 @@ class EngineSpec extends SparkSpec {
       "repeat ask must replay the corrected SQL from cache, not the bad draft")
   }
 
+  test("persistent cache survives sessions (reference cache.py parity)") {
+    val path = java.nio.file.Files.createTempFile("graft_cache", ".json").toString
+    val llm1 = FakeLlm("```sql\nSELECT count(*) AS n FROM df\n```")
+    val s1 = new GraftSession(spark, llm1, GraftConfig(cachePath = Some(path)))
+    assert(s1.ask(freshDf, "how many rows?").text == "5")
+    assert(llm1.callCount == 1)
+    // a brand-new session with the same cache file never calls the LLM
+    val llm2 = FakeLlm("unused")
+    val s2 = new GraftSession(spark, llm2, GraftConfig(cachePath = Some(path)))
+    assert(s2.ask(freshDf, "how many rows?").text == "5")
+    assert(llm2.callCount == 0)
+    s2.clearCache()
+    val llm3 = FakeLlm("```sql\nSELECT count(*) AS n FROM df\n```")
+    val s3 = new GraftSession(spark, llm3, GraftConfig(cachePath = Some(path)))
+    s3.ask(freshDf, "how many rows?")
+    assert(llm3.callCount == 1, "clearCache must empty the file too")
+  }
+
   test("failed asks are not cached") {
     val llm = FakeLlm("```sql\nSELECT nope FROM df\n```")
     val s = new GraftSession(spark, llm, GraftConfig(maxRetries = 0))
