@@ -85,6 +85,17 @@ object Sources {
       Tables.orders(s, d).sample(withReplacement = false, 0.1, seed = 42)
         .agg(count(lit(1)).as("n_sampled"))),
 
+    // Deterministic hash-mod sampling — the reproducible-at-scale
+    // alternative to RNG sampling: membership depends only on the key, so
+    // the sample is stable across engines, partitionings, and reruns
+    // (and therefore fully oracle-checkable). 1/16 of rows via the first
+    // md5 hex digit. Row-local, scan speed.
+    "q_sample_det" -> ((s, d) =>
+      Tables.orders(s, d)
+        .filter(expr("substring(md5(CAST(o_orderkey AS STRING)), 1, 1) = '0'"))
+        .agg(count(lit(1)).as("n_sampled"),
+          round(sum("o_totalprice"), 2).as("total"))),
+
     // segment_customers → spark.ml KMeans (k=3, fixed seed) on account
     // balance; output = cluster sizes. ML fit is iterative/approximate →
     // no SQL oracle (rows-only).
@@ -102,6 +113,9 @@ object Sources {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sample_det" ->
+      ("SELECT count(*) AS n_sampled, round(sum(o_totalprice), 2) AS total " +
+        "FROM orders WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'"),
     "q_scan_csv" -> summarySql,
     "q_scan_json" -> summarySql,
     "q_scan_orc" -> summarySql,

@@ -138,6 +138,27 @@ object Windows {
         .orderBy("o_orderkey")
     }),
 
+    // Sessionization: gap-based session ids per user (30-min inactivity
+    // boundary) — the canonical events-pipeline window op. One shuffle by
+    // user serves both the lag and the running session counter; the
+    // per-session rollup is an ordinary partial+final aggregate.
+    "q_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val us = (c: org.apache.spark.sql.Column) => unix_micros(c.cast("timestamp"))
+      val prev = lag(col("ts"), 1).over(w)
+      val isStart = when(prev.isNull ||
+        us(col("ts")) - us(prev) > 1800000000L, 1L).otherwise(0L)
+      Tables.events(s, d)
+        .withColumn("is_start", isStart)
+        .withColumn("session_id", sum("is_start").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("session_value"),
+          min("ts").as("t0"), max("ts").as("t1"))
+        .orderBy("user_id", "session_id")
+    }),
+
     // groupby.head(n): first rows per group by declared order. Catalyst
     // plans the rank-filter as WindowGroupLimit: a per-partition top-n
     // heap BEFORE the shuffle, so only n rows per group move (asserted in
@@ -329,6 +350,17 @@ object Windows {
         "CASE WHEN o_totalprice <= c1 THEN 1 WHEN o_totalprice <= c2 THEN 2 " +
         "WHEN o_totalprice <= c3 THEN 3 ELSE 4 END AS quartile " +
         "FROM orders o JOIN c USING (o_orderstatus) ORDER BY o_orderkey"),
+    "q_sessionize" ->
+      ("WITH o AS (SELECT user_id, ts, event_id, value, " +
+        "CASE WHEN lag(ts) OVER w IS NULL OR " +
+        "epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS is_start " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "s AS (SELECT *, sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM o) " +
+        "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, " +
+        "count(*) AS n_events, round(sum(value), 2) AS session_value, " +
+        "CAST(min(ts) AS TIMESTAMP) AS t0, CAST(max(ts) AS TIMESTAMP) AS t1 " +
+        "FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id"),
     "q_group_head" ->
       ("WITH r AS (SELECT l_orderkey, l_linenumber, l_extendedprice, " +
         "CAST(row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice, l_discount, l_quantity) AS INTEGER) AS rn " +
