@@ -87,6 +87,47 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed.sameElements(batch))
   }
 
+  test("flatMapGroupsWithState: threshold alerts fire once per crossing user") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_fmgws")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+
+    // emit 0..1 rows per user per batch: an alert the first time a user's
+    // cumulative value crosses 100 — the flatMap (variable arity) shape
+    // mapGroupsWithState can't express.
+    val alerts = spark.readStream.schema(schema).parquet(dir.toString)
+      .select("user_id", "value").as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[(Long, Double)], state: GroupState[(Double, Boolean)]) =>
+          val (prev, alerted) = state.getOption.getOrElse((0.0, false))
+          val total = prev + it.map(_._2).sum
+          val fire = !alerted && total > 100.0
+          state.update((total, alerted || fire))
+          if (fire) Iterator((user, total)) else Iterator.empty
+      }
+
+    val q = alerts.writeStream.outputMode("append")
+      .format("memory").queryName("alerts_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("alerts_out").collect()
+      .map(r => r.getLong(0)).sorted
+    val expected = Tables.events(spark, sf).groupBy("user_id")
+      .agg(sum("value").as("s")).filter(col("s") > 100.0)
+      .select("user_id").collect().map(_.getLong(0)).sorted
+    assert(streamed.nonEmpty && streamed.sameElements(expected),
+      "exactly the users whose total crosses 100 alert, each once")
+  }
+
   test("streaming exact dedup: watermarked dropDuplicates == batch distinct") {
     // The streaming face of q_dedup_exact: content-hash dedup with
     // dropDuplicates over a watermarked stream — Spark keeps per-key state
