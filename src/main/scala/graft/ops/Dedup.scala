@@ -230,12 +230,19 @@ object Dedup {
             lit("mutated").as("source")))
       val quality = corpus0.filter(length(col("text")) >= 50 &&
         expr("size(filter(split(text, ' '), x -> length(x) > 0))") >= 10)
-      val wh = Window.partitionBy("h").orderBy("doc_id")
-      val exact = quality.withColumn("h", md5(col("text")))
-        .withColumn("rn", row_number().over(wh))
-        .filter(col("rn") === 1).drop("h", "rn")
+      // keep-first exact dedup as a map-side-combined struct-min aggregate
+      // (doc_id leads the struct, so min = lowest id's whole row) — no
+      // sort, no window, one narrow shuffle on the content hash
+      val exact = quality
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(struct(col("doc_id"), col("text"), col("source"))).as("m"))
+        .select(col("m.doc_id").as("doc_id"), col("m.text").as("text"),
+          col("m.source").as("source"))
+      // ONE distinct shingle set serves both the signature chain and the
+      // Jaccard verifier (identical subtrees → exchange reuse), since min
+      // over distinct shingles equals min over the raw stream
       val sh = shinglesOf(exact).distinct()
-      val pairs = candidatePairs(bands(signatures(shinglesOf(exact))))
+      val pairs = candidatePairs(bands(signatures(sh)))
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = pairs
         .join(sh.as("sa"), col("a") === col("sa.doc_id"))
