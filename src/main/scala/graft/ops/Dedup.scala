@@ -178,9 +178,13 @@ object Dedup {
       minhashPairs(s, d).orderBy("a", "b")),
 
     // n-gram Jaccard: exact similarity, verified on banding candidates only.
+    // Candidates are rebuilt from the SAME persisted distinct shingle set
+    // the verifier joins against (min over distinct = min over raw), so
+    // one explode+distinct serves the entire query instead of a second
+    // raw explode just for signatures.
     "q_dedup_ngram" -> ((s, d) => {
       val sh = shingles(s, d)
-      val pairs = minhashPairs(s, d)
+      val pairs = candidatePairs(bands(signatures(sh)))
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = pairs
         .join(sh.as("sa"), col("a") === col("sa.doc_id"))
