@@ -101,16 +101,19 @@ object Similarity {
       val cents = n.filter(col("vec_id") < 16)
         .select(col("vec_id").as("cid"), col("embedding").as("ec"),
           col("nrm").as("nc"))
-      // nearest centroid by cosine; ties to the lowest centroid id
-      def assign(df: DataFrame, idCol: String): DataFrame = {
-        val w = Window.partitionBy(idCol).orderBy(desc("csim"), asc("cid"))
+      // nearest centroid by cosine, ties to the lowest centroid id — an
+      // argmin as a map-side-combined min(struct) aggregate (-csim sorts
+      // descending, cid breaks ties ascending): no sort, no window, one
+      // narrow shuffle keyed by vector id
+      def assign(df: DataFrame, idCol: String): DataFrame =
         df.crossJoin(broadcast(cents))
           .withColumn("csim",
             round(expr(s"dot_f(embedding, ec)") / (col("nrm") * col("nc")), 6))
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") === 1)
-          .drop("ec", "nc", "csim", "rk")
-      }
+          .groupBy(idCol)
+          .agg(min(struct((-col("csim")).as("neg"), col("cid"),
+            col("embedding"), col("nrm"))).as("m"))
+          .select(col(idCol), col("m.embedding").as("embedding"),
+            col("m.nrm").as("nrm"), col("m.cid").as("cid"))
       val corpus = assign(n, "vec_id")
         .select(col("vec_id").as("b"), col("embedding").as("eb"),
           col("nrm").as("nb"), col("cid"))
