@@ -93,16 +93,20 @@ object Dedup {
       "(SELECT doc_id, string_split(text, ' ') AS w, " +
       "unnest(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1))) AS i FROM corpus))"
 
-  /** 8-permutation MinHash signature per doc. */
+  /** 8-permutation MinHash signature per doc. The 8 hash functions are the
+    * 4-hex-digit slices of ONE md5 per shingle — for distinct shingles each
+    * slice is an independent uniform 16-bit hash, which is all banding
+    * needs, at 1/8th the hashing cost of 8 salted md5s. */
   private def signatures(sh: DataFrame): DataFrame = {
     val aggs = (0 to 7).map(k =>
-      min(md5(concat(lit(s"$k:"), col("shingle")))).as(s"s$k"))
-    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      min(expr(s"substring(h, ${4 * k + 1}, 4)")).as(s"s$k"))
+    sh.withColumn("h", md5(col("shingle")))
+      .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   private val duckSig =
     "sig AS (SELECT doc_id, " +
-      (0 to 7).map(k => s"min(md5('$k:' || shingle)) AS s$k").mkString(", ") +
+      (0 to 7).map(k => s"min(substr(md5(shingle), ${4 * k + 1}, 4)) AS s$k").mkString(", ") +
       " FROM sh GROUP BY doc_id)"
 
   /** 4 bands × 2 rows: band bucket key = md5 of the two row signatures.
