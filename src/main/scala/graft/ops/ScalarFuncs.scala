@@ -72,6 +72,8 @@ object ScalarFuncs {
           minute(col("ts")).as("mi"),
           second(col("ts")).as("sec"),
           date_format(col("ts"), "HH:mm").as("hm"),
+          unix_micros(col("ts").cast("timestamp")).as("epoch_us"),
+          (unix_micros(col("ts").cast("timestamp")) % 1000000L).as("us_in_sec"),
           date_format(from_utc_timestamp(col("ts"), "America/New_York"),
             "yyyy-MM-dd HH:mm:ss").as("ny_local"),
           date_format(to_utc_timestamp(col("ts"), "Asia/Kolkata"),
@@ -207,6 +209,8 @@ object ScalarFuncs {
         "CAST(minute(ts) AS INTEGER) AS mi, " +
         "CAST(second(ts) AS INTEGER) AS sec, " +
         "strftime(ts, '%H:%M') AS hm, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) AS epoch_us, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) % 1000000 AS us_in_sec, " +
         "strftime(timezone('America/New_York', timezone('UTC', CAST(ts AS TIMESTAMP))), '%Y-%m-%d %H:%M:%S') AS ny_local, " +
         "strftime(timezone('UTC', timezone('Asia/Kolkata', CAST(ts AS TIMESTAMP))), '%Y-%m-%d %H:%M:%S') AS from_kolkata_utc " +
         "FROM events ORDER BY event_id"),
