@@ -221,6 +221,47 @@ object Dedup {
         .orderBy("doc_id")
     }),
 
+    // Transitive dedup clustering — the dedup endgame: near-dup candidate
+    // PAIRS become connected components (doc A ~ B ~ C is one cluster even
+    // if A and C never collide directly), labeled by the component's min
+    // doc id. Iterative min-label propagation over the candidate graph:
+    // each round is one equi-join + min-aggregate, and the loop runs on
+    // the driver only as control flow (a count per round) — the data never
+    // leaves the cluster. The candidate graph is banding output, i.e.
+    // near-dup-sized, not corpus-sized; components here have tiny diameter
+    // so the loop converges in 1-2 rounds.
+    "q_dedup_clusters" -> ((s, d) => {
+      val p = minhashPairs(s, d)
+      val edges = p.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(p.select(col("b").as("src"), col("a").as("dst")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var changed = 1L
+      while (changed > 0) {
+        val neighborMin = edges
+          .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
+          .groupBy(col("src").as("id")).agg(min("nl").as("nmin"))
+        val next = labels
+          .join(neighborMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        changed = next
+          .join(labels.select(col("id"), col("label").as("old")), "id")
+          .filter(col("label") =!= col("old")).count()
+        labels.unpersist(blocking = false)
+        labels = next
+      }
+      val out = labels.groupBy("label")
+        .agg(count(lit(1)).as("n_members"))
+        .select(col("label").as("cluster_id"), col("n_members"))
+        .orderBy("cluster_id")
+      edges.unpersist(blocking = false)
+      out
+    }),
+
     // End-to-end curation pipeline — the composed shape a training-data
     // run actually executes, every stage the distributed one: (1) row-local
     // quality gate at scan speed; (2) exact dedup keep-first via a window
@@ -327,6 +368,14 @@ object Dedup {
         " AS simhash, count(*) OVER (PARTITION BY " +
         (0 until 16).map(j => s"CASE WHEN b$j > 0 THEN '1' ELSE '0' END").mkString(" || ") +
         ") AS n_bucket FROM bits ORDER BY doc_id"),
+    "q_dedup_clusters" ->
+      (s"WITH RECURSIVE $duckCorpus, $duckShingles, $duckSig, $duckBands, $duckPairs, " +
+        "edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs), " +
+        "reach(src, dst) AS (SELECT a AS src, b AS dst FROM edges " +
+        "UNION SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON r.dst = e.a), " +
+        "labels AS (SELECT src AS id, least(src, min(dst)) AS label FROM reach GROUP BY src) " +
+        "SELECT label AS cluster_id, count(*) AS n_members FROM labels " +
+        "GROUP BY label ORDER BY cluster_id"),
     "q_pipeline_curate" ->
       ("WITH corpus0 AS (SELECT doc_id, text, source FROM documents UNION ALL " +
         "SELECT doc_id + 100000 AS doc_id, regexp_replace(text, '^[^ ]+', 'zzz') AS text, " +

@@ -19,7 +19,8 @@ class InvarianceSpec extends SparkSpec {
     "q_dedup_embedding",  // LSH signature equi-join
     "q_join_asof_native", // custom sort-merge as-of exec
     "q_transpose",        // melt+pivot
-    "q_pipeline_curate")  // composed curation pipeline
+    "q_pipeline_curate",  // composed curation pipeline
+    "q_dedup_clusters")   // iterative min-label connected components
 
   test("results are invariant under shuffle-partition counts 3/13/32") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")
