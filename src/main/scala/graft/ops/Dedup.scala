@@ -221,37 +221,62 @@ object Dedup {
         .orderBy("doc_id")
     }),
 
-    // Transitive dedup clustering — the dedup endgame: near-dup candidate
-    // PAIRS become connected components (doc A ~ B ~ C is one cluster even
-    // if A and C never collide directly), labeled by the component's min
-    // doc id. Iterative min-label propagation over the candidate graph:
-    // each round is one equi-join + min-aggregate, and the loop runs on
-    // the driver only as control flow (a count per round) — the data never
-    // leaves the cluster. The candidate graph is banding output, i.e.
-    // near-dup-sized, not corpus-sized; components here have tiny diameter
-    // so the loop converges in 1-2 rounds.
+    // Transitive dedup clustering — the dedup endgame: VERIFIED near-dup
+    // pairs (banding candidates that pass the Jaccard >= 0.5 check) become
+    // connected components (doc A ~ B ~ C is one cluster even if A and C
+    // never collide directly), labeled by the component's min doc id.
+    // Verification before clustering matters twice over: banding false
+    // positives must not merge unrelated clusters, and the verified graph's
+    // components have tiny diameter (frequent-shingle candidate chains do
+    // not survive verification), so the min-label loop converges in a
+    // couple of rounds. Each round is one equi-join + min-aggregate; the
+    // driver loop is control flow only (one convergence count per round) —
+    // the data never leaves the cluster.
     "q_dedup_clusters" -> ((s, d) => {
-      val p = minhashPairs(s, d)
+      val sh = shingles(s, d)
+      val cand = candidatePairs(bands(signatures(sh)))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = cand
+        .join(sh.as("sa"), col("a") === col("sa.doc_id"))
+        .join(sh.as("sb"),
+          col("b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
+        .groupBy("a", "b").agg(count(lit(1)).as("ni"))
+      val p = inter
+        .join(sizes.as("za"), col("a") === col("za.doc_id"))
+        .join(sizes.as("zb"), col("b") === col("zb.doc_id"))
+        .filter(col("ni").cast("double") / (col("za.n") + col("zb.n") - col("ni")) >= 0.5)
+        .select("a", "b")
+      // localCheckpoint truncates the lineage: the loop's plans reference a
+      // materialized block scan instead of re-optimizing (and re-running)
+      // the whole verified-pairs chain every round — the standard shape for
+      // iterative DataFrame algorithms. (On a production cluster prefer
+      // reliable checkpoint() to survive executor loss.)
       val edges = p.select(col("a").as("src"), col("b").as("dst"))
         .unionByName(p.select(col("b").as("src"), col("a").as("dst")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       var labels = edges.select(col("src").as("id")).distinct()
         .withColumn("label", col("id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       var changed = 1L
       while (changed > 0) {
+        // min over neighbors' labels (one equi-join + partial-min agg) ...
         val neighborMin = edges
           .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
           .groupBy(col("src").as("id")).agg(min("nl").as("nmin"))
-        val next = labels
+        // ... plus pointer jumping — label(label(x)) — so convergence takes
+        // O(log diameter) rounds instead of O(diameter) on similarity chains
+        val jump = labels
+          .join(labels.select(col("id").as("label"), col("label").as("jl")),
+            Seq("label"), "left")
+        val next = jump
           .join(neighborMin, Seq("id"), "left")
           .select(col("id"),
-            least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            least(col("label"), coalesce(col("nmin"), col("label")),
+              coalesce(col("jl"), col("label"))).as("label"))
+          .localCheckpoint(true)
         changed = next
           .join(labels.select(col("id"), col("label").as("old")), "id")
           .filter(col("label") =!= col("old")).count()
-        labels.unpersist(blocking = false)
         labels = next
       }
       val out = labels.groupBy("label")
@@ -370,7 +395,14 @@ object Dedup {
         ") AS n_bucket FROM bits ORDER BY doc_id"),
     "q_dedup_clusters" ->
       (s"WITH RECURSIVE $duckCorpus, $duckShingles, $duckSig, $duckBands, $duckPairs, " +
-        "edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs), " +
+        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+        "inter AS (SELECT p.a, p.b, count(*) AS ni FROM pairs p " +
+        "JOIN sh sa ON sa.doc_id = p.a " +
+        "JOIN sh sb ON sb.doc_id = p.b AND sb.shingle = sa.shingle GROUP BY p.a, p.b), " +
+        "verified AS (SELECT i.a, i.b FROM inter i " +
+        "JOIN sizes za ON za.doc_id = i.a JOIN sizes zb ON zb.doc_id = i.b " +
+        "WHERE CAST(ni AS DOUBLE) / (za.n + zb.n - ni) >= 0.5), " +
+        "edges AS (SELECT a, b FROM verified UNION SELECT b AS a, a AS b FROM verified), " +
         "reach(src, dst) AS (SELECT a AS src, b AS dst FROM edges " +
         "UNION SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON r.dst = e.a), " +
         "labels AS (SELECT src AS id, least(src, min(dst)) AS label FROM reach GROUP BY src) " +
