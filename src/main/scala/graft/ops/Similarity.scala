@@ -89,6 +89,26 @@ object Similarity {
         .orderBy("q", "rank")
     }),
 
+    // int8 embedding quantization — the compression step a large embedding
+    // pipeline runs before indexing: per-vector max-abs scale, symmetric
+    // round-to-int8 codes, and the mean absolute reconstruction error as
+    // the quality metric. Entirely row-local (codegen'd HOFs, zero
+    // shuffles): at 100 TB this runs at scan speed.
+    "q_embed_quantize" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .withColumn("scale",
+          expr("aggregate(embedding, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(CAST(x AS DOUBLE))))"))
+        .withColumn("q",
+          expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / scale * 127) AS INT))"))
+        .select(col("vec_id"),
+          round(col("scale"), 6).as("scale"),
+          col("q"),
+          round(expr(
+            "aggregate(zip_with(embedding, q, (x, c) -> abs(CAST(x AS DOUBLE) - c * scale / 127)), " +
+              "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) / size(embedding)"), 6)
+            .as("mae"))
+        .orderBy("vec_id")),
+
     // IVF-bucketed ANN (the centroid-partitioned alternative to LSH): the
     // first 16 corpus vectors serve as deterministic coarse centroids
     // (a real index would k-means them — the bucketing mechanics are
@@ -159,6 +179,14 @@ object Similarity {
         "CAST(row_number() OVER (PARTITION BY q ORDER BY cos DESC, neighbor) AS INTEGER) AS rank " +
         "FROM scored) " +
         "SELECT q, rank, neighbor, cos FROM ranked WHERE rank <= 5 ORDER BY q, rank"),
+    "q_embed_quantize" ->
+      ("WITH s AS (SELECT vec_id, embedding, " +
+        "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale FROM embeddings), " +
+        "qz AS (SELECT vec_id, embedding, scale, " +
+        "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / scale * 127) AS INTEGER)) AS q FROM s) " +
+        "SELECT vec_id, round(scale, 6) AS scale, q, " +
+        "round(list_sum(list_transform(list_zip(embedding, q), p -> abs(CAST(p[1] AS DOUBLE) - p[2] * scale / 127))) / len(embedding), 6) AS mae " +
+        "FROM qz ORDER BY vec_id"),
     "q_ann_ivf" ->
       (s"WITH $duckNormed, " +
         "cents AS (SELECT vec_id AS cid, embedding AS ec, nrm AS nc FROM n WHERE vec_id < 16), " +
