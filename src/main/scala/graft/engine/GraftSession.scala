@@ -89,7 +89,10 @@ final class GraftSession(
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
-  // telemetry mirroring the reference's fields (polarsai/__init__.py:73-76)
+  // telemetry mirroring the reference's fields (polarsai/__init__.py:73-76,
+  // 594-606): a stable id per engine instance, a fresh id per ask
+  val processId: String = java.util.UUID.randomUUID().toString
+  @volatile var lastPromptId: Option[String] = None
   @volatile var lastPrompt: Option[String] = None
   @volatile var lastSqlGenerated: Option[String] = None
   @volatile var lastSqlExecuted: Option[String] = None
@@ -119,6 +122,7 @@ final class GraftSession(
     * ergonomic superset of the reference's positional df1..dfN binding. */
   def askNamed(tables0: Seq[(String, DataFrame)], question: String): Answer = {
     val t0 = System.nanoTime()
+    lastPromptId = Some(java.util.UUID.randomUUID().toString)
     try {
       tables0.foreach { case (n, df) => df.createOrReplaceTempView(n) }
       val tables = tables0.map { case (n, df) =>

@@ -20,6 +20,12 @@ class EngineSpec extends SparkSpec {
     assert(ans.text == "15")
     assert(llm.lastPrompt.get.contains("what is the sum of the A column?"))
     assert(llm.lastPrompt.get.contains("Table `df`"))
+    // telemetry id parity (reference process_id / last_prompt_id)
+    assert(s.processId.nonEmpty)
+    val firstId = s.lastPromptId
+    assert(firstId.isDefined)
+    s.ask(freshDf, "and the B column?")
+    assert(s.lastPromptId != firstId, "each ask gets a fresh prompt id")
   }
 
   test("tabular answer renders header + rows") {
