@@ -4,6 +4,28 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** The driver's checker canonicalizes result rows with a pandas
+    * sort over EVERY output column, which only works on scalars — a raw
+    * array/struct/map column crashes the whole compare (round-2 regression:
+    * q_embed_quantize's `array<int>` column). Refuse such schemas at dump
+    * time so a new query cannot ship a shape the harness cannot grade;
+    * serialize collections first (array_join / to_json).  */
+  private[graft] def requireScalarOutput(
+      name: String, schema: org.apache.spark.sql.types.StructType): Unit = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val complex = schema.fields.collect {
+      case f if f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[StructType] ||
+          f.dataType.isInstanceOf[MapType] =>
+        s"${f.name}: ${f.dataType.simpleString}"
+    }
+    require(complex.isEmpty,
+      s"$name declares non-scalar output columns the driver harness cannot " +
+        s"canonicalize: ${complex.mkString(", ")} — serialize them " +
+        "(array_join / to_json) before registering")
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -22,9 +44,11 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        requireScalarOutput(name, df.schema)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -65,7 +65,10 @@ final class GraftSession(
     * schema change (SURVEY §7.5.1; helpers/cache.py:24-44). Optionally
     * file-backed (config.cachePath): loaded once here, written through on
     * every successful update via atomic tmp+rename. */
-  private val cache = mutable.Map.empty[String, String]
+  // TrieMap: askNamed writes while persistCache iterates — a plain mutable
+  // map could throw ConcurrentModificationException / persist a torn
+  // snapshot under concurrent asks on one session (r2 ADVICE)
+  private val cache = scala.collection.concurrent.TrieMap.empty[String, String]
   locally {
     for (p <- config.cachePath) {
       val f = java.nio.file.Paths.get(p)

@@ -43,8 +43,10 @@ final class HttpLlm(
   override def name: String = s"HttpLlm($model)"
 
   /** Rate limits (429) and server errors (5xx) are transient: linear
-    * backoff, up to maxAttempts. Client errors and shape errors fail fast
-    * (a 401 won't heal by retrying). */
+    * backoff with ±20% jitter (so a fleet of clients that got rate-limited
+    * together doesn't retry in lockstep), up to maxAttempts. Client errors
+    * and shape errors fail fast (a 401 won't heal by retrying); exhaustion
+    * reports how many attempts were burned. */
   override def predict(prompt: String): String = {
     var attempt = 0
     while (true) {
@@ -52,8 +54,12 @@ final class HttpLlm(
       try return predictOnce(prompt)
       catch {
         case e: RetryableHttp if attempt < maxAttempts =>
-          Thread.sleep(backoffMs * attempt)
-        case e: RetryableHttp => throw new RuntimeException(e.getMessage)
+          val base = backoffMs * attempt
+          val jitter = ((scala.util.Random.nextDouble() - 0.5) * 0.4 * base).toLong
+          Thread.sleep(math.max(0L, base + jitter))
+        case e: RetryableHttp =>
+          throw new RuntimeException(
+            s"${e.getMessage} (attempt $attempt/$maxAttempts)")
       }
     }
     throw new IllegalStateException("unreachable")

@@ -99,10 +99,18 @@ object Aggregates {
     // approx_unique → HLL sketch. No SQL oracle (approximate); the driver
     // records a rows-only check. The exact count rides along so the result
     // itself documents the sketch's error at this scale.
+    // HLL sketch vs exact distinct. HLL estimates differ across engines, so
+    // the oracle can't compare the estimate itself — instead the query
+    // emits the exact count plus its OWN tolerance verdict (|approx-exact|
+    // ≤ 5% with rsd=0.01 ⇒ ~5σ margin), and the oracle asserts the verdict
+    // is 1: a drifting sketch turns this row red instead of unverifiable.
     "q_approx_distinct" -> ((s, d) =>
       Tables.lineitem(s, d)
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          countDistinct(col("l_partkey")).as("exact_parts"))),
+        .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("exact_parts"),
+          (abs(col("approx") - col("exact_parts"))
+            <= col("exact_parts") * 0.05).cast("int").as("within_5pct"))),
 
     // first/last by explicit event-time order (polars first/last are
     // physical-order ops; Spark needs the declared sort key — SURVEY §7.4.1).
@@ -199,6 +207,9 @@ object Aggregates {
     "round(CAST(sum(CAST(%s AS DECIMAL(18,2))) AS DOUBLE) / count(%s), 4)"
 
   val oracle: Map[String, String] = Map(
+    "q_approx_distinct" ->
+      ("SELECT count(DISTINCT l_partkey) AS exact_parts, 1 AS within_5pct " +
+        "FROM lineitem"),
     "q_group_agg" ->
       ("SELECT l_returnflag, l_linestatus, " +
         decSum.format("l_quantity") + " AS sum_qty, " +

@@ -206,6 +206,13 @@ object Dedup {
     }),
 
     // SimHash: 16-bit row-local signature; bucket size flags near-dups.
+    // Bucket size is a partial+final aggregate joined back on the
+    // signature, NOT `count(*) over (partition by simhash)`: the signature
+    // space is ≤65,536 keys, so the window shape would shuffle every row of
+    // a popular signature to ONE task and buffer the whole bucket (multi-GB
+    // single-task partitions at 100 TB). The groupBy is map-side combined
+    // and the join-back shuffles both sides by the same key — same result,
+    // no whole-bucket buffering.
     "q_dedup_simhash" -> ((s, d) => {
       val bitSums = (0 until 16).map(j =>
         expr(simhashBitSum(j, "spark")).as(s"b$j"))
@@ -215,9 +222,11 @@ object Dedup {
         .select(col("doc_id") +: bitSums: _*)
       val sim = concat((0 until 16).map(j =>
         when(col(s"b$j") > 0, "1").otherwise("0")): _*)
-      withBits.select(col("doc_id"), sim.as("simhash"))
-        .withColumn("n_bucket",
-          count(lit(1)).over(Window.partitionBy("simhash")))
+      val sigs = withBits.select(col("doc_id"), sim.as("simhash"))
+      val bucketCounts = sigs.groupBy("simhash")
+        .agg(count(lit(1)).as("n_bucket"))
+      sigs.join(bucketCounts, Seq("simhash"))
+        .select(col("doc_id"), col("simhash"), col("n_bucket"))
         .orderBy("doc_id")
     }),
 
@@ -277,13 +286,23 @@ object Dedup {
         changed = next
           .join(labels.select(col("id"), col("label").as("old")), "id")
           .filter(col("label") =!= col("old")).count()
+        // the previous round's checkpoint blocks are dead once `next` is
+        // materialized and compared — free them now instead of letting one
+        // generation per round pile up in block-manager storage for the
+        // life of the session (Dataset.unpersist can't: these are RDD
+        // blocks behind a LogicalRDD, not CacheManager entries)
+        org.apache.spark.sql.graftshim.GraftDataset.freeLocalCheckpoint(labels)
         labels = next
       }
+      // materialize the (tiny) result eagerly so the loop's working state
+      // can be released before returning
       val out = labels.groupBy("label")
         .agg(count(lit(1)).as("n_members"))
         .select(col("label").as("cluster_id"), col("n_members"))
         .orderBy("cluster_id")
-      edges.unpersist(blocking = false)
+        .localCheckpoint(true)
+      org.apache.spark.sql.graftshim.GraftDataset.freeLocalCheckpoint(labels)
+      org.apache.spark.sql.graftshim.GraftDataset.freeLocalCheckpoint(edges)
       out
     }),
 
@@ -336,27 +355,42 @@ object Dedup {
         .orderBy("source")
     }),
 
-    // Embedding-cosine near-dup, LSH-bucketed: each vector gets the 8-bit
-    // random-hyperplane signature (Similarity.sigExpr — sign of dot with
-    // fixed ±1 planes, invariant under the positive scaling that produces
-    // the planted near-dups), then candidates are ONLY pairs sharing the
-    // signature: a plain equi-join that shuffles by signature. No driver
-    // collect, no n² pair space — the cluster shape the brief mandates.
-    // Exact cosine (codegen'd dot_f kernel, ascending-fold double) is
-    // verified within buckets only; the oracle runs the identical
-    // bucketing so results hash-match by construction.
+    // Embedding-cosine near-dup, LSH-bucketed with MULTI-PROBE recall:
+    // each vector gets the 8-bit random-hyperplane signature
+    // (Similarity.sigExpr), and candidates are pairs whose signatures are
+    // within Hamming distance 1 — one side explodes over the 9 probe
+    // signatures (exact + 8 one-bit flips), then a plain equi-join on the
+    // probe. Still shuffles by signature, no driver collect, no n² pair
+    // space. Why multi-probe (r2 verdict): TWO planted near-dup families —
+    //   +100000: pure ×2 scalings, signature-INVARIANT by construction
+    //            (any single-probe join finds them — weak evidence);
+    //   +200000: reflections just past hyperplane 0
+    //            (y = x − 1.05·dot(x,h0)/64·h0, norm-preserving up to the
+    //            5% overshoot), which flip signature bit 0 EXACTLY — the
+    //            exact-signature equi-join is provably blind to every one
+    //            of them; only the Hamming-1 probes can recover them.
+    // Exact cosine (codegen'd dot_f kernel) is verified within buckets
+    // only; the oracle runs the identical probing so results hash-match.
     "q_dedup_embedding" -> ((s, d) => {
       graft.functions.FloatDotProduct.register(s)
       val e = Tables.embeddings(s, d)
-      val mutated = e.filter(col("vec_id") % 10 === 0)
+      val scaled = e.filter(col("vec_id") % 10 === 0)
         .select((col("vec_id") + 100000).as("vec_id"),
           expr("transform(embedding, x -> CAST(x * 2 AS FLOAT))").as("embedding"))
-      val corpus = e.select(col("vec_id"), col("embedding")).unionByName(mutated)
+      val perturbed = e.filter(col("vec_id") % 10 === 5)
+        .withColumn("d0", expr(Similarity.dotPlane(0, "spark")))
+        .select((col("vec_id") + 200000).as("vec_id"),
+          expr("zip_with(embedding, " + Similarity.planeLit(0, "spark") +
+            ", (x, h) -> CAST(CAST(x AS DOUBLE) - d0 * 1.05 / 64 * h AS FLOAT))")
+            .as("embedding"))
+      val corpus = e.select(col("vec_id"), col("embedding"))
+        .unionByName(scaled).unionByName(perturbed)
       val n = corpus.select(col("vec_id"), col("embedding"),
         expr("sqrt(dot_f(embedding, embedding))").as("nrm"),
         expr(Similarity.sigExpr("spark")).as("sig"))
       val left = n.select(col("vec_id").as("a"), col("embedding").as("ea"),
-        col("nrm").as("na"), col("sig"))
+        col("nrm").as("na"),
+        explode(expr(Similarity.probesExpr("sig", "spark"))).as("sig"))
       val right = n.select(col("vec_id").as("b"), col("embedding").as("eb"),
         col("nrm").as("nb"), col("sig"))
       left.join(right, Seq("sig")).filter(col("a") < col("b"))
@@ -431,15 +465,24 @@ object Dedup {
         "FROM exactfull e LEFT JOIN dropids dr ON e.doc_id = dr.doc_id " +
         "WHERE dr.doc_id IS NULL GROUP BY source ORDER BY source"),
     "q_dedup_embedding" ->
-      ("WITH corpus AS (SELECT vec_id, embedding FROM embeddings UNION ALL " +
+      ("WITH pert0 AS (SELECT vec_id, embedding, " +
+        s"${Similarity.dotPlane(0, "duck")} AS d0 " +
+        "FROM embeddings WHERE vec_id % 10 = 5), " +
+        "corpus AS (SELECT vec_id, embedding FROM embeddings UNION ALL " +
         "SELECT vec_id + 100000 AS vec_id, list_transform(embedding, x -> CAST(x * 2 AS FLOAT)) AS embedding " +
-        "FROM embeddings WHERE vec_id % 10 = 0), " +
+        "FROM embeddings WHERE vec_id % 10 = 0 UNION ALL " +
+        "SELECT vec_id + 200000 AS vec_id, " +
+        s"list_transform(list_zip(embedding, ${Similarity.planeLit(0, "duck")}), " +
+        "p -> CAST(CAST(p[1] AS DOUBLE) - d0 * 1.05 / 64 * p[2] AS FLOAT)) AS embedding " +
+        "FROM pert0), " +
         "n AS (SELECT vec_id, embedding, " +
         "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm, " +
-        s"${Similarity.sigExpr("duck")} AS sig FROM corpus) " +
+        s"${Similarity.sigExpr("duck")} AS sig FROM corpus), " +
+        "probed AS (SELECT vec_id, embedding, nrm, " +
+        s"unnest(${Similarity.probesExpr("sig", "duck")}) AS psig FROM n) " +
         "SELECT a.vec_id AS a, b.vec_id AS b, " +
         "round(list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (a.nrm * b.nrm), 6) AS cos " +
-        "FROM n a JOIN n b ON a.sig = b.sig AND a.vec_id < b.vec_id " +
+        "FROM probed a JOIN n b ON a.psig = b.sig AND a.vec_id < b.vec_id " +
         "WHERE round(list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (a.nrm * b.nrm), 6) >= 0.99 " +
         "ORDER BY a, b")
   )

@@ -15,6 +15,32 @@ import graft.Tables.Q
   */
 object Reshape {
 
+  /** Global 1-based BIGINT row index over a total order, without leaving
+    * Tungsten (r1/r2 used rdd.zipWithIndex — correct 2-pass shape, but the
+    * RDD detour deserializes every row): the orderBy range-partitions the
+    * frame; monotonically_increasing_id() then encodes
+    * (partitionId << 33 | partition-local row number) in sorted order; the
+    * per-partition row counts are a tiny aggregate (one row per partition)
+    * turned into running offsets by a window over that partition-count-sized
+    * frame and broadcast back; the global index is offset + local + 1.
+    * Still two passes, but both subtrees share the identical sort exchange
+    * (ReusedExchange), every stage stays in whole-stage codegen, and the
+    * index is LongType — no 2^31 wrap at the >2B-row scale this exists for. */
+  private def withGlobalIndex(df: DataFrame, name: String): DataFrame = {
+    val localMask = (1L << 33) - 1
+    val mid = df.withColumn("_mid", monotonically_increasing_id())
+      .withColumn("_pid", shiftright(col("_mid"), 33))
+    val offsets = mid.groupBy("_pid").agg(count(lit(1)).as("_cnt"))
+      .withColumn("_off", coalesce(sum("_cnt").over(
+        Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("_pid", "_off")
+    mid.join(broadcast(offsets), "_pid")
+      .withColumn(name,
+        col("_off") + col("_mid").bitwiseAND(lit(localMask)) + lit(1L))
+      .drop("_pid", "_mid", "_off")
+  }
+
   val queries: Map[String, Q] = Map(
     // Multi-key sort with mixed direction (polars sort(by, descending)).
     "q_sort_multi" -> ((s, d) =>
@@ -52,42 +78,26 @@ object Reshape {
 
     // Horizontal concat (pl.concat how=horizontal / hstack). Positional
     // alignment is meaningless on unordered Spark frames (SURVEY §2.8), so
-    // both sides carry an explicit order and are zipped by position. The
-    // global index is a 2-pass count-offset (zipWithIndex: per-partition
-    // counts, then offsets) over a range-partitioned sort — total order
-    // with NO single-partition window; every stage stays distributed.
+    // both sides carry an explicit order and are zipped by position via
+    // the Tungsten-native 2-pass global index (withGlobalIndex below).
     "q_hstack" -> ((s, d) => {
-      import org.apache.spark.sql.Row
-      import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
-      def indexed(df: DataFrame): DataFrame = {
-        val schema = StructType(
-          StructField("pos", IntegerType, nullable = false) +: df.schema.fields)
-        s.createDataFrame(
-          df.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq((i + 1).toInt +: r.toSeq) },
-          schema)
-      }
-      val left = indexed(Tables.customer(s, d)
-        .select(col("c_custkey"), col("c_name")).orderBy("c_custkey"))
-      val right = indexed(Tables.customer(s, d)
-        .select(col("c_acctbal"), col("c_custkey"))
-        .orderBy(desc("c_acctbal"), asc("c_custkey")))
+      val left = withGlobalIndex(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_name")).orderBy("c_custkey"), "pos")
+        .select("pos", "c_custkey", "c_name")
+      val right = withGlobalIndex(Tables.customer(s, d)
+          .select(col("c_acctbal"), col("c_custkey"))
+          .orderBy(desc("c_acctbal"), asc("c_custkey")), "pos")
         .select(col("pos"), col("c_acctbal").as("bal_ranked"))
       left.join(right, "pos").orderBy("pos")
     }),
 
-    // with_row_count (polars df.with_row_count): global index via the same
-    // distributed 2-pass count-offset as hstack — no global window.
-    "q_row_count" -> ((s, d) => {
-      import org.apache.spark.sql.Row
-      import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
-      val sorted = Tables.customer(s, d)
-        .select(col("c_custkey"), col("c_name")).orderBy("c_custkey")
-      val schema = StructType(
-        StructField("row_nr", IntegerType, nullable = false) +: sorted.schema.fields)
-      s.createDataFrame(
-        sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq((i + 1).toInt +: r.toSeq) },
-        schema)
-    }),
+    // with_row_count (polars df.with_row_count): same distributed 2-pass
+    // count-offset global index — no global window, no RDD detour.
+    "q_row_count" -> ((s, d) =>
+      withGlobalIndex(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_name")).orderBy("c_custkey"), "row_nr")
+        .select("row_nr", "c_custkey", "c_name")
+        .orderBy("row_nr")),
 
     // transpose (polars df.transpose): rows⇄columns of a SMALL aggregated
     // frame — melt (stack) + pivot with pinned output columns. Transpose is
@@ -168,14 +178,14 @@ object Reshape {
         "UNION ALL SELECT s_suppkey, s_name, s_acctbal, s_nationkey FROM supplier " +
         "ORDER BY key, name"),
     "q_hstack" ->
-      ("WITH l AS (SELECT CAST(row_number() OVER (ORDER BY c_custkey) AS INTEGER) AS pos, " +
+      ("WITH l AS (SELECT CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT) AS pos, " +
         "c_custkey, c_name FROM customer), " +
-        "r AS (SELECT CAST(row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS pos, " +
+        "r AS (SELECT CAST(row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS pos, " +
         "c_acctbal AS bal_ranked FROM customer) " +
         "SELECT l.pos, l.c_custkey, l.c_name, r.bal_ranked " +
         "FROM l JOIN r ON l.pos = r.pos ORDER BY l.pos"),
     "q_row_count" ->
-      ("SELECT CAST(row_number() OVER (ORDER BY c_custkey) AS INTEGER) AS row_nr, " +
+      ("SELECT CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT) AS row_nr, " +
         "c_custkey, c_name FROM customer ORDER BY row_nr"),
     "q_transpose" ->
       ("WITH a AS (SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty, " +

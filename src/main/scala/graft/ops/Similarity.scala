@@ -34,26 +34,47 @@ object Similarity {
     if ((h(0) & 0xff) < 0x80) 1.0 else -1.0
   }
 
-  private def planeLit(p: Int, dialect: String): String = {
+  private[ops] def planeLit(p: Int, dialect: String): String = {
     val xs = plane(p).map(v => if (v > 0) "1.0" else "-1.0")
     if (dialect == "spark") xs.mkString("array(", ", ", ")")
     else xs.mkString("[", ", ", "]")
   }
 
-  /** bit p of the LSH signature, both dialects. */
-  private def bitExpr(p: Int, dialect: String): String = dialect match {
+  /** dot(embedding, plane p) as a double fold, both dialects. */
+  private[ops] def dotPlane(p: Int, dialect: String): String = dialect match {
     case "spark" =>
-      s"CASE WHEN aggregate(zip_with(embedding, ${planeLit(p, "spark")}, " +
-        s"(x, h) -> CAST(x AS DOUBLE) * h), 0D, (acc, v) -> acc + v) > 0 THEN '1' ELSE '0' END"
+      s"aggregate(zip_with(embedding, ${planeLit(p, "spark")}, " +
+        s"(x, h) -> CAST(x AS DOUBLE) * h), 0D, (acc, v) -> acc + v)"
     case _ =>
-      s"CASE WHEN list_sum(list_transform(list_zip(embedding, ${planeLit(p, "duck")}), " +
-        s"p -> CAST(p[1] AS DOUBLE) * p[2])) > 0 THEN '1' ELSE '0' END"
+      s"list_sum(list_transform(list_zip(embedding, ${planeLit(p, "duck")}), " +
+        s"p -> CAST(p[1] AS DOUBLE) * p[2]))"
   }
+
+  /** bit p of the LSH signature, both dialects. */
+  private def bitExpr(p: Int, dialect: String): String =
+    s"CASE WHEN ${dotPlane(p, dialect)} > 0 THEN '1' ELSE '0' END"
 
   private[ops] def sigExpr(dialect: String): String =
     if (dialect == "spark")
       (0 until Planes).map(bitExpr(_, "spark")).mkString("concat(", ", ", ")")
     else (0 until Planes).map(bitExpr(_, "duck")).mkString(" || ")
+
+  /** Multi-probe candidate signatures: the signature itself plus its 8
+    * one-bit flips — every signature at Hamming distance ≤ 1. Exploding
+    * one side of the candidate join over these 9 probes recovers near-dups
+    * whose perturbation flipped a single hyperplane bit, which the exact
+    * equi-join is blind to, at 9× candidate cost — still a signature
+    * equi-join, never a pair scan. */
+  private[ops] def probesExpr(sigCol: String, dialect: String): String = {
+    val sub = if (dialect == "spark") "substring" else "substr"
+    val flips = (0 until Planes).map { i =>
+      s"concat($sub($sigCol, 1, $i), " +
+        s"CASE WHEN $sub($sigCol, ${i + 1}, 1) = '1' THEN '0' ELSE '1' END, " +
+        s"$sub($sigCol, ${i + 2}, $Planes))"
+    }
+    if (dialect == "spark") (sigCol +: flips).mkString("array(", ", ", ")")
+    else (sigCol +: flips).mkString("[", ", ", "]")
+  }
 
   /** codegen'd native kernel (graft.functions.FloatDotProduct) — same
     * ascending-fold arithmetic as the HOF/oracle formulations. */
@@ -93,20 +114,22 @@ object Similarity {
     // pipeline runs before indexing: per-vector max-abs scale, symmetric
     // round-to-int8 codes, and the mean absolute reconstruction error as
     // the quality metric. Entirely row-local (codegen'd HOFs, zero
-    // shuffles): at 100 TB this runs at scan speed.
+    // shuffles): at 100 TB this runs at scan speed. The code vector is
+    // emitted serialized (array_join) — the harness canonicalizes rows by
+    // sorting every output column, which only works on scalars.
     "q_embed_quantize" -> ((s, d) =>
       Tables.embeddings(s, d)
         .withColumn("scale",
           expr("aggregate(embedding, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(CAST(x AS DOUBLE))))"))
         .withColumn("q",
           expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / scale * 127) AS INT))"))
+        .withColumn("mae", round(expr(
+          "aggregate(zip_with(embedding, q, (x, c) -> abs(CAST(x AS DOUBLE) - c * scale / 127)), " +
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) / size(embedding)"), 6))
         .select(col("vec_id"),
           round(col("scale"), 6).as("scale"),
-          col("q"),
-          round(expr(
-            "aggregate(zip_with(embedding, q, (x, c) -> abs(CAST(x AS DOUBLE) - c * scale / 127)), " +
-              "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) / size(embedding)"), 6)
-            .as("mae"))
+          array_join(col("q"), ",").as("q"),
+          col("mae"))
         .orderBy("vec_id")),
 
     // IVF-bucketed ANN (the centroid-partitioned alternative to LSH): the
@@ -149,14 +172,20 @@ object Similarity {
         .orderBy("q", "rank")
     }),
 
-    // LSH-bucketed ANN: candidates share the 8-bit hyperplane signature;
-    // top-3 within bucket. Approximate by construction — the oracle runs
-    // the identical bucketing, so results still hash-match.
+    // LSH-bucketed ANN with multi-probe recall: candidates are corpus
+    // vectors whose signature is within Hamming distance 1 of the query's
+    // — the query side explodes over its 9 probe signatures (exact + 8
+    // one-bit flips), then equi-joins on the probe. 9× candidates, still
+    // a signature equi-join; recovers true neighbors that land one
+    // hyperplane away, which exact-bucket LSH misses. Approximate by
+    // construction — the oracle runs the identical probing, so results
+    // still hash-match.
     "q_ann_lsh" -> ((s, d) => {
       val n = normed(s, d).withColumn("sig", expr(sigExpr("spark")))
       val q = n.filter(col("vec_id") < 50)
         .select(col("vec_id").as("q"), col("embedding").as("eq"),
-          col("nrm").as("nq"), col("sig"))
+          col("nrm").as("nq"),
+          explode(expr(probesExpr("sig", "spark"))).as("sig"))
       val c = n.select(col("vec_id").as("b"), col("embedding").as("eb"),
         col("nrm").as("nb"), col("sig"))
       val w = Window.partitionBy("q").orderBy(desc("cos"), asc("b"))
@@ -184,7 +213,7 @@ object Similarity {
         "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale FROM embeddings), " +
         "qz AS (SELECT vec_id, embedding, scale, " +
         "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / scale * 127) AS INTEGER)) AS q FROM s) " +
-        "SELECT vec_id, round(scale, 6) AS scale, q, " +
+        "SELECT vec_id, round(scale, 6) AS scale, array_to_string(q, ',') AS q, " +
         "round(list_sum(list_transform(list_zip(embedding, q), p -> abs(CAST(p[1] AS DOUBLE) - p[2] * scale / 127))) / len(embedding), 6) AS mae " +
         "FROM qz ORDER BY vec_id"),
     "q_ann_ivf" ->
@@ -205,9 +234,11 @@ object Similarity {
     "q_ann_lsh" ->
       (s"WITH $duckNormed, sigs AS (SELECT vec_id, embedding, nrm, " +
         s"${sigExpr("duck")} AS sig FROM n), " +
+        "probed AS (SELECT vec_id, embedding, nrm, " +
+        s"unnest(${probesExpr("sig", "duck")}) AS psig FROM sigs), " +
         "scored AS (SELECT q.vec_id AS q, c.vec_id AS neighbor, " +
         s"round($duckDot / (q.nrm * c.nrm), 6) AS cos " +
-        "FROM sigs q JOIN sigs c ON q.sig = c.sig AND q.vec_id < 50 AND q.vec_id <> c.vec_id), " +
+        "FROM probed q JOIN sigs c ON q.psig = c.sig AND q.vec_id < 50 AND q.vec_id <> c.vec_id), " +
         "ranked AS (SELECT q, neighbor, cos, " +
         "CAST(row_number() OVER (PARTITION BY q ORDER BY cos DESC, neighbor) AS INTEGER) AS rank " +
         "FROM scored) " +

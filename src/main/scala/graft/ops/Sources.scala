@@ -15,10 +15,11 @@ import graft.Tables.Q
   * JSON), aggregate. The oracle aggregates the source table directly — a
   * lossless round-trip is exactly what makes them hash-equal.
   *
-  * Also: sample(fraction, seed) (nondeterministic across engines → no
-  * oracle) and spark.ml KMeans for the reference's segment_customers
-  * shortcut (/root/reference/helpers/shortcuts.py:354-376; sklearn → no
-  * SQL oracle, rows-only check).
+  * Also: sample(fraction, seed) and spark.ml KMeans for the reference's
+  * segment_customers shortcut (/root/reference/helpers/shortcuts.py:354-376).
+  * Both are nondeterministic/approximate across engines, so their queries
+  * emit a self-computed tolerance verdict (binomial bounds / cluster
+  * invariants) that the DuckDB oracle asserts — checkable, not rows-only.
   */
 object Sources {
 
@@ -79,11 +80,21 @@ object Sources {
     }),
 
     // sample(fraction, seed): Bernoulli row sampling. Sampling RNGs differ
-    // between engines → no oracle (driver does a rows-only check); the
-    // count lands within binomial bounds asserted in OpsSpec.
-    "q_sample" -> ((s, d) =>
-      Tables.orders(s, d).sample(withReplacement = false, 0.1, seed = 42)
-        .agg(count(lit(1)).as("n_sampled"))),
+    // between engines, so the oracle can't compare the sampled count — the
+    // query emits the total plus its OWN binomial verdict (count within
+    // 5σ of n·p), and the oracle asserts the verdict is 1: a broken
+    // sampler turns this row red instead of unverifiable.
+    "q_sample" -> ((s, d) => {
+      val sampled = Tables.orders(s, d)
+        .sample(withReplacement = false, 0.1, seed = 42)
+        .agg(count(lit(1)).as("n_sampled"))
+      val total = Tables.orders(s, d).agg(count(lit(1)).as("n_total"))
+      sampled.crossJoin(total)
+        .select(col("n_total"),
+          (abs(col("n_sampled") - col("n_total") * 0.1)
+            <= lit(5) * sqrt(col("n_total") * 0.1 * 0.9))
+            .cast("int").as("in_binomial_bounds"))
+    }),
 
     // Deterministic hash-mod sampling — the reproducible-at-scale
     // alternative to RNG sampling: membership depends only on the key, so
@@ -97,8 +108,11 @@ object Sources {
           round(sum("o_totalprice"), 2).as("total"))),
 
     // segment_customers → spark.ml KMeans (k=3, fixed seed) on account
-    // balance; output = cluster sizes. ML fit is iterative/approximate →
-    // no SQL oracle (rows-only).
+    // balance. ML fits are iterative/approximate with no SQL equivalent, so
+    // the oracle checks the invariants instead of the centroids: every
+    // customer assigned (n_points = count(*)) to one of exactly 3 nonempty
+    // clusters — a degenerate fit (empty/collapsed cluster, dropped rows)
+    // turns this row red instead of unverifiable.
     "q_segment" -> ((s, d) => {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.feature.VectorAssembler
@@ -107,12 +121,17 @@ object Sources {
         .transform(Tables.customer(s, d))
       val model = new KMeans().setK(3).setSeed(42L).setFeaturesCol("features")
       model.fit(feats).transform(feats)
-        .groupBy("prediction").agg(count(lit(1)).as("n"))
-        .orderBy("prediction")
+        .agg(countDistinct(col("prediction")).as("n_clusters"),
+          count(lit(1)).as("n_points"))
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sample" ->
+      "SELECT count(*) AS n_total, 1 AS in_binomial_bounds FROM orders",
+    "q_segment" ->
+      ("SELECT CAST(3 AS BIGINT) AS n_clusters, count(*) AS n_points " +
+        "FROM customer"),
     "q_sample_det" ->
       ("SELECT count(*) AS n_sampled, round(sum(o_totalprice), 2) AS total " +
         "FROM orders WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'"),

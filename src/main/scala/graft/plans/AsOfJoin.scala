@@ -35,6 +35,22 @@ case class AsOfJoinPlan(
     toleranceMicros: Option[Long] = None) extends BinaryNode {
   require(Set("backward", "forward", "nearest").contains(strategy),
     s"unknown as-of strategy: $strategy")
+  // nearest/tolerance compare time DISTANCES as raw internal longs, which
+  // is only meaningful for micros-backed timestamps or plain long columns.
+  // A DateType column would silently feed its internal DAY count into a
+  // microsecond tolerance — wrong by 8.64e10, so reject at construction.
+  if ((strategy == "nearest" || toleranceMicros.isDefined) &&
+      leftTs.resolved && rightTs.resolved) {
+    import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
+    val micros: DataType => Boolean = {
+      case TimestampType | TimestampNTZType | LongType => true
+      case _ => false
+    }
+    require(micros(leftTs.dataType) && micros(rightTs.dataType),
+      s"as-of strategy=$strategy tolerance=$toleranceMicros requires " +
+        "Timestamp/TimestampNTZ/Long time columns, got " +
+        s"${leftTs.dataType.simpleString}/${rightTs.dataType.simpleString}")
+  }
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(

@@ -10,4 +10,16 @@ object GraftDataset {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Release the storage blocks behind a `localCheckpoint()`'d DataFrame.
+    * `Dataset.unpersist` only uncaches CacheManager entries; a checkpoint's
+    * blocks belong to the materialized RDD inside its LogicalRDD leaf and
+    * otherwise live until GC — which in an iterative loop means one
+    * generation of blocks accumulating per round (r2 ADVICE). */
+  def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

@@ -393,6 +393,8 @@ class EngineSpec extends SparkSpec {
         new HttpLlm(url = s"$base/err", maxAttempts = 2, backoffMs = 1).predict("hi")
       }
       assert(err.getMessage.contains("429"))
+      assert(err.getMessage.contains("attempt 2/2"),
+        s"exhaustion must report attempts burned: ${err.getMessage}")
       val bad = intercept[RuntimeException] {
         new HttpLlm(url = s"$base/bad").predict("hi")
       }

@@ -9,13 +9,12 @@ class OpsSpec extends SparkSpec {
 
   private def q(name: String) = SparkEntry.queries(name)(spark, sf)
 
-  test("every registered query has matching column names with its oracle declaration") {
-    // oracle coverage: every query either has oracle SQL or is documented
-    // approximate (rows-only check)
+  test("every registered query has an oracle declaration") {
+    // Full oracle coverage: approximate/nondeterministic ops (HLL, RNG
+    // sampling, KMeans) emit their own tolerance verdict, which the oracle
+    // asserts — no rows-only escape hatch remains.
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // documented approximate/nondeterministic ops: rows-only driver check
-    assert(noOracle == Set("q_approx_distinct", "q_sample", "q_segment"),
-      s"missing oracle: $noOracle")
+    assert(noOracle.isEmpty, s"missing oracle: $noOracle")
   }
 
   test("entry() returns rows (driver t1 smoke)") {
@@ -86,6 +85,24 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("native as-of nearest/tolerance rejects date-typed time columns") {
+    // DateType's internal value is a DAY count: letting it through would
+    // silently compare days against a microsecond tolerance (r2 ADVICE)
+    val l = Tables.orders(spark, sf)
+      .select(col("o_custkey").as("lk"), col("o_orderdate").cast("date").as("lts"))
+    val r = Tables.orders(spark, sf)
+      .select(col("o_custkey").as("rk"), col("o_orderdate").cast("date").as("rts"))
+    for (bad <- Seq(
+        () => ops.AsOf.join(l, r, "lk", "rk", "lts", "rts", strategy = "nearest"),
+        () => ops.AsOf.join(l, r, "lk", "rk", "lts", "rts",
+          toleranceMicros = Some(1000L)))) {
+      val e = intercept[IllegalArgumentException](bad())
+      assert(e.getMessage.contains("Timestamp"), e.getMessage)
+    }
+    // backward/forward never compare distances — dates stay legal there
+    assert(ops.AsOf.join(l, r, "lk", "rk", "lts", "rts").columns.contains("rts"))
+  }
+
   test("pipeline_curate removes most planted near-dups, keeps provenance") {
     val out = q("q_pipeline_curate").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -107,13 +124,28 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.8, s"minhash recall $recall over ${planted.size} planted pairs")
   }
 
-  test("dedup_embedding finds exactly the planted scaled copies at cos>=0.99") {
+  test("dedup_embedding: all scaled dups, some reflected dups, no false pairs") {
     val found = q("q_dedup_embedding").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val planted = Tables.embeddings(spark, sf)
+    // +100000 = pure ×2 scalings: signature-invariant, so EVERY one must
+    // be recovered (probe 0 alone suffices)
+    val scaled = Tables.embeddings(spark, sf)
       .filter(col("vec_id") % 10 === 0).select("vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(0) + 100000L)).toSet
-    assert(found == planted, s"extra=${found -- planted} missing=${planted -- found}")
+    assert(scaled.subsetOf(found), s"missing scaled dups: ${scaled -- found}")
+    // +200000 = reflections just past hyperplane 0: signature bit 0 flips
+    // by construction, so the r2 exact-signature equi-join found ZERO of
+    // these — only the Hamming-1 probes can. Recall is partial by design
+    // (reflections that drop below cos 0.99 or flip a second bit stay out).
+    val reflected = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 10 === 5).select("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 200000L)).toSet
+    val reflectedFound = found.intersect(reflected)
+    assert(reflectedFound.nonEmpty,
+      "multi-probe must recover reflected near-dups the exact join misses")
+    // and nothing beyond the two planted families crosses cos >= 0.99
+    assert((found -- scaled -- reflected).isEmpty,
+      s"unexpected pairs: ${found -- scaled -- reflected}")
   }
 
   test("ann_bruteforce: 5 neighbors per query, cosine within [-1, 1], ranks 1..5") {

@@ -112,6 +112,14 @@ class PlanSpec extends SparkSpec {
       "must not degrade to an all-pairs product")
   }
 
+  test("q_dedup_simhash: bucket sizes via partial+final aggregate, no whole-bucket window") {
+    val p = plan("q_dedup_simhash")
+    assert(countOccurrences(p, "HashAggregate") >= 2,
+      "bucket count must be a map-side-combined aggregate")
+    assert(!p.contains("Window"),
+      s"bucket count must not buffer whole signature buckets in one task:\n$p")
+  }
+
   test("q_group_head: rank filter becomes WindowGroupLimit (pre-shuffle top-n)") {
     assert(plan("q_group_head").contains("WindowGroupLimit"))
   }
@@ -123,6 +131,14 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("AsOfJoin"), s"$n: custom operator must be planned")
       assert(countOccurrences(p, "Exchange hashpartitioning") == 2,
         s"$n: one hash exchange per side, nothing else")
+    }
+  }
+
+  test("q_hstack/q_row_count: global index stays in Tungsten (no RDD detour)") {
+    for (n <- Seq("q_hstack", "q_row_count")) {
+      val p = plan(n)
+      assert(!p.contains("Scan ExistingRDD"),
+        s"$n must compute the global index without leaving Tungsten:\n$p")
     }
   }
 
