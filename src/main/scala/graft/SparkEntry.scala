@@ -19,6 +19,7 @@ object SparkEntry {
     (ops.Windows.queries, ops.Windows.oracle),
     (ops.Analytics.queries, ops.Analytics.oracle),
     (ops.TextAnalysis.queries, ops.TextAnalysis.oracle),
+    (ops.Curation.queries, ops.Curation.oracle),
     (ops.Dedup.queries, ops.Dedup.oracle),
     (ops.Similarity.queries, ops.Similarity.oracle),
     (ops.Multimodal.queries, ops.Multimodal.oracle),

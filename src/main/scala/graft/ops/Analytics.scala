@@ -43,10 +43,13 @@ object Analytics {
         .agg(count(lit(1)).as("n"))
         .orderBy("truth", "pred")),
 
-    // plot_roc_curve: TPR/FPR sweep over score thresholds (label =
-    // purchase, score = value). Global cumulative window — see the class
-    // note on scale; totals join in via a 1-row broadcast, not a second
-    // global window.
+    // plot_roc_curve — SMALL-FRAME EXACT-PARITY VARIANT ONLY. The
+    // per-threshold sweep needs a global cumulative window, i.e. a
+    // single-partition stage over every scored row: deliberately retained
+    // for point-exact parity with the reference's sklearn curve on frames
+    // that fit one task, NEVER the scale path. The primary API at scale is
+    // q_roc_binned below (bounded bin table, distributed aggregation);
+    // totals join in via a 1-row broadcast, not a second global window.
     "q_roc" -> ((s, d) => {
       val e = Tables.events(s, d)
       val isP = when(col("event_type") === "purchase", 1).otherwise(0)
@@ -65,7 +68,7 @@ object Analytics {
         .orderBy("event_id")
     }),
 
-    // plot_roc_curve, scale path: scores binned to fixed-width buckets
+    // plot_roc_curve, PRIMARY (scale) path: scores binned to fixed-width buckets
     // (width 0.05 ⇒ ≤1e4 bins over the score range regardless of row
     // count), per-bin positive/negative counts aggregated distributed
     // (partial+final), then ONE cumulative window over the bounded bin

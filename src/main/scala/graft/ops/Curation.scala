@@ -1,0 +1,188 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.Tables.Q
+
+/** Training-data curation operators beyond the dedup/similarity families
+  * (builder-prompt mandate: "the operations a large-scale training-data
+  * pipeline would need"): PII redaction, deterministic stratified splits,
+  * benchmark decontamination, and per-document term salience.
+  *
+  * Scale design: PII redaction and split assignment are row-local (scan
+  * speed, zero shuffles before the output sort). Decontamination joins the
+  * corpus against the BENCHMARK shingle set — benchmarks are tiny by
+  * nature, so the eval side broadcasts and the corpus never shuffles.
+  * Term salience is explode → partial+final aggregates → one window
+  * partitioned by doc_id (high-cardinality key — no hot partitions).
+  *
+  * Determinism notes: the corpus carries no PII, so the redaction query
+  * PLANTS deterministic emails/URLs/phones derived from doc_id (same
+  * construction in both dialects). Salience uses a log-free rational idf
+  * (cnt·N / (words·df)): products of exact integers divided once — IEEE
+  * double division is bit-identical across engines, whereas ln() may
+  * differ in the last ulp and flip rank ties.
+  */
+object Curation {
+
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val urlRe = "https?://[A-Za-z0-9./_-]+"
+  private val phoneRe = "\\d{3}-\\d{3}-\\d{4}"
+
+  /** 3-word shingles, distinct per doc — same construction as the dedup
+    * chain, over the raw documents table. */
+  private val duckDocShingles =
+    "sh AS (SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i + 1], w[i + 2]) AS shingle FROM " +
+      "(SELECT doc_id, string_split(text, ' ') AS w, " +
+      "unnest(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1))) AS i FROM documents))"
+
+  val queries: Map[String, Q] = Map(
+    // PII redaction: plant a deterministic email / URL / phone (by doc_id
+    // residue), then count and redact all three classes with anchored
+    // regexes. Row-local — at 100 TB this runs at scan speed.
+    "q_pii_redact" -> ((s, d) => {
+      val aug = concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com")))
+          .when(col("doc_id") % 7 === 1,
+            concat(lit(" see https://site"), col("doc_id").cast("string"),
+              lit(".example.org/docs")))
+          .when(col("doc_id") % 7 === 2,
+            concat(lit(" call 415-555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")))
+      Tables.documents(s, d)
+        .withColumn("aug", aug)
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("aug"), lit(emailRe), lit(0))).as("n_emails"),
+          size(regexp_extract_all(col("aug"), lit(urlRe), lit(0))).as("n_urls"),
+          size(regexp_extract_all(col("aug"), lit(phoneRe), lit(0))).as("n_phones"),
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("aug"), emailRe, "<EMAIL>"),
+              urlRe, "<URL>"),
+            phoneRe, "<PHONE>").as("redacted"))
+        .orderBy("doc_id")
+    }),
+
+    // Deterministic stratified split: membership from the first hex digit
+    // of md5(doc_id) — 12/2/2 sixteenths train/val/test. Hash-based
+    // assignment is reproducible across engines, partitionings, and reruns
+    // (unlike RNG splits), which is what makes held-out sets auditable.
+    // Per-(split, source) stats are one partial+final aggregate.
+    "q_split_stratified" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("h", expr("substring(md5(CAST(doc_id AS STRING)), 1, 1)"))
+        .withColumn("split",
+          when(col("h") < "c", "train")
+            .when(col("h") < "e", "val")
+            .otherwise("test"))
+        .groupBy("split", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(expr("size(filter(split(text, '[^a-zA-Z0-9]+'), x -> length(x) > 0))"))
+            .as("n_tokens"))
+        .orderBy("split", "source")),
+
+    // Benchmark decontamination: fraction of each training doc's distinct
+    // 3-word shingles that appear in the eval set (doc_id < 20 stands in
+    // for the benchmark). The eval shingle set is tiny by nature →
+    // broadcast; the corpus side never shuffles for the join, and the
+    // per-doc rollup is a partial+final aggregate on a high-cardinality
+    // key. The report includes clean docs (contamination 0) — a
+    // decontamination pass must prove absence, not just list hits.
+    "q_contamination" -> ((s, d) => {
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"),
+          expr("explode(transform(sequence(1, greatest(size(w) - 2, 1)), " +
+            "i -> concat_ws(' ', try_element_at(w, i), " +
+            "try_element_at(w, i + 1), try_element_at(w, i + 2))))").as("shingle"))
+        .distinct()
+      val evalSet = sh.filter(col("doc_id") < 20).select("shingle").distinct()
+      val train = sh.filter(col("doc_id") >= 20)
+      val sizes = train.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      val shared = train.join(broadcast(evalSet), Seq("shingle"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      sizes.join(shared, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          round(coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_shingles"), 6)
+            .as("contamination"))
+        .orderBy("doc_id")
+    }),
+
+    // Per-document term salience (tf-idf shape, log-free rational idf —
+    // see class note): top-3 terms per doc by cnt·N/(words·df), ties to
+    // the lexicographically first term. Explode → two partial+final
+    // aggregates → broadcast joins → one window on doc_id.
+    "q_tfidf" -> ((s, d) => {
+      val terms = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(expr("filter(split(text, ' '), x -> length(x) > 0)")).as("term"))
+      val termCounts = terms.groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("cnt"))
+      val docWords = terms.groupBy("doc_id").agg(count(lit(1)).as("n_words"))
+      val docFreq = termCounts.groupBy("term").agg(count(lit(1)).as("df"))
+      val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("term"))
+      termCounts
+        .join(docWords, "doc_id")
+        .join(docFreq, "term")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("score",
+          (col("cnt") * col("n_docs")) / (col("n_words") * col("df")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("term"),
+          round(col("score"), 6).as("tfidf"))
+        .orderBy("doc_id", "rank")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_pii_redact" ->
+      ("WITH a AS (SELECT doc_id, text || CASE " +
+        "WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' " +
+        "WHEN doc_id % 7 = 1 THEN ' see https://site' || CAST(doc_id AS VARCHAR) || '.example.org/docs' " +
+        "WHEN doc_id % 7 = 2 THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') " +
+        "ELSE '' END AS aug FROM documents) " +
+        s"SELECT doc_id, CAST(len(regexp_extract_all(aug, '$emailRe')) AS INTEGER) AS n_emails, " +
+        s"CAST(len(regexp_extract_all(aug, '$urlRe')) AS INTEGER) AS n_urls, " +
+        s"CAST(len(regexp_extract_all(aug, '$phoneRe')) AS INTEGER) AS n_phones, " +
+        s"regexp_replace(regexp_replace(regexp_replace(aug, '$emailRe', '<EMAIL>', 'g'), " +
+        s"'$urlRe', '<URL>', 'g'), '$phoneRe', '<PHONE>', 'g') AS redacted " +
+        "FROM a ORDER BY doc_id"),
+    "q_split_stratified" ->
+      ("SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train' " +
+        "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val' " +
+        "ELSE 'test' END AS split, source, count(*) AS n_docs, " +
+        "CAST(sum(len(list_filter(str_split_regex(text, '[^a-zA-Z0-9]+'), x -> length(x) > 0))) AS BIGINT) AS n_tokens " +
+        "FROM documents GROUP BY split, source ORDER BY split, source"),
+    "q_contamination" ->
+      (s"WITH $duckDocShingles, " +
+        "ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20), " +
+        "tr AS (SELECT * FROM sh WHERE doc_id >= 20), " +
+        "sizes AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY doc_id), " +
+        "shared AS (SELECT doc_id, count(*) AS n_shared FROM tr JOIN ev USING (shingle) GROUP BY doc_id) " +
+        "SELECT s.doc_id, s.n_shingles, coalesce(h.n_shared, 0) AS n_shared, " +
+        "round(CAST(coalesce(h.n_shared, 0) AS DOUBLE) / s.n_shingles, 6) AS contamination " +
+        "FROM sizes s LEFT JOIN shared h ON s.doc_id = h.doc_id ORDER BY s.doc_id"),
+    "q_tfidf" ->
+      ("WITH terms AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS term FROM documents), " +
+        "tc AS (SELECT doc_id, term, count(*) AS cnt FROM terms GROUP BY doc_id, term), " +
+        "dw AS (SELECT doc_id, count(*) AS n_words FROM terms GROUP BY doc_id), " +
+        "dfreq AS (SELECT term, count(*) AS df FROM tc GROUP BY term), " +
+        "nd AS (SELECT count(*) AS n_docs FROM documents), " +
+        "scored AS (SELECT tc.doc_id, tc.term, " +
+        "(tc.cnt * nd.n_docs) / (dw.n_words * dfreq.df) AS score " +
+        "FROM tc JOIN dw ON tc.doc_id = dw.doc_id " +
+        "JOIN dfreq ON tc.term = dfreq.term CROSS JOIN nd), " +
+        "ranked AS (SELECT doc_id, term, score, " +
+        "CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS INTEGER) AS rank " +
+        "FROM scored) " +
+        "SELECT doc_id, rank, term, round(score, 6) AS tfidf FROM ranked " +
+        "WHERE rank <= 3 ORDER BY doc_id, rank")
+  )
+}

@@ -37,6 +37,8 @@ object Dedup {
     shingleCache.clear()
     pairsCache.values.foreach(_.unpersist(blocking = false))
     pairsCache.clear()
+    simhashCache.values.foreach(_.unpersist(blocking = false))
+    simhashCache.clear()
   }
 
   /** documents ∪ mutated copies (first word replaced). */
@@ -168,6 +170,25 @@ object Dedup {
         s"w -> CASE WHEN substr(md5('$j:' || w), 1, 1) <= '7' THEN 1 ELSE -1 END))"
   }
 
+  /** Per-doc 16-bit simhash signatures, persisted + memoized per
+    * (session, sfDir): consumed twice by the bucket-count join-back. */
+  private val simhashCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def simhashSigs(s: SparkSession, d: String): DataFrame =
+    simhashCache.getOrElseUpdate((s, d), {
+      val bitSums = (0 until 16).map(j =>
+        expr(simhashBitSum(j, "spark")).as(s"b$j"))
+      val withBits = textCorpus(s, d)
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), x -> length(x) > 0)").as("words"))
+        .select(col("doc_id") +: bitSums: _*)
+      val sim = concat((0 until 16).map(j =>
+        when(col(s"b$j") > 0, "1").otherwise("0")): _*)
+      withBits.select(col("doc_id"), sim.as("simhash"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: hash-groupBy on content digest, keep lowest id.
     "q_dedup_exact" -> ((s, d) =>
@@ -212,17 +233,12 @@ object Dedup {
     // a popular signature to ONE task and buffer the whole bucket (multi-GB
     // single-task partitions at 100 TB). The groupBy is map-side combined
     // and the join-back shuffles both sides by the same key — same result,
-    // no whole-bucket buffering.
+    // no whole-bucket buffering. The signature table is persisted so the
+    // join's two consumers share one evaluation of the 16-bit-sum subtree
+    // (at scale: materialize signatures once per dedup run) — without it
+    // the self-join doubles the dominant md5-per-word cost.
     "q_dedup_simhash" -> ((s, d) => {
-      val bitSums = (0 until 16).map(j =>
-        expr(simhashBitSum(j, "spark")).as(s"b$j"))
-      val withBits = textCorpus(s, d)
-        .select(col("doc_id"),
-          expr("filter(split(text, ' '), x -> length(x) > 0)").as("words"))
-        .select(col("doc_id") +: bitSums: _*)
-      val sim = concat((0 until 16).map(j =>
-        when(col(s"b$j") > 0, "1").otherwise("0")): _*)
-      val sigs = withBits.select(col("doc_id"), sim.as("simhash"))
+      val sigs = simhashSigs(s, d)
       val bucketCounts = sigs.groupBy("simhash")
         .agg(count(lit(1)).as("n_bucket"))
       sigs.join(bucketCounts, Seq("simhash"))

@@ -106,10 +106,13 @@ object Windows {
         .orderBy("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
     }),
 
-    // qcut (polars pl.qcut): quantile bucketing via ntile. Rank-exact
-    // bucketing needs a global order (single-partition window, like q_roc);
-    // at 100 TB you'd switch to approx-quantile cut points + a bucketing
-    // join — q_histogram shows that shape.
+    // qcut (polars pl.qcut) — SMALL-FRAME EXACT-PARITY VARIANT ONLY.
+    // Rank-exact ntile bucketing needs a global order, i.e. a
+    // single-partition window that serializes the whole frame through one
+    // task: deliberately retained for polars-identical semantics on frames
+    // that fit one task, NEVER the scale path. The primary API at scale is
+    // q_qcut_cutpoints below (broadcast cut points, no window anywhere);
+    // use this one only when exact rank ties matter and the frame is small.
     "q_qcut" -> ((s, d) => {
       val byPrice = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
       Tables.orders(s, d)
@@ -117,7 +120,7 @@ object Windows {
         .orderBy("o_orderkey")
     }),
 
-    // qcut, scale path: exact per-group quantile cut points (a tiny
+    // qcut, PRIMARY (scale) path: exact per-group quantile cut points (a tiny
     // aggregate — one row per group) broadcast back onto the fact table,
     // bucket assigned by comparison. No global window anywhere: the only
     // shuffle is the cut-point aggregation, and the assignment pass is

@@ -156,6 +156,44 @@ class OpsSpec extends SparkSpec {
     assert(rows.forall(r => math.abs(r.getDouble(3)) <= 1.0 + 1e-9))
   }
 
+  test("pii_redact: planted PII is counted and fully scrubbed") {
+    val out = q("q_pii_redact")
+    // every planted class was seen at least once across the corpus
+    val sums = out.agg(sum("n_emails"), sum("n_urls"), sum("n_phones")).head()
+    assert(sums.getLong(0) > 0 && sums.getLong(1) > 0 && sums.getLong(2) > 0)
+    // and nothing matching any PII pattern survives redaction
+    val leaked = out.filter(
+      col("redacted").rlike("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}") ||
+        col("redacted").rlike("https?://") ||
+        col("redacted").rlike("\\d{3}-\\d{3}-\\d{4}")).count()
+    assert(leaked == 0, s"$leaked docs still contain PII after redaction")
+  }
+
+  test("split_stratified: partitions the corpus, train is the largest split") {
+    val rows = q("q_split_stratified").collect()
+    val bySplit = rows.groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(2)).sum)
+    assert(bySplit.values.sum == Tables.documents(spark, sf).count())
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
+  }
+
+  test("contamination: one row per train doc, ratios in [0,1], proves absence too") {
+    val out = q("q_contamination").collect()
+    val trainDocs = Tables.documents(spark, sf).filter(col("doc_id") >= 20).count()
+    assert(out.length == trainDocs, "clean docs must appear with contamination 0")
+    assert(out.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+    assert(out.forall(r => r.getLong(2) <= r.getLong(1)), "shared <= total shingles")
+  }
+
+  test("tfidf: top-3 per doc, ranks 1..k, positive scores") {
+    val rows = q("q_tfidf").collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.values.forall(_.length <= 3))
+    assert(byDoc.values.forall(g =>
+      g.map(_.getInt(1)).sorted.sameElements(1 to g.length)))
+    assert(rows.forall(_.getDouble(3) > 0.0))
+  }
+
   test("lang_id predictions are deterministic members of the label set") {
     val preds = q("q_lang_id").select("pred").distinct().collect().map(_.getString(0)).toSet
     assert(preds.subsetOf(Set("de", "en", "es", "fr")))

@@ -134,6 +134,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_contamination: benchmark shingles broadcast, corpus never all-pairs") {
+    val p = plan("q_contamination")
+    assert(p.contains("BroadcastHashJoin"),
+      "the (small) eval shingle set must broadcast onto the corpus side")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_pii_redact: row-local scan-speed redaction, zero hash exchanges") {
+    assert(countOccurrences(plan("q_pii_redact"), "Exchange hashpartitioning") == 0)
+  }
+
   test("q_hstack/q_row_count: global index stays in Tungsten (no RDD detour)") {
     for (n <- Seq("q_hstack", "q_row_count")) {
       val p = plan(n)
