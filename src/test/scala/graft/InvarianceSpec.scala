@@ -20,7 +20,10 @@ class InvarianceSpec extends SparkSpec {
     "q_join_asof_native", // custom sort-merge as-of exec
     "q_transpose",        // melt+pivot
     "q_pipeline_curate",  // composed curation pipeline
-    "q_dedup_clusters")   // iterative min-label connected components
+    "q_dedup_clusters",   // iterative min-label connected components
+    "q_contamination",    // broadcast benchmark-shingle join
+    "q_tfidf",            // two-level aggregates + per-doc rank window
+    "q_split_stratified") // hash-membership split (must not depend on layout)
 
   test("results are invariant under shuffle-partition counts 3/13/32") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")
