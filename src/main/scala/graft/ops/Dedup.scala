@@ -279,8 +279,12 @@ object Dedup {
       val edges = p.select(col("a").as("src"), col("b").as("dst"))
         .unionByName(p.select(col("b").as("src"), col("a").as("dst")))
         .localCheckpoint(true)
-      var labels = edges.select(col("src").as("id")).distinct()
-        .withColumn("label", col("id"))
+      // seed with min(id, min neighbor) — the first propagation round fused
+      // into initialization as one aggregate (edges are symmetric, so every
+      // node appears as src): same fixpoint, one fewer join+count round
+      var labels = edges.groupBy("src").agg(min("dst").as("nmin"))
+        .select(col("src").as("id"),
+          least(col("src"), col("nmin")).as("label"))
         .localCheckpoint(true)
       var changed = 1L
       while (changed > 0) {

@@ -405,6 +405,35 @@ class EngineSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("concurrent asks on one session: answers correct, cache file not torn") {
+    // r2 ADVICE: askNamed writes the cache while persistCache serializes it;
+    // with a plain mutable.Map that's a ConcurrentModificationException /
+    // torn snapshot waiting to happen. Hammer one session from 8 threads.
+    val tmp = java.nio.file.Files.createTempFile("graft_cache_cc", ".json")
+    try {
+      val llm = FakeLlm("```sql\nSELECT count(*) AS n FROM df\n```")
+      val s = new GraftSession(spark, llm,
+        GraftConfig(cachePath = Some(tmp.toString)))
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val threads = (1 to 8).map { i =>
+        new Thread(() => {
+          try {
+            // distinct questions → distinct cache keys → concurrent writes
+            val ans = s.ask(freshDf, s"how many rows? (variant $i)")
+            if (ans.error.isDefined || ans.text != "5")
+              failures.add(s"$i: ${ans.text}")
+          } catch { case e: Throwable => failures.add(s"$i: $e") }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(failures.isEmpty, failures.toString)
+      // the persisted snapshot must be valid JSON holding all 8 entries
+      val tree = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readAllBytes(tmp))
+      assert(tree.size() == 8, s"expected 8 cached entries, got ${tree.size()}")
+    } finally java.nio.file.Files.deleteIfExists(tmp)
+  }
+
   test("SqlExtractor handles fences, tags and bare SQL") {
     assert(SqlExtractor.extract("```sql\nSELECT 1\n```") == "SELECT 1")
     assert(SqlExtractor.extract("```\nSELECT 1\n```") == "SELECT 1")
