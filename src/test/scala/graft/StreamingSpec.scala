@@ -159,4 +159,70 @@ class StreamingSpec extends SparkSpec {
       .select(md5(col("text"))).distinct().count()
     assert(streamedN == batchN && batchN > 0)
   }
+
+  test("incremental sessionization: state carries open sessions across microbatches") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+
+    // Two files split at the median event time, one per microbatch
+    // (maxFilesPerTrigger=1): every user's open session at the split must
+    // survive in state and either continue or close in batch 2 — the real
+    // incremental-sessionization contract, not a single-batch replay.
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val raw = spark.read.schema(schema).parquet(s"$sf/events.parquet")
+    val med = raw.agg(expr("percentile(ts, 0.5)")).head.getDouble(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess")
+    def stage(part: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_sess_$name")
+      part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dst = dir.resolve(s"$name.parquet")
+      java.nio.file.Files.copy(f, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    stage(raw.filter(col("ts") < med), "0_early", 1000000L)
+    stage(raw.filter(col("ts") >= med), "1_late", 2000000L)
+
+    // state = (last event micros, sessions so far); 30-min gap like
+    // q_sessionize. Each update emits the running per-user session count;
+    // the last update per user is the final answer.
+    val sessions = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      .select(col("user_id"), expr("ts DIV 1000").as("us"),
+        col("event_id")).as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[(Long, Long, Long)],
+            state: GroupState[(Long, Long)]) =>
+          var (lastUs, n) = state.getOption.getOrElse((Long.MinValue, 0L))
+          for ((_, us, _) <- it.toSeq.sortBy(e => (e._2, e._3))) {
+            if (lastUs == Long.MinValue || us - lastUs > 1800000000L) n += 1
+            lastUs = us
+          }
+          state.update((lastUs, n))
+          Iterator((user, n))
+      }
+
+    val q = sessions.writeStream.outputMode("update")
+      .format("memory").queryName("sess_out").start()
+    try {
+      q.processAllAvailable()
+      assert(q.recentProgress.map(_.batchId).distinct.length >= 2,
+        "split input must actually produce multiple microbatches")
+    } finally q.stop()
+
+    val streamed = spark.table("sess_out")
+      .groupBy("_1").agg(max("_2").as("n")) // session count is monotone
+      .orderBy("_1").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val batch = SparkEntry.queries("q_sessionize")(spark, sf)
+      .groupBy("user_id").agg(max("session_id").as("n"))
+      .orderBy("user_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(streamed.nonEmpty && streamed.sameElements(batch),
+      "incremental session counts must equal the batch sessionization")
+  }
 }

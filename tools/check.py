@@ -51,6 +51,18 @@ def main():
             gcols, wcols = sorted(got.column_names), sorted(want.column_names)
             if gcols != wcols:
                 raise AssertionError(f"columns differ: spark={gcols} oracle={wcols}")
+            # The DRIVER canonicalizes rows via pandas sort_values over all
+            # columns, which crashes on list/struct/map cells (r2:
+            # q_embed_quantize). Reject them here too so a local PASS can't
+            # mask a driver-side crash — serialize collections first.
+            import pyarrow.types as pat
+            complex_cols = [c for c in gcols if pat.is_nested(
+                got.schema.field(c).type)]
+            if complex_cols:
+                raise AssertionError(
+                    f"non-scalar output columns {complex_cols} would crash "
+                    "the driver's pandas canonicalizer - serialize them "
+                    "(array_join / to_json)")
             g = got.select(gcols).to_pylist()
             w = want.select(wcols).to_pylist()
             if len(g) != len(w):
