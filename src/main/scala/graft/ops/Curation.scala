@@ -113,6 +113,56 @@ object Curation {
         .orderBy("doc_id")
     }),
 
+    // Unigram LM quality score — the cheap stand-in for "filter by language
+    // model perplexity", the classic curation heuristic: per-doc mean
+    // negative log-probability of its tokens under the corpus unigram
+    // distribution. High = unusual/garbled text. Corpus term counts are a
+    // partial+final aggregate; the total is a 1-row broadcast; the per-doc
+    // rollup keys on doc_id. ln() is transcendental, so the output rounds
+    // to 4dp with a structurally identical expression in both dialects
+    // (same precedent as q_cumprod's exp∘Σln).
+    "q_perplexity" -> ((s, d) => {
+      val terms = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(expr("filter(split(text, ' '), x -> length(x) > 0)")).as("term"))
+      val termCounts = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
+      val total = terms.agg(count(lit(1)).as("t"))
+      terms.join(termCounts, "term")
+        .crossJoin(broadcast(total))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          round(avg(-log(col("cnt").cast("double") / col("t"))), 4)
+            .as("avg_nll"))
+        .orderBy("doc_id")
+    }),
+
+    // Source rebalancing: deterministic hash-threshold downsampling so
+    // every source contributes the same row count as the smallest one (the
+    // "data mixing" step before training). Membership = first 4 md5 hex
+    // digits of doc_id below a per-source threshold — reproducible across
+    // engines/partitionings, and at scale it's a row-local filter against
+    // a broadcast per-source threshold table (no shuffle of the corpus).
+    "q_source_balance" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bySource = docs.groupBy("source").agg(count(lit(1)).as("n_before"))
+      val minCount = bySource.agg(min("n_before").as("m"))
+      // cap at 0xffff: the smallest source computes 65536 (5 hex digits),
+      // which a 4-char lpad would silently TRUNCATE to '1000' — keeping
+      // 1/16th of the source that should keep everything
+      val thresholds = bySource.crossJoin(broadcast(minCount))
+        .select(col("source"), col("n_before"),
+          lpad(lower(hex(least(lit(65535L),
+            floor(lit(65536.0) * col("m") / col("n_before")).cast("long")))),
+            4, "0").as("thresh"))
+      docs.join(broadcast(thresholds), "source")
+        .filter(expr("substring(md5(CAST(doc_id AS STRING)), 1, 4)") < col("thresh"))
+        .groupBy("source", "n_before")
+        .agg(count(lit(1)).as("n_after"))
+        .select(col("source"), col("n_before"), col("n_after"),
+          round(col("n_after").cast("double") / col("n_before"), 4).as("kept_frac"))
+        .orderBy("source")
+    }),
+
     // Per-document term salience (tf-idf shape, log-free rational idf —
     // see class note): top-3 terms per doc by cnt·N/(words·df), ties to
     // the lexicographically first term. Explode → two partial+final
@@ -169,6 +219,27 @@ object Curation {
         "SELECT s.doc_id, s.n_shingles, coalesce(h.n_shared, 0) AS n_shared, " +
         "round(CAST(coalesce(h.n_shared, 0) AS DOUBLE) / s.n_shingles, 6) AS contamination " +
         "FROM sizes s LEFT JOIN shared h ON s.doc_id = h.doc_id ORDER BY s.doc_id"),
+    "q_perplexity" ->
+      ("WITH terms AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS term FROM documents), " +
+        "tc AS (SELECT term, count(*) AS cnt FROM terms GROUP BY term), " +
+        "tot AS (SELECT count(*) AS t FROM terms) " +
+        "SELECT doc_id, count(*) AS n_tokens, " +
+        "round(avg(-ln(CAST(tc.cnt AS DOUBLE) / tot.t)), 4) AS avg_nll " +
+        "FROM terms JOIN tc ON terms.term = tc.term CROSS JOIN tot " +
+        "GROUP BY doc_id ORDER BY doc_id"),
+    "q_source_balance" ->
+      ("WITH bysrc AS (SELECT source, count(*) AS n_before FROM documents GROUP BY source), " +
+        "mn AS (SELECT min(n_before) AS m FROM bysrc), " +
+        "th AS (SELECT source, n_before, " +
+        "lpad(lower(to_hex(least(65535, CAST(floor(65536.0 * mn.m / n_before) AS BIGINT)))), 4, '0') AS thresh " +
+        "FROM bysrc CROSS JOIN mn), " +
+        "kept AS (SELECT d.source, th.n_before, count(*) AS n_after " +
+        "FROM documents d JOIN th ON d.source = th.source " +
+        "WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < th.thresh " +
+        "GROUP BY d.source, th.n_before) " +
+        "SELECT source, n_before, n_after, " +
+        "round(CAST(n_after AS DOUBLE) / n_before, 4) AS kept_frac " +
+        "FROM kept ORDER BY source"),
     "q_tfidf" ->
       ("WITH terms AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS term FROM documents), " +
         "tc AS (SELECT doc_id, term, count(*) AS cnt FROM terms GROUP BY doc_id, term), " +

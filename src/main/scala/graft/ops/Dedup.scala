@@ -159,15 +159,19 @@ object Dedup {
   private val duckChain =
     s"WITH $duckCorpus, $duckShingles, $duckSig, $duckBands, $duckPairs"
 
-  /** 16 simhash bit sums, one per bit, weighted by word multiplicity. */
+  /** 16 simhash bit sums, one per bit, weighted by word multiplicity.
+    * All 16 bits read nibbles of ONE md5 per word (`hs` is the precomputed
+    * per-word hash column): for distinct words each hex digit is an
+    * independent uniform sign, which is all simhash needs — same trick as
+    * the MinHash permutations, at 1/16th the hashing cost of 16 salted
+    * md5s per word (hashing dominated the simhash signature pass). */
   private def simhashBitSum(j: Int, dialect: String): String = dialect match {
     case "spark" =>
-      // `words` is a precomputed column (split once, filtered once)
-      s"aggregate(words, 0, " +
-        s"(acc, w) -> acc + IF(substr(md5(concat('$j:', w)), 1, 1) <= '7', 1, -1))"
+      s"aggregate(hs, 0, " +
+        s"(acc, h) -> acc + IF(substr(h, ${j + 1}, 1) <= '7', 1, -1))"
     case _ =>
-      s"list_sum(list_transform(list_filter(string_split(text, ' '), x -> length(x) > 0), " +
-        s"w -> CASE WHEN substr(md5('$j:' || w), 1, 1) <= '7' THEN 1 ELSE -1 END))"
+      s"list_sum(list_transform(hs, " +
+        s"h -> CASE WHEN substr(h, ${j + 1}, 1) <= '7' THEN 1 ELSE -1 END))"
   }
 
   /** Per-doc 16-bit simhash signatures, persisted + memoized per
@@ -181,7 +185,10 @@ object Dedup {
         expr(simhashBitSum(j, "spark")).as(s"b$j"))
       val withBits = textCorpus(s, d)
         .select(col("doc_id"),
-          expr("filter(split(text, ' '), x -> length(x) > 0)").as("words"))
+          // split once, hash each word ONCE — the 16 bit folds below only
+          // read nibbles of the precomputed hashes
+          expr("transform(filter(split(text, ' '), x -> length(x) > 0), w -> md5(w))")
+            .as("hs"))
         .select(col("doc_id") +: bitSums: _*)
       val sim = concat((0 until 16).map(j =>
         when(col(s"b$j") > 0, "1").otherwise("0")): _*)
@@ -439,9 +446,11 @@ object Dedup {
         "FROM inter i JOIN sizes za ON za.doc_id = i.a JOIN sizes zb ON zb.doc_id = i.b " +
         "WHERE round(CAST(ni AS DOUBLE) / (za.n + zb.n - ni), 4) >= 0.5 ORDER BY a, b"),
     "q_dedup_simhash" ->
-      (s"WITH $duckCorpus, bits AS (SELECT doc_id, " +
+      (s"WITH $duckCorpus, hw AS (SELECT doc_id, " +
+        "list_transform(list_filter(string_split(text, ' '), x -> length(x) > 0), w -> md5(w)) AS hs " +
+        "FROM corpus), bits AS (SELECT doc_id, " +
         (0 until 16).map(j => s"${simhashBitSum(j, "duck")} AS b$j").mkString(", ") +
-        " FROM corpus) " +
+        " FROM hw) " +
         "SELECT doc_id, " +
         (0 until 16).map(j => s"CASE WHEN b$j > 0 THEN '1' ELSE '0' END").mkString(" || ") +
         " AS simhash, count(*) OVER (PARTITION BY " +

@@ -185,6 +185,23 @@ class OpsSpec extends SparkSpec {
     assert(out.forall(r => r.getLong(2) <= r.getLong(1)), "shared <= total shingles")
   }
 
+  test("perplexity: positive scores, every doc covered") {
+    val rows = q("q_perplexity").collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    assert(rows.forall(r => r.getLong(1) > 0 && r.getDouble(2) > 0.0))
+  }
+
+  test("source_balance: downsample only, smallest source kept whole") {
+    val rows = q("q_source_balance").collect()
+    assert(rows.forall(r => r.getLong(2) <= r.getLong(1)), "n_after <= n_before")
+    val minBefore = rows.map(_.getLong(1)).min
+    // the smallest source's threshold caps at 0xffff — it must keep
+    // (essentially) everything, not be silently truncated to 1/16th
+    rows.filter(_.getLong(1) == minBefore).foreach { r =>
+      assert(r.getDouble(3) >= 0.99, s"smallest source truncated: $r")
+    }
+  }
+
   test("tfidf: top-3 per doc, ranks 1..k, positive scores") {
     val rows = q("q_tfidf").collect()
     val byDoc = rows.groupBy(_.getLong(0))
