@@ -65,7 +65,7 @@ object Similarity {
     * whose perturbation flipped a single hyperplane bit, which the exact
     * equi-join is blind to, at 9× candidate cost — still a signature
     * equi-join, never a pair scan. */
-  private[ops] def probesExpr(sigCol: String, dialect: String): String = {
+  private[graft] def probesExpr(sigCol: String, dialect: String): String = {
     val sub = if (dialect == "spark") "substring" else "substr"
     val flips = (0 until Planes).map { i =>
       s"concat($sub($sigCol, 1, $i), " +

@@ -23,7 +23,8 @@ class InvarianceSpec extends SparkSpec {
     "q_dedup_clusters",   // iterative min-label connected components
     "q_contamination",    // broadcast benchmark-shingle join
     "q_tfidf",            // two-level aggregates + per-doc rank window
-    "q_split_stratified") // hash-membership split (must not depend on layout)
+    "q_split_stratified", // hash-membership split (must not depend on layout)
+    "q_source_balance")   // hash-threshold downsampling (exact-int counts)
 
   test("results are invariant under shuffle-partition counts 3/13/32") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")

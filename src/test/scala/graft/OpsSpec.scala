@@ -211,6 +211,25 @@ class OpsSpec extends SparkSpec {
     assert(rows.forall(_.getDouble(3) > 0.0))
   }
 
+  test("probesExpr: exactly the 9 signatures at Hamming distance <= 1") {
+    import spark.implicits._
+    val sigs = Seq("00000000", "10101010", "11111111", "01100110")
+    val out = sigs.toDF("sig")
+      .selectExpr("sig", ops.Similarity.probesExpr("sig", "spark") + " AS probes")
+      .collect()
+    for (r <- out) {
+      val sig = r.getString(0)
+      val probes = r.getSeq[String](1)
+      assert(probes.length == 9 && probes.distinct.length == 9)
+      assert(probes.head == sig, "probe 0 is the exact signature")
+      assert(probes.forall(p =>
+        p.length == 8 && p.zip(sig).count { case (a, b) => a != b } <= 1))
+      // all 8 one-bit flips present
+      assert(probes.tail.forall(p =>
+        p.zip(sig).count { case (a, b) => a != b } == 1))
+    }
+  }
+
   test("lang_id predictions are deterministic members of the label set") {
     val preds = q("q_lang_id").select("pred").distinct().collect().map(_.getString(0)).toSet
     assert(preds.subsetOf(Set("de", "en", "es", "fr")))

@@ -145,6 +145,13 @@ class PlanSpec extends SparkSpec {
     assert(countOccurrences(plan("q_pii_redact"), "Exchange hashpartitioning") == 0)
   }
 
+  test("q_source_balance: per-source thresholds broadcast, corpus filter row-local") {
+    val p = plan("q_source_balance")
+    assert(p.contains("BroadcastHashJoin"),
+      "the tiny threshold table must broadcast onto the corpus")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q_hstack/q_row_count: global index stays in Tungsten (no RDD detour)") {
     for (n <- Seq("q_hstack", "q_row_count")) {
       val p = plan(n)
