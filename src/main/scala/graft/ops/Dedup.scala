@@ -304,15 +304,17 @@ object Dedup {
         val jump = labels
           .join(labels.select(col("id").as("label"), col("label").as("jl")),
             Seq("label"), "left")
+        // carry the previous label through as `old` so the convergence
+        // check reads the checkpointed result directly — no extra
+        // join-with-labels job per round
         val next = jump
           .join(neighborMin, Seq("id"), "left")
           .select(col("id"),
             least(col("label"), coalesce(col("nmin"), col("label")),
-              coalesce(col("jl"), col("label"))).as("label"))
+              coalesce(col("jl"), col("label"))).as("label"),
+            col("label").as("old"))
           .localCheckpoint(true)
-        changed = next
-          .join(labels.select(col("id"), col("label").as("old")), "id")
-          .filter(col("label") =!= col("old")).count()
+        changed = next.filter(col("label") =!= col("old")).count()
         // the previous round's checkpoint blocks are dead once `next` is
         // materialized and compared — free them now instead of letting one
         // generation per round pile up in block-manager storage for the
