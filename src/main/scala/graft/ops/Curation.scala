@@ -37,6 +37,33 @@ object Curation {
       "(SELECT doc_id, string_split(text, ' ') AS w, " +
       "unnest(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1))) AS i FROM documents))"
 
+  /** PUBLIC API — count and scrub emails/URLs/phones in `textCol`:
+    * appends `n_emails`/`n_urls`/`n_phones` and a `redacted` column.
+    * Row-local; at any scale this runs at scan speed. */
+  def redactPii(df: org.apache.spark.sql.DataFrame, textCol: String): org.apache.spark.sql.DataFrame =
+    df.withColumn("n_emails",
+        size(regexp_extract_all(col(textCol), lit(emailRe), lit(0))))
+      .withColumn("n_urls",
+        size(regexp_extract_all(col(textCol), lit(urlRe), lit(0))))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col(textCol), lit(phoneRe), lit(0))))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col(textCol), emailRe, "<EMAIL>"),
+            urlRe, "<URL>"),
+          phoneRe, "<PHONE>"))
+
+  /** PUBLIC API — deterministic train/val/test membership (12/2/2
+    * sixteenths) from the first hex digit of md5(`idCol`): appends a
+    * `split` column. Hash-based, so the assignment is reproducible across
+    * engines, partitionings, and reruns — auditable held-out sets. */
+  def stratifiedSplit(df: org.apache.spark.sql.DataFrame, idCol: String): org.apache.spark.sql.DataFrame = {
+    val h = substring(md5(col(idCol).cast("string")), 1, 1)
+    df.withColumn("split",
+      when(h < "c", "train").when(h < "e", "val").otherwise("test"))
+  }
+
   val queries: Map[String, Q] = Map(
     // PII redaction: plant a deterministic email / URL / phone (by doc_id
     // residue), then count and redact all three classes with anchored
@@ -53,17 +80,8 @@ object Curation {
             concat(lit(" call 415-555-"),
               lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
           .otherwise(lit("")))
-      Tables.documents(s, d)
-        .withColumn("aug", aug)
-        .select(col("doc_id"),
-          size(regexp_extract_all(col("aug"), lit(emailRe), lit(0))).as("n_emails"),
-          size(regexp_extract_all(col("aug"), lit(urlRe), lit(0))).as("n_urls"),
-          size(regexp_extract_all(col("aug"), lit(phoneRe), lit(0))).as("n_phones"),
-          regexp_replace(
-            regexp_replace(
-              regexp_replace(col("aug"), emailRe, "<EMAIL>"),
-              urlRe, "<URL>"),
-            phoneRe, "<PHONE>").as("redacted"))
+      redactPii(Tables.documents(s, d).withColumn("aug", aug), "aug")
+        .select("doc_id", "n_emails", "n_urls", "n_phones", "redacted")
         .orderBy("doc_id")
     }),
 
@@ -73,12 +91,7 @@ object Curation {
     // (unlike RNG splits), which is what makes held-out sets auditable.
     // Per-(split, source) stats are one partial+final aggregate.
     "q_split_stratified" -> ((s, d) =>
-      Tables.documents(s, d)
-        .withColumn("h", expr("substring(md5(CAST(doc_id AS STRING)), 1, 1)"))
-        .withColumn("split",
-          when(col("h") < "c", "train")
-            .when(col("h") < "e", "val")
-            .otherwise("test"))
+      stratifiedSplit(Tables.documents(s, d), "doc_id")
         .groupBy("split", "source")
         .agg(count(lit(1)).as("n_docs"),
           sum(expr("size(filter(split(text, '[^a-zA-Z0-9]+'), x -> length(x) > 0))"))

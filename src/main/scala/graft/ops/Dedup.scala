@@ -196,6 +196,76 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
+  /** PUBLIC API — exact content dedup, keep-first: one row per distinct
+    * value of `textCol`, the survivor being the row that sorts lowest by
+    * the frame's column order (put the keep-priority column first). A
+    * map-side-combined struct-min aggregate: no sort, no window, one
+    * narrow shuffle on the content hash. */
+  def exactDedup(df: DataFrame, textCol: String): DataFrame = {
+    val cols = df.columns
+    df.groupBy(md5(col(textCol)).as("_h"))
+      .agg(min(struct(cols.map(col): _*)).as("_m"))
+      .select(cols.map(c => col(s"_m.$c").as(c)): _*)
+  }
+
+  /** PUBLIC API — connected components over an undirected edge list.
+    * Input: columns `a`, `b` (one row per pair). Output: `(id, cluster_id)`
+    * for every node that appears in any pair, labeled by its component's
+    * minimum id. Iterative min-label propagation with pointer jumping
+    * (O(log diameter) rounds); each round is one equi-join + min-aggregate
+    * with localCheckpoint'd lineage, the driver does control flow only
+    * (one convergence count per round), and the previous round's blocks
+    * are freed as soon as the next is materialized. The returned frame is
+    * checkpoint-backed — callers that reduce it to something small should
+    * release it with `GraftDataset.freeLocalCheckpoint` when done. (On a
+    * production cluster prefer reliable checkpoint() to survive executor
+    * loss.) */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val p = pairs.select(col("a"), col("b"))
+    val edges = p.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(p.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true)
+    // seed with min(id, min neighbor) — the first propagation round fused
+    // into initialization as one aggregate (edges are symmetric, so every
+    // node appears as src): same fixpoint, one fewer join+count round
+    var labels = edges.groupBy("src").agg(min("dst").as("nmin"))
+      .select(col("src").as("id"),
+        least(col("src"), col("nmin")).as("label"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      // min over neighbors' labels (one equi-join + partial-min agg) ...
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
+        .groupBy(col("src").as("id")).agg(min("nl").as("nmin"))
+      // ... plus pointer jumping — label(label(x)) — so convergence takes
+      // O(log diameter) rounds instead of O(diameter) on similarity chains
+      val jump = labels
+        .join(labels.select(col("id").as("label"), col("label").as("jl")),
+          Seq("label"), "left")
+      // carry the previous label through as `old` so the convergence
+      // check reads the checkpointed result directly — no extra
+      // join-with-labels job per round
+      val next = jump
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label")),
+            coalesce(col("jl"), col("label"))).as("label"),
+          col("label").as("old"))
+        .localCheckpoint(true)
+      changed = next.filter(col("label") =!= col("old")).count()
+      // the previous round's checkpoint blocks are dead once `next` is
+      // materialized and compared — free them now instead of letting one
+      // generation per round pile up in block-manager storage
+      // (Dataset.unpersist can't: these are RDD blocks behind a
+      // LogicalRDD, not CacheManager entries)
+      org.apache.spark.sql.graftshim.GraftDataset.freeLocalCheckpoint(labels)
+      labels = next
+    }
+    org.apache.spark.sql.graftshim.GraftDataset.freeLocalCheckpoint(edges)
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: hash-groupBy on content digest, keep lowest id.
     "q_dedup_exact" -> ((s, d) =>
@@ -278,60 +348,14 @@ object Dedup {
         .join(sizes.as("zb"), col("b") === col("zb.doc_id"))
         .filter(col("ni").cast("double") / (col("za.n") + col("zb.n") - col("ni")) >= 0.5)
         .select("a", "b")
-      // localCheckpoint truncates the lineage: the loop's plans reference a
-      // materialized block scan instead of re-optimizing (and re-running)
-      // the whole verified-pairs chain every round — the standard shape for
-      // iterative DataFrame algorithms. (On a production cluster prefer
-      // reliable checkpoint() to survive executor loss.)
-      val edges = p.select(col("a").as("src"), col("b").as("dst"))
-        .unionByName(p.select(col("b").as("src"), col("a").as("dst")))
-        .localCheckpoint(true)
-      // seed with min(id, min neighbor) — the first propagation round fused
-      // into initialization as one aggregate (edges are symmetric, so every
-      // node appears as src): same fixpoint, one fewer join+count round
-      var labels = edges.groupBy("src").agg(min("dst").as("nmin"))
-        .select(col("src").as("id"),
-          least(col("src"), col("nmin")).as("label"))
-        .localCheckpoint(true)
-      var changed = 1L
-      while (changed > 0) {
-        // min over neighbors' labels (one equi-join + partial-min agg) ...
-        val neighborMin = edges
-          .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
-          .groupBy(col("src").as("id")).agg(min("nl").as("nmin"))
-        // ... plus pointer jumping — label(label(x)) — so convergence takes
-        // O(log diameter) rounds instead of O(diameter) on similarity chains
-        val jump = labels
-          .join(labels.select(col("id").as("label"), col("label").as("jl")),
-            Seq("label"), "left")
-        // carry the previous label through as `old` so the convergence
-        // check reads the checkpointed result directly — no extra
-        // join-with-labels job per round
-        val next = jump
-          .join(neighborMin, Seq("id"), "left")
-          .select(col("id"),
-            least(col("label"), coalesce(col("nmin"), col("label")),
-              coalesce(col("jl"), col("label"))).as("label"),
-            col("label").as("old"))
-          .localCheckpoint(true)
-        changed = next.filter(col("label") =!= col("old")).count()
-        // the previous round's checkpoint blocks are dead once `next` is
-        // materialized and compared — free them now instead of letting one
-        // generation per round pile up in block-manager storage for the
-        // life of the session (Dataset.unpersist can't: these are RDD
-        // blocks behind a LogicalRDD, not CacheManager entries)
-        org.apache.spark.sql.graftshim.GraftDataset.freeLocalCheckpoint(labels)
-        labels = next
-      }
-      // materialize the (tiny) result eagerly so the loop's working state
+      val comps = connectedComponents(p)
+      // materialize the (tiny) rollup eagerly so the loop's working state
       // can be released before returning
-      val out = labels.groupBy("label")
+      val out = comps.groupBy("cluster_id")
         .agg(count(lit(1)).as("n_members"))
-        .select(col("label").as("cluster_id"), col("n_members"))
         .orderBy("cluster_id")
         .localCheckpoint(true)
-      org.apache.spark.sql.graftshim.GraftDataset.freeLocalCheckpoint(labels)
-      org.apache.spark.sql.graftshim.GraftDataset.freeLocalCheckpoint(edges)
+      org.apache.spark.sql.graftshim.GraftDataset.freeLocalCheckpoint(comps)
       out
     }),
 
@@ -352,14 +376,9 @@ object Dedup {
             lit("mutated").as("source")))
       val quality = corpus0.filter(length(col("text")) >= 50 &&
         expr("size(filter(split(text, ' '), x -> length(x) > 0))") >= 10)
-      // keep-first exact dedup as a map-side-combined struct-min aggregate
-      // (doc_id leads the struct, so min = lowest id's whole row) — no
-      // sort, no window, one narrow shuffle on the content hash
-      val exact = quality
-        .groupBy(md5(col("text")).as("h"))
-        .agg(min(struct(col("doc_id"), col("text"), col("source"))).as("m"))
-        .select(col("m.doc_id").as("doc_id"), col("m.text").as("text"),
-          col("m.source").as("source"))
+      // keep-first exact dedup (public exactDedup: struct-min keyed on the
+      // content hash; doc_id leads the frame, so min = lowest id's row)
+      val exact = exactDedup(quality, "text")
       // ONE distinct shingle set serves both the signature chain and the
       // Jaccard verifier (identical subtrees → exchange reuse), since min
       // over distinct shingles equals min over the raw stream

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The reusable DataFrame-in/DataFrame-out surface: the registered queries
+  * exercise these against the driver tables, but a library user calls them
+  * on their own frames — pin that contract directly on hand-built data. */
+class ApiSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connectedComponents labels a known graph by component minimum") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 23L)).toDF("a", "b")
+    val got = ops.Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+  }
+
+  test("connectedComponents converges on a long chain (pointer jumping)") {
+    val n = 64
+    val pairs = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("a", "b")
+    val got = ops.Dedup.connectedComponents(pairs).collect()
+    assert(got.length == n && got.forall(_.getLong(1) == 1L),
+      "a 64-node chain is one component labeled by its minimum")
+  }
+
+  test("exactDedup keeps the lowest-leading-column row per content value") {
+    val df = Seq((5L, "x", "s2"), (1L, "x", "s1"), (3L, "y", "s3"),
+      (2L, "y", "s0")).toDF("id", "text", "src")
+    val got = ops.Dedup.exactDedup(df, "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set((1L, "x", "s1"), (2L, "y", "s0")))
+  }
+
+  test("redactPii counts and scrubs on arbitrary frames") {
+    val df = Seq((1L, "mail me at a.b@x.io or call 415-555-0199"),
+      (2L, "see https://ex.org/a and b@y.co")).toDF("id", "txt")
+    val out = ops.Curation.redactPii(df, "txt").orderBy("id").collect()
+    assert(out(0).getAs[Int]("n_emails") == 1 && out(0).getAs[Int]("n_phones") == 1)
+    assert(out(1).getAs[Int]("n_urls") == 1 && out(1).getAs[Int]("n_emails") == 1)
+    assert(out.forall(r => !r.getAs[String]("redacted").contains("@")))
+    assert(out(0).getAs[String]("redacted").contains("<PHONE>"))
+  }
+
+  test("stratifiedSplit is total, three-way, and train-heavy") {
+    val df = spark.range(1000).toDF("id")
+    val counts = ops.Curation.stratifiedSplit(df, "id").groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == 1000L)
+    assert(counts("train") > counts("val") && counts("train") > counts("test"))
+  }
+}
