@@ -176,6 +176,29 @@ object Curation {
         .orderBy("source")
     }),
 
+    // Sequence packing — the pre-training batching step: greedily pack
+    // documents into fixed token-budget sequences (budget 2048). Exact
+    // greedy packing is inherently sequential, so the scalable form
+    // shards by hash bucket first and packs greedily WITHIN buckets: the
+    // running token sum is a window partitioned by bucket (high
+    // cardinality — set buckets ∝ cluster parallelism at scale), and the
+    // pack id is the budget quotient of the tokens before each doc.
+    // Deterministic: bucket and order derive from doc_id only.
+    "q_pack_sequences" -> ((s, d) => {
+      val w = Window.partitionBy("bucket").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .select(col("doc_id"), (col("doc_id") % 16).as("bucket"),
+          expr("size(filter(split(text, '[^a-zA-Z0-9]+'), x -> length(x) > 0))")
+            .cast("long").as("n_tokens"))
+        .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+        .withColumn("pack_id",
+          floor(col("cum_before").cast("double") / 2048.0).cast("long"))
+        .groupBy("bucket", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("pack_tokens"))
+        .orderBy("bucket", "pack_id")
+    }),
+
     // Per-document term salience (tf-idf shape, log-free rational idf —
     // see class note): top-3 terms per doc by cnt·N/(words·df), ties to
     // the lexicographically first term. Explode → two partial+final
@@ -253,6 +276,16 @@ object Curation {
         "SELECT source, n_before, n_after, " +
         "round(CAST(n_after AS DOUBLE) / n_before, 4) AS kept_frac " +
         "FROM kept ORDER BY source"),
+    "q_pack_sequences" ->
+      ("WITH t AS (SELECT doc_id, doc_id % 16 AS bucket, " +
+        "CAST(len(list_filter(str_split_regex(text, '[^a-zA-Z0-9]+'), x -> length(x) > 0)) AS BIGINT) AS n_tokens " +
+        "FROM documents), " +
+        "c AS (SELECT doc_id, bucket, n_tokens, " +
+        "coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM t) " +
+        "SELECT bucket, CAST(floor(CAST(cum_before AS DOUBLE) / 2048.0) AS BIGINT) AS pack_id, " +
+        "count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens " +
+        "FROM c GROUP BY bucket, pack_id ORDER BY bucket, pack_id"),
     "q_tfidf" ->
       ("WITH terms AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS term FROM documents), " +
         "tc AS (SELECT doc_id, term, count(*) AS cnt FROM terms GROUP BY doc_id, term), " +

@@ -202,6 +202,17 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("pack_sequences: conserves tokens, packs bounded by budget + one doc") {
+    val toks = Tables.documents(spark, sf)
+      .select(expr("CAST(size(filter(split(text, '[^a-zA-Z0-9]+'), x -> length(x) > 0)) AS LONG)").as("n"))
+    val total = toks.agg(sum("n")).head.getLong(0)
+    val maxDoc = toks.agg(max("n")).head.getLong(0)
+    val packs = q("q_pack_sequences").collect()
+    assert(packs.map(_.getLong(3)).sum == total, "every token lands in exactly one pack")
+    assert(packs.forall(_.getLong(3) <= 2048 + maxDoc),
+      "a pack holds at most the budget plus the one straddling document")
+  }
+
   test("tfidf: top-3 per doc, ranks 1..k, positive scores") {
     val rows = q("q_tfidf").collect()
     val byDoc = rows.groupBy(_.getLong(0))
