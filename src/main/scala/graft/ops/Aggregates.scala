@@ -73,6 +73,26 @@ object Aggregates {
           round(expr("percentile(l_quantity, 0.75)"), 4).as("q3"))
         .orderBy("l_returnflag")),
 
+    // Quantiles, scale path: exact `percentile` buffers every group value
+    // in one aggregation buffer — fine per-group here, fatal on a 100 TB
+    // group. approx_percentile (t-digest-like sketch, bounded memory,
+    // map-side combined) is the at-scale API; sketches differ across
+    // engines, so this is a SELF-VERDICT query (like q_approx_distinct):
+    // the Spark side compares its own sketch against the exact value at
+    // accuracy 10000 (max rank error n/10000 ⇒ well under 2% here) and
+    // the oracle asserts every group's verdict plus the exact medians.
+    "q_quantile_approx" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(expr("approx_percentile(l_quantity, 0.5, 10000)").as("approx_med"),
+          expr("percentile(l_quantity, 0.5)").as("exact_med"))
+        .select(col("l_returnflag"),
+          round(col("exact_med"), 4).as("exact_med"),
+          (abs(col("approx_med") - col("exact_med"))
+            <= greatest(col("exact_med") * 0.02, lit(1.0)))
+            .cast("int").as("within_2pct"))
+        .orderBy("l_returnflag")),
+
     // Sample std/var/cov (polars default ddof=1 → *_samp).
     "q_stats_spread" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -226,6 +246,9 @@ object Aggregates {
       ("SELECT l_returnflag, count(*) AS n, " +
         "round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q_quantile_approx" ->
+      ("SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 4) AS exact_med, " +
+        "1 AS within_2pct FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "q_quantile" ->
       ("SELECT l_returnflag, round(quantile_cont(l_quantity, 0.25), 4) AS q1, " +
         "round(quantile_cont(l_quantity, 0.5), 4) AS med, " +
