@@ -25,13 +25,30 @@ object Bench {
       catch { case _: Throwable => }
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // each dedup query pays for its own shared stages — no timing rides
-      // on another query's persisted shingle/candidate caches
+    // Release anything a previous query left in executor storage so no
+    // timing pays another query's residue: persisted dedup stages (their
+    // own memo-aware clear), cached tables, and any still-registered RDD
+    // blocks (spark.ml fit internals, leaked localCheckpoint generations).
+    def clearResidue(): Unit = {
       ops.Dedup.clearCaches()
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+
+    // min of 2 isolated runs per query: each run rebuilds its own caches
+    // (clearResidue between runs), and the min discards transient host
+    // contention / GC pauses — the round-3 bench recorded 2-10× inflation
+    // on ~30 UNCHANGED queries purely from driver-host load, which
+    // single-shot timing cannot distinguish from a plan regression.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val times = (1 to 2).map { _ =>
+        clearResidue()
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -30,6 +30,32 @@ object Curation {
   private val urlRe = "https?://[A-Za-z0-9./_-]+"
   private val phoneRe = "\\d{3}-\\d{3}-\\d{4}"
 
+  /** Size of the broadcast vocabulary head for term-keyed joins. Term
+    * frequency is Zipfian: the top few thousand terms carry most of the
+    * token mass, so shuffling rows by raw term routes a huge share of the
+    * corpus to a handful of tasks. Joining the head against a broadcast
+    * and shuffling only the tail bounds every shuffled key's row count by
+    * the head's K-th frequency. 4096 × ~a-few-hundred-bytes is a trivial
+    * broadcast; at 100 TB raise toward 64K — still megabytes. */
+  private val zipfHeadK = 4096
+
+  /** Skew-safe join of `rows` against a (key, count) table: broadcast-join
+    * the top-`zipfHeadK` keys by count (the Zipf head), shuffle-join only
+    * the residual tail. Output = rows ⋈ counts with the count column
+    * appended, exactly as a plain inner equi-join would produce (every key
+    * in `rows` exists in `counts` by construction — the counts are
+    * aggregated from the same rows). The two branches under the union share
+    * the `rows` aggregate subtree via exchange reuse. */
+  private def zipfJoin(rows: org.apache.spark.sql.DataFrame,
+      counts: org.apache.spark.sql.DataFrame, key: String): org.apache.spark.sql.DataFrame = {
+    val cntCol = counts.columns.filter(_ != key).head
+    val head = counts.orderBy(desc(cntCol), asc(key)).limit(zipfHeadK)
+    val withHead = rows.join(broadcast(head), Seq(key), "left")
+    withHead.filter(col(cntCol).isNotNull)
+      .unionByName(withHead.filter(col(cntCol).isNull).drop(cntCol)
+        .join(counts, Seq(key)))
+  }
+
   /** 3-word shingles, distinct per doc — same construction as the dedup
     * chain, over the raw documents table. */
   private val duckDocShingles =
@@ -53,6 +79,33 @@ object Curation {
             regexp_replace(col(textCol), emailRe, "<EMAIL>"),
             urlRe, "<URL>"),
           phoneRe, "<PHONE>"))
+
+  /** PUBLIC API — greedy sequence packing, the pre-training batching step:
+    * pack items into fixed token-budget sequences. Exact greedy packing is
+    * inherently sequential, so the scalable form shards by id residue and
+    * packs greedily WITHIN shards: the running token sum is a window
+    * partitioned by bucket, and the pack id is the budget quotient of the
+    * tokens before each item. `buckets` bounds the parallelism — it
+    * defaults to the session's shuffle parallelism so the window stage
+    * scales with the cluster instead of capping at a constant. Output:
+    * (bucket, pack_id, n_docs, pack_tokens); deterministic given
+    * (idCol, tokenCol). */
+  def packSequences(df: org.apache.spark.sql.DataFrame, idCol: String,
+      tokenCol: String, budget: Long = 2048L,
+      buckets: Int = 0): org.apache.spark.sql.DataFrame = {
+    val b = if (buckets > 0) buckets
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val w = Window.partitionBy("bucket").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(idCol),
+        pmod(col(idCol).cast("long"), lit(b.toLong)).as("bucket"),
+        col(tokenCol).cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("pack_id",
+        floor(col("cum_before").cast("double") / budget.toDouble).cast("long"))
+      .groupBy("bucket", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("pack_tokens"))
+  }
 
   /** PUBLIC API — deterministic train/val/test membership (12/2/2
     * sixteenths) from the first hex digit of md5(`idCol`): appends a
@@ -129,22 +182,28 @@ object Curation {
     // Unigram LM quality score — the cheap stand-in for "filter by language
     // model perplexity", the classic curation heuristic: per-doc mean
     // negative log-probability of its tokens under the corpus unigram
-    // distribution. High = unusual/garbled text. Corpus term counts are a
-    // partial+final aggregate; the total is a 1-row broadcast; the per-doc
-    // rollup keys on doc_id. ln() is transcendental, so the output rounds
-    // to 4dp with a structurally identical expression in both dialects
-    // (same precedent as q_cumprod's exp∘Σln).
+    // distribution. High = unusual/garbled text. Skew design: the join
+    // against corpus term counts never sees token-level rows (they
+    // pre-aggregate to (doc, term, tf) on a high-cardinality compound key)
+    // and never shuffles the Zipf head ("the" alone would route a few
+    // percent of all rows to one task) — zipfJoin broadcasts the head,
+    // shuffles only the bounded-frequency tail. avg over tokens becomes the
+    // tf-weighted mean Σ tf·nll / Σ tf — identical value, and the 4dp round
+    // absorbs summation-order ulps exactly as it already must across
+    // engines (same precedent as q_cumprod's exp∘Σln).
     "q_perplexity" -> ((s, d) => {
       val terms = Tables.documents(s, d)
         .select(col("doc_id"),
           explode(expr("filter(split(text, ' '), x -> length(x) > 0)")).as("term"))
-      val termCounts = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
-      val total = terms.agg(count(lit(1)).as("t"))
-      terms.join(termCounts, "term")
+      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val termCounts = tf.groupBy("term").agg(sum("tf").as("cnt"))
+      val total = termCounts.agg(sum("cnt").as("t"))
+      zipfJoin(tf, termCounts, "term")
         .crossJoin(broadcast(total))
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"),
-          round(avg(-log(col("cnt").cast("double") / col("t"))), 4)
+        .agg(sum("tf").as("n_tokens"),
+          round(sum(col("tf").cast("double") *
+              -log(col("cnt").cast("double") / col("t"))) / sum("tf"), 4)
             .as("avg_nll"))
         .orderBy("doc_id")
     }),
@@ -176,33 +235,26 @@ object Curation {
         .orderBy("source")
     }),
 
-    // Sequence packing — the pre-training batching step: greedily pack
-    // documents into fixed token-budget sequences (budget 2048). Exact
-    // greedy packing is inherently sequential, so the scalable form
-    // shards by hash bucket first and packs greedily WITHIN buckets: the
-    // running token sum is a window partitioned by bucket (high
-    // cardinality — set buckets ∝ cluster parallelism at scale), and the
-    // pack id is the budget quotient of the tokens before each doc.
-    // Deterministic: bucket and order derive from doc_id only.
-    "q_pack_sequences" -> ((s, d) => {
-      val w = Window.partitionBy("bucket").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      Tables.documents(s, d)
-        .select(col("doc_id"), (col("doc_id") % 16).as("bucket"),
+    // Sequence packing via the public packSequences (budget 2048). The qid
+    // pins buckets=16 for oracle parity; library callers get the
+    // cluster-proportional default (shuffle parallelism), so the window
+    // stage is never capped at a constant task count at scale.
+    "q_pack_sequences" -> ((s, d) =>
+      packSequences(
+        Tables.documents(s, d).select(col("doc_id"),
           expr("size(filter(split(text, '[^a-zA-Z0-9]+'), x -> length(x) > 0))")
-            .cast("long").as("n_tokens"))
-        .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
-        .withColumn("pack_id",
-          floor(col("cum_before").cast("double") / 2048.0).cast("long"))
-        .groupBy("bucket", "pack_id")
-        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("pack_tokens"))
-        .orderBy("bucket", "pack_id")
-    }),
+            .as("n_tokens")),
+        "doc_id", "n_tokens", 2048L, 16)
+        .orderBy("bucket", "pack_id")),
 
     // Per-document term salience (tf-idf shape, log-free rational idf —
     // see class note): top-3 terms per doc by cnt·N/(words·df), ties to
     // the lexicographically first term. Explode → two partial+final
-    // aggregates → broadcast joins → one window on doc_id.
+    // aggregates → joins → one window on doc_id. The document-frequency
+    // join keys on `term` over (doc,term)-distinct rows — milder than
+    // token-level but still Zipf-headed (stopwords appear in nearly every
+    // doc), so it goes through the same broadcast-head/shuffled-tail
+    // zipfJoin; the doc_id-keyed join is high-cardinality and safe.
     "q_tfidf" -> ((s, d) => {
       val terms = Tables.documents(s, d)
         .select(col("doc_id"),
@@ -213,9 +265,8 @@ object Curation {
       val docFreq = termCounts.groupBy("term").agg(count(lit(1)).as("df"))
       val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("term"))
-      termCounts
+      zipfJoin(termCounts, docFreq, "term")
         .join(docWords, "doc_id")
-        .join(docFreq, "term")
         .crossJoin(broadcast(nDocs))
         .withColumn("score",
           (col("cnt") * col("n_docs")) / (col("n_words") * col("df")))

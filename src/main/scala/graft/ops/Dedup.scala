@@ -126,18 +126,47 @@ object Dedup {
       s"SELECT doc_id, $b AS band, md5(s${2 * b} || s${2 * b + 1}) AS bkey FROM sig")
       .mkString(" UNION ALL ") + ")"
 
+  /** Hot-bucket cap for LSH pair expansion. "Buckets stay tiny" holds for
+    * organic text but NOT for mass-duplicated boilerplate — the #1
+    * real-world dedup input — where one (band, bkey) can collect millions
+    * of docs and its pair expansion is O(k²) in a single task. Buckets
+    * larger than this are dropped: exact dedup upstream already collapses
+    * identical docs, so a bucket this big is a boilerplate cluster every
+    * member of which collides with the others in EVERY band — dropping the
+    * pathological expansion loses no usable near-dup signal. Observable via
+    * [[oversizedBuckets]]. */
+  private[graft] val defaultMaxBucket = 512
+
+  /** Diagnostic twin of [[candidatePairs]]: the (band, bkey, size) of
+    * buckets the cap would drop. At scale, count/log this per dedup run
+    * (it is a bucket-level aggregate — tiny) so silent truncation is
+    * visible in pipeline telemetry. */
+  private[graft] def oversizedBuckets(bands: DataFrame,
+      maxBucket: Int = defaultMaxBucket): DataFrame =
+    bands.groupBy("band", "bkey").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > maxBucket)
+
   /** Pairs of doc_ids sharing a band bucket. A groupBy + in-bucket pair
     * expansion instead of a self-join: one pass over the signature subtree
-    * (a self-join would evaluate the whole shingle→signature chain twice)
-    * and bucket membership lists stay tiny by construction. */
-  private def candidatePairs(bands: DataFrame): DataFrame =
-    bands.groupBy("band", "bkey")
+    * (a self-join would evaluate the whole shingle→signature chain twice).
+    * The bucket-size gate runs BEFORE collect_list — a count aggregate plus
+    * a join-back on (band, bkey), both landing on the same exchange as the
+    * collect (one shuffle total via exchange reuse) — so a degenerate hot
+    * bucket never materializes a multi-million-entry aggregation buffer,
+    * let alone its O(k²) pair expansion. */
+  private[graft] def candidatePairs(bands: DataFrame,
+      maxBucket: Int = defaultMaxBucket): DataFrame = {
+    val keep = bands.groupBy("band", "bkey").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz").between(2, maxBucket))
+      .select("band", "bkey")
+    bands.join(keep, Seq("band", "bkey"))
+      .groupBy("band", "bkey")
       .agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) > 1)
       .select(explode(expr(
         "filter(flatten(transform(ids, x -> transform(ids, y -> struct(x AS a, y AS b)))), p -> p.a < p.b)"))
         .as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b")).distinct()
+  }
 
   /** Full banding pipeline, memoized: the candidate set is consumed by both
     * the minhash query and the Jaccard verifier. */
@@ -217,21 +246,37 @@ object Dedup {
     * (one convergence count per round), and the previous round's blocks
     * are freed as soon as the next is materialized. The returned frame is
     * checkpoint-backed — callers that reduce it to something small should
-    * release it with `GraftDataset.freeLocalCheckpoint` when done. (On a
-    * production cluster prefer reliable checkpoint() to survive executor
-    * loss.) */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
+    * release it with `GraftDataset.freeLocalCheckpoint` when done.
+    *
+    * `checkpointDir`: None (default) uses executor-local checkpoints —
+    * fastest, but a lost executor loses its blocks and fails the job. On a
+    * production cluster pass Some(dir) with a shared filesystem (HDFS/
+    * object store) path: each round then snapshots to RELIABLE storage via
+    * `checkpoint()`, so the iteration survives executor loss. The caller
+    * owns the directory's lifecycle (delete it after the result is
+    * consumed); Spark can also reap it via
+    * `spark.cleaner.referenceTracking.cleanCheckpoints`. */
+  def connectedComponents(pairs: DataFrame,
+      checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def cp(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(true)
+    // local-checkpoint blocks pile up in block-manager storage unless
+    // freed per generation; reliable checkpoints live in files the caller
+    // owns, and their RDDs hold no block-manager storage to release
+    def free(df: DataFrame): Unit =
+      if (checkpointDir.isEmpty)
+        org.apache.spark.sql.graftshim.GraftDataset.freeLocalCheckpoint(df)
     val p = pairs.select(col("a"), col("b"))
-    val edges = p.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(p.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint(true)
+    val edges = cp(p.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(p.select(col("b").as("src"), col("a").as("dst"))))
     // seed with min(id, min neighbor) — the first propagation round fused
     // into initialization as one aggregate (edges are symmetric, so every
     // node appears as src): same fixpoint, one fewer join+count round
-    var labels = edges.groupBy("src").agg(min("dst").as("nmin"))
+    var labels = cp(edges.groupBy("src").agg(min("dst").as("nmin"))
       .select(col("src").as("id"),
-        least(col("src"), col("nmin")).as("label"))
-      .localCheckpoint(true)
+        least(col("src"), col("nmin")).as("label")))
     var changed = 1L
     while (changed > 0) {
       // min over neighbors' labels (one equi-join + partial-min agg) ...
@@ -246,23 +291,22 @@ object Dedup {
       // carry the previous label through as `old` so the convergence
       // check reads the checkpointed result directly — no extra
       // join-with-labels job per round
-      val next = jump
+      val next = cp(jump
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nmin"), col("label")),
             coalesce(col("jl"), col("label"))).as("label"),
-          col("label").as("old"))
-        .localCheckpoint(true)
+          col("label").as("old")))
       changed = next.filter(col("label") =!= col("old")).count()
       // the previous round's checkpoint blocks are dead once `next` is
       // materialized and compared — free them now instead of letting one
       // generation per round pile up in block-manager storage
       // (Dataset.unpersist can't: these are RDD blocks behind a
       // LogicalRDD, not CacheManager entries)
-      org.apache.spark.sql.graftshim.GraftDataset.freeLocalCheckpoint(labels)
+      free(labels)
       labels = next
     }
-    org.apache.spark.sql.graftshim.GraftDataset.freeLocalCheckpoint(edges)
+    free(edges)
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 

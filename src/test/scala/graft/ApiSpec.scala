@@ -25,6 +25,54 @@ class ApiSpec extends SparkSpec {
       "a 64-node chain is one component labeled by its minimum")
   }
 
+  test("connectedComponents with a reliable checkpoint dir matches local mode") {
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "ccdir").toString
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+      val got = ops.Dedup.connectedComponents(pairs, Some(dir)).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+      assert(new java.io.File(dir).listFiles().nonEmpty,
+        "reliable mode must actually snapshot rounds into the caller's dir")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("candidatePairs drops degenerate hot buckets but keeps organic ones") {
+    // one boilerplate bucket with 1000 members (O(k²) = 499,500 pairs if
+    // expanded) + two organic near-dup buckets; the cap must bound the
+    // output to the organic pairs only
+    val hot = (1 to 1000).map(i => (i.toLong, 0, "hotkey"))
+    val organic = Seq((2001L, 1, "k1"), (2002L, 1, "k1"),
+      (3001L, 2, "k2"), (3002L, 2, "k2"), (3003L, 2, "k2"))
+    val bands = (hot ++ organic).toDF("doc_id", "band", "bkey")
+    val pairs = ops.Dedup.candidatePairs(bands, maxBucket = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((2001L, 2002L), (3001L, 3002L), (3001L, 3003L),
+      (3002L, 3003L)), s"hot bucket must not contribute pairs: $pairs")
+    val dropped = ops.Dedup.oversizedBuckets(bands, 64).collect()
+    assert(dropped.length == 1 && dropped.head.getAs[Long]("bsz") == 1000L,
+      "the dropped bucket must be observable for telemetry")
+  }
+
+  test("packSequences shards by the requested bucket count and conserves mass") {
+    val df = spark.range(500).toDF("id")
+      .withColumn("toks", col("id") % 300 + 1)
+    val out = ops.Curation.packSequences(df, "id", "toks", 1000L, 8)
+    assert(out.select("bucket").distinct().count() == 8L)
+    val agg = out.agg(sum("n_docs"), sum("pack_tokens")).head
+    assert(agg.getLong(0) == 500L)
+    assert(agg.getLong(1) == df.agg(sum("toks")).head.getLong(0))
+    // the default bucket count follows the session's shuffle parallelism —
+    // the window stage scales with the cluster instead of a constant
+    val defBuckets = ops.Curation.packSequences(df, "id", "toks", 1000L)
+      .select("bucket").distinct().count()
+    assert(defBuckets ==
+      math.min(spark.sessionState.conf.numShufflePartitions, 500))
+  }
+
   test("exactDedup keeps the lowest-leading-column row per content value") {
     val df = Seq((5L, "x", "s2"), (1L, "x", "s1"), (3L, "y", "s3"),
       (2L, "y", "s0")).toDF("id", "text", "src")

@@ -23,6 +23,8 @@ class InvarianceSpec extends SparkSpec {
     "q_dedup_clusters",   // iterative min-label connected components
     "q_contamination",    // broadcast benchmark-shingle join
     "q_tfidf",            // two-level aggregates + per-doc rank window
+    "q_perplexity",       // zipf head/tail union + tf-weighted rounded mean
+    "q_pack_sequences",   // bucketed running-sum packing
     "q_split_stratified", // hash-membership split (must not depend on layout)
     "q_source_balance")   // hash-threshold downsampling (exact-int counts)
 

@@ -160,6 +160,49 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_perplexity/q_tfidf: the Zipf vocabulary head joins as a broadcast") {
+    for (n <- Seq("q_perplexity", "q_tfidf")) {
+      val p = plan(n)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$n: head terms must broadcast-join so Zipf-hot keys never shuffle:\n$p")
+    }
+  }
+
+  // Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
+  // every entry must be a broadcast of a PROVABLY tiny side (a
+  // grouping-free aggregate = exactly one row, or a bounded literal/limit)
+  // — the justification is part of the contract.
+  private val bnljJustified: Map[String, String] = Map(
+    "q_perplexity" -> "1-row corpus-total aggregate broadcast",
+    "q_tfidf" -> "1-row doc-count aggregate broadcast",
+    "q_source_balance" -> "1-row min-source-count aggregate broadcast",
+    "q_ann_bruteforce" -> "bounded query-vector set broadcast (its own test)",
+    "q_ann_ivf" -> "bounded centroid-table broadcast",
+    "q_roc_binned" -> "1-row positive/negative-totals aggregate broadcast",
+    "q_roc" -> "1-row positive/negative-totals aggregate broadcast",
+    "q_sample" -> "1-row binomial-bounds verdict join",
+    "q_impute" -> "1-row global-mean aggregate broadcast",
+    "q_join_cross" -> "the operator IS a cross join of bounded dims",
+    "q_join_range" -> "pure theta join over the bounded nation dim"
+  )
+
+  test("sweep: no CartesianProduct anywhere; BNLJ only where justified") {
+    val withBnlj = scala.collection.mutable.Set.empty[String]
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val p = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"),
+        s"$name degenerates to an all-pairs CartesianProduct")
+      if (p.contains("BroadcastNestedLoopJoin")) withBnlj += name
+    }
+    val unjustified = withBnlj.toSet -- bnljJustified.keySet
+    // stale ledger entries are as much a failure as unjustified BNLJs: the
+    // justification list must exactly track reality
+    val stale = bnljJustified.keySet -- withBnlj
+    assert(unjustified.isEmpty && stale.isEmpty,
+      s"unjustified BNLJ: $unjustified; stale ledger entries: $stale; " +
+        s"actual BNLJ set: ${withBnlj.toSeq.sorted}")
+  }
+
   test("q_scan_parquet/q_project: no shuffle except the output sort") {
     for (n <- Seq("q_scan_parquet", "q_project")) {
       val p = plan(n)
