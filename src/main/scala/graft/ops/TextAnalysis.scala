@@ -86,7 +86,56 @@ object TextAnalysis {
           expr("greatest(length(text) - 3, 1)").as("n_shingles"),
           expr("array_min(transform(sequence(1, greatest(length(text) - 3, 1)), i -> md5(substring(text, i, 4))))")
             .as("fp"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Repetition quality signals (Gopher-style filters): fraction of
+    // repeated words and the share of word 2-grams claimed by the most
+    // frequent one — the classic detectors for degenerate/boilerplate text.
+    // Word stats are row-local; the top-bigram count is an explode →
+    // (doc, gram) partial+final aggregate → per-doc max, every key
+    // high-cardinality. Only the max COUNT is emitted (not the gram), so
+    // ties cannot make the result nondeterministic.
+    "q_repetition" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), expr(words).as("w"))
+      val stats = base.select(col("doc_id"),
+        size(col("w")).as("n_words"),
+        size(array_distinct(col("w"))).as("n_uniq_words"))
+      val grams = base.select(col("doc_id"),
+        explode(expr("transform(sequence(1, greatest(size(w) - 1, 1)), " +
+          "i -> concat_ws(' ', try_element_at(w, i), try_element_at(w, i + 1)))"))
+          .as("gram"))
+      val top = grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("top_bigram"))
+      stats.join(top, "doc_id")
+        .select(col("doc_id"), col("n_words"),
+          round(lit(1.0) - col("n_uniq_words").cast("double") / col("n_words"), 4)
+            .as("dup_word_frac"),
+          col("top_bigram"),
+          round(col("top_bigram").cast("double") /
+            greatest(col("n_words") - 1, lit(1)), 4).as("top_bigram_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // Character-trigram Shannon entropy per doc — low entropy flags
+    // repetitive/degenerate text, high entropy flags binary-ish noise;
+    // a standard cheap quality gate next to perplexity. Explode → (doc,
+    // gram) counts → per-doc fold: H = ln n − Σ c·ln c / n, rounded to 4dp
+    // (transcendental-sum precedent as q_perplexity).
+    "q_ngram_entropy" -> ((s, d) => {
+      val tri = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(expr("transform(sequence(1, greatest(length(text) - 2, 1)), " +
+            "i -> substring(text, i, 3))")).as("gram"))
+      tri.groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_grams"), count(lit(1)).as("n_uniq_grams"),
+          sum(col("c").cast("double") * log(col("c").cast("double"))).as("clc"))
+        .select(col("doc_id"), col("n_grams"), col("n_uniq_grams"),
+          round(log(col("n_grams").cast("double")) - col("clc") / col("n_grams"), 4)
+            .as("entropy"))
+        .orderBy("doc_id")
+    })
   )
 
   private val duckToks =
@@ -124,6 +173,26 @@ object TextAnalysis {
         "min(md5(substr(text, CAST(i AS INTEGER), 4))) AS fp FROM " +
         "(SELECT doc_id, text, CAST(greatest(length(text) - 3, 1) AS INTEGER) AS n_shingles, " +
         "unnest(generate_series(1, greatest(length(text) - 3, 1))) AS i FROM documents) " +
-        "GROUP BY doc_id, n_shingles ORDER BY doc_id")
+        "GROUP BY doc_id, n_shingles ORDER BY doc_id"),
+    "q_repetition" ->
+      (s"WITH base AS (SELECT doc_id, $duckWords AS w FROM documents), " +
+        "stats AS (SELECT doc_id, CAST(len(w) AS INTEGER) AS n_words, " +
+        "CAST(len(list_distinct(w)) AS INTEGER) AS n_uniq_words FROM base), " +
+        "grams AS (SELECT doc_id, concat_ws(' ', w[i], w[i + 1]) AS gram FROM " +
+        "(SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 1, 1))) AS i FROM base)), " +
+        "gc AS (SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY doc_id, gram), " +
+        "top AS (SELECT doc_id, max(c) AS top_bigram FROM gc GROUP BY doc_id) " +
+        "SELECT s.doc_id, s.n_words, " +
+        "round(1.0 - CAST(n_uniq_words AS DOUBLE) / n_words, 4) AS dup_word_frac, " +
+        "CAST(top_bigram AS BIGINT) AS top_bigram, " +
+        "round(CAST(top_bigram AS DOUBLE) / greatest(n_words - 1, 1), 4) AS top_bigram_frac " +
+        "FROM stats s JOIN top t ON s.doc_id = t.doc_id ORDER BY s.doc_id"),
+    "q_ngram_entropy" ->
+      ("WITH tri AS (SELECT doc_id, substr(text, CAST(i AS INTEGER), 3) AS gram FROM " +
+        "(SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 2, 1))) AS i FROM documents)), " +
+        "gc AS (SELECT doc_id, gram, count(*) AS c FROM tri GROUP BY doc_id, gram) " +
+        "SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams, count(*) AS n_uniq_grams, " +
+        "round(ln(CAST(sum(c) AS DOUBLE)) - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / sum(c), 4) AS entropy " +
+        "FROM gc GROUP BY doc_id ORDER BY doc_id")
   )
 }

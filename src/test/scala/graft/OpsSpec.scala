@@ -245,4 +245,25 @@ class OpsSpec extends SparkSpec {
     val preds = q("q_lang_id").select("pred").distinct().collect().map(_.getString(0)).toSet
     assert(preds.subsetOf(Set("de", "en", "es", "fr")))
   }
+
+  test("repetition signals stay in range across the corpus") {
+    val rows = q("q_repetition").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val dup = r.getAs[Double]("dup_word_frac")
+      val top = r.getAs[Double]("top_bigram_frac")
+      dup >= 0.0 && dup < 1.0 && top > 0.0 && top <= 1.0
+    })
+  }
+
+  test("ngram entropy is bounded by ln(n_grams) and low for repetitive text") {
+    val rows = q("q_ngram_entropy").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val h = r.getAs[Double]("entropy")
+      val n = r.getAs[Long]("n_grams")
+      // the query rounds to 4dp, so the ln(n) ceiling can overshoot by 5e-5
+      h >= 0.0 && h <= math.log(n.toDouble) + 5e-5
+    })
+  }
 }
