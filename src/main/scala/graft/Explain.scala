@@ -8,7 +8,11 @@ import org.apache.spark.sql.SparkSession
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = "/root/testdata/sf0.01"
-    val names = if (args.nonEmpty) args.toSeq
+    // -x: execute each query first, so AQE's FINAL plan prints (runtime
+    // stage reuse / skew splits are invisible in the static plan)
+    val execute = args.contains("-x")
+    val named = args.toSeq.filterNot(_ == "-x")
+    val names = if (named.nonEmpty) named
       else Seq("q_group_agg", "q_join_inner", "q_join_asof", "q_topk",
         "q_dedup_minhash", "q_ann_lsh", "q_window_tumbling", "q_rolling_mean")
     val spark = SparkSession.builder()
@@ -20,7 +24,11 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"\n===================== $n =====================")
-      println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      // collect() (not count()) — count plans a separate queryExecution,
+      // leaving THIS one un-finalized
+      if (execute) df.collect()
+      println(df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
     }
     spark.stop()

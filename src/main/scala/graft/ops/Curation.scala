@@ -45,7 +45,9 @@ object Curation {
     * appended, exactly as a plain inner equi-join would produce (every key
     * in `rows` exists in `counts` by construction — the counts are
     * aggregated from the same rows). The two branches under the union share
-    * the `rows` aggregate subtree via exchange reuse. */
+    * the `rows` aggregate subtree: AQE's runtime stage cache dedups the
+    * identical exchanges (verified: final plan has one scan, one `rows`
+    * shuffle, one `counts` shuffle, ReusedExchange elsewhere). */
   private def zipfJoin(rows: org.apache.spark.sql.DataFrame,
       counts: org.apache.spark.sql.DataFrame, key: String): org.apache.spark.sql.DataFrame = {
     val cntCol = counts.columns.filter(_ != key).head

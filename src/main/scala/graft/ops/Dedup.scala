@@ -168,6 +168,56 @@ object Dedup {
       .select(col("p.a").as("a"), col("p.b").as("b")).distinct()
   }
 
+  /** Exact Jaccard over banding candidates only: intersection counts come
+    * from the candidate←shingle equi-joins (never an all-pairs product),
+    * sizes from a per-doc aggregate. Returns (a, b, jaccard) UNROUNDED and
+    * UNFILTERED — callers apply their own threshold/rounding semantics.
+    * `sh` must be a distinct (doc_id, shingle) set; pass it persisted when
+    * the caller consumes it more than once. */
+  private def jaccardPairs(sh: DataFrame,
+      maxBucket: Int = defaultMaxBucket): DataFrame = {
+    val pairs = candidatePairs(bands(signatures(sh)), maxBucket)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        col("b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
+      .groupBy("a", "b").agg(count(lit(1)).as("ni"))
+    inter
+      .join(sizes.as("za"), col("a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("b") === col("zb.doc_id"))
+      .select(col("a"), col("b"),
+        (col("ni").cast("double") / (col("za.n") + col("zb.n") - col("ni")))
+          .as("jaccard"))
+  }
+
+  /** PUBLIC API — fuzzy (near-duplicate) dedup, the full pipeline a
+    * training-data run wants as one call: 3-word-shingle MinHash+LSH
+    * banding candidates → exact Jaccard ≥ `threshold` verification on
+    * candidates only → transitive clustering (A~B~C collapses even when A
+    * and C never collide) → keep the minimum-id member of every cluster.
+    * Returns `df` minus the dropped near-duplicates, schema unchanged.
+    * Scale shape: every stage is an equi-join or partial+final aggregate;
+    * the id column must be numeric and unique (run [[exactDedup]] first —
+    * it also removes the identical-doc mass that would otherwise flood
+    * LSH buckets; `maxBucket` then caps whatever boilerplate remains). */
+  def nearDedup(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, maxBucket: Int = defaultMaxBucket,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val corpus = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val sh = shinglesOf(corpus).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val verified = jaccardPairs(sh, maxBucket)
+      .filter(col("jaccard") >= threshold).select("a", "b")
+    // the component loop materializes eagerly, so `sh` can be released
+    // as soon as the drop list derives from the checkpoint-backed labels
+    val comps = connectedComponents(verified, checkpointDir)
+    val dropIds = comps.filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    sh.unpersist(blocking = false)
+    df.join(dropIds, Seq(idCol), "left_anti")
+  }
+
   /** Full banding pipeline, memoized: the candidate set is consumed by both
     * the minhash query and the Jaccard verifier. */
   private val pairsCache =
@@ -328,24 +378,11 @@ object Dedup {
     // the verifier joins against (min over distinct = min over raw), so
     // one explode+distinct serves the entire query instead of a second
     // raw explode just for signatures.
-    "q_dedup_ngram" -> ((s, d) => {
-      val sh = shingles(s, d)
-      val pairs = candidatePairs(bands(signatures(sh)))
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = pairs
-        .join(sh.as("sa"), col("a") === col("sa.doc_id"))
-        .join(sh.as("sb"),
-          col("b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
-        .groupBy("a", "b").agg(count(lit(1)).as("ni"))
-      inter
-        .join(sizes.as("za"), col("a") === col("za.doc_id"))
-        .join(sizes.as("zb"), col("b") === col("zb.doc_id"))
-        .select(col("a"), col("b"),
-          round(col("ni").cast("double") / (col("za.n") + col("zb.n") - col("ni")), 4)
-            .as("jaccard"))
+    "q_dedup_ngram" -> ((s, d) =>
+      jaccardPairs(shingles(s, d))
+        .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
-        .orderBy("a", "b")
-    }),
+        .orderBy("a", "b")),
 
     // SimHash: 16-bit row-local signature; bucket size flags near-dups.
     // Bucket size is a partial+final aggregate joined back on the
@@ -379,19 +416,8 @@ object Dedup {
     // driver loop is control flow only (one convergence count per round) —
     // the data never leaves the cluster.
     "q_dedup_clusters" -> ((s, d) => {
-      val sh = shingles(s, d)
-      val cand = candidatePairs(bands(signatures(sh)))
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = cand
-        .join(sh.as("sa"), col("a") === col("sa.doc_id"))
-        .join(sh.as("sb"),
-          col("b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
-        .groupBy("a", "b").agg(count(lit(1)).as("ni"))
-      val p = inter
-        .join(sizes.as("za"), col("a") === col("za.doc_id"))
-        .join(sizes.as("zb"), col("b") === col("zb.doc_id"))
-        .filter(col("ni").cast("double") / (col("za.n") + col("zb.n") - col("ni")) >= 0.5)
-        .select("a", "b")
+      val p = jaccardPairs(shingles(s, d))
+        .filter(col("jaccard") >= 0.5).select("a", "b")
       val comps = connectedComponents(p)
       // materialize the (tiny) rollup eagerly so the loop's working state
       // can be released before returning
@@ -427,17 +453,8 @@ object Dedup {
       // Jaccard verifier (identical subtrees → exchange reuse), since min
       // over distinct shingles equals min over the raw stream
       val sh = shinglesOf(exact).distinct()
-      val pairs = candidatePairs(bands(signatures(sh)))
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = pairs
-        .join(sh.as("sa"), col("a") === col("sa.doc_id"))
-        .join(sh.as("sb"),
-          col("b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
-        .groupBy("a", "b").agg(count(lit(1)).as("ni"))
-      val dropIds = inter
-        .join(sizes.as("za"), col("a") === col("za.doc_id"))
-        .join(sizes.as("zb"), col("b") === col("zb.doc_id"))
-        .filter(col("ni").cast("double") / (col("za.n") + col("zb.n") - col("ni")) >= 0.5)
+      val dropIds = jaccardPairs(sh)
+        .filter(col("jaccard") >= 0.5)
         .select(col("b").as("doc_id")).distinct()
       exact.join(dropIds, Seq("doc_id"), "left_anti")
         .groupBy("source")

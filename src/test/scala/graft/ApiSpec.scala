@@ -73,6 +73,20 @@ class ApiSpec extends SparkSpec {
       math.min(spark.sessionState.conf.numShufflePartitions, 500))
   }
 
+  test("nearDedup drops Jaccard-verified near-duplicates, keeps min id") {
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango"
+    val near = base.replace("tango", "zulu") // 17/19 shingle Jaccard ≈ 0.89
+    val other = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+    val df = Seq((1L, base, "s1"), (2L, near, "s2"), (3L, other, "s3"))
+      .toDF("id", "txt", "src")
+    val out = ops.Dedup.nearDedup(df, "id", "txt")
+    assert(out.columns.toSeq == Seq("id", "txt", "src"), "schema unchanged")
+    val kept = out.select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L), s"near-dup 2 must drop, unrelated 3 stay: $kept")
+  }
+
   test("exactDedup keeps the lowest-leading-column row per content value") {
     val df = Seq((5L, "x", "s2"), (1L, "x", "s1"), (3L, "y", "s3"),
       (2L, "y", "s0")).toDF("id", "text", "src")
