@@ -48,10 +48,11 @@ object Curation {
     * the `rows` aggregate subtree: AQE's runtime stage cache dedups the
     * identical exchanges (verified: final plan has one scan, one `rows`
     * shuffle, one `counts` shuffle, ReusedExchange elsewhere). */
-  private def zipfJoin(rows: org.apache.spark.sql.DataFrame,
-      counts: org.apache.spark.sql.DataFrame, key: String): org.apache.spark.sql.DataFrame = {
+  private[graft] def zipfJoin(rows: org.apache.spark.sql.DataFrame,
+      counts: org.apache.spark.sql.DataFrame, key: String,
+      headK: Int = zipfHeadK): org.apache.spark.sql.DataFrame = {
     val cntCol = counts.columns.filter(_ != key).head
-    val head = counts.orderBy(desc(cntCol), asc(key)).limit(zipfHeadK)
+    val head = counts.orderBy(desc(cntCol), asc(key)).limit(headK)
     val withHead = rows.join(broadcast(head), Seq(key), "left")
     withHead.filter(col(cntCol).isNotNull)
       .unionByName(withHead.filter(col(cntCol).isNull).drop(cntCol)

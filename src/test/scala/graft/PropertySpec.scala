@@ -77,6 +77,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("zipfJoin equals the plain inner join for every head size") {
+    // the corpus vocabulary is smaller than the default head, so the
+    // SHUFFLED-TAIL branch only ever runs here: force it with tiny headK
+    // values and require exact multiset equality with the naive join
+    import spark.implicits._
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 20), Gen.choose(0, 99)))) { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((k, v), i) => (s"k$k", i.toLong, v) }.toDF("term", "id", "v")
+      val counts = df.groupBy("term").agg(count(lit(1)).as("cnt"))
+      val expected = df.join(counts, Seq("term")).collect()
+        .map(_.toString).sorted.toSeq
+      for (headK <- Seq(1, 3, 1000)) {
+        val got = ops.Curation.zipfJoin(df, counts, "term", headK)
+          .select("term", "id", "v", "cnt").collect()
+          .map(_.toString).sorted.toSeq
+        assert(got == expected, s"headK=$headK diverges from the plain join")
+      }
+    }
+  }
+
   test("dot_f is symmetric and Cauchy-Schwarz-bounded on random float vectors") {
     import spark.implicits._
     graft.functions.FloatDotProduct.register(spark)
