@@ -160,6 +160,60 @@ class StreamingSpec extends SparkSpec {
     assert(streamedN == batchN && batchN > 0)
   }
 
+  test("cross-microbatch dedup: duplicates arriving in a LATER batch drop via state") {
+    // dedup-at-ingest, the streaming face of exactDedup: batch 2 replays
+    // copies of batch-1 documents, so the only way the output stays
+    // duplicate-free is the dropDuplicates state surviving the batch
+    // boundary — a single-batch replay cannot prove that.
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val raw = spark.read.schema(schema).parquet(s"$sf/documents.parquet")
+    val med = raw.agg(expr("percentile(doc_id, 0.5)")).head.getDouble(0)
+    val early = raw.filter(col("doc_id") < med)
+    val late = raw.filter(col("doc_id") >= med)
+      // planted cross-batch duplicates: every 7th early doc replayed late
+      .unionByName(early.filter(col("doc_id") % 7 === 0))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_xbatch")
+    def stage(part: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_dx_$name")
+      part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dst = dir.resolve(s"$name.parquet")
+      java.nio.file.Files.copy(f, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    stage(early, "0_early", 1000000L)
+    stage(late, "1_late", 2000000L)
+
+    val deduped = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      .withColumn("etime", lit("2024-01-01 00:00:00").cast("timestamp"))
+      .withColumn("h", md5(col("text")))
+      .withWatermark("etime", "1 hour")
+      .dropDuplicates("h", "etime")
+      .select("h")
+
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_xbatch_out").start()
+    try {
+      q.processAllAvailable()
+      assert(q.recentProgress.map(_.batchId).distinct.length >= 2,
+        "split input must actually produce multiple microbatches")
+    } finally q.stop()
+
+    val streamed = spark.table("dedup_xbatch_out")
+    val batchN = raw.select(md5(col("text"))).distinct().count()
+    assert(streamed.count() == batchN && batchN > 0,
+      "replayed docs must be suppressed by state, not re-emitted")
+    assert(streamed.distinct().count() == streamed.count(),
+      "no hash may be emitted twice across batches")
+  }
+
   test("incremental sessionization: state carries open sessions across microbatches") {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import spark.implicits._
