@@ -25,6 +25,8 @@ class InvarianceSpec extends SparkSpec {
     "q_tfidf",            // two-level aggregates + per-doc rank window
     "q_perplexity",       // zipf head/tail union + tf-weighted rounded mean
     "q_pack_sequences",   // bucketed running-sum packing
+    "q_repetition",       // per-doc max-count aggregate (tie-independent)
+    "q_ngram_entropy",    // double Σ c·ln c merge order under 4dp round
     "q_split_stratified", // hash-membership split (must not depend on layout)
     "q_source_balance")   // hash-threshold downsampling (exact-int counts)
 
