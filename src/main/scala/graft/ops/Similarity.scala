@@ -93,6 +93,29 @@ object Similarity {
       "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm " +
       "FROM embeddings)"
 
+  /** The first 16 corpus vectors as deterministic coarse centroids (a real
+    * index would k-means them — the bucketing mechanics are identical and
+    * this keeps a SQL oracle). */
+  private def ivfCents(n: DataFrame): DataFrame =
+    n.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("ec"),
+        col("nrm").as("nc"))
+
+  /** Nearest centroid by cosine, ties to the lowest centroid id — an
+    * argmin as a map-side-combined min(struct) aggregate (-csim sorts
+    * descending, cid breaks ties ascending): no sort, no window, one
+    * narrow shuffle keyed by vector id. */
+  private def ivfAssign(df: DataFrame, cents: DataFrame,
+      idCol: String): DataFrame =
+    df.crossJoin(broadcast(cents))
+      .withColumn("csim",
+        round(expr("dot_f(embedding, ec)") / (col("nrm") * col("nc")), 6))
+      .groupBy(idCol)
+      .agg(min(struct((-col("csim")).as("neg"), col("cid"),
+        col("embedding"), col("nrm"))).as("m"))
+      .select(col(idCol), col("m.embedding").as("embedding"),
+        col("m.nrm").as("nrm"), col("m.cid").as("cid"))
+
   val queries: Map[String, Q] = Map(
     // Brute-force cosine top-5 for each query vector (vec_id < 20): the
     // exact baseline every ANN variant is judged against.
@@ -141,26 +164,40 @@ object Similarity {
     // by cell — candidates cut ~K×, same shape as the LSH path.
     "q_ann_ivf" -> ((s, d) => {
       val n = normed(s, d)
-      val cents = n.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cid"), col("embedding").as("ec"),
-          col("nrm").as("nc"))
-      // nearest centroid by cosine, ties to the lowest centroid id — an
-      // argmin as a map-side-combined min(struct) aggregate (-csim sorts
-      // descending, cid breaks ties ascending): no sort, no window, one
-      // narrow shuffle keyed by vector id
-      def assign(df: DataFrame, idCol: String): DataFrame =
-        df.crossJoin(broadcast(cents))
-          .withColumn("csim",
-            round(expr(s"dot_f(embedding, ec)") / (col("nrm") * col("nc")), 6))
-          .groupBy(idCol)
-          .agg(min(struct((-col("csim")).as("neg"), col("cid"),
-            col("embedding"), col("nrm"))).as("m"))
-          .select(col(idCol), col("m.embedding").as("embedding"),
-            col("m.nrm").as("nrm"), col("m.cid").as("cid"))
-      val corpus = assign(n, "vec_id")
+      val corpus = ivfAssign(n, ivfCents(n), "vec_id")
         .select(col("vec_id").as("b"), col("embedding").as("eb"),
           col("nrm").as("nb"), col("cid"))
-      val queries = assign(n.filter(col("vec_id") < 30), "vec_id")
+      val queries = ivfAssign(n.filter(col("vec_id") < 30), ivfCents(n), "vec_id")
+        .select(col("vec_id").as("q"), col("embedding").as("eq"),
+          col("nrm").as("nq"), col("cid"))
+      val w = Window.partitionBy("q").orderBy(desc("cos"), asc("b"))
+      queries.join(corpus, Seq("cid")).filter(col("q") =!= col("b"))
+        .withColumn("cos", round(expr(sparkDot) / (col("nq") * col("nb")), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("q"), col("rank"), col("b").as("neighbor"), col("cos"))
+        .orderBy("q", "rank")
+    }),
+
+    // IVF with nprobe=2 — the standard recall knob: a query whose true
+    // neighbor lies just across a cell boundary finds it by searching its
+    // TWO nearest cells. Corpus vectors stay single-cell (index size
+    // unchanged); only the query side fans out ×2, via a row_number ≤ 2
+    // window over the 16 broadcast centroids (partitioned by query id —
+    // high cardinality, 16 rows per partition at any scale). Each (q, b)
+    // pair still matches at most once because b lives in exactly one cell.
+    "q_ann_ivf_probe2" -> ((s, d) => {
+      val n = normed(s, d)
+      val corpus = ivfAssign(n, ivfCents(n), "vec_id")
+        .select(col("vec_id").as("b"), col("embedding").as("eb"),
+          col("nrm").as("nb"), col("cid"))
+      val qw = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("cid"))
+      val queries = n.filter(col("vec_id") < 30)
+        .crossJoin(broadcast(ivfCents(n)))
+        .withColumn("csim",
+          round(expr("dot_f(embedding, ec)") / (col("nrm") * col("nc")), 6))
+        .withColumn("rk", row_number().over(qw))
+        .filter(col("rk") <= 2)
         .select(col("vec_id").as("q"), col("embedding").as("eq"),
           col("nrm").as("nq"), col("cid"))
       val w = Window.partitionBy("q").orderBy(desc("cos"), asc("b"))
@@ -227,6 +264,22 @@ object Similarity {
         "scored AS (SELECT q.vec_id AS q, c2.vec_id AS neighbor, " +
         "round(list_sum(list_transform(list_zip(q.embedding, c2.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (q.nrm * c2.nrm), 6) AS cos " +
         "FROM cell q JOIN cell c2 ON q.cid = c2.cid AND q.vec_id < 30 AND q.vec_id <> c2.vec_id), " +
+        "ranked AS (SELECT q, neighbor, cos, " +
+        "CAST(row_number() OVER (PARTITION BY q ORDER BY cos DESC, neighbor) AS INTEGER) AS rank " +
+        "FROM scored) " +
+        "SELECT q, rank, neighbor, cos FROM ranked WHERE rank <= 3 ORDER BY q, rank"),
+    "q_ann_ivf_probe2" ->
+      (s"WITH $duckNormed, " +
+        "cents AS (SELECT vec_id AS cid, embedding AS ec, nrm AS nc FROM n WHERE vec_id < 16), " +
+        "asgn AS (SELECT v.vec_id, v.embedding, v.nrm, c.cid, " +
+        "row_number() OVER (PARTITION BY v.vec_id ORDER BY " +
+        "round(list_sum(list_transform(list_zip(v.embedding, c.ec), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (v.nrm * c.nc), 6) DESC, c.cid) AS rk " +
+        "FROM n v, cents c), " +
+        "cell AS (SELECT vec_id, embedding, nrm, cid FROM asgn WHERE rk = 1), " +
+        "qcell AS (SELECT vec_id, embedding, nrm, cid FROM asgn WHERE rk <= 2 AND vec_id < 30), " +
+        "scored AS (SELECT q.vec_id AS q, c2.vec_id AS neighbor, " +
+        "round(list_sum(list_transform(list_zip(q.embedding, c2.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (q.nrm * c2.nrm), 6) AS cos " +
+        "FROM qcell q JOIN cell c2 ON q.cid = c2.cid AND q.vec_id <> c2.vec_id), " +
         "ranked AS (SELECT q, neighbor, cos, " +
         "CAST(row_number() OVER (PARTITION BY q ORDER BY cos DESC, neighbor) AS INTEGER) AS rank " +
         "FROM scored) " +

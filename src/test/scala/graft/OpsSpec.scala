@@ -246,6 +246,18 @@ class OpsSpec extends SparkSpec {
     assert(preds.subsetOf(Set("de", "en", "es", "fr")))
   }
 
+  test("ivf nprobe=2 dominates single-probe recall per query") {
+    val ivf = q("q_ann_ivf").filter("rank = 1").collect()
+      .map(r => r.getAs[Long]("q") -> r.getAs[Double]("cos")).toMap
+    val p2 = q("q_ann_ivf_probe2").filter("rank = 1").collect()
+      .map(r => r.getAs[Long]("q") -> r.getAs[Double]("cos")).toMap
+    // probing a second cell can only add candidates: every query keeps a
+    // best-neighbor at least as close, and queries whose own cell was
+    // empty may gain one
+    assert(ivf.keySet.subsetOf(p2.keySet))
+    assert(ivf.forall { case (k, c) => p2(k) >= c - 1e-9 })
+  }
+
   test("repetition signals stay in range across the corpus") {
     val rows = q("q_repetition").collect()
     assert(rows.nonEmpty)

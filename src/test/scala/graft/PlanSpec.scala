@@ -178,6 +178,7 @@ class PlanSpec extends SparkSpec {
     "q_source_balance" -> "1-row min-source-count aggregate broadcast",
     "q_ann_bruteforce" -> "bounded query-vector set broadcast (its own test)",
     "q_ann_ivf" -> "bounded centroid-table broadcast",
+    "q_ann_ivf_probe2" -> "bounded centroid-table broadcast",
     "q_roc_binned" -> "1-row positive/negative-totals aggregate broadcast",
     "q_roc" -> "1-row positive/negative-totals aggregate broadcast",
     "q_sample" -> "1-row binomial-bounds verdict join",
