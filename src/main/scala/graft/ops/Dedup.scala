@@ -404,6 +404,30 @@ object Dedup {
         .orderBy("doc_id")
     }),
 
+    // SimHash near-dup PAIRS — the usable form of simhash dedup (bucket
+    // sizes alone only see exact-signature collisions): pairs of docs
+    // whose 16-bit signatures are within Hamming distance 1, found by
+    // exploding one side over the 17 probe signatures (exact + 16
+    // one-bit flips) and equi-joining on the probe — same multi-probe
+    // machinery as the embedding path, shuffles by signature, no pair
+    // scan. Each qualifying pair matches via exactly one probe (the flip
+    // is an involution), so no distinct is needed. Output carries the
+    // exact Hamming distance.
+    "q_dedup_simhash_pairs" -> ((s, d) => {
+      val sigs = simhashSigs(s, d)
+      val left = sigs.select(col("doc_id").as("a"), col("simhash").as("sa"),
+        explode(expr(Similarity.probesExpr("simhash", "spark", 16)))
+          .as("simhash"))
+      left.join(sigs.select(col("doc_id").as("b"), col("simhash")),
+          Seq("simhash"))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b"),
+          expr("aggregate(sequence(1, 16), 0, (acc, i) -> acc + " +
+            "IF(substring(sa, i, 1) = substring(simhash, i, 1), 0, 1))")
+            .as("hamming"))
+        .orderBy("a", "b")
+    }),
+
     // Transitive dedup clustering — the dedup endgame: VERIFIED near-dup
     // pairs (banding candidates that pass the Jaccard >= 0.5 check) become
     // connected components (doc A ~ B ~ C is one cluster even if A and C
@@ -538,6 +562,21 @@ object Dedup {
         " AS simhash, count(*) OVER (PARTITION BY " +
         (0 until 16).map(j => s"CASE WHEN b$j > 0 THEN '1' ELSE '0' END").mkString(" || ") +
         ") AS n_bucket FROM bits ORDER BY doc_id"),
+    "q_dedup_simhash_pairs" ->
+      (s"WITH $duckCorpus, hw AS (SELECT doc_id, " +
+        "list_transform(list_filter(string_split(text, ' '), x -> length(x) > 0), w -> md5(w)) AS hs " +
+        "FROM corpus), bits AS (SELECT doc_id, " +
+        (0 until 16).map(j => s"${simhashBitSum(j, "duck")} AS b$j").mkString(", ") +
+        " FROM hw), sigs AS (SELECT doc_id, " +
+        (0 until 16).map(j => s"CASE WHEN b$j > 0 THEN '1' ELSE '0' END").mkString(" || ") +
+        " AS simhash FROM bits), " +
+        "probed AS (SELECT doc_id, simhash AS sa, " +
+        s"unnest(${Similarity.probesExpr("simhash", "duck", 16)}) AS psig FROM sigs) " +
+        "SELECT p.doc_id AS a, s2.doc_id AS b, " +
+        "CAST(list_sum(list_transform(generate_series(1, 16), i -> " +
+        "CASE WHEN substr(p.sa, CAST(i AS INTEGER), 1) = substr(s2.simhash, CAST(i AS INTEGER), 1) THEN 0 ELSE 1 END)) AS INTEGER) AS hamming " +
+        "FROM probed p JOIN sigs s2 ON p.psig = s2.simhash AND p.doc_id < s2.doc_id " +
+        "ORDER BY a, b"),
     "q_dedup_clusters" ->
       (s"WITH RECURSIVE $duckCorpus, $duckShingles, $duckSig, $duckBands, $duckPairs, " +
         "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +

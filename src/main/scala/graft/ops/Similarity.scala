@@ -59,18 +59,20 @@ object Similarity {
       (0 until Planes).map(bitExpr(_, "spark")).mkString("concat(", ", ", ")")
     else (0 until Planes).map(bitExpr(_, "duck")).mkString(" || ")
 
-  /** Multi-probe candidate signatures: the signature itself plus its 8
-    * one-bit flips — every signature at Hamming distance ≤ 1. Exploding
-    * one side of the candidate join over these 9 probes recovers near-dups
-    * whose perturbation flipped a single hyperplane bit, which the exact
-    * equi-join is blind to, at 9× candidate cost — still a signature
-    * equi-join, never a pair scan. */
-  private[graft] def probesExpr(sigCol: String, dialect: String): String = {
+  /** Multi-probe candidate signatures: the signature itself plus its
+    * `bits` one-bit flips — every signature at Hamming distance ≤ 1.
+    * Exploding one side of the candidate join over these bits+1 probes
+    * recovers near-dups whose perturbation flipped a single bit, which the
+    * exact equi-join is blind to, at (bits+1)× candidate cost — still a
+    * signature equi-join, never a pair scan. Width-generic: 8-bit
+    * hyperplane LSH signatures and 16-bit simhashes share it. */
+  private[graft] def probesExpr(sigCol: String, dialect: String,
+      bits: Int = Planes): String = {
     val sub = if (dialect == "spark") "substring" else "substr"
-    val flips = (0 until Planes).map { i =>
+    val flips = (0 until bits).map { i =>
       s"concat($sub($sigCol, 1, $i), " +
         s"CASE WHEN $sub($sigCol, ${i + 1}, 1) = '1' THEN '0' ELSE '1' END, " +
-        s"$sub($sigCol, ${i + 2}, $Planes))"
+        s"$sub($sigCol, ${i + 2}, $bits))"
     }
     if (dialect == "spark") (sigCol +: flips).mkString("array(", ", ", ")")
     else (sigCol +: flips).mkString("[", ", ", "]")
