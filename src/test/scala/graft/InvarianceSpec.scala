@@ -27,6 +27,8 @@ class InvarianceSpec extends SparkSpec {
     "q_pack_sequences",   // bucketed running-sum packing
     "q_repetition",       // per-doc max-count aggregate (tie-independent)
     "q_ngram_entropy",    // double Σ c·ln c merge order under 4dp round
+    "q_dedup_simhash_pairs", // 17-probe signature equi-join
+    "q_ann_ivf_probe2",   // two-cell query fanout + rank windows
     "q_split_stratified", // hash-membership split (must not depend on layout)
     "q_source_balance")   // hash-threshold downsampling (exact-int counts)
 
