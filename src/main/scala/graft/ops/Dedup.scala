@@ -504,35 +504,62 @@ object Dedup {
     //            of them; only the Hamming-1 probes can recover them.
     // Exact cosine (codegen'd dot_f kernel) is verified within buckets
     // only; the oracle runs the identical probing so results hash-match.
-    "q_dedup_embedding" -> ((s, d) => {
-      graft.functions.FloatDotProduct.register(s)
-      val e = Tables.embeddings(s, d)
-      val scaled = e.filter(col("vec_id") % 10 === 0)
-        .select((col("vec_id") + 100000).as("vec_id"),
-          expr("transform(embedding, x -> CAST(x * 2 AS FLOAT))").as("embedding"))
-      val perturbed = e.filter(col("vec_id") % 10 === 5)
-        .withColumn("d0", expr(Similarity.dotPlane(0, "spark")))
-        .select((col("vec_id") + 200000).as("vec_id"),
-          expr("zip_with(embedding, " + Similarity.planeLit(0, "spark") +
-            ", (x, h) -> CAST(CAST(x AS DOUBLE) - d0 * 1.05 / 64 * h AS FLOAT))")
-            .as("embedding"))
-      val corpus = e.select(col("vec_id"), col("embedding"))
-        .unionByName(scaled).unionByName(perturbed)
-      val n = corpus.select(col("vec_id"), col("embedding"),
-        expr("sqrt(dot_f(embedding, embedding))").as("nrm"),
-        expr(Similarity.sigExpr("spark")).as("sig"))
-      val left = n.select(col("vec_id").as("a"), col("embedding").as("ea"),
-        col("nrm").as("na"),
-        explode(expr(Similarity.probesExpr("sig", "spark"))).as("sig"))
-      val right = n.select(col("vec_id").as("b"), col("embedding").as("eb"),
-        col("nrm").as("nb"), col("sig"))
-      left.join(right, Seq("sig")).filter(col("a") < col("b"))
-        .withColumn("cos", round(expr("dot_f(ea, eb)") / (col("na") * col("nb")), 6))
-        .filter(col("cos") >= 0.99)
-        .select("a", "b", "cos")
-        .orderBy("a", "b")
+    "q_dedup_embedding" -> ((s, d) =>
+      embeddingPairs(s, d).orderBy("a", "b")),
+
+    // Semantic dedup endgame — the embedding-space analog of
+    // q_dedup_clusters: cosine-verified near-dup pairs (multi-probe LSH
+    // candidates, exact dot within buckets) become transitive clusters via
+    // the same min-label connectedComponents loop, labeled by component
+    // minimum. (The planted families here are disjoint by construction —
+    // %10=0 scalings vs %10=5 reflections — so this corpus yields size-2
+    // clusters; multi-hop transitivity itself is pinned by ApiSpec's
+    // 64-node-chain connectedComponents test.)
+    "q_dedup_embedding_clusters" -> ((s, d) => {
+      val comps = connectedComponents(embeddingPairs(s, d).select("a", "b"))
+      val out = comps.groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy("cluster_id")
+        .localCheckpoint(true)
+      org.apache.spark.sql.graftshim.GraftDataset.freeLocalCheckpoint(comps)
+      out
     })
   )
+
+  /** Cosine-verified embedding near-dup pairs (a, b, cos): corpus = the
+    * embeddings table plus two planted near-dup families (×2 scalings =
+    * signature-invariant; hyperplane-0 reflections = flip signature bit 0
+    * exactly, recoverable only by the Hamming≤1 probes); candidates via
+    * the multi-probe signature equi-join; exact cosine (codegen'd dot_f)
+    * within buckets only. Shared by the pair query and the semantic
+    * clustering query. */
+  private def embeddingPairs(s: SparkSession, d: String): DataFrame = {
+    graft.functions.FloatDotProduct.register(s)
+    val e = Tables.embeddings(s, d)
+    val scaled = e.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        expr("transform(embedding, x -> CAST(x * 2 AS FLOAT))").as("embedding"))
+    val perturbed = e.filter(col("vec_id") % 10 === 5)
+      .withColumn("d0", expr(Similarity.dotPlane(0, "spark")))
+      .select((col("vec_id") + 200000).as("vec_id"),
+        expr("zip_with(embedding, " + Similarity.planeLit(0, "spark") +
+          ", (x, h) -> CAST(CAST(x AS DOUBLE) - d0 * 1.05 / 64 * h AS FLOAT))")
+          .as("embedding"))
+    val corpus = e.select(col("vec_id"), col("embedding"))
+      .unionByName(scaled).unionByName(perturbed)
+    val n = corpus.select(col("vec_id"), col("embedding"),
+      expr("sqrt(dot_f(embedding, embedding))").as("nrm"),
+      expr(Similarity.sigExpr("spark")).as("sig"))
+    val left = n.select(col("vec_id").as("a"), col("embedding").as("ea"),
+      col("nrm").as("na"),
+      explode(expr(Similarity.probesExpr("sig", "spark"))).as("sig"))
+    val right = n.select(col("vec_id").as("b"), col("embedding").as("eb"),
+      col("nrm").as("nb"), col("sig"))
+    left.join(right, Seq("sig")).filter(col("a") < col("b"))
+      .withColumn("cos", round(expr("dot_f(ea, eb)") / (col("na") * col("nb")), 6))
+      .filter(col("cos") >= 0.99)
+      .select("a", "b", "cos")
+  }
 
   val oracle: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -615,25 +642,37 @@ object Dedup {
         "FROM exactfull e LEFT JOIN dropids dr ON e.doc_id = dr.doc_id " +
         "WHERE dr.doc_id IS NULL GROUP BY source ORDER BY source"),
     "q_dedup_embedding" ->
-      ("WITH pert0 AS (SELECT vec_id, embedding, " +
-        s"${Similarity.dotPlane(0, "duck")} AS d0 " +
-        "FROM embeddings WHERE vec_id % 10 = 5), " +
-        "corpus AS (SELECT vec_id, embedding FROM embeddings UNION ALL " +
-        "SELECT vec_id + 100000 AS vec_id, list_transform(embedding, x -> CAST(x * 2 AS FLOAT)) AS embedding " +
-        "FROM embeddings WHERE vec_id % 10 = 0 UNION ALL " +
-        "SELECT vec_id + 200000 AS vec_id, " +
-        s"list_transform(list_zip(embedding, ${Similarity.planeLit(0, "duck")}), " +
-        "p -> CAST(CAST(p[1] AS DOUBLE) - d0 * 1.05 / 64 * p[2] AS FLOAT)) AS embedding " +
-        "FROM pert0), " +
-        "n AS (SELECT vec_id, embedding, " +
-        "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm, " +
-        s"${Similarity.sigExpr("duck")} AS sig FROM corpus), " +
-        "probed AS (SELECT vec_id, embedding, nrm, " +
-        s"unnest(${Similarity.probesExpr("sig", "duck")}) AS psig FROM n) " +
-        "SELECT a.vec_id AS a, b.vec_id AS b, " +
-        "round(list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (a.nrm * b.nrm), 6) AS cos " +
-        "FROM probed a JOIN n b ON a.psig = b.sig AND a.vec_id < b.vec_id " +
-        "WHERE round(list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (a.nrm * b.nrm), 6) >= 0.99 " +
-        "ORDER BY a, b")
+      (s"WITH $duckEmbedChain " +
+        "SELECT a, b, cos FROM vp ORDER BY a, b"),
+    "q_dedup_embedding_clusters" ->
+      (s"WITH RECURSIVE $duckEmbedChain, " +
+        "edges AS (SELECT a, b FROM vp UNION SELECT b AS a, a AS b FROM vp), " +
+        "reach(src, dst) AS (SELECT a AS src, b AS dst FROM edges " +
+        "UNION SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON r.dst = e.a), " +
+        "labels AS (SELECT src AS id, least(src, min(dst)) AS label FROM reach GROUP BY src) " +
+        "SELECT label AS cluster_id, count(*) AS n_members FROM labels " +
+        "GROUP BY label ORDER BY cluster_id")
   )
+
+  /** DuckDB mirror of [[embeddingPairs]], ending in a `vp(a, b, cos)` CTE. */
+  private lazy val duckEmbedChain =
+    "pert0 AS (SELECT vec_id, embedding, " +
+      s"${Similarity.dotPlane(0, "duck")} AS d0 " +
+      "FROM embeddings WHERE vec_id % 10 = 5), " +
+      "corpus0 AS (SELECT vec_id, embedding FROM embeddings UNION ALL " +
+      "SELECT vec_id + 100000 AS vec_id, list_transform(embedding, x -> CAST(x * 2 AS FLOAT)) AS embedding " +
+      "FROM embeddings WHERE vec_id % 10 = 0 UNION ALL " +
+      "SELECT vec_id + 200000 AS vec_id, " +
+      s"list_transform(list_zip(embedding, ${Similarity.planeLit(0, "duck")}), " +
+      "p -> CAST(CAST(p[1] AS DOUBLE) - d0 * 1.05 / 64 * p[2] AS FLOAT)) AS embedding " +
+      "FROM pert0), " +
+      "n AS (SELECT vec_id, embedding, " +
+      "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm, " +
+      s"${Similarity.sigExpr("duck")} AS sig FROM corpus0), " +
+      "probed AS (SELECT vec_id, embedding, nrm, " +
+      s"unnest(${Similarity.probesExpr("sig", "duck")}) AS psig FROM n), " +
+      "vp AS (SELECT a.vec_id AS a, b.vec_id AS b, " +
+      "round(list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (a.nrm * b.nrm), 6) AS cos " +
+      "FROM probed a JOIN n b ON a.psig = b.sig AND a.vec_id < b.vec_id " +
+      "WHERE round(list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (a.nrm * b.nrm), 6) >= 0.99)"
 }
