@@ -24,6 +24,7 @@ object SparkEntry {
     (ops.Similarity.queries, ops.Similarity.oracle),
     (ops.Multimodal.queries, ops.Multimodal.oracle),
     (ops.Sources.queries, ops.Sources.oracle),
+    (ops.Layout.queries, ops.Layout.oracle),
     (ops.AsOf.queries, ops.AsOf.oracle)
   )
 

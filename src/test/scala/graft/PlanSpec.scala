@@ -184,7 +184,8 @@ class PlanSpec extends SparkSpec {
     "q_sample" -> "1-row binomial-bounds verdict join",
     "q_impute" -> "1-row global-mean aggregate broadcast",
     "q_join_cross" -> "the operator IS a cross join of bounded dims",
-    "q_join_range" -> "pure theta join over the bounded nation dim"
+    "q_join_range" -> "pure theta join over the bounded nation dim",
+    "q_layout_prune" -> "1-row files-touched count joins onto the 1-row stats"
   )
 
   test("sweep: no CartesianProduct anywhere; BNLJ only where justified") {
