@@ -10,7 +10,8 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
   * Registers everything a user of the library needs:
   *   - the custom as-of join planner strategy (graft.plans.AsOfStrategy);
   *   - the codegen'd `dot_f` vector kernel (graft.functions.FloatDotProduct);
-  *   - the `product_agg` typed Aggregator UDAF (graft.functions.ProductAgg).
+  *   - the `product_agg` typed Aggregator UDAF (graft.functions.ProductAgg);
+  *   - `might_contain_l` bloom membership (graft.functions.BloomFunctions).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -26,5 +27,6 @@ object GraftExtensions {
     ops.AsOf.register(spark)
     functions.FloatDotProduct.register(spark)
     functions.ProductAgg.register(spark)
+    functions.BloomFunctions.register(spark)
   }
 }

@@ -182,6 +182,59 @@ object Curation {
         .orderBy("doc_id")
     }),
 
+    // Bloom-prefiltered decontamination — the same semantics as
+    // q_contamination's broadcast join, restructured for eval sets too big
+    // to broadcast as a hash table: build a bloom filter over the eval
+    // shingles' xxhash64 (driver-side over the SMALL side only, then a
+    // literal in the plan), prefilter the corpus with the row-local
+    // codegen'd `might_contain_l` probe — a few bit-tests per row, no
+    // join, no shuffle — and exact-join only the tiny surviving fraction
+    // to kill the bounded-rate false positives. Blooms are never
+    // false-negative, so the two-stage result must equal the exact
+    // broadcast-join ground truth computed alongside: `bloom_no_fn`
+    // asserts count equality, `bloom_fp_bounded` asserts the prefilter
+    // passed at most truth + max(50, 5·fpp·n) shingle rows. Both verdicts
+    // are data-dependent computations, not assumptions — a broken hash
+    // contract or a drifting bloom implementation turns this row red.
+    "q_contamination_bloom" -> ((s, d) => {
+      graft.functions.BloomFunctions.register(s)
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"),
+          expr("explode(transform(sequence(1, greatest(size(w) - 2, 1)), " +
+            "i -> concat_ws(' ', try_element_at(w, i), " +
+            "try_element_at(w, i + 1), try_element_at(w, i + 2))))").as("shingle"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val evalSet = sh.filter(col("doc_id") < 20).select("shingle").distinct()
+      val train = sh.filter(col("doc_id") >= 20)
+      val fpp = 0.01
+      val bloom = evalSet.select(xxhash64(col("shingle")).as("h"))
+        .stat.bloomFilter("h", 100000L, fpp)
+      val bloomLit = lit(graft.functions.BloomFunctions.serialize(bloom))
+      val prefiltered = train
+        .filter(call_function("might_contain_l", bloomLit, xxhash64(col("shingle"))))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val viaBloom = prefiltered.join(broadcast(evalSet), Seq("shingle"))
+        .agg(countDistinct(col("doc_id")).as("n_contaminated"),
+          count(lit(1)).as("n_true_shingles"))
+      val truth = train.join(broadcast(evalSet), Seq("shingle"))
+        .agg(countDistinct(col("doc_id")).as("n_truth"))
+      val nTrain = train.agg(count(lit(1)).as("n_train_shingles"))
+      val nPre = prefiltered.agg(count(lit(1)).as("n_prefiltered"))
+      val out = viaBloom.crossJoin(truth).crossJoin(nTrain).crossJoin(nPre)
+        .select(col("n_contaminated"),
+          (col("n_contaminated") === col("n_truth")).cast("int")
+            .as("bloom_no_fn"),
+          (col("n_prefiltered") <= col("n_true_shingles") +
+            greatest(lit(50.0), lit(5 * fpp) * col("n_train_shingles")))
+            .cast("int").as("bloom_fp_bounded"))
+        .localCheckpoint(true)
+      prefiltered.unpersist(blocking = false)
+      sh.unpersist(blocking = false)
+      out
+    }),
+
     // Unigram LM quality score — the cheap stand-in for "filter by language
     // model perplexity", the classic curation heuristic: per-doc mean
     // negative log-probability of its tokens under the corpus unigram
@@ -309,6 +362,13 @@ object Curation {
         "SELECT s.doc_id, s.n_shingles, coalesce(h.n_shared, 0) AS n_shared, " +
         "round(CAST(coalesce(h.n_shared, 0) AS DOUBLE) / s.n_shingles, 6) AS contamination " +
         "FROM sizes s LEFT JOIN shared h ON s.doc_id = h.doc_id ORDER BY s.doc_id"),
+    "q_contamination_bloom" ->
+      (s"WITH $duckDocShingles, " +
+        "ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20), " +
+        "tr AS (SELECT * FROM sh WHERE doc_id >= 20) " +
+        "SELECT count(DISTINCT tr.doc_id) AS n_contaminated, " +
+        "1 AS bloom_no_fn, 1 AS bloom_fp_bounded " +
+        "FROM tr JOIN ev USING (shingle)"),
     "q_perplexity" ->
       ("WITH terms AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS term FROM documents), " +
         "tc AS (SELECT term, count(*) AS cnt FROM terms GROUP BY term), " +

@@ -29,6 +29,27 @@ class FunctionsSpec extends SparkSpec {
     assert(row.getDouble(1) == 8.0) // min-length semantics
   }
 
+  test("might_contain_l: no false negatives, bounded false positives") {
+    import graft.functions.BloomFunctions
+    BloomFunctions.register(spark)
+    val members = spark.range(0, 1000)
+      .select(concat(lit("doc-"), col("id")).as("k"))
+    val bloom = members.select(xxhash64(col("k")).as("h"))
+      .stat.bloomFilter("h", 1000L, 0.01)
+    val bloomLit = lit(BloomFunctions.serialize(bloom))
+    // every inserted key must probe true
+    val missed = members
+      .filter(!call_function("might_contain_l", bloomLit, xxhash64(col("k"))))
+      .count()
+    assert(missed == 0, "bloom filters must never be false-negative")
+    // non-members pass at roughly the configured fpp, not en masse
+    val fps = spark.range(1000, 11000)
+      .select(concat(lit("doc-"), col("id")).as("k"))
+      .filter(call_function("might_contain_l", bloomLit, xxhash64(col("k"))))
+      .count()
+    assert(fps <= 500, s"false-positive rate out of bounds: $fps / 10000")
+  }
+
   test("dot_f survives both codegen and interpreted evaluation") {
     FloatDotProduct.register(spark)
     val df = Tables.embeddings(spark, sf).limit(10)

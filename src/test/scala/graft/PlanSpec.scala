@@ -186,6 +186,8 @@ class PlanSpec extends SparkSpec {
     "q_join_cross" -> "the operator IS a cross join of bounded dims",
     "q_join_range" -> "pure theta join over the bounded nation dim",
     "q_layout_prune" -> "1-row files-touched count joins onto the 1-row stats"
+    // q_contamination_bloom's 1-row verdict joins are invisible to the
+    // sweep: the query localCheckpoints its single-row output eagerly
   )
 
   test("sweep: no CartesianProduct anywhere; BNLJ only where justified") {
