@@ -453,6 +453,53 @@ object Dedup {
       out
     }),
 
+    // Leakage-safe train/val/test split — hash-split by near-dup CLUSTER
+    // label, not by doc id: a naive per-doc hash split routes ~7/8 of
+    // verified near-dup pairs across split boundaries (the planted
+    // mutated twins have different ids, so independent hashes), silently
+    // leaking training text into the held-out sets. Keying the split on
+    // the connected-component label makes every near-dup family co-travel
+    // by construction. The query measures BOTH policies on the same
+    // verified pair set: leaky_naive (id-keyed, nonzero) vs leaky_grouped
+    // (cluster-keyed, zero) — the oracle computes both exactly through
+    // its recursive-CTE cluster chain, so the leakage accounting itself
+    // is parity-checked, not asserted.
+    "q_split_leakage" -> ((s, d) => {
+      def splitOf(c: org.apache.spark.sql.Column) = {
+        val h = substring(md5(c.cast("string")), 1, 1)
+        when(h < "c", "train").when(h < "e", "val").otherwise("test")
+      }
+      val p = jaccardPairs(shingles(s, d))
+        .filter(col("jaccard") >= 0.5).select("a", "b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val comps = connectedComponents(p)
+      val labels = textCorpus(s, d).select("doc_id")
+        .join(comps.select(col("id").as("doc_id"), col("cluster_id")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("label"))
+      val spl = labels.withColumn("split", splitOf(col("label")))
+      val counts = spl.agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("label")).as("n_clusters"),
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+      val grouped = p
+        .join(spl.select(col("doc_id").as("a"), col("split").as("sa")), Seq("a"))
+        .join(spl.select(col("doc_id").as("b"), col("split").as("sb")), Seq("b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L))
+            .as("leaky_grouped"))
+      val naive = p.agg(
+        sum(when(splitOf(col("a")) =!= splitOf(col("b")), 1L).otherwise(0L))
+          .as("leaky_naive"))
+      val out = counts.crossJoin(grouped).crossJoin(naive)
+        .localCheckpoint(true)
+      org.apache.spark.sql.graftshim.GraftDataset.freeLocalCheckpoint(comps)
+      p.unpersist(blocking = false)
+      out
+    }),
+
     // End-to-end curation pipeline — the composed shape a training-data
     // run actually executes, every stage the distributed one: (1) row-local
     // quality gate at scan speed; (2) exact dedup keep-first via a window
@@ -619,6 +666,41 @@ object Dedup {
         "labels AS (SELECT src AS id, least(src, min(dst)) AS label FROM reach GROUP BY src) " +
         "SELECT label AS cluster_id, count(*) AS n_members FROM labels " +
         "GROUP BY label ORDER BY cluster_id"),
+    "q_split_leakage" ->
+      (s"WITH RECURSIVE $duckCorpus, $duckShingles, $duckSig, $duckBands, $duckPairs, " +
+        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+        "inter AS (SELECT p.a, p.b, count(*) AS ni FROM pairs p " +
+        "JOIN sh sa ON sa.doc_id = p.a " +
+        "JOIN sh sb ON sb.doc_id = p.b AND sb.shingle = sa.shingle GROUP BY p.a, p.b), " +
+        "verified AS (SELECT i.a, i.b FROM inter i " +
+        "JOIN sizes za ON za.doc_id = i.a JOIN sizes zb ON zb.doc_id = i.b " +
+        "WHERE CAST(ni AS DOUBLE) / (za.n + zb.n - ni) >= 0.5), " +
+        "edges AS (SELECT a, b FROM verified UNION SELECT b AS a, a AS b FROM verified), " +
+        "reach(src, dst) AS (SELECT a AS src, b AS dst FROM edges " +
+        "UNION SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON r.dst = e.a), " +
+        "labels AS (SELECT src AS id, least(src, min(dst)) AS label FROM reach GROUP BY src), " +
+        "fl AS (SELECT c.doc_id, coalesce(l.label, c.doc_id) AS label " +
+        "FROM corpus c LEFT JOIN labels l ON c.doc_id = l.id), " +
+        "spl AS (SELECT doc_id, label, " +
+        "CASE WHEN substr(md5(CAST(label AS VARCHAR)), 1, 1) < 'c' THEN 'train' " +
+        "WHEN substr(md5(CAST(label AS VARCHAR)), 1, 1) < 'e' THEN 'val' " +
+        "ELSE 'test' END AS split FROM fl), " +
+        "cnt AS (SELECT count(*) AS n_docs, count(DISTINCT label) AS n_clusters, " +
+        "CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train, " +
+        "CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val, " +
+        "CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test FROM spl), " +
+        "vg AS (SELECT count(*) AS n_pairs, " +
+        "CAST(sum(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END) AS BIGINT) AS leaky_grouped " +
+        "FROM verified v JOIN spl sa ON v.a = sa.doc_id JOIN spl sb ON v.b = sb.doc_id), " +
+        "vn AS (SELECT CAST(sum(CASE WHEN " +
+        "(CASE WHEN substr(md5(CAST(v.a AS VARCHAR)), 1, 1) < 'c' THEN 'train' " +
+        "WHEN substr(md5(CAST(v.a AS VARCHAR)), 1, 1) < 'e' THEN 'val' ELSE 'test' END) <> " +
+        "(CASE WHEN substr(md5(CAST(v.b AS VARCHAR)), 1, 1) < 'c' THEN 'train' " +
+        "WHEN substr(md5(CAST(v.b AS VARCHAR)), 1, 1) < 'e' THEN 'val' ELSE 'test' END) " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS leaky_naive FROM verified v) " +
+        "SELECT cnt.n_docs, cnt.n_clusters, cnt.n_train, cnt.n_val, cnt.n_test, " +
+        "vg.n_pairs, vg.leaky_grouped, vn.leaky_naive " +
+        "FROM cnt CROSS JOIN vg CROSS JOIN vn"),
     "q_pipeline_curate" ->
       ("WITH corpus0 AS (SELECT doc_id, text, source FROM documents UNION ALL " +
         "SELECT doc_id + 100000 AS doc_id, regexp_replace(text, '^[^ ]+', 'zzz') AS text, " +
