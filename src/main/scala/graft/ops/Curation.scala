@@ -110,6 +110,40 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("pack_tokens"))
   }
 
+  /** PUBLIC API — benchmark decontamination: remove from `df` every row
+    * whose `textCol` shares at least one 3-word shingle with `evalDf`'s
+    * `evalTextCol`. Scale shape: the EVAL side (small by nature) is
+    * shingled, counted driver-side to size a bloom filter over its
+    * xxhash64 values, and the corpus is prefiltered by the row-local
+    * codegen'd `might_contain_l` probe — a few bit-tests per row, no join,
+    * no shuffle of the corpus — before an exact broadcast join on the tiny
+    * surviving fraction removes bloom false positives. Blooms have no
+    * false negatives, so the result is exactly the broadcast-join answer
+    * at a fraction of the cost when the eval set is large. */
+  def decontaminate(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, evalDf: org.apache.spark.sql.DataFrame,
+      evalTextCol: String, fpp: Double = 0.01): org.apache.spark.sql.DataFrame = {
+    val s = df.sparkSession
+    graft.functions.BloomFunctions.register(s)
+    val trainSh = Dedup.shinglesOf(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+      .distinct()
+    val evalSh = Dedup.shinglesOf(
+      evalDf.select(lit(0L).as("doc_id"), col(evalTextCol).as("text")))
+      .select("shingle").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bloom = evalSh.select(xxhash64(col("shingle")).as("h"))
+      .stat.bloomFilter("h", math.max(evalSh.count(), 1L), fpp)
+    val bloomLit = lit(graft.functions.BloomFunctions.serialize(bloom))
+    val contaminated = trainSh
+      .filter(call_function("might_contain_l", bloomLit, xxhash64(col("shingle"))))
+      .join(broadcast(evalSh), Seq("shingle"))
+      .select(col("doc_id").as(idCol)).distinct()
+    val out = df.join(contaminated, Seq(idCol), "left_anti")
+    evalSh.unpersist(blocking = false)
+    out
+  }
+
   /** PUBLIC API — deterministic train/val/test membership (12/2/2
     * sixteenths) from the first hex digit of md5(`idCol`): appends a
     * `split` column. Hash-based, so the assignment is reproducible across

@@ -71,7 +71,7 @@ object Dedup {
     * distinct, NOT persisted. Feeds the signature aggregation, where `min`
     * is idempotent over duplicates, so the distinct's full-width shuffle is
     * pure waste there. */
-  private def shinglesOf(corpus: DataFrame): DataFrame =
+  private[ops] def shinglesOf(corpus: DataFrame): DataFrame =
     corpus
       // split once per row — inside the lambda it would re-split per
       // shingle element
@@ -216,6 +216,36 @@ object Dedup {
       .select(col("id").as(idCol))
     sh.unpersist(blocking = false)
     df.join(dropIds, Seq(idCol), "left_anti")
+  }
+
+  /** PUBLIC API — leakage-safe train/val/test split: appends a `split`
+    * column whose hash key is the near-dup CLUSTER label rather than the
+    * row id, so every near-duplicate family lands in ONE split — id-keyed
+    * hash splits route most near-dup pairs across the train/held-out
+    * boundary (independent hashes), leaking training text into eval sets.
+    * Pipeline: shingle → MinHash banding candidates → Jaccard ≥ `threshold`
+    * verification → connected components → split on
+    * md5(coalesce(cluster_id, id)) (12/2/2 sixteenths, same thresholds as
+    * [[graft.ops.Curation.stratifiedSplit]]). Schema = `df` + `split`.
+    * Same scale shape as [[nearDedup]]; `checkpointDir` as in
+    * [[connectedComponents]]. */
+  def leakageSafeSplit(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, maxBucket: Int = defaultMaxBucket,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val corpus = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val sh = shinglesOf(corpus).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val verified = jaccardPairs(sh, maxBucket)
+      .filter(col("jaccard") >= threshold).select("a", "b")
+    val comps = connectedComponents(verified, checkpointDir)
+    sh.unpersist(blocking = false)
+    val label = coalesce(col("cluster_id"), col(idCol)).cast("string")
+    val h = substring(md5(label), 1, 1)
+    df.join(comps.select(col("id").as(idCol), col("cluster_id")),
+        Seq(idCol), "left")
+      .withColumn("split",
+        when(h < "c", "train").when(h < "e", "val").otherwise("test"))
+      .drop("cluster_id")
   }
 
   /** Full banding pipeline, memoized: the candidate set is consumed by both

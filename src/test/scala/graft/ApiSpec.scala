@@ -113,4 +113,40 @@ class ApiSpec extends SparkSpec {
     assert(counts.values.sum == 1000L)
     assert(counts("train") > counts("val") && counts("train") > counts("test"))
   }
+
+  test("leakageSafeSplit keeps near-dup families in one split") {
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango"
+    // a 3-member family chained through pairwise near-dups, plus unrelated
+    // singletons — the family must co-travel regardless of member ids
+    val docs = Seq(
+      (1L, base), (2L, base.replace("tango", "zulu")),
+      (3L, base.replace("alpha", "zeta")),
+      (100L, "one two three four five six seven eight nine ten eleven " +
+        "twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen"),
+      (200L, "red orange yellow green blue indigo violet cyan magenta " +
+        "black white gray brown pink teal maroon navy olive lime"))
+      .toDF("id", "txt")
+    val out = ops.Dedup.leakageSafeSplit(docs, "id", "txt")
+    assert(out.columns.toSeq == Seq("id", "txt", "split"), "schema + split")
+    val bySplit = out.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(bySplit.size == 5, "split assignment is total")
+    assert(bySplit(1L) == bySplit(2L) && bySplit(2L) == bySplit(3L),
+      s"the near-dup family must land in one split: $bySplit")
+  }
+
+  test("decontaminate removes shingle-overlapping rows, keeps clean ones") {
+    val evalDf = Seq(("the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("question")
+    val train = Seq(
+      (1L, "somewhere the quick brown fox appears in this training text here"),
+      (2L, "completely unrelated words fill this clean document about spark"),
+      (3L, "short"))  // fewer than 3 words: degraded shingle, must survive
+      .toDF("id", "txt")
+    val out = ops.Curation.decontaminate(train, "id", "txt", evalDf, "question")
+    assert(out.columns.toSeq == Seq("id", "txt"), "schema unchanged")
+    val kept = out.select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L),
+      s"doc 1 shares 'the quick brown'/'quick brown fox' with eval: $kept")
+  }
 }
