@@ -144,6 +144,31 @@ object Curation {
     out
   }
 
+  /** PUBLIC API — temperature-scaled source resampling, the standard
+    * multilingual/multi-source mixing step: with per-source counts c_i,
+    * keep source i at rate (c_min/c_i)^(1−1/T), so surviving counts are
+    * ∝ c_i^(1/T). T=1 keeps everything (no reweighting), T→∞ flattens to
+    * the uniform balance of q_source_balance; typical training mixes use
+    * T≈2-5 to up-weight small sources without discarding most of the big
+    * ones. Membership is the deterministic hash-threshold filter (first 4
+    * md5 hex digits of the id below a per-source threshold): reproducible
+    * across engines/partitionings, and at scale a row-local filter against
+    * a broadcast per-source threshold table — the corpus never shuffles. */
+  def temperatureSample(df: org.apache.spark.sql.DataFrame, idCol: String,
+      sourceCol: String, temperature: Double = 2.0): org.apache.spark.sql.DataFrame = {
+    require(temperature >= 1.0, "temperature must be >= 1")
+    val bySource = df.groupBy(sourceCol).agg(count(lit(1)).as("_n_before"))
+    val minCount = bySource.agg(min("_n_before").as("_m"))
+    val rate = pow(col("_m").cast("double") / col("_n_before"),
+      lit(1.0 - 1.0 / temperature))
+    val thresholds = bySource.crossJoin(broadcast(minCount))
+      .select(col(sourceCol), lpad(lower(hex(least(lit(65535L),
+        floor(lit(65536.0) * rate).cast("long")))), 4, "0").as("_thresh"))
+    df.join(broadcast(thresholds), sourceCol)
+      .filter(substring(md5(col(idCol).cast("string")), 1, 4) < col("_thresh"))
+      .drop("_thresh")
+  }
+
   /** PUBLIC API — deterministic train/val/test membership (12/2/2
     * sixteenths) from the first hex digit of md5(`idCol`): appends a
     * `split` column. Hash-based, so the assignment is reproducible across
@@ -325,6 +350,39 @@ object Curation {
         .orderBy("source")
     }),
 
+    // Temperature-scaled source resampling (T=2): keep rate
+    // sqrt(min_count/count) per source, so surviving counts are ∝ √c_i —
+    // the standard multilingual-mix reweighting between "keep everything"
+    // (T=1) and q_source_balance's uniform flattening (T=∞). Same
+    // deterministic hash-threshold membership and broadcast-threshold scale
+    // shape as q_source_balance; the qid writes the T=2 rate as sqrt
+    // explicitly so both engines evaluate the identical IEEE operation
+    // (pow(x, 0.5) is not guaranteed to be the correctly-rounded sqrt).
+    "q_sample_temperature" -> ((s, d) => {
+      // the shipped sources are uniform (25 docs each), which would make
+      // reweighting a no-op — derive a deterministically SKEWED mix label
+      // (250/150/100 split by id residue) so the query demonstrates real
+      // temperature flattening: keep rates √(100/250)=.63, √(100/150)=.82, 1
+      val docs = Tables.documents(s, d).withColumn("mix_src",
+        when(col("doc_id") % 500 < 250, "big")
+          .when(col("doc_id") % 500 < 400, "mid").otherwise("small"))
+      val bySource = docs.groupBy("mix_src").agg(count(lit(1)).as("n_before"))
+      val minCount = bySource.agg(min("n_before").as("m"))
+      val thresholds = bySource.crossJoin(broadcast(minCount))
+        .select(col("mix_src"), col("n_before"),
+          lpad(lower(hex(least(lit(65535L),
+            floor(lit(65536.0) *
+              sqrt(col("m").cast("double") / col("n_before"))).cast("long")))),
+            4, "0").as("thresh"))
+      docs.join(broadcast(thresholds), "mix_src")
+        .filter(expr("substring(md5(CAST(doc_id AS STRING)), 1, 4)") < col("thresh"))
+        .groupBy("mix_src", "n_before")
+        .agg(count(lit(1)).as("n_after"))
+        .select(col("mix_src"), col("n_before"), col("n_after"),
+          round(col("n_after").cast("double") / col("n_before"), 4).as("kept_frac"))
+        .orderBy("mix_src")
+    }),
+
     // Sequence packing via the public packSequences (budget 2048). The qid
     // pins buckets=16 for oracle parity; library callers get the
     // cluster-proportional default (shuffle parallelism), so the window
@@ -424,6 +482,21 @@ object Curation {
         "SELECT source, n_before, n_after, " +
         "round(CAST(n_after AS DOUBLE) / n_before, 4) AS kept_frac " +
         "FROM kept ORDER BY source"),
+    "q_sample_temperature" ->
+      ("WITH dm AS (SELECT doc_id, CASE WHEN doc_id % 500 < 250 THEN 'big' " +
+        "WHEN doc_id % 500 < 400 THEN 'mid' ELSE 'small' END AS mix_src FROM documents), " +
+        "bysrc AS (SELECT mix_src, count(*) AS n_before FROM dm GROUP BY mix_src), " +
+        "mn AS (SELECT min(n_before) AS m FROM bysrc), " +
+        "th AS (SELECT mix_src, n_before, " +
+        "lpad(lower(to_hex(least(65535, CAST(floor(65536.0 * sqrt(CAST(mn.m AS DOUBLE) / n_before)) AS BIGINT)))), 4, '0') AS thresh " +
+        "FROM bysrc CROSS JOIN mn), " +
+        "kept AS (SELECT d.mix_src, th.n_before, count(*) AS n_after " +
+        "FROM dm d JOIN th ON d.mix_src = th.mix_src " +
+        "WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < th.thresh " +
+        "GROUP BY d.mix_src, th.n_before) " +
+        "SELECT mix_src, n_before, n_after, " +
+        "round(CAST(n_after AS DOUBLE) / n_before, 4) AS kept_frac " +
+        "FROM kept ORDER BY mix_src"),
     "q_pack_sequences" ->
       ("WITH t AS (SELECT doc_id, doc_id % 16 AS bucket, " +
         "CAST(len(list_filter(str_split_regex(text, '[^a-zA-Z0-9]+'), x -> length(x) > 0)) AS BIGINT) AS n_tokens " +

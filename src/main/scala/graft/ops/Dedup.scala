@@ -414,6 +414,97 @@ object Dedup {
         .filter(col("jaccard") >= 0.5)
         .orderBy("a", "b")),
 
+    // MinHash similarity ESTIMATION vs ground truth — the calibration view
+    // a dedup rollout needs before trusting signature-only thresholds at
+    // scale (where exact Jaccard on all candidates is the expensive part):
+    // for every banding candidate pair, the estimated Jaccard (fraction of
+    // agreeing signature positions, the unbiased MinHash estimator) next to
+    // the exact shingle Jaccard and the absolute error. Signature join is
+    // two high-cardinality equi-joins on doc id; the pair set is the
+    // bucket-capped candidate set, never n².
+    "q_minhash_sim" -> ((s, d) => {
+      val sh = shingles(s, d)
+      val sig = signatures(sh)
+      val sigA = sig.select(col("doc_id").as("a") +:
+        (0 to 7).map(k => col(s"s$k").as(s"a$k")): _*)
+      val sigB = sig.select(col("doc_id").as("b") +:
+        (0 to 7).map(k => col(s"s$k").as(s"b$k")): _*)
+      val matches = (0 to 7)
+        .map(k => when(col(s"a$k") === col(s"b$k"), 1).otherwise(0))
+        .reduce(_ + _)
+      jaccardPairs(sh)
+        .join(sigA, "a").join(sigB, "b")
+        .select(col("a"), col("b"),
+          round(matches / lit(8.0), 4).as("est_jaccard"),
+          round(col("jaccard"), 4).as("jaccard"),
+          round(abs(matches / lit(8.0) - col("jaccard")), 4).as("abs_err"))
+        .orderBy("a", "b")
+    }),
+
+    // Incremental (batch-vs-corpus) dedup — the continuous-ingest shape: a
+    // NEW batch is deduped against the EXISTING corpus without ever
+    // comparing corpus docs to each other (that work is already done; at
+    // 100 TB re-deduping the corpus per batch would dwarf the batch cost).
+    // Stage 1: exact — batch content hashes left-semi/anti against the
+    // corpus hash set (narrow equi-join on the digest). Stage 2: fuzzy —
+    // only the surviving novel batch docs are shingled and signed, and
+    // their band keys equi-join the CORPUS bands (cross-set only: no
+    // batch×batch or corpus×corpus pairs), with exact Jaccard verified on
+    // the cross candidates alone. Batch rows: planted mutated copies
+    // (+100000, near-dups) and verbatim copies (+300000, exact dups).
+    // Output: every batch doc labeled kept / exact_dup / near_dup.
+    "q_dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.select(col("doc_id"), col("text"))
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          regexp_replace(col("text"), "^[^ ]+", "zzz").as("text"))
+        .unionByName(docs.filter(col("doc_id") % 7 === 3)
+          .select((col("doc_id") + 300000).as("doc_id"), col("text")))
+      val corpusHashes = corpus.select(md5(col("text")).as("h")).distinct()
+      val hashed = batch.withColumn("h", md5(col("text")))
+      val exactIds = hashed.join(corpusHashes, Seq("h"), "left_semi")
+        .select("doc_id")
+      val novel = hashed.join(corpusHashes, Seq("h"), "left_anti").drop("h")
+      val bsh = shinglesOf(novel).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val csh = shinglesOf(corpus).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bb = bands(signatures(bsh))
+        .select(col("doc_id").as("bid"), col("band"), col("bkey"))
+      val cb = bands(signatures(csh))
+        .select(col("doc_id").as("cid"), col("band"), col("bkey"))
+      // cross-set candidates are a plain equi-join on the band key — no
+      // in-bucket pair expansion exists here, so no bucket cap is needed:
+      // a hot bucket costs |batch∩bucket|·|corpus∩bucket| join rows,
+      // bounded map-side, never a single-task O(k²) blowup
+      val cand = bb.join(cb, Seq("band", "bkey")).select("bid", "cid").distinct()
+      val bsz = bsh.groupBy("doc_id").agg(count(lit(1)).as("bn"))
+        .select(col("doc_id").as("bid"), col("bn"))
+      val csz = csh.groupBy("doc_id").agg(count(lit(1)).as("cn"))
+        .select(col("doc_id").as("cid"), col("cn"))
+      val inter = cand
+        .join(bsh.as("x"), col("bid") === col("x.doc_id"))
+        .join(csh.as("y"),
+          col("cid") === col("y.doc_id") && col("x.shingle") === col("y.shingle"))
+        .groupBy("bid", "cid").agg(count(lit(1)).as("ni"))
+      val nearIds = inter.join(bsz, Seq("bid")).join(csz, Seq("cid"))
+        .filter(col("ni").cast("double") / (col("bn") + col("cn") - col("ni")) >= 0.5)
+        .select(col("bid").as("doc_id")).distinct()
+      val out = batch.select("doc_id")
+        .join(exactIds.withColumn("st_e", lit(1)), Seq("doc_id"), "left")
+        .join(nearIds.withColumn("st_n", lit(1)), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("st_e") === 1, "exact_dup")
+            .when(col("st_n") === 1, "near_dup")
+            .otherwise("kept").as("status"))
+        .orderBy("doc_id")
+        .localCheckpoint(true)
+      bsh.unpersist(blocking = false)
+      csh.unpersist(blocking = false)
+      out
+    }),
+
     // SimHash: 16-bit row-local signature; bucket size flags near-dups.
     // Bucket size is a partial+final aggregate joined back on the
     // signature, NOT `count(*) over (partition by simhash)`: the signature
@@ -655,6 +746,63 @@ object Dedup {
         "SELECT i.a, i.b, round(CAST(ni AS DOUBLE) / (za.n + zb.n - ni), 4) AS jaccard " +
         "FROM inter i JOIN sizes za ON za.doc_id = i.a JOIN sizes zb ON zb.doc_id = i.b " +
         "WHERE round(CAST(ni AS DOUBLE) / (za.n + zb.n - ni), 4) >= 0.5 ORDER BY a, b"),
+    "q_minhash_sim" -> {
+      val est = "(" + (0 to 7)
+        .map(k => s"CASE WHEN x.s$k = y.s$k THEN 1 ELSE 0 END")
+        .mkString(" + ") + ") / 8.0"
+      s"$duckChain, " +
+        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+        "inter AS (SELECT p.a, p.b, count(*) AS ni FROM pairs p " +
+        "JOIN sh sa ON sa.doc_id = p.a " +
+        "JOIN sh sb ON sb.doc_id = p.b AND sb.shingle = sa.shingle GROUP BY p.a, p.b), " +
+        "jac AS (SELECT i.a, i.b, CAST(ni AS DOUBLE) / (za.n + zb.n - ni) AS jaccard " +
+        "FROM inter i JOIN sizes za ON za.doc_id = i.a JOIN sizes zb ON zb.doc_id = i.b) " +
+        s"SELECT j.a, j.b, round($est, 4) AS est_jaccard, " +
+        "round(j.jaccard, 4) AS jaccard, " +
+        s"round(abs($est - j.jaccard), 4) AS abs_err " +
+        "FROM jac j JOIN sig x ON x.doc_id = j.a JOIN sig y ON y.doc_id = j.b " +
+        "ORDER BY j.a, j.b"
+    },
+    "q_dedup_incremental" -> {
+      def shCte(name: String, src: String) =
+        s"$name AS (SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i + 1], w[i + 2]) AS shingle FROM " +
+          "(SELECT doc_id, string_split(text, ' ') AS w, " +
+          "unnest(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1))) AS i " +
+          s"FROM $src))"
+      def sigCte(name: String, src: String) =
+        s"$name AS (SELECT doc_id, " +
+          (0 to 7).map(k => s"min(substr(md5(shingle), ${4 * k + 1}, 4)) AS s$k").mkString(", ") +
+          s" FROM $src GROUP BY doc_id)"
+      def bandsCte(name: String, src: String) =
+        s"$name AS (" + (0 to 3).map(b =>
+          s"SELECT doc_id, $b AS band, md5(s${2 * b} || s${2 * b + 1}) AS bkey FROM $src")
+          .mkString(" UNION ALL ") + ")"
+      "WITH batch AS (SELECT doc_id + 100000 AS doc_id, " +
+        "regexp_replace(text, '^[^ ]+', 'zzz') AS text FROM documents WHERE doc_id % 10 = 0 " +
+        "UNION ALL SELECT doc_id + 300000 AS doc_id, text FROM documents WHERE doc_id % 7 = 3), " +
+        "ch AS (SELECT DISTINCT md5(text) AS h FROM documents), " +
+        "hb AS (SELECT doc_id, text, md5(text) AS h FROM batch), " +
+        "ex AS (SELECT hb.doc_id FROM hb JOIN ch ON hb.h = ch.h), " +
+        "novel AS (SELECT hb.doc_id, hb.text FROM hb LEFT JOIN ch ON hb.h = ch.h WHERE ch.h IS NULL), " +
+        shCte("bsh", "novel") + ", " + shCte("cshd", "documents") + ", " +
+        sigCte("bsig", "bsh") + ", " + sigCte("csig", "cshd") + ", " +
+        bandsCte("bbands", "bsig") + ", " + bandsCte("cbands", "csig") + ", " +
+        "cand AS (SELECT DISTINCT bb.doc_id AS bid, cb.doc_id AS cid FROM bbands bb " +
+        "JOIN cbands cb ON bb.band = cb.band AND bb.bkey = cb.bkey), " +
+        "bsz AS (SELECT doc_id AS bid, count(*) AS bn FROM bsh GROUP BY doc_id), " +
+        "csz AS (SELECT doc_id AS cid, count(*) AS cn FROM cshd GROUP BY doc_id), " +
+        "inter AS (SELECT cand.bid, cand.cid, count(*) AS ni FROM cand " +
+        "JOIN bsh x ON cand.bid = x.doc_id " +
+        "JOIN cshd y ON cand.cid = y.doc_id AND x.shingle = y.shingle " +
+        "GROUP BY cand.bid, cand.cid), " +
+        "near AS (SELECT DISTINCT i.bid AS doc_id FROM inter i " +
+        "JOIN bsz ON i.bid = bsz.bid JOIN csz ON i.cid = csz.cid " +
+        "WHERE CAST(ni AS DOUBLE) / (bn + cn - ni) >= 0.5) " +
+        "SELECT b.doc_id, CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup' " +
+        "WHEN n.doc_id IS NOT NULL THEN 'near_dup' ELSE 'kept' END AS status " +
+        "FROM batch b LEFT JOIN ex e ON b.doc_id = e.doc_id " +
+        "LEFT JOIN near n ON b.doc_id = n.doc_id ORDER BY b.doc_id"
+    },
     "q_dedup_simhash" ->
       (s"WITH $duckCorpus, hw AS (SELECT doc_id, " +
         "list_transform(list_filter(string_split(text, ' '), x -> length(x) > 0), w -> md5(w)) AS hs " +

@@ -142,6 +142,25 @@ object Similarity {
     // shuffles): at 100 TB this runs at scan speed. The code vector is
     // emitted serialized (array_join) — the harness canonicalizes rows by
     // sorting every output column, which only works on scalars.
+    // Per-label embedding centroids — the building block for IVF coarse
+    // quantizers, per-class prototypes, and semantic-cluster summaries.
+    // Scale shape: posexplode to (label, dim, x) rows, then ONE partial+
+    // final aggregate on the (label, dim) compound key — never a
+    // collect_list of vectors, never a driver-side loop; the shuffle
+    // carries 8·64 running (sum, count) pairs per task, not the vectors.
+    // Emits (label, dim, n_vecs, centroid) rows — scalar columns, no
+    // nested output (driver-harness contract). The 4dp round absorbs
+    // summation-order ulps in the double sum, same precedent as avg_nll.
+    "q_embed_centroids" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg(count(lit(1)).as("n_vecs"),
+          round(avg(col("x").cast("double")), 4).as("centroid"))
+        .select(col("label"), (col("pos") + 1).as("dim"),
+          col("n_vecs"), col("centroid"))
+        .orderBy("label", "dim")),
+
     "q_embed_quantize" -> ((s, d) =>
       Tables.embeddings(s, d)
         .withColumn("scale",
@@ -247,6 +266,12 @@ object Similarity {
         "CAST(row_number() OVER (PARTITION BY q ORDER BY cos DESC, neighbor) AS INTEGER) AS rank " +
         "FROM scored) " +
         "SELECT q, rank, neighbor, cos FROM ranked WHERE rank <= 5 ORDER BY q, rank"),
+    "q_embed_centroids" ->
+      ("SELECT label, CAST(i AS INTEGER) AS dim, count(*) AS n_vecs, " +
+        "round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS centroid " +
+        "FROM (SELECT label, embedding, " +
+        "unnest(generate_series(1, len(embedding))) AS i FROM embeddings) " +
+        "GROUP BY label, i ORDER BY label, dim"),
     "q_embed_quantize" ->
       ("WITH s AS (SELECT vec_id, embedding, " +
         "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale FROM embeddings), " +

@@ -107,6 +107,50 @@ object Sources {
         .agg(count(lit(1)).as("n_sampled"),
           round(sum("o_totalprice"), 2).as("total"))),
 
+    // Deterministic per-group stratified sample — k docs per source,
+    // chosen by md5-hash order within the group (reproducible across
+    // engines/partitionings, unlike RNG sampling, and unbiased because the
+    // hash order is independent of any data column). Scale shape: the
+    // rank-filter plans as WindowGroupLimit (asserted in PlanSpec), so
+    // every task pre-trims to k rows per group BEFORE the shuffle — the
+    // low-cardinality `source` key never routes a whole source's rows to
+    // one task, only ≤ k·n_partitions survivors per group.
+    "q_group_sample" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 25)
+        .select(col("source"), col("rn"), col("doc_id"))
+        .orderBy("source", "rn")
+    }),
+
+    // Training-shard sink — the last step of a curation run: write the
+    // corpus as bounded-size shards (range-clustered by doc_id so shard
+    // files are contiguous id runs, maxRecordsPerFile bounding each file),
+    // then read back and verify the shard contract from the files
+    // themselves: row count preserved, no file exceeds the bound, and the
+    // file count is at least the bound's implied minimum. At 100 TB this
+    // is exactly how training shards are produced (writer-side splitting;
+    // no post-hoc repartition pass), and the verdict columns are computed
+    // from the actual shard listing, not assumed.
+    "q_shard_write" -> ((s, d) => {
+      val path = scratch("doc_shards")
+      val docs = Tables.documents(s, d).select("doc_id", "text", "source")
+      docs.repartitionByRange(8, col("doc_id"))
+        .write.mode("overwrite").option("maxRecordsPerFile", 32).parquet(path)
+      val perFile = s.read.parquet(path)
+        .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
+      val stats = perFile.agg(count(lit(1)).as("n_files"),
+        sum("n").as("n_rows"), max("n").as("max_per_file"))
+      val total = docs.agg(count(lit(1)).as("n_total"))
+      stats.crossJoin(total).select(col("n_total"),
+        (col("n_rows") === col("n_total")).cast("int").as("rows_preserved"),
+        (col("max_per_file") <= 32).cast("int").as("file_size_bounded"),
+        (col("n_files") >= ceil(col("n_total").cast("double") / 32.0))
+          .cast("int").as("sharding_effective"))
+    }),
+
     // segment_customers → spark.ml KMeans (k=3, fixed seed) on account
     // balance. ML fits are iterative/approximate with no SQL equivalent, so
     // the oracle checks the invariants instead of the centroids: every
@@ -135,6 +179,14 @@ object Sources {
     "q_sample_det" ->
       ("SELECT count(*) AS n_sampled, round(sum(o_totalprice), 2) AS total " +
         "FROM orders WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'"),
+    "q_group_sample" ->
+      ("SELECT source, rn, doc_id FROM " +
+        "(SELECT source, doc_id, CAST(row_number() OVER (PARTITION BY source " +
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rn " +
+        "FROM documents) WHERE rn <= 25 ORDER BY source, rn"),
+    "q_shard_write" ->
+      ("SELECT count(*) AS n_total, 1 AS rows_preserved, " +
+        "1 AS file_size_bounded, 1 AS sharding_effective FROM documents"),
     "q_scan_csv" -> summarySql,
     "q_scan_json" -> summarySql,
     "q_scan_orc" -> summarySql,

@@ -135,6 +135,25 @@ class ApiSpec extends SparkSpec {
       s"the near-dup family must land in one split: $bySplit")
   }
 
+  test("temperatureSample flattens a skewed mix toward the small source") {
+    // 512 'big' rows vs 32 'small' rows: at T=2 the big source keeps
+    // ~√(32/512) = 25%, the small one keeps ~everything
+    val df = ((1 to 512).map(i => (i.toLong, "big")) ++
+      (1001 to 1032).map(i => (i.toLong, "small"))).toDF("id", "src")
+    val out = ops.Curation.temperatureSample(df, "id", "src", temperature = 2.0)
+    assert(out.columns.toSeq == Seq("src", "id"), "schema preserved (no helper columns)")
+    val kept = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keptBig = kept.getOrElse("big", 0L).toDouble / 512
+    val keptSmall = kept.getOrElse("small", 0L).toDouble / 32
+    assert(math.abs(keptBig - 0.25) < 0.15, s"big keep rate $keptBig vs 0.25")
+    assert(keptSmall > 0.8, s"small keep rate $keptSmall should be ~1")
+    // T=1 must be (cap quirk aside) a no-op: rate 1 for every source
+    val all = ops.Curation.temperatureSample(df, "id", "src", temperature = 1.0)
+    assert(all.count() >= df.count() - 1,
+      "T=1 keeps everything except the 1/65536 'ffff' hash-prefix cap")
+  }
+
   test("decontaminate removes shingle-overlapping rows, keeps clean ones") {
     val evalDf = Seq(("the quick brown fox jumps over the lazy dog tonight"))
       .toDF("question")

@@ -30,7 +30,12 @@ class InvarianceSpec extends SparkSpec {
     "q_dedup_simhash_pairs", // 17-probe signature equi-join
     "q_ann_ivf_probe2",   // two-cell query fanout + rank windows
     "q_split_stratified", // hash-membership split (must not depend on layout)
-    "q_source_balance")   // hash-threshold downsampling (exact-int counts)
+    "q_source_balance",   // hash-threshold downsampling (exact-int counts)
+    "q_sample_temperature", // per-mix hash thresholds from a global min
+    "q_group_sample",     // hash-order window rank (WindowGroupLimit path)
+    "q_minhash_sim",      // signature-agreement estimate vs exact Jaccard
+    "q_dedup_incremental", // cross-set banding + exact/near labeling
+    "q_embed_centroids")  // (label, dim) double-avg under 4dp round
 
   test("results are invariant under shuffle-partition counts 3/13/32") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")

@@ -278,4 +278,84 @@ class OpsSpec extends SparkSpec {
       h >= 0.0 && h <= math.log(n.toDouble) + 5e-5
     })
   }
+
+  test("incremental dedup: verbatim copies exact, mutated never exact") {
+    val rows = q("q_dedup_incremental").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    assert(rows.nonEmpty)
+    // every +300000 batch doc is a verbatim corpus copy → must hash-match
+    val verbatim = rows.filterKeys(_ >= 300000)
+    assert(verbatim.nonEmpty && verbatim.values.forall(_ == "exact_dup"))
+    // every +100000 doc had its first word replaced → exact match impossible
+    val mutated = rows.filterKeys(k => k >= 100000 && k < 300000)
+    assert(mutated.nonEmpty && mutated.values.forall(_ != "exact_dup"))
+    // and the near-dup detector must catch at least some of the mutations
+    assert(mutated.values.count(_ == "near_dup") > 0)
+  }
+
+  test("minhash estimate agrees with exact Jaccard on average") {
+    val rows = q("q_minhash_sim").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getAs[Double]("est_jaccard")
+      assert(est >= 0.0 && est <= 1.0)
+    }
+    // the estimator is unbiased with sd ≤ 1/(2√8) per pair; over the pair
+    // set the MEAN error should be well inside one per-pair sd
+    val meanErr = rows.map(r =>
+      r.getAs[Double]("est_jaccard") - r.getAs[Double]("jaccard")).sum / rows.length
+    assert(math.abs(meanErr) < 0.25, s"mean estimator bias $meanErr")
+  }
+
+  test("group sample takes exactly min(k, group size) per source") {
+    val bySource = q("q_group_sample").groupBy("source")
+      .agg(count(lit(1)).as("n"), max("rn").as("max_rn")).collect()
+    val sizes = Tables.documents(spark, sf).groupBy("source")
+      .agg(count(lit(1)).as("total")).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("total")).toMap
+    assert(bySource.nonEmpty && bySource.length == sizes.size)
+    bySource.foreach { r =>
+      val want = math.min(25L, sizes(r.getAs[String]("source")))
+      assert(r.getAs[Long]("n") == want && r.getAs[Int]("max_rn") <= 25)
+    }
+  }
+
+  test("temperature sampling keeps the smallest mix whole, flattens the rest") {
+    val rows = q("q_sample_temperature").collect()
+      .map(r => r.getAs[String]("mix_src") ->
+        (r.getAs[Long]("n_before"), r.getAs[Double]("kept_frac"))).toMap
+    assert(rows.keySet == Set("big", "mid", "small"))
+    // keep rate must decrease with source size (√(m/n) is monotone), and
+    // the hash realization should sit near the target rate
+    val (nBig, fBig) = rows("big"); val (nMid, fMid) = rows("mid")
+    val (nSmall, fSmall) = rows("small")
+    assert(nBig > nMid && nMid > nSmall)
+    assert(fSmall > fMid && fMid > fBig)
+    for (((n, f), m) <- Seq(rows("big"), rows("mid"), rows("small"))
+        .map((_, nSmall))) {
+      val target = math.sqrt(m.toDouble / n)
+      // binomial 5σ slack on a few hundred rows
+      assert(math.abs(f - target) <= 5 * math.sqrt(target * (1 - target) / n) + 1e-9,
+        s"kept_frac $f vs target $target for n=$n")
+    }
+  }
+
+  test("shard write verdicts all hold") {
+    val r = q("q_shard_write").collect().head
+    assert(r.getAs[Int]("rows_preserved") == 1)
+    assert(r.getAs[Int]("file_size_bounded") == 1)
+    assert(r.getAs[Int]("sharding_effective") == 1)
+  }
+
+  test("embedding centroids cover every (label, dim) cell with all vectors") {
+    val rows = q("q_embed_centroids").collect()
+    val labels = Tables.embeddings(spark, sf)
+      .select("label").distinct().count()
+    assert(rows.length == labels * 64, "one row per (label, dim)")
+    // per-dim vector counts must total the corpus size for every dim
+    val perDim = rows.groupBy(_.getAs[Int]("dim"))
+      .view.mapValues(_.map(_.getAs[Long]("n_vecs")).sum).toMap
+    val total = Tables.embeddings(spark, sf).count()
+    assert(perDim.values.forall(_ == total))
+  }
 }

@@ -124,6 +124,27 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_group_head").contains("WindowGroupLimit"))
   }
 
+  test("q_group_sample: per-group sample rank-filter becomes WindowGroupLimit") {
+    assert(plan("q_group_sample").contains("WindowGroupLimit"),
+      "the k-per-source filter must pre-trim map-side — `source` is " +
+        "low-cardinality, so a full window would route whole sources to one task")
+  }
+
+  test("q_sample_temperature: mix thresholds broadcast, corpus filter row-local") {
+    val p = plan("q_sample_temperature")
+    assert(p.contains("BroadcastHashJoin"),
+      "the tiny per-source threshold table must broadcast onto the corpus")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_embed_centroids: one partial+final aggregate, no collect_list") {
+    val p = plan("q_embed_centroids")
+    assert(countOccurrences(p, "HashAggregate") >= 2,
+      "centroid sums must map-side combine on the (label, dim) key")
+    assert(!p.contains("collect_list") && !p.contains("Window"),
+      s"no vector buffering may appear in the centroid plan:\n$p")
+  }
+
   test("q_join_asof_native: custom AsOfJoin exec with sort-merge movement (all strategies)") {
     for (n <- Seq("q_join_asof_native", "q_join_asof_fwd_native",
         "q_join_asof_nearest_native", "q_join_asof_tol_native")) {
@@ -185,7 +206,9 @@ class PlanSpec extends SparkSpec {
     "q_impute" -> "1-row global-mean aggregate broadcast",
     "q_join_cross" -> "the operator IS a cross join of bounded dims",
     "q_join_range" -> "pure theta join over the bounded nation dim",
-    "q_layout_prune" -> "1-row files-touched count joins onto the 1-row stats"
+    "q_layout_prune" -> "1-row files-touched count joins onto the 1-row stats",
+    "q_sample_temperature" -> "1-row min-mix-count aggregate broadcast",
+    "q_shard_write" -> "1-row shard-stats × 1-row total verdict join"
     // q_contamination_bloom's 1-row verdict joins are invisible to the
     // sweep: the query localCheckpoints its single-row output eagerly
   )
