@@ -153,10 +153,23 @@ object Dedup {
     * a join-back on (band, bkey), both landing on the same exchange as the
     * collect (one shuffle total via exchange reuse) — so a degenerate hot
     * bucket never materializes a multi-million-entry aggregation buffer,
-    * let alone its O(k²) pair expansion. */
+    * let alone its O(k²) pair expansion.
+    *
+    * `obs`: when supplied, a `CollectMetrics` node over the bucket-size
+    * aggregate reports `oversized_buckets` / `oversized_docs` as the plan
+    * executes — dropped-bucket telemetry for free, no second scan (same
+    * machinery as q_observe). */
   private[graft] def candidatePairs(bands: DataFrame,
-      maxBucket: Int = defaultMaxBucket): DataFrame = {
-    val keep = bands.groupBy("band", "bkey").agg(count(lit(1)).as("bsz"))
+      maxBucket: Int = defaultMaxBucket,
+      obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    val sizes0 = bands.groupBy("band", "bkey").agg(count(lit(1)).as("bsz"))
+    val sizes = obs.map(o => sizes0.observe(o,
+        sum(when(col("bsz") > maxBucket, 1L).otherwise(0L))
+          .as("oversized_buckets"),
+        sum(when(col("bsz") > maxBucket, col("bsz")).otherwise(0L))
+          .as("oversized_docs")))
+      .getOrElse(sizes0)
+    val keep = sizes
       .filter(col("bsz").between(2, maxBucket))
       .select("band", "bkey")
     bands.join(keep, Seq("band", "bkey"))
@@ -175,8 +188,18 @@ object Dedup {
     * `sh` must be a distinct (doc_id, shingle) set; pass it persisted when
     * the caller consumes it more than once. */
   private def jaccardPairs(sh: DataFrame,
-      maxBucket: Int = defaultMaxBucket): DataFrame = {
-    val pairs = candidatePairs(bands(signatures(sh)), maxBucket)
+      maxBucket: Int = defaultMaxBucket,
+      obs: Option[org.apache.spark.sql.Observation] = None): DataFrame =
+    jaccardPairsFrom(sh, signatures(sh), maxBucket, obs)
+
+  /** [[jaccardPairs]] with a caller-supplied signature frame — pass the
+    * SAME (possibly persisted) signatures when the caller also consumes
+    * them elsewhere, so the shingle→signature aggregate is evaluated once
+    * per run instead of once per consumer. */
+  private def jaccardPairsFrom(sh: DataFrame, sig: DataFrame,
+      maxBucket: Int = defaultMaxBucket,
+      obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    val pairs = candidatePairs(bands(sig), maxBucket, obs)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = pairs
       .join(sh.as("sa"), col("a") === col("sa.doc_id"))
@@ -261,8 +284,15 @@ object Dedup {
       candidatePairs(bands(signatures(shingleStream(s, d))))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** Mirrors [[candidatePairs]] INCLUDING the `defaultMaxBucket` cap: both
+    * engines compute the same capped semantics, so parity does not depend
+    * on the shipped corpus happening to have no oversized bucket (a latent
+    * data-dependent divergence otherwise — r4 ADVICE). */
   private val duckPairs =
-    "pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x " +
+    s"bkeep AS (SELECT band, bkey FROM bands GROUP BY band, bkey " +
+      s"HAVING count(*) BETWEEN 2 AND $defaultMaxBucket), " +
+      "pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x " +
+      "JOIN bkeep k ON x.band = k.band AND x.bkey = k.bkey " +
       "JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)"
 
   private val duckChain =
@@ -424,7 +454,14 @@ object Dedup {
     // bucket-capped candidate set, never n².
     "q_minhash_sim" -> ((s, d) => {
       val sh = shingles(s, d)
+      // the signature aggregate is consumed THREE times here (banding plus
+      // both sides of the estimator join) — persist it once and thread the
+      // same frame everywhere (the repo's persisted-intermediate rule:
+      // re-evaluating an expensive subtree per consumer multiplies its
+      // dominant shuffle); the tiny result is checkpointed eagerly so the
+      // persist can be released before returning
       val sig = signatures(sh)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sigA = sig.select(col("doc_id").as("a") +:
         (0 to 7).map(k => col(s"s$k").as(s"a$k")): _*)
       val sigB = sig.select(col("doc_id").as("b") +:
@@ -432,13 +469,16 @@ object Dedup {
       val matches = (0 to 7)
         .map(k => when(col(s"a$k") === col(s"b$k"), 1).otherwise(0))
         .reduce(_ + _)
-      jaccardPairs(sh)
+      val out = jaccardPairsFrom(sh, sig)
         .join(sigA, "a").join(sigB, "b")
         .select(col("a"), col("b"),
           round(matches / lit(8.0), 4).as("est_jaccard"),
           round(col("jaccard"), 4).as("jaccard"),
           round(abs(matches / lit(8.0) - col("jaccard")), 4).as("abs_err"))
         .orderBy("a", "b")
+        .localCheckpoint(true)
+      sig.unpersist(blocking = false)
+      out
     }),
 
     // Incremental (batch-vs-corpus) dedup — the continuous-ingest shape: a
