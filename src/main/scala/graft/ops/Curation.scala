@@ -147,13 +147,16 @@ object Curation {
   /** PUBLIC API — temperature-scaled source resampling, the standard
     * multilingual/multi-source mixing step: with per-source counts c_i,
     * keep source i at rate (c_min/c_i)^(1−1/T), so surviving counts are
-    * ∝ c_i^(1/T). T=1 keeps everything (no reweighting), T→∞ flattens to
-    * the uniform balance of q_source_balance; typical training mixes use
-    * T≈2-5 to up-weight small sources without discarding most of the big
-    * ones. Membership is the deterministic hash-threshold filter (first 4
-    * md5 hex digits of the id below a per-source threshold): reproducible
-    * across engines/partitionings, and at scale a row-local filter against
-    * a broadcast per-source threshold table — the corpus never shuffles. */
+    * ∝ c_i^(1/T). T=1 keeps everything EXACTLY (a rate ≥ 1 maps to a
+    * sentinel threshold above every hex prefix, so the smallest source —
+    * and every source at T=1 — is kept whole, not 65535/65536ths of it);
+    * T→∞ flattens to the uniform balance of q_source_balance; typical
+    * training mixes use T≈2-5 to up-weight small sources without
+    * discarding most of the big ones. Membership is the deterministic
+    * hash-threshold filter (first 4 md5 hex digits of the id below a
+    * per-source threshold): reproducible across engines/partitionings, and
+    * at scale a row-local filter against a broadcast per-source threshold
+    * table — the corpus never shuffles. */
   def temperatureSample(df: org.apache.spark.sql.DataFrame, idCol: String,
       sourceCol: String, temperature: Double = 2.0): org.apache.spark.sql.DataFrame = {
     require(temperature >= 1.0, "temperature must be >= 1")
@@ -161,9 +164,15 @@ object Curation {
     val minCount = bySource.agg(min("_n_before").as("_m"))
     val rate = pow(col("_m").cast("double") / col("_n_before"),
       lit(1.0 - 1.0 / temperature))
+    // rate ≥ 1 means keep-all: 'g' sorts after 'f', so it compares greater
+    // than any 4-hex-digit md5 prefix — exact, unlike capping at 0xffff
+    // (which silently drops the ~1/65536 of ids whose prefix is 'ffff')
     val thresholds = bySource.crossJoin(broadcast(minCount))
-      .select(col(sourceCol), lpad(lower(hex(least(lit(65535L),
-        floor(lit(65536.0) * rate).cast("long")))), 4, "0").as("_thresh"))
+      .select(col(sourceCol),
+        when(floor(lit(65536.0) * rate) >= 65536L, lit("g"))
+          .otherwise(lpad(lower(hex(
+            floor(lit(65536.0) * rate).cast("long"))), 4, "0"))
+          .as("_thresh"))
     df.join(broadcast(thresholds), sourceCol)
       .filter(substring(md5(col(idCol).cast("string")), 1, 4) < col("_thresh"))
       .drop("_thresh")

@@ -223,20 +223,40 @@ object Dedup {
     * Scale shape: every stage is an equi-join or partial+final aggregate;
     * the id column must be numeric and unique (run [[exactDedup]] first —
     * it also removes the identical-doc mass that would otherwise flood
-    * LSH buckets; `maxBucket` then caps whatever boilerplate remains). */
+    * LSH buckets; `maxBucket` then caps whatever boilerplate remains).
+    *
+    * `obs`: pass an `Observation` to receive `oversized_buckets` /
+    * `oversized_docs` (the (band, bkey) buckets the `maxBucket` cap
+    * dropped, and the rows they held) once the run executes — docs whose
+    * ONLY collisions live in dropped buckets get no verified pairs and are
+    * all kept, so a nonzero metric means this call did NOT collapse some
+    * mass-boilerplate family. Run those through [[exactDedup]] first, or
+    * raise `maxBucket`.
+    *
+    * Memory: the returned frame is backed by one localCheckpoint'd drop
+    * list (the component labels themselves are freed before returning);
+    * long-lived sessions should materialize the result and then release it
+    * with `GraftDataset.freeLocalCheckpoint` (reliable-checkpoint mode
+    * instead leaves per-round snapshot files in `checkpointDir`, which the
+    * caller owns and deletes). */
   def nearDedup(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, maxBucket: Int = defaultMaxBucket,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val corpus = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
     val sh = shinglesOf(corpus).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val verified = jaccardPairs(sh, maxBucket)
+    val verified = jaccardPairs(sh, maxBucket, obs)
       .filter(col("jaccard") >= threshold).select("a", "b")
     // the component loop materializes eagerly, so `sh` can be released
     // as soon as the drop list derives from the checkpoint-backed labels
     val comps = connectedComponents(verified, checkpointDir)
     val dropIds = comps.filter(col("id") =!= col("cluster_id"))
-      .select(col("id").as(idCol))
+      .select(col("id").as(idCol)).localCheckpoint(true)
+    // the labels frame is strictly larger than the drop list and dead once
+    // the drop list is snapshotted — free it here instead of leaking one
+    // generation per call in a long-running pipeline
+    org.apache.spark.sql.graftshim.GraftDataset.freeLocalCheckpoint(comps)
     sh.unpersist(blocking = false)
     df.join(dropIds, Seq(idCol), "left_anti")
   }
@@ -251,16 +271,51 @@ object Dedup {
     * md5(coalesce(cluster_id, id)) (12/2/2 sixteenths, same thresholds as
     * [[graft.ops.Curation.stratifiedSplit]]). Schema = `df` + `split`.
     * Same scale shape as [[nearDedup]]; `checkpointDir` as in
-    * [[connectedComponents]]. */
+    * [[connectedComponents]].
+    *
+    * Oversized buckets do NOT weaken the co-travel guarantee here: a
+    * (band, bkey) bucket past `maxBucket` skips the O(k²) pair expansion
+    * (and Jaccard verification), but its members are still chained into
+    * one component through O(k) star edges to the bucket's minimum id —
+    * exactly the mass-boilerplate families the cap targets are the worst
+    * leakage offenders, so they are over-grouped (conservative: the whole
+    * bucket co-travels unverified) rather than silently scattered across
+    * splits by independent id hashes. `obs` reports the affected bucket /
+    * doc counts as in [[nearDedup]].
+    *
+    * Memory: the returned frame is backed by the loop's final
+    * localCheckpoint'd label frame; materialize the result and release it
+    * with `GraftDataset.freeLocalCheckpoint` in long-lived sessions
+    * (reliable mode: per-round snapshot files accumulate in
+    * `checkpointDir`, which the caller owns and deletes). */
   def leakageSafeSplit(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, maxBucket: Int = defaultMaxBucket,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val corpus = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
     val sh = shinglesOf(corpus).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val verified = jaccardPairs(sh, maxBucket)
+    // the signature aggregate feeds BOTH the verified-pair chain and the
+    // oversized-bucket star edges — persist it so the dominant shuffle
+    // runs once (same rule as q_minhash_sim)
+    val sig = signatures(sh)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bb = bands(sig)
+    val verified = jaccardPairsFrom(sh, sig, maxBucket, obs)
       .filter(col("jaccard") >= threshold).select("a", "b")
-    val comps = connectedComponents(verified, checkpointDir)
+    // star edges for capped buckets: every member connects to the bucket's
+    // min id — O(k) edges per bucket, never the O(k²) expansion the cap
+    // exists to avoid, and transitive merging across bands/buckets is the
+    // component loop's job
+    val ovKeys = oversizedBuckets(bb, maxBucket).select("band", "bkey")
+    val ovMembers = bb.join(ovKeys, Seq("band", "bkey"))
+    val star = ovMembers
+      .join(ovMembers.groupBy("band", "bkey").agg(min("doc_id").as("a")),
+        Seq("band", "bkey"))
+      .filter(col("doc_id") =!= col("a"))
+      .select(col("a"), col("doc_id").as("b")).distinct()
+    val comps = connectedComponents(verified.unionByName(star), checkpointDir)
+    sig.unpersist(blocking = false)
     sh.unpersist(blocking = false)
     val label = coalesce(col("cluster_id"), col(idCol)).cast("string")
     val h = substring(md5(label), 1, 1)
@@ -378,9 +433,14 @@ object Dedup {
     def free(df: DataFrame): Unit =
       if (checkpointDir.isEmpty)
         org.apache.spark.sql.graftshim.GraftDataset.freeLocalCheckpoint(df)
-    val p = pairs.select(col("a"), col("b"))
+    // snapshot the pair list BEFORE the symmetric self-union: the pair
+    // subtree (often the whole banding+verification chain, possibly
+    // carrying a CollectMetrics observation) then executes exactly once —
+    // not once per union branch — and observed metrics can't double-count
+    val p = cp(pairs.select(col("a"), col("b")))
     val edges = cp(p.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(p.select(col("b").as("src"), col("a").as("dst"))))
+    free(p)
     // seed with min(id, min neighbor) — the first propagation round fused
     // into initialization as one aggregate (edges are symmetric, so every
     // node appears as src): same fixpoint, one fewer join+count round

@@ -135,6 +135,40 @@ class ApiSpec extends SparkSpec {
       s"the near-dup family must land in one split: $bySplit")
   }
 
+  test("oversized-bucket telemetry fires and capped families still co-travel") {
+    // 800 near-dup boilerplate docs: a shared 40-word boilerplate plus one
+    // unique trailing word — NOT exact duplicates, so exactDedup could not
+    // collapse them, and every band's modal bucket far exceeds the default
+    // 512 cap. This is exactly the family the cap silently dropped before.
+    val boiler = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = (1 to 800).map(i => (i.toLong, s"$boiler tail$i"))
+      .toDF("id", "txt")
+    val obs1 = org.apache.spark.sql.Observation()
+    val out = ops.Dedup.nearDedup(docs, "id", "txt", obs = Some(obs1))
+    // the capped modal buckets yield no verified pairs, so the family is
+    // NOT collapsed (a handful of docs may still pair up through small
+    // uncapped buckets when their 16-bit min slices collide — those are
+    // genuine Jaccard-0.95 verified drops, not cap leakage)
+    val kept = out.count()
+    assert(kept >= 790L && kept < 800L + 1L,
+      s"family must survive essentially uncollapsed, kept $kept of 800")
+    val m1 = obs1.get
+    assert(m1("oversized_buckets").asInstanceOf[Long] >= 1L,
+      s"oversized_buckets must fire: $m1")
+    assert(m1("oversized_docs").asInstanceOf[Long] > 512L,
+      s"oversized_docs must count the capped members: $m1")
+
+    // leakageSafeSplit must route the ENTIRE capped family into one split
+    // via the star edges, not scatter it across splits by id hashes
+    val obs2 = org.apache.spark.sql.Observation()
+    val split = ops.Dedup.leakageSafeSplit(docs, "id", "txt", obs = Some(obs2))
+    val splits = split.select("split").distinct().collect().map(_.getString(0))
+    assert(splits.length == 1,
+      s"capped boilerplate family must land in ONE split, got ${splits.toSeq}")
+    assert(obs2.get("oversized_buckets").asInstanceOf[Long] >= 1L,
+      "telemetry must fire from leakageSafeSplit too")
+  }
+
   test("temperatureSample flattens a skewed mix toward the small source") {
     // 512 'big' rows vs 32 'small' rows: at T=2 the big source keeps
     // ~√(32/512) = 25%, the small one keeps ~everything
@@ -148,10 +182,10 @@ class ApiSpec extends SparkSpec {
     val keptSmall = kept.getOrElse("small", 0L).toDouble / 32
     assert(math.abs(keptBig - 0.25) < 0.15, s"big keep rate $keptBig vs 0.25")
     assert(keptSmall > 0.8, s"small keep rate $keptSmall should be ~1")
-    // T=1 must be (cap quirk aside) a no-op: rate 1 for every source
+    // T=1 is exactly a no-op: rate >= 1 emits the 'g' sentinel threshold,
+    // which sorts after every 4-hex-digit md5 prefix (including 'ffff')
     val all = ops.Curation.temperatureSample(df, "id", "src", temperature = 1.0)
-    assert(all.count() >= df.count() - 1,
-      "T=1 keeps everything except the 1/65536 'ffff' hash-prefix cap")
+    assert(all.count() == df.count(), "T=1 keeps every row exactly")
   }
 
   test("decontaminate removes shingle-overlapping rows, keeps clean ones") {
