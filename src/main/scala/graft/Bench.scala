@@ -36,12 +36,29 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
     }
 
+    // Load canary: q_group_agg re-timed immediately before every query.
+    // min-of-2 per query discards transient spikes but is helpless against
+    // SUSTAINED host load covering both runs (this faked broad regressions
+    // in the r3 and r5 driver benches); a fixed workload interleaved
+    // through the whole window rises with that load, so a contended window
+    // is machine-detectable from the JSON itself: healthy runs keep the
+    // canary series flat (median ≈ min), contended ones don't.
+    val canaryFn = SparkEntry.queries("q_group_agg")
+    def canaryTime(): Double = {
+      val t0 = System.nanoTime()
+      try canaryFn(spark, sfDir).count() catch { case _: Throwable => }
+      (System.nanoTime() - t0) / 1e9
+    }
+
     // min of 2 isolated runs per query: each run rebuilds its own caches
     // (clearResidue between runs), and the min discards transient host
     // contention / GC pauses — the round-3 bench recorded 2-10× inflation
     // on ~30 UNCHANGED queries purely from driver-host load, which
     // single-shot timing cannot distinguish from a plan regression.
+    val canaries = scala.collection.mutable.ArrayBuffer.empty[Double]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      clearResidue()
+      canaries += canaryTime()
       val times = (1 to 2).map { _ =>
         clearResidue()
         val t0 = System.nanoTime()
@@ -53,7 +70,16 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val cs = canaries.sorted
+    val (cMin, cMed, cMax) =
+      if (cs.isEmpty) (0.0, 0.0, 0.0)
+      else (cs.head, cs(cs.length / 2), cs.last)
+    val contended = if (cMin > 0 && cMed > 2 * cMin) 1 else 0
+    val canaryJson =
+      s"""{"workload":"q_group_agg","min":$cMin,"median":$cMed,"max":$cMax,""" +
+        s""""contended":$contended,"series":${canaries.mkString("[", ",", "]")}}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""load_canary":$canaryJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -32,10 +32,12 @@ final case class GraftConfig(
     // exact df.count() per table per ask (reference shape parity; flip off
     // at large scale to use free optimizer stats / "unknown" instead)
     exactRowCount: Boolean = true,
-    // when set, generated SQL may ONLY call these functions (the
-    // reference's whitelist mode, constants.py:69-83); the env-leak
-    // denylist still applies on top
-    functionAllowlist: Option[Set[String]] = None,
+    // generated SQL may ONLY call these functions — DEFAULT ON with the
+    // curated deterministic analytics surface, matching the reference's
+    // ALWAYS-ON import whitelist (__init__.py:351-384, constants.py:69-83);
+    // the env-leak denylist still applies on top. Pass None to opt out
+    // (any function the parser accepts), or a custom set to narrow/extend.
+    functionAllowlist: Option[Set[String]] = Some(SqlGuard.defaultFunctionAllowlist),
     customPrompts: Map[String, (String, Seq[Prompts.TableCtx]) => String] = Map.empty)
 
 /** The answer envelope: rendered text plus the raw result and telemetry. */

@@ -59,6 +59,100 @@ object SqlGuard {
     "inline", "inline_outer", "stack", "json_tuple", "variant_explode",
     "variant_explode_outer")
 
+  /** Curated DEFAULT-ON function allowlist — the SQL analog of the
+    * reference's always-on import whitelist
+    * (/root/reference/polarsai/__init__.py:351-384): generated SQL may
+    * only call the deterministic, environment-free analytics surface below
+    * unless the caller explicitly opts out (`functionAllowlist = None`).
+    * Deliberately absent: nondeterministic generators (`rand`, `uuid`,
+    * `shuffle`, `monotonically_increasing_id`), execution-layout probes
+    * (`spark_partition_id`), and everything in [[bannedFunctions]] (which
+    * applies on top regardless). `raise_error` IS allowed — the engine's
+    * runtime-error capture/retry loop depends on errors surfacing at
+    * execution, matching the reference's behavior of letting generated
+    * code fail and feeding the message back. */
+  val defaultFunctionAllowlist: Set[String] = Set(
+    // aggregates
+    "count", "sum", "avg", "mean", "min", "max", "median", "mode",
+    "stddev", "stddev_pop", "stddev_samp", "std", "variance", "var_pop",
+    "var_samp", "skewness", "kurtosis", "corr", "covar_pop", "covar_samp",
+    "percentile", "percentile_approx", "approx_percentile",
+    "approx_count_distinct", "count_if", "any_value", "first",
+    "first_value", "last", "last_value", "collect_list", "collect_set",
+    "array_agg", "bool_and", "bool_or", "every", "any", "some", "bit_and",
+    "bit_or", "bit_xor", "grouping", "grouping_id", "sum_distinct",
+    // windows
+    "row_number", "rank", "dense_rank", "ntile", "percent_rank",
+    "cume_dist", "lag", "lead", "nth_value", "window", "session_window",
+    "window_time",
+    // math
+    "abs", "ceil", "ceiling", "floor", "round", "bround", "rint", "exp",
+    "expm1", "ln", "log", "log10", "log2", "log1p", "sqrt", "cbrt", "pow",
+    "power", "mod", "pmod", "factorial", "sign", "signum", "greatest",
+    "least", "positive", "negative", "try_add", "try_subtract",
+    "try_multiply", "try_divide", "try_mod", "div", "e", "pi", "sin",
+    "cos", "tan", "cot", "sec", "csc", "asin", "acos", "atan", "atan2",
+    "sinh", "cosh", "tanh", "asinh", "acosh", "atanh", "degrees",
+    "radians", "width_bucket", "conv",
+    // bits
+    "shiftleft", "shiftright", "shiftrightunsigned", "bit_count", "getbit",
+    // strings
+    "length", "len", "char_length", "character_length", "octet_length",
+    "bit_length", "lower", "lcase", "upper", "ucase", "initcap", "trim",
+    "ltrim", "rtrim", "btrim", "lpad", "rpad", "concat", "concat_ws",
+    "substring", "substr", "left", "right", "instr", "locate", "position",
+    "charindex", "replace", "translate", "overlay", "repeat", "reverse",
+    "space", "split", "split_part", "substring_index", "format_number",
+    "format_string", "printf", "ascii", "chr", "char", "elt", "find_in_set",
+    "levenshtein", "soundex", "sentences", "initials",
+    "regexp_extract", "regexp_extract_all", "regexp_replace",
+    "regexp_like", "regexp", "rlike", "like", "ilike", "regexp_count",
+    "regexp_substr", "regexp_instr", "contains", "startswith", "endswith",
+    // hashing / encoding (deterministic, env-free)
+    "md5", "sha", "sha1", "sha2", "hash", "xxhash64", "crc32", "base64",
+    "unbase64", "hex", "unhex", "encode", "decode", "to_binary",
+    "to_char", "to_varchar", "to_number", "try_to_binary", "try_to_number",
+    // null / conditional
+    "coalesce", "nullif", "nullifzero", "zeroifnull", "nvl", "nvl2",
+    "ifnull", "if", "isnull", "isnotnull", "nanvl", "equal_null",
+    "try_cast", "typeof", "assert_true", "raise_error",
+    // dates / times (current_* here are time, not environment identity)
+    "current_date", "curdate", "current_timestamp", "now", "localtimestamp",
+    "date_add", "dateadd", "date_sub", "datediff", "date_diff",
+    "add_months", "months_between", "last_day", "next_day", "trunc",
+    "date_trunc", "year", "quarter", "month", "day", "dayofmonth",
+    "dayofweek", "weekday", "dayofyear", "weekofyear", "week", "hour",
+    "minute", "second", "unix_timestamp", "to_unix_timestamp",
+    "from_unixtime", "to_date", "try_to_date", "to_timestamp",
+    "try_to_timestamp", "to_utc_timestamp", "from_utc_timestamp",
+    "make_date", "make_timestamp", "make_interval", "make_dt_interval",
+    "make_ym_interval", "timestampadd", "timestampdiff", "date_format",
+    "extract", "date_part", "datepart", "unix_date", "unix_seconds",
+    "unix_millis", "unix_micros", "date_from_unix_date",
+    "timestamp_seconds", "timestamp_millis", "timestamp_micros",
+    "dayname", "monthname",
+    // arrays / maps / higher-order
+    "array", "array_contains", "array_distinct", "array_except",
+    "array_intersect", "array_join", "array_max", "array_min",
+    "array_position", "array_remove", "array_repeat", "array_union",
+    "array_append", "array_prepend", "array_compact", "array_insert",
+    "array_size", "arrays_overlap", "arrays_zip", "size", "cardinality",
+    "element_at", "try_element_at", "get", "slice", "sort_array",
+    "array_sort", "flatten", "sequence", "zip_with", "transform",
+    "filter", "exists", "forall", "aggregate", "reduce", "map_keys",
+    "map_values", "map_entries", "map_from_arrays", "map_from_entries",
+    "map_concat", "map_contains_key", "map_filter", "map_zip_with",
+    "transform_keys", "transform_values", "str_to_map", "map",
+    // generators (also gated by the TVF allowlist when table-valued)
+    "explode", "explode_outer", "posexplode", "posexplode_outer",
+    "inline", "inline_outer", "stack",
+    // structs / json / csv
+    "struct", "named_struct", "to_json", "from_json", "get_json_object",
+    "json_tuple", "json_array_length", "json_object_keys",
+    "schema_of_json", "to_csv", "from_csv", "schema_of_csv",
+    // graft-registered kernels
+    "dot_f", "might_contain_l")
+
   /** Functions that leak environment or files into results. Includes every
     * FunctionRegistry alias (`user`, `current_schema`, …) — banning only the
     * canonical name leaves the alias executable. */

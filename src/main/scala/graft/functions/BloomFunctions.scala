@@ -1,7 +1,12 @@
 package graft.functions
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, Predicate, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.util.sketch.BloomFilter
 
 /** Bloom-filter membership as a query-side primitive.
   *
@@ -39,4 +44,71 @@ object BloomFunctions {
     bf.writeTo(bos)
     bos.toByteArray
   }
+
+  /** Register a one-off probe function bound to a BROADCAST bloom filter
+    * (idempotent per name). Unlike the literal form, the filter bytes never
+    * enter the plan: the expression serializes as a broadcast HANDLE, the
+    * bytes ship once per executor via broadcast machinery, and the plan
+    * stays flat no matter how large the eval set is — a 10⁹-shingle bloom
+    * at fpp=0.01 is ~1 GB, which as a `lit()` would ride in every task
+    * binary. Use a per-run unique name so concurrent pipelines in one
+    * session don't clobber each other's binding. */
+  def registerBroadcast(spark: SparkSession, name: String,
+      bloomBytes: Broadcast[Array[Byte]]): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => MightContainBroadcast(bloomBytes, exprs(0)), "built-in")
+}
+
+/** Executor-side cache of deserialized bloom filters, keyed by broadcast
+  * id: `BloomFilter.readFrom` copies the whole bitset, so deserializing per
+  * task would turn a large filter into a per-task allocation storm. One
+  * decode per executor per broadcast; bounded so long-lived executors
+  * running many decontamination passes don't accumulate dead bitsets. */
+object BloomBroadcast {
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[Long, BloomFilter]
+
+  def filterFor(bc: Broadcast[Array[Byte]]): BloomFilter = {
+    if (cache.size > 16) cache.clear()
+    cache.getOrElseUpdate(bc.id,
+      BloomFilter.readFrom(new java.io.ByteArrayInputStream(bc.value)))
+  }
+}
+
+/** `might_contain` over a BROADCAST serialized bloom filter — the
+  * scale-correct sibling of the registered `might_contain_l` literal form.
+  * Codegen keeps the probe row-local and inside whole-stage codegen; the
+  * generated code lazily resolves the filter once per task from the
+  * executor-wide [[BloomBroadcast]] cache. */
+case class MightContainBroadcast(bloom: Broadcast[Array[Byte]],
+    child: Expression) extends UnaryExpression with Predicate {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"might_contain_bc requires a BIGINT probe, got ${child.dataType.simpleString}")
+
+  override def prettyName: String = "might_contain_bc"
+
+  @transient private lazy val bf = BloomBroadcast.filterFor(bloom)
+
+  override def nullSafeEval(v: Any): Any =
+    bf.mightContainLong(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("bloomBc", bloom,
+      "org.apache.spark.broadcast.Broadcast")
+    val bfVar = ctx.addMutableState("org.apache.spark.util.sketch.BloomFilter",
+      "graftBloomFilter")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |if ($bfVar == null) {
+         |  $bfVar = graft.functions.BloomBroadcast.filterFor($bcRef);
+         |}
+         |${ev.value} = $bfVar.mightContainLong($c);
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

@@ -115,16 +115,18 @@ object Curation {
     * `evalTextCol`. Scale shape: the EVAL side (small by nature) is
     * shingled, counted driver-side to size a bloom filter over its
     * xxhash64 values, and the corpus is prefiltered by the row-local
-    * codegen'd `might_contain_l` probe — a few bit-tests per row, no join,
+    * codegen'd broadcast-bloom probe — a few bit-tests per row, no join,
     * no shuffle of the corpus — before an exact broadcast join on the tiny
     * surviving fraction removes bloom false positives. Blooms have no
     * false negatives, so the result is exactly the broadcast-join answer
-    * at a fraction of the cost when the eval set is large. */
+    * at a fraction of the cost when the eval set is large. The filter
+    * bytes travel as a BROADCAST, not a plan literal: the plan stays flat
+    * (a handle, not megabytes of bitset) and executors fetch the bytes
+    * once each, regardless of task count. */
   def decontaminate(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, evalDf: org.apache.spark.sql.DataFrame,
       evalTextCol: String, fpp: Double = 0.01): org.apache.spark.sql.DataFrame = {
     val s = df.sparkSession
-    graft.functions.BloomFunctions.register(s)
     val trainSh = Dedup.shinglesOf(
       df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
       .distinct()
@@ -134,9 +136,13 @@ object Curation {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bloom = evalSh.select(xxhash64(col("shingle")).as("h"))
       .stat.bloomFilter("h", math.max(evalSh.count(), 1L), fpp)
-    val bloomLit = lit(graft.functions.BloomFunctions.serialize(bloom))
+    val bc = s.sparkContext.broadcast(
+      graft.functions.BloomFunctions.serialize(bloom))
+    val fname = "graft_bloom_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    graft.functions.BloomFunctions.registerBroadcast(s, fname, bc)
     val contaminated = trainSh
-      .filter(call_function("might_contain_l", bloomLit, xxhash64(col("shingle"))))
+      .filter(call_function(fname, xxhash64(col("shingle"))))
       .join(broadcast(evalSh), Seq("shingle"))
       .select(col("doc_id").as(idCol)).distinct()
     val out = df.join(contaminated, Seq(idCol), "left_anti")
@@ -253,19 +259,18 @@ object Curation {
     // Bloom-prefiltered decontamination — the same semantics as
     // q_contamination's broadcast join, restructured for eval sets too big
     // to broadcast as a hash table: build a bloom filter over the eval
-    // shingles' xxhash64 (driver-side over the SMALL side only, then a
-    // literal in the plan), prefilter the corpus with the row-local
-    // codegen'd `might_contain_l` probe — a few bit-tests per row, no
-    // join, no shuffle — and exact-join only the tiny surviving fraction
-    // to kill the bounded-rate false positives. Blooms are never
-    // false-negative, so the two-stage result must equal the exact
-    // broadcast-join ground truth computed alongside: `bloom_no_fn`
-    // asserts count equality, `bloom_fp_bounded` asserts the prefilter
-    // passed at most truth + max(50, 5·fpp·n) shingle rows. Both verdicts
-    // are data-dependent computations, not assumptions — a broken hash
-    // contract or a drifting bloom implementation turns this row red.
+    // shingles' xxhash64 (driver-side over the SMALL side only, shipped as
+    // a BROADCAST so the plan carries a handle, not the bitset), prefilter
+    // the corpus with the row-local codegen'd broadcast-bloom probe — a
+    // few bit-tests per row, no join, no shuffle — and exact-join only the
+    // tiny surviving fraction to kill the bounded-rate false positives.
+    // Blooms are never false-negative, so the two-stage result must equal
+    // the exact broadcast-join ground truth computed alongside:
+    // `bloom_no_fn` asserts count equality, `bloom_fp_bounded` asserts the
+    // prefilter passed at most truth + max(50, 5·fpp·n) shingle rows. Both
+    // verdicts are data-dependent computations, not assumptions — a broken
+    // hash contract or a drifting bloom implementation turns this row red.
     "q_contamination_bloom" -> ((s, d) => {
-      graft.functions.BloomFunctions.register(s)
       val sh = Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .select(col("doc_id"),
@@ -279,9 +284,13 @@ object Curation {
       val fpp = 0.01
       val bloom = evalSet.select(xxhash64(col("shingle")).as("h"))
         .stat.bloomFilter("h", 100000L, fpp)
-      val bloomLit = lit(graft.functions.BloomFunctions.serialize(bloom))
+      val bc = s.sparkContext.broadcast(
+        graft.functions.BloomFunctions.serialize(bloom))
+      val fname = "graft_bloom_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      graft.functions.BloomFunctions.registerBroadcast(s, fname, bc)
       val prefiltered = train
-        .filter(call_function("might_contain_l", bloomLit, xxhash64(col("shingle"))))
+        .filter(call_function(fname, xxhash64(col("shingle"))))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val viaBloom = prefiltered.join(broadcast(evalSet), Seq("shingle"))
         .agg(countDistinct(col("doc_id")).as("n_contaminated"),

@@ -45,27 +45,42 @@ object Layout {
     // cost (a full shuffle of the fact table per join) into a one-time
     // layout decision. hint("merge") keeps the demonstration honest: the
     // join must co-locate through SortMergeJoin, not hide behind a
-    // broadcast. The `exchange_free` column is derived from the executed
-    // plan (zero Exchange nodes) and asserted by the oracle.
+    // broadcast. The `exchange_free` verdict comes from the join's FINAL
+    // post-execution AQE plan (the join is drained first, so replanning
+    // can't leave the verdict describing a plan that never ran), and the
+    // scratch tables/paths are namespaced per run so concurrent sessions
+    // can't clobber each other or read a verdict off another run's tables.
     "q_bucket_join" -> ((s, d) => {
-      val wh = scratch("bucket_wh")
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      val wh = scratch(s"bucket_wh_$tag")
+      val ordersTbl = s"graft_orders_bkt_$tag"
+      val liTbl = s"graft_li_bkt_$tag"
       Tables.orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
         .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .option("path", s"$wh/orders_bkt").saveAsTable("graft_orders_bkt")
+        .option("path", s"$wh/orders_bkt").saveAsTable(ordersTbl)
       Tables.lineitem(s, d)
         .groupBy(col("l_orderkey"))
         .agg(count(lit(1)).as("n_lines"))
         .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .option("path", s"$wh/li_bkt").saveAsTable("graft_li_bkt")
-      val joined = s.table("graft_orders_bkt").hint("merge")
-        .join(s.table("graft_li_bkt"), col("o_orderkey") === col("l_orderkey"))
-      val exchanges =
-        countOccurrences(joined.queryExecution.executedPlan.toString, "Exchange")
-      joined.groupBy("o_orderstatus")
+        .option("path", s"$wh/li_bkt").saveAsTable(liTbl)
+      val joined = s.table(ordersTbl).hint("merge")
+        .join(s.table(liTbl), col("o_orderkey") === col("l_orderkey"))
+      // drain the join so AQE finalizes, then read the verdict off the
+      // final plan only (strip the "Initial Plan" section AQE appends)
+      joined.queryExecution.toRdd.foreach(_ => ())
+      val finalPlan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      val exchanges = countOccurrences(finalPlan, "Exchange")
+      val out = joined.groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n_orders"), sum("n_lines").as("total_lines"),
           round(sum("o_totalprice"), 2).as("total_price"))
         .withColumn("exchange_free", lit(if (exchanges == 0) 1 else 0))
         .orderBy("o_orderstatus")
+        .localCheckpoint(true)
+      s.sql(s"DROP TABLE IF EXISTS $ordersTbl")
+      s.sql(s"DROP TABLE IF EXISTS $liTbl")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+      out
     }),
 
     // partitionBy layout: write lineitem hive-partitioned by l_returnflag,

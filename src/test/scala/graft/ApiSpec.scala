@@ -202,4 +202,28 @@ class ApiSpec extends SparkSpec {
     assert(kept == Set(2L, 3L),
       s"doc 1 shares 'the quick brown'/'quick brown fox' with eval: $kept")
   }
+
+  test("decontaminate ships the bloom as a broadcast, not a plan literal") {
+    // a deliberately large eval set: with the old lit() form the filter
+    // bytes would ride in the plan and grow with it; the broadcast form
+    // keeps the plan free of binary literals at any eval size
+    val evalDf = (1 to 2000)
+      .map(i => s"evaluation item number $i tokens a$i b$i c$i d$i e$i")
+      .toDF("question")
+    val train = (1 to 50)
+      .map(i => (i.toLong, s"training row $i clean words x$i y$i z$i w$i"))
+      .toDF("id", "txt")
+    val out = ops.Curation.decontaminate(train, "id", "txt", evalDf, "question")
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.BinaryType
+    val binLits = out.queryExecution.optimizedPlan.collect { case p =>
+      p.expressions.flatMap(_.collect {
+        case l: Literal if l.dataType == BinaryType => l
+      })
+    }.flatten
+    assert(binLits.isEmpty, "bloom bytes must not appear as a plan literal")
+    assert(out.queryExecution.optimizedPlan.toString.length < 20000,
+      "plan text must stay flat — a broadcast handle, not a serialized bitset")
+    assert(out.count() == 50L, "no eval shingle overlaps the training rows")
+  }
 }

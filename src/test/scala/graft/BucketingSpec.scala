@@ -40,6 +40,24 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("q_bucket_join runs concurrently without scratch-table collisions") {
+    // two simultaneous invocations (the driver and a user pipeline, say):
+    // per-run uuid-namespaced table names and scratch paths mean neither
+    // clobbers the other's bucketed tables mid-join, and each verdict is
+    // read off the final AQE plan of the join that actually ran
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fn = ops.Layout.queries("q_bucket_join")
+    val runs = Future.sequence(Seq(
+      Future(fn(spark, sf).collect()), Future(fn(spark, sf).collect())))
+    val Seq(a, b) = Await.result(runs, 5.minutes)
+    assert(a.nonEmpty && a.sameElements(b),
+      "concurrent runs must agree row-for-row")
+    assert(a.forall(_.getAs[Int]("exchange_free") == 1),
+      "both concurrent joins must be exchange-free")
+  }
+
   test("partitionBy layout gives partition-pruned scans") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part")
     Tables.lineitem(spark, sf)

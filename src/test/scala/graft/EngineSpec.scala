@@ -156,6 +156,30 @@ class EngineSpec extends SparkSpec {
     assert(bad.error.isDefined, "sum is not in the allowlist")
   }
 
+  test("curated function allowlist is ON by default, with explicit opt-out") {
+    // nondeterministic generators are off the curated default list
+    val rej = new GraftSession(spark,
+      FakeLlm("```sql\nSELECT rand() AS r FROM df\n```"),
+      GraftConfig(maxRetries = 0)).ask(freshDf, "?")
+    assert(rej.error.isDefined, "rand() must be rejected by the default allowlist")
+    // a representative analytics query passes the default list untouched
+    val ok = new GraftSession(spark, FakeLlm(
+      "```sql\nSELECT fruits, count(*) AS n, round(avg(a), 2) AS m, " +
+        "max(coalesce(b, 0)) AS mx FROM df GROUP BY fruits ORDER BY fruits\n```"))
+      .ask(freshDf, "stats")
+    assert(ok.error.isEmpty, s"curated list must admit standard analytics: ${ok.text}")
+    // opt-out (None) restores the parser-wide surface ...
+    val optOut = new GraftSession(spark,
+      FakeLlm("```sql\nSELECT rand() AS r FROM df\n```"),
+      GraftConfig(maxRetries = 0, functionAllowlist = None)).ask(freshDf, "?")
+    assert(optOut.error.isEmpty, "opt-out must allow off-list functions again")
+    // ... but the env-leak denylist still applies on top of the opt-out
+    val stillBanned = new GraftSession(spark,
+      FakeLlm("```sql\nSELECT current_user() AS u FROM df\n```"),
+      GraftConfig(maxRetries = 0, functionAllowlist = None)).ask(freshDf, "?")
+    assert(stillBanned.error.isDefined, "denylist applies even when opted out")
+  }
+
   test("guard allows CTEs over registered views") {
     val llm = FakeLlm(
       "```sql\nWITH t AS (SELECT a FROM df WHERE a > 2) SELECT count(*) AS n FROM t\n```")
