@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10× scale rehearsal — converts the "would survive 100 TB" claims from
+  * plan-reading into measurement (VERDICT r5 top item).
+  *
+  * Synthesizes a `mult`× corpus from the sf0.1 documents table:
+  *   - `mult` id-offset replicas; replica k > 0 suffixes every word with
+  *     `_rk`, so its 3-word shingles are disjoint from every other
+  *     replica's. Each replica therefore carries the SAME internal
+  *     near-dup structure as the base corpus with ZERO cross-replica
+  *     collisions — the workload is genuinely mult× the base workload,
+  *     not one mult-wide exact-duplicate family (which would measure the
+  *     O(k²) pair blow-up of a degenerate corpus, not scaling).
+  *   - plus a planted 600-member boilerplate family (shared 60-word head,
+  *     unique tails — near-dups, NOT exact dups) whose modal LSH buckets
+  *     exceed the default 512 cap, so the rehearsal also proves the cap +
+  *     star-edge co-travel machinery fires on data big enough to need it.
+  *
+  * Runs the six workloads the r5 verdict names (nearDedup,
+  * leakageSafeSplit, decontaminate, packSequences, perplexity, tfidf) at
+  * 1× (straight off `sfDir`) and at mult× (the synthesized corpus), each
+  * timed as min-of-2 isolated runs with the same residue clearing as
+  * [[Bench]], and emits one JSON line with per-workload times, mult×/1×
+  * ratios, and the two scale-correctness verdicts:
+  * `cap_fired` (oversized-bucket telemetry observed nonzero at mult×) and
+  * `plant_one_split` (the whole planted family landed in a single
+  * leakageSafeSplit split via star edges — the co-travel guarantee holding
+  * exactly where id-keyed hashing would scatter it).
+  *
+  * Usage: runMain graft.ScaleRehearsal [sfDir] [mult]
+  */
+object ScaleRehearsal {
+  private val IdStride = 100000000L // replica k ids = base + k·stride
+  private val PlantBase = 9000000000L
+
+  /** Replica k of the base corpus: ids offset, every word suffixed so the
+    * shingle space is disjoint from all other replicas. k = 0 is the base
+    * corpus unchanged. */
+  private def replica(base: DataFrame, k: Int): DataFrame =
+    if (k == 0) base
+    else base.select(
+      (col("doc_id") + lit(k * IdStride)).as("doc_id"),
+      regexp_replace(col("text"), "(\\S+)", "$1_r" + k).as("text"),
+      col("lang"), col("source"), col("n_chars"))
+
+  /** The planted boilerplate family: `n` docs sharing a 60-word head with
+    * a unique trailing word — near-duplicates that exact dedup cannot
+    * collapse and whose modal (band, bkey) buckets exceed `maxBucket`. */
+  private def plant(spark: SparkSession, n: Int): DataFrame = {
+    val head = (1 to 60).map(i => s"boiler$i").mkString(" ")
+    spark.range(1, n + 1L).select(
+      (col("id") + lit(PlantBase)).as("doc_id"),
+      concat(lit(head + " tail"), col("id")).as("text"),
+      lit("en").as("lang"),
+      lit("plant").as("source"),
+      length(concat(lit(head + " tail"), col("id"))).as("n_chars"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mult = args.lift(1).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // ---- synthesize the mult× corpus into a scratch documents.parquet ----
+    val scratch = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_scale_x$mult").getAbsolutePath
+    val bigDir = s"$scratch/corpus"
+    val base = Tables.documents(spark, sfDir)
+    val big = (0 until mult).map(replica(base, _)).reduce(_ unionByName _)
+      .unionByName(plant(spark, 600))
+    big.repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$bigDir/documents.parquet")
+    val nBig = Tables.documents(spark, bigDir).count()
+
+    def clearResidue(): Unit = {
+      ops.Dedup.clearCaches()
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+
+    // Each workload takes a corpus dir and forces a full result. The first
+    // three drive the public curation APIs; the last three are the shipped
+    // qids (they read documents.parquet from the dir themselves).
+    val workloads: Seq[(String, String => Unit)] = Seq(
+      "near_dedup" -> { d: String =>
+        ops.Dedup.nearDedup(Tables.documents(spark, d), "doc_id", "text")
+          .count(): Unit
+      },
+      "leakage_split" -> { d: String =>
+        ops.Dedup.leakageSafeSplit(Tables.documents(spark, d), "doc_id", "text")
+          .groupBy("split").count().collect(): Unit
+      },
+      "decontaminate" -> { d: String =>
+        val docs = Tables.documents(spark, d)
+        val eval = docs.filter(col("doc_id") % 97 === 3)
+          .select(col("text").as("eval_text"))
+        ops.Curation.decontaminate(docs, "doc_id", "text", eval, "eval_text")
+          .count(): Unit
+      },
+      "pack_sequences" -> { d: String =>
+        SparkEntry.queries("q_pack_sequences")(spark, d).count(): Unit
+      },
+      "perplexity" -> { d: String =>
+        SparkEntry.queries("q_perplexity")(spark, d).count(): Unit
+      },
+      "tfidf" -> { d: String =>
+        SparkEntry.queries("q_tfidf")(spark, d).count(): Unit
+      })
+
+    def time(fn: String => Unit, dir: String): Double =
+      (1 to 2).map { _ =>
+        clearResidue()
+        val t0 = System.nanoTime()
+        fn(dir)
+        (System.nanoTime() - t0) / 1e9
+      }.min
+
+    // warm the scan/agg/join JIT paths once so 1× numbers aren't codegen
+    // noise (same rationale as Bench's warmup)
+    workloads.foreach { case (_, fn) => fn(sfDir) }
+
+    val rows = workloads.map { case (name, fn) =>
+      val t1 = time(fn, sfDir)
+      val tN = time(fn, bigDir)
+      (name, t1, tN, tN / t1)
+    }
+
+    // ---- scale-correctness verdicts on the mult× corpus ----
+    clearResidue()
+    val obs = Observation()
+    ops.Dedup.nearDedup(Tables.documents(spark, bigDir), "doc_id", "text",
+      obs = Some(obs)).count()
+    val ovB = obs.get("oversized_buckets").asInstanceOf[Long]
+    val ovD = obs.get("oversized_docs").asInstanceOf[Long]
+    val capFired = ovB >= 1L && ovD > 512L
+
+    clearResidue()
+    val plantSplits = ops.Dedup
+      .leakageSafeSplit(Tables.documents(spark, bigDir), "doc_id", "text")
+      .filter(col("source") === "plant")
+      .select("split").distinct().count()
+    val onePlantSplit = plantSplits == 1L
+
+    val wl = rows.map { case (n, t1, tN, r) =>
+      s""""$n":{"x1":${f"$t1%.3f"},"x$mult":${f"$tN%.3f"},"ratio":${f"$r%.2f"}}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_rehearsal","mult":$mult,"rows_x$mult":$nBig,""" +
+      s""""workloads":$wl,"oversized_buckets":$ovB,"oversized_docs":$ovD,""" +
+      s""""cap_fired":$capFired,"plant_one_split":$onePlantSplit,""" +
+      s""""sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
