@@ -11,7 +11,9 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
   *   - the custom as-of join planner strategy (graft.plans.AsOfStrategy);
   *   - the codegen'd `dot_f` vector kernel (graft.functions.FloatDotProduct);
   *   - the `product_agg` typed Aggregator UDAF (graft.functions.ProductAgg);
-  *   - `might_contain_l` bloom membership (graft.functions.BloomFunctions).
+  *   - `might_contain_l` bloom membership (graft.functions.BloomFunctions);
+  *   - `graft_tokens`/`graft_token_count`/`graft_alpha_count` byte-scan
+  *     tokenizers (graft.functions.TextTokenize — the regex-free hot path).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -28,5 +30,6 @@ object GraftExtensions {
     functions.FloatDotProduct.register(spark)
     functions.ProductAgg.register(spark)
     functions.BloomFunctions.register(spark)
+    functions.TextTokenize.register(spark)
   }
 }

@@ -220,13 +220,14 @@ object Curation {
     // assignment is reproducible across engines, partitionings, and reruns
     // (unlike RNG splits), which is what makes held-out sets auditable.
     // Per-(split, source) stats are one partial+final aggregate.
-    "q_split_stratified" -> ((s, d) =>
+    "q_split_stratified" -> ((s, d) => {
+      graft.functions.TextTokenize.register(s)
       stratifiedSplit(Tables.documents(s, d), "doc_id")
         .groupBy("split", "source")
         .agg(count(lit(1)).as("n_docs"),
-          sum(expr("size(filter(split(text, '[^a-zA-Z0-9]+'), x -> length(x) > 0))"))
-            .as("n_tokens"))
-        .orderBy("split", "source")),
+          sum(expr("graft_token_count(text)")).as("n_tokens"))
+        .orderBy("split", "source")
+    }),
 
     // Benchmark decontamination: fraction of each training doc's distinct
     // 3-word shingles that appear in the eval set (doc_id < 20 stands in
@@ -405,13 +406,14 @@ object Curation {
     // pins buckets=16 for oracle parity; library callers get the
     // cluster-proportional default (shuffle parallelism), so the window
     // stage is never capped at a constant task count at scale.
-    "q_pack_sequences" -> ((s, d) =>
+    "q_pack_sequences" -> ((s, d) => {
+      graft.functions.TextTokenize.register(s)
       packSequences(
         Tables.documents(s, d).select(col("doc_id"),
-          expr("size(filter(split(text, '[^a-zA-Z0-9]+'), x -> length(x) > 0))")
-            .as("n_tokens")),
+          expr("graft_token_count(text)").as("n_tokens")),
         "doc_id", "n_tokens", 2048L, 16)
-        .orderBy("bucket", "pack_id")),
+        .orderBy("bucket", "pack_id")
+    }),
 
     // Per-document term salience (tf-idf shape, log-free rational idf —
     // see class note): top-3 terms per doc by cnt·N/(words·df), ties to

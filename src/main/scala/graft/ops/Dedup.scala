@@ -730,6 +730,7 @@ object Dedup {
     // verified pair; (4) per-source survivor stats. Provenance (source)
     // rides the whole pipeline.
     "q_pipeline_curate" -> ((s, d) => {
+      graft.functions.TextTokenize.register(s)
       val docs = Tables.documents(s, d)
       val corpus0 = docs.select(col("doc_id"), col("text"), col("source"))
         .unionByName(docs.filter(col("doc_id") % 10 === 0)
@@ -751,8 +752,7 @@ object Dedup {
       exact.join(dropIds, Seq("doc_id"), "left_anti")
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
-          sum(expr("size(filter(split(text, '[^a-zA-Z0-9]+'), x -> length(x) > 0))"))
-            .as("total_tokens"))
+          sum(expr("graft_token_count(text)")).as("total_tokens"))
         .orderBy("source")
     }),
 

@@ -14,9 +14,12 @@ import graft.Tables.Q
   */
 object TextAnalysis {
 
-  /** tokens = split on non-alphanumeric runs, drop empties (row-local). */
-  private val toks =
-    "filter(split(text, '[^a-zA-Z0-9]+'), x -> length(x) > 0)"
+  /** tokens = maximal alphanumeric runs (row-local). Byte-scan kernel, not
+    * `split(text, '[^a-zA-Z0-9]+')`: java.util.regex measured ~30× slower
+    * than the scan and anti-scaling under executor threads — see
+    * [[graft.functions.TextKernels]]. Register via
+    * `TextTokenize.register(s)` in any query that uses these. */
+  private val toks = "graft_tokens(text)"
   private val words =
     "filter(split(text, ' '), x -> length(x) > 0)"
 
@@ -38,16 +41,19 @@ object TextAnalysis {
 
   val queries: Map[String, Q] = Map(
     // token counting (whitespace + regex tokenizer, BPE-ish granularity).
-    "q_token_count" -> ((s, d) =>
+    "q_token_count" -> ((s, d) => {
+      graft.functions.TextTokenize.register(s)
       Tables.documents(s, d)
         .select(col("doc_id"),
-          expr(s"size($toks)").as("n_tokens"),
+          expr("graft_token_count(text)").as("n_tokens"),
           expr(s"size(array_distinct($toks))").as("n_uniq_tokens"),
           expr(s"size($words)").as("n_words"))
-        .orderBy("doc_id")),
+        .orderBy("doc_id")
+    }),
 
     // quality scoring: length / word stats / stopword ratio / alpha ratio.
-    "q_quality_score" -> ((s, d) =>
+    "q_quality_score" -> ((s, d) => {
+      graft.functions.TextTokenize.register(s)
       Tables.documents(s, d)
         .select(col("doc_id"),
           length(col("text")).as("n_chars"),
@@ -56,9 +62,10 @@ object TextAnalysis {
             .as("avg_word_len"),
           expr(s"round(CAST(${score(stop, "size")} AS DOUBLE) / size($words), 4)")
             .as("stopword_ratio"),
-          expr("round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '')) AS DOUBLE) / length(text), 4)")
+          expr("round(CAST(graft_alpha_count(text) AS DOUBLE) / length(text), 4)")
             .as("alpha_ratio"))
-        .orderBy("doc_id")),
+        .orderBy("doc_id")
+    }),
 
     // language ID: marker-word scoring per language, argmax with a fixed
     // de<en<es<fr tie order; `correct` compares against the labeled lang.

@@ -50,6 +50,47 @@ class FunctionsSpec extends SparkSpec {
     assert(fps <= 500, s"false-positive rate out of bounds: $fps / 10000")
   }
 
+  test("graft_tokens/token_count/alpha_count equal the regex formulations") {
+    import spark.implicits._
+    graft.functions.TextTokenize.register(spark)
+    // real corpus text + adversarial edges: leading/trailing/consecutive
+    // delimiters, all-delimiter, empty, multibyte UTF-8 (must act as a
+    // delimiter, exactly like the per-char regex), digits, underscores
+    val edges = Seq("", "   ", "a", " a b  c ", "_x_9_", "héllo wörld",
+      "a1b2-c3", "über café 42", "\ttab\nnewline", "ünïcödé",
+      "mixed ascii ünd ütf8 tokens 99").toDF("text")
+    val corpus = Tables.documents(spark, sf).select("text").unionByName(edges)
+    val diff = corpus.select(
+        expr("graft_tokens(text)").as("fast"),
+        expr("filter(split(text, '[^a-zA-Z0-9]+'), x -> length(x) > 0)").as("rx"),
+        expr("graft_token_count(text)").as("fastn"),
+        expr("graft_alpha_count(text)").as("fasta"),
+        expr("length(regexp_replace(text, '[^a-zA-Z]', ''))").as("rxa"))
+      .filter(col("fast") =!= col("rx") || col("fastn") =!= size(col("rx")) ||
+        col("fasta") =!= col("rxa"))
+      .count()
+    assert(diff == 0, "byte-scan kernels must match the regex semantics exactly")
+    // null in, null out — same as the regex chain
+    val nulls = spark.sql("SELECT graft_tokens(CAST(NULL AS STRING)) AS t, " +
+      "graft_token_count(CAST(NULL AS STRING)) AS c, " +
+      "graft_alpha_count(CAST(NULL AS STRING)) AS a").head()
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1) && nulls.isNullAt(2))
+  }
+
+  test("graft_tokens survives both codegen and interpreted evaluation") {
+    graft.functions.TextTokenize.register(spark)
+    val df = Tables.documents(spark, sf).limit(20)
+      .select(expr("graft_tokens(text)").as("t"),
+        expr("graft_token_count(text)").as("c"),
+        expr("graft_alpha_count(text)").as("a"))
+    val withCodegen = df.collect().map(_.toSeq)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interpreted = df.collect().map(_.toSeq)
+      assert(withCodegen.sameElements(interpreted))
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
   test("dot_f survives both codegen and interpreted evaluation") {
     FloatDotProduct.register(spark)
     val df = Tables.embeddings(spark, sf).limit(10)
