@@ -31,5 +31,6 @@ object GraftExtensions {
     functions.ProductAgg.register(spark)
     functions.BloomFunctions.register(spark)
     functions.TextTokenize.register(spark)
+    functions.TextStats.register(spark)
   }
 }

@@ -156,7 +156,10 @@ object Similarity {
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy("label", "pos")
         .agg(count(lit(1)).as("n_vecs"),
-          round(avg(col("x").cast("double")), 4).as("centroid"))
+          // + 0.0 canonicalizes IEEE negative zero: a tiny negative mean
+          // that rounds to zero keeps its sign bit in one engine and not
+          // the other (seen live at sf0.1: spark 0.0 vs duckdb -0.0)
+          (round(avg(col("x").cast("double")), 4) + lit(0.0)).as("centroid"))
         .select(col("label"), (col("pos") + 1).as("dim"),
           col("n_vecs"), col("centroid"))
         .orderBy("label", "dim")),
@@ -363,7 +366,7 @@ object Similarity {
         "SELECT q, rank, neighbor, cos FROM ranked WHERE rank <= 5 ORDER BY q, rank"),
     "q_embed_centroids" ->
       ("SELECT label, CAST(i AS INTEGER) AS dim, count(*) AS n_vecs, " +
-        "round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS centroid " +
+        "round(avg(CAST(embedding[i] AS DOUBLE)), 4) + 0.0 AS centroid " +
         "FROM (SELECT label, embedding, " +
         "unnest(generate_series(1, len(embedding))) AS i FROM embeddings) " +
         "GROUP BY label, i ORDER BY label, dim"),

@@ -102,19 +102,20 @@ object TextAnalysis {
     // (doc, gram) partial+final aggregate → per-doc max, every key
     // high-cardinality. Only the max COUNT is emitted (not the gram), so
     // ties cannot make the result nondeterministic.
+    // The bigram multiset folds INSIDE the row (graft_top_bigram_count, a
+    // codegen'd kernel): the explode → (doc, gram) shuffle → per-doc max →
+    // join-back formulation moves ~corpus-sized gram rows through an
+    // exchange whose keys never leave their document — at 100 TB that is
+    // a corpus-scale shuffle for a row-local statistic. This form is one
+    // scan, zero shuffles (output sort aside).
     "q_repetition" -> ((s, d) => {
-      val base = Tables.documents(s, d)
+      graft.functions.TextStats.register(s)
+      Tables.documents(s, d)
         .select(col("doc_id"), expr(words).as("w"))
-      val stats = base.select(col("doc_id"),
-        size(col("w")).as("n_words"),
-        size(array_distinct(col("w"))).as("n_uniq_words"))
-      val grams = base.select(col("doc_id"),
-        explode(expr("transform(sequence(1, greatest(size(w) - 1, 1)), " +
-          "i -> concat_ws(' ', try_element_at(w, i), try_element_at(w, i + 1)))"))
-          .as("gram"))
-      val top = grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id").agg(max("c").as("top_bigram"))
-      stats.join(top, "doc_id")
+        .select(col("doc_id"),
+          size(col("w")).as("n_words"),
+          size(array_distinct(col("w"))).as("n_uniq_words"),
+          expr("graft_top_bigram_count(w)").as("top_bigram"))
         .select(col("doc_id"), col("n_words"),
           round(lit(1.0) - col("n_uniq_words").cast("double") / col("n_words"), 4)
             .as("dup_word_frac"),
@@ -126,21 +127,22 @@ object TextAnalysis {
 
     // Character-trigram Shannon entropy per doc — low entropy flags
     // repetitive/degenerate text, high entropy flags binary-ish noise;
-    // a standard cheap quality gate next to perplexity. Explode → (doc,
-    // gram) counts → per-doc fold: H = ln n − Σ c·ln c / n, rounded to 4dp
-    // (transcendental-sum precedent as q_perplexity).
+    // a standard cheap quality gate next to perplexity.
+    // H = ln n − Σ c·ln c / n, rounded to 4dp (transcendental-sum
+    // precedent as q_perplexity). The trigram counts fold INSIDE the row
+    // (graft_trigram_stats): the explode → groupBy (doc_id, gram)
+    // formulation shuffles one row per CHARACTER of the corpus — ~3× the
+    // corpus bytes at 100 TB — for a statistic whose keys never leave
+    // their document. This form is a pure scan, zero shuffles.
     "q_ngram_entropy" -> ((s, d) => {
-      val tri = Tables.documents(s, d)
+      graft.functions.TextStats.register(s)
+      Tables.documents(s, d)
+        .select(col("doc_id"), expr("graft_trigram_stats(text)").as("st"))
         .select(col("doc_id"),
-          explode(expr("transform(sequence(1, greatest(length(text) - 2, 1)), " +
-            "i -> substring(text, i, 3))")).as("gram"))
-      tri.groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id")
-        .agg(sum("c").as("n_grams"), count(lit(1)).as("n_uniq_grams"),
-          sum(col("c").cast("double") * log(col("c").cast("double"))).as("clc"))
-        .select(col("doc_id"), col("n_grams"), col("n_uniq_grams"),
-          round(log(col("n_grams").cast("double")) - col("clc") / col("n_grams"), 4)
-            .as("entropy"))
+          col("st.n_grams").as("n_grams"),
+          col("st.n_uniq_grams").as("n_uniq_grams"),
+          round(log(col("st.n_grams").cast("double")) -
+            col("st.clc") / col("st.n_grams"), 4).as("entropy"))
         .orderBy("doc_id")
     })
   )

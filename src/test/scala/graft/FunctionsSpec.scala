@@ -91,6 +91,46 @@ class FunctionsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
 
+  test("graft_trigram_stats / graft_top_bigram_count equal the relational forms") {
+    import spark.implicits._
+    graft.functions.TextStats.register(spark)
+    val edges = Seq("", "a", "ab", "abc", "aaaa", "x y", "w w w w",
+      "héé héé", "one two one two one", "  spaced  out  ").toDF("text")
+    val corpus = Tables.documents(spark, sf).select("text").unionByName(edges)
+    // trigram stats vs the explode → groupBy formulation
+    val base = corpus.withColumn("doc", monotonically_increasing_id())
+    val relTri = base
+      .select(col("doc"),
+        explode(expr("transform(sequence(1, greatest(length(text) - 2, 1)), " +
+          "i -> substring(text, i, 3))")).as("gram"))
+      .groupBy("doc", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("doc")
+      .agg(sum("c").as("n_grams"), count(lit(1)).as("n_uniq_grams"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("clc"))
+    val triDiff = base.join(relTri, "doc")
+      .withColumn("st", expr("graft_trigram_stats(text)"))
+      .filter(col("st.n_grams") =!= col("n_grams") ||
+        col("st.n_uniq_grams") =!= col("n_uniq_grams") ||
+        // clc is a float fold in different orders — compare at the 4dp
+        // consumers actually use
+        round(col("st.clc"), 4) =!= round(col("clc"), 4))
+      .count()
+    assert(triDiff == 0, "trigram kernel must match the relational form")
+    // top bigram vs the explode → count → max formulation
+    val w = base.select(col("doc"),
+        expr("filter(split(text, ' '), x -> length(x) > 0)").as("w"))
+    val relTop = w.select(col("doc"),
+        explode(expr("transform(sequence(1, greatest(size(w) - 1, 1)), " +
+          "i -> concat_ws(' ', try_element_at(w, i), try_element_at(w, i + 1)))"))
+          .as("gram"))
+      .groupBy("doc", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("doc").agg(max("c").as("top_bigram"))
+    val topDiff = w.join(relTop, "doc")
+      .filter(expr("graft_top_bigram_count(w)") =!= col("top_bigram"))
+      .count()
+    assert(topDiff == 0, "top-bigram kernel must match the relational form")
+  }
+
   test("dot_f survives both codegen and interpreted evaluation") {
     FloatDotProduct.register(spark)
     val df = Tables.embeddings(spark, sf).limit(10)
