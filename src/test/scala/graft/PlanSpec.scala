@@ -166,6 +166,32 @@ class PlanSpec extends SparkSpec {
     assert(countOccurrences(plan("q_pii_redact"), "Exchange hashpartitioning") == 0)
   }
 
+  test("q_ngram_entropy: per-doc trigram stats fold in the row — zero hash exchanges") {
+    // the relational form shuffled one row per CHARACTER of the corpus;
+    // the graft_trigram_stats kernel makes the whole query a scan
+    val p = plan("q_ngram_entropy")
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 0,
+      "trigram entropy must not shuffle gram rows")
+    assert(p.contains("graft_trigram_stats"), "kernel must be in the plan")
+  }
+
+  test("q_repetition: per-doc bigram max folds in the row — zero hash exchanges") {
+    val p = plan("q_repetition")
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 0,
+      "top-bigram must not shuffle gram rows")
+    assert(p.contains("graft_top_bigram_count"), "kernel must be in the plan")
+  }
+
+  test("q_token_count/q_quality_score: byte-scan kernels in a row-local plan") {
+    for (q <- Seq("q_token_count", "q_quality_score")) {
+      val p = plan(q)
+      assert(countOccurrences(p, "Exchange hashpartitioning") == 0,
+        s"$q must stay row-local")
+      assert(!p.contains("split(text, '[^a-zA-Z0-9]+'"),
+        s"$q must not re-grow the regex tokenizer")
+    }
+  }
+
   test("q_source_balance: per-source thresholds broadcast, corpus filter row-local") {
     val p = plan("q_source_balance")
     assert(p.contains("BroadcastHashJoin"),
