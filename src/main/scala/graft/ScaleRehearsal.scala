@@ -19,8 +19,15 @@ import org.apache.spark.sql.functions._
   *     exceed the default 512 cap, so the rehearsal also proves the cap +
   *     star-edge co-travel machinery fires on data big enough to need it.
   *
+  * Also synthesizes a mult× embeddings table: replica k's vectors are
+  * circularly shifted by k positions (one fixed permutation per replica —
+  * within-replica inner products are exactly the base corpus', while
+  * cross-replica signatures decorrelate; see [[embReplica]]).
+  *
   * Runs the six workloads the r5 verdict names (nearDedup,
-  * leakageSafeSplit, decontaminate, packSequences, perplexity, tfidf) at
+  * leakageSafeSplit, decontaminate, packSequences, perplexity, tfidf),
+  * plus the similarity family (q_ann_lsh, q_dedup_embedding) and span
+  * mining (q_span_dedup), at
   * 1× (straight off `sfDir`) and at mult× (the synthesized corpus), each
   * timed as min-of-2 isolated runs with the same residue clearing as
   * [[Bench]], and emits one JSON line with per-workload times, mult×/1×
@@ -45,6 +52,25 @@ object ScaleRehearsal {
       (col("doc_id") + lit(k * IdStride)).as("doc_id"),
       regexp_replace(col("text"), "(\\S+)", "$1_r" + k).as("text"),
       col("lang"), col("source"), col("n_chars"))
+
+  /** Replica k of the embeddings table: ids offset, the vector circularly
+    * shifted by k positions. A shift is one fixed permutation applied to
+    * every vector of the replica, so all pairwise inner products WITHIN a
+    * replica are exactly the base corpus' (the replica repeats the base
+    * workload's neighbor structure), while cross-replica cosines — and
+    * hence LSH signatures — are decorrelated: the corpus is genuinely
+    * k× the workload, not one k-deep exact-duplicate pile-up that would
+    * square the in-bucket pair counts. */
+  private def embReplica(base: DataFrame, k: Int, dim: Int): DataFrame = {
+    val s = k % dim
+    if (s == 0) base.select((col("vec_id") + lit(k * IdStride)).as("vec_id"),
+      col("embedding"), col("label"))
+    else base.select(
+      (col("vec_id") + lit(k * IdStride)).as("vec_id"),
+      expr(s"concat(slice(embedding, ${s + 1}, ${dim - s}), slice(embedding, 1, $s))")
+        .as("embedding"),
+      col("label"))
+  }
 
   /** The planted boilerplate family: `n` docs sharing a 60-word head with
     * a unique trailing word — near-duplicates that exact dedup cannot
@@ -82,6 +108,12 @@ object ScaleRehearsal {
       .write.mode("overwrite").parquet(s"$bigDir/documents.parquet")
     val nBig = Tables.documents(spark, bigDir).count()
 
+    val embBase = Tables.embeddings(spark, sfDir)
+    val dim = embBase.selectExpr("size(embedding)").first().getInt(0)
+    (0 until mult).map(embReplica(embBase, _, dim)).reduce(_ unionByName _)
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$bigDir/embeddings.parquet")
+
     def clearResidue(): Unit = {
       ops.Dedup.clearCaches()
       spark.catalog.clearCache()
@@ -116,6 +148,19 @@ object ScaleRehearsal {
       },
       "tfidf" -> { d: String =>
         SparkEntry.queries("q_tfidf")(spark, d).count(): Unit
+      },
+      // similarity family (reads embeddings.parquet from the dir): a fixed
+      // 50-query set against a mult×-growing corpus — the realistic ANN
+      // scaling axis — and the LSH-bucketed embedding self-join dedup
+      "ann_lsh" -> { d: String =>
+        SparkEntry.queries("q_ann_lsh")(spark, d).count(): Unit
+      },
+      "embed_dedup" -> { d: String =>
+        SparkEntry.queries("q_dedup_embedding")(spark, d).count(): Unit
+      },
+      // cross-document duplicated-span mining over the documents corpus
+      "span_dedup" -> { d: String =>
+        SparkEntry.queries("q_span_dedup")(spark, d).count(): Unit
       })
 
     def time(fn: String => Unit, dir: String): Double =

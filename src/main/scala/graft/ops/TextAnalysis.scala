@@ -125,6 +125,58 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // Gopher-style rule-based quality FILTER (Rae et al. 2021, table A1
+    // analog adapted to the synthetic corpus): where q_quality_score emits
+    // raw signals, this emits the curation DECISION — per-rule boolean
+    // verdicts and the conjunctive keep flag a pipeline partitions on.
+    // Entirely row-local (one scan, zero shuffles): at 100 TB this runs at
+    // scan speed and the keep flag drives a pushed-down filter.
+    "q_quality_gopher" -> ((s, d) => {
+      graft.functions.TextTokenize.register(s)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr(s"size($words)").as("n_words"),
+          expr(s"round(aggregate($words, CAST(0 AS BIGINT), (a, x) -> a + length(x)) " +
+            s"/ CAST(size($words) AS DOUBLE), 4)").as("mean_wlen"),
+          expr(score(stop, "size")).as("stop_hits"),
+          expr("round(CAST(graft_alpha_count(text) AS DOUBLE) / length(text), 4)")
+            .as("alpha_ratio"))
+        .withColumn("words_ok", col("n_words").between(30, 10000))
+        .withColumn("mean_len_ok", col("mean_wlen").between(3.5, 10.0))
+        .withColumn("stop_ok", col("stop_hits") >= 3)
+        .withColumn("alpha_ok", col("alpha_ratio") >= 0.75)
+        .withColumn("keep",
+          col("words_ok") && col("mean_len_ok") && col("stop_ok") && col("alpha_ok"))
+        .orderBy("doc_id")
+    }),
+
+    // Cross-document duplicated-span mining — the scalable analog of
+    // exact-substring dedup (RefinedWeb/Gopher run suffix arrays; the
+    // distributed shape is hashed sliding spans): every 8-word window of
+    // every doc, aggregated corpus-wide, keeping spans that appear in >= 2
+    // distinct documents — the boilerplate inventory a cleaning pass
+    // strips. Scale shape: distinct (span, doc) FIRST (partial map-side
+    // combine collapses each doc's in-doc repeats), then one partial+final
+    // aggregate per span — no count(DISTINCT) Expand, no second shuffle of
+    // raw occurrences. At 100 TB the span key would be xxhash64(span) (8
+    // bytes, not ~50-char strings) with strings rejoined only for the
+    // surviving top-k; the string key is kept here for the SQL oracle.
+    "q_span_dedup" -> ((s, d) => {
+      val spans = Tables.documents(s, d)
+        .select(col("doc_id"), expr(words).as("w"))
+        .filter(size(col("w")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(w) - 7), i -> array_join(slice(w, i, 8), ' '))"))
+          .as("span"))
+      val perDoc = spans.groupBy("span", "doc_id")
+        .agg(count(lit(1)).as("occ"))
+      perDoc.groupBy("span")
+        .agg(count(lit(1)).as("df"), sum(col("occ")).as("n_occ"))
+        .filter(col("df") >= 2)
+        .orderBy(desc("df"), desc("n_occ"), asc("span"))
+        .limit(20)
+    }),
+
     // Character-trigram Shannon entropy per doc — low entropy flags
     // repetitive/degenerate text, high entropy flags binary-ish noise;
     // a standard cheap quality gate next to perplexity.
@@ -196,6 +248,31 @@ object TextAnalysis {
         "CAST(top_bigram AS BIGINT) AS top_bigram, " +
         "round(CAST(top_bigram AS DOUBLE) / greatest(n_words - 1, 1), 4) AS top_bigram_frac " +
         "FROM stats s JOIN top t ON s.doc_id = t.doc_id ORDER BY s.doc_id"),
+    "q_quality_gopher" ->
+      (s"SELECT doc_id, CAST(len($duckWords) AS INTEGER) AS n_words, " +
+        s"round(list_sum(list_transform($duckWords, x -> length(x))) " +
+        s"/ CAST(len($duckWords) AS DOUBLE), 4) AS mean_wlen, " +
+        s"CAST(${scoreDuck(stop)} AS INTEGER) AS stop_hits, " +
+        "round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text), 4) AS alpha_ratio, " +
+        s"len($duckWords) BETWEEN 30 AND 10000 AS words_ok, " +
+        s"round(list_sum(list_transform($duckWords, x -> length(x))) " +
+        s"/ CAST(len($duckWords) AS DOUBLE), 4) BETWEEN 3.5 AND 10.0 AS mean_len_ok, " +
+        s"${scoreDuck(stop)} >= 3 AS stop_ok, " +
+        "round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text), 4) >= 0.75 AS alpha_ok, " +
+        s"(len($duckWords) BETWEEN 30 AND 10000) AND " +
+        s"(round(list_sum(list_transform($duckWords, x -> length(x))) " +
+        s"/ CAST(len($duckWords) AS DOUBLE), 4) BETWEEN 3.5 AND 10.0) AND " +
+        s"(${scoreDuck(stop)} >= 3) AND " +
+        "(round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text), 4) >= 0.75) AS keep " +
+        "FROM documents ORDER BY doc_id"),
+    "q_span_dedup" ->
+      (s"WITH base AS (SELECT doc_id, $duckWords AS w FROM documents), " +
+        "spans AS (SELECT doc_id, array_to_string(w[CAST(i AS INTEGER):CAST(i AS INTEGER) + 7], ' ') AS span " +
+        "FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i FROM base WHERE len(w) >= 8)), " +
+        "per_doc AS (SELECT span, doc_id, count(*) AS occ FROM spans GROUP BY span, doc_id) " +
+        "SELECT span, count(*) AS df, CAST(sum(occ) AS BIGINT) AS n_occ " +
+        "FROM per_doc GROUP BY span HAVING count(*) >= 2 " +
+        "ORDER BY df DESC, n_occ DESC, span LIMIT 20"),
     "q_ngram_entropy" ->
       ("WITH tri AS (SELECT doc_id, substr(text, CAST(i AS INTEGER), 3) AS gram FROM " +
         "(SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 2, 1))) AS i FROM documents)), " +

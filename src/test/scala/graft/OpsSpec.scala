@@ -279,6 +279,29 @@ class OpsSpec extends SparkSpec {
     })
   }
 
+  test("gopher quality filter: keep is the conjunction, verdicts are mixed") {
+    val rows = q("q_quality_gopher").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      r.getAs[Boolean]("keep") ==
+        (r.getAs[Boolean]("words_ok") && r.getAs[Boolean]("mean_len_ok") &&
+          r.getAs[Boolean]("stop_ok") && r.getAs[Boolean]("alpha_ok"))
+    })
+    // the rules must actually discriminate on the corpus (not all-pass)
+    val keeps = rows.map(_.getAs[Boolean]("keep")).toSet
+    assert(keeps == Set(true, false), s"expected mixed verdicts, got $keeps")
+  }
+
+  test("span dedup: duplicated 8-word spans span >= 2 docs") {
+    val rows = q("q_span_dedup").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.forall { r =>
+      val df = r.getAs[Long]("df"); val occ = r.getAs[Long]("n_occ")
+      df >= 2 && occ >= df &&
+        r.getAs[String]("span").split(' ').length == 8
+    })
+  }
+
   test("incremental dedup: verbatim copies exact, mutated never exact") {
     val rows = q("q_dedup_incremental").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap

@@ -192,6 +192,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_quality_gopher: rule verdicts are row-local, zero hash exchanges") {
+    assert(countOccurrences(plan("q_quality_gopher"), "Exchange hashpartitioning") == 0,
+      "quality rules must run at scan speed")
+  }
+
+  test("q_span_dedup: distinct-first aggregation, no count-distinct Expand") {
+    val p = plan("q_span_dedup")
+    assert(!p.contains("Expand"),
+      "df must come from a two-level aggregate, not count(DISTINCT) expansion")
+    assert(countOccurrences(p, "Exchange hashpartitioning") <= 2,
+      "one shuffle per aggregate level on the span key")
+  }
+
   test("q_source_balance: per-source thresholds broadcast, corpus filter row-local") {
     val p = plan("q_source_balance")
     assert(p.contains("BroadcastHashJoin"),
