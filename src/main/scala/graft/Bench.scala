@@ -55,8 +55,17 @@ object Bench {
     // contention / GC pauses — the round-3 bench recorded 2-10× inflation
     // on ~30 UNCHANGED queries purely from driver-host load, which
     // single-shot timing cannot distinguish from a plan regression.
+    // SPARK_GRAFT_ONLY=qid1,qid2 restricts the run to a subset — for
+    // re-adjudicating a single query's timing without paying the full
+    // sweep (the one-JSON-line contract is unchanged)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(set) => SparkEntry.queries.filter { case (k, _) => set(k) }
+      case None => SparkEntry.queries
+    }
     val canaries = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       clearResidue()
       canaries += canaryTime()
       val times = (1 to 2).map { _ =>

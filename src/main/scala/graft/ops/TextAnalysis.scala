@@ -32,6 +32,28 @@ object TextAnalysis {
 
   private def sqlSet(ws: Seq[String]) = ws.map("'" + _ + "'").mkString(", ")
 
+  /** One row per sliding 8-word window of every document (docs shorter
+    * than 8 words contribute none) — shared by q_span_dedup/q_span_flag. */
+  private def spanFrame(s: SparkSession, d: String) =
+    Tables.documents(s, d)
+      .select(col("doc_id"), expr(words).as("w"))
+      .filter(size(col("w")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 7), i -> array_join(slice(w, i, 8), ' '))"))
+        .as("span"))
+
+  /** Spans appearing in >= 2 distinct docs with their doc frequency and
+    * total occurrences. Distinct-first two-level aggregate: the
+    * (span, doc) partial collapses in-doc repeats map-side, then one
+    * aggregate per span — no count(DISTINCT) Expand. */
+  private def topSpans(spans: org.apache.spark.sql.DataFrame) = {
+    val perDoc = spans.groupBy("span", "doc_id")
+      .agg(count(lit(1)).as("occ"))
+    perDoc.groupBy("span")
+      .agg(count(lit(1)).as("df"), sum(col("occ")).as("n_occ"))
+      .filter(col("df") >= 2)
+  }
+
   /** count of words belonging to a marker set (same text in Spark + DuckDB
     * dialects modulo size()/len()). */
   private def score(ws: Seq[String], lenFn: String) =
@@ -161,20 +183,31 @@ object TextAnalysis {
     // raw occurrences. At 100 TB the span key would be xxhash64(span) (8
     // bytes, not ~50-char strings) with strings rejoined only for the
     // surviving top-k; the string key is kept here for the SQL oracle.
-    "q_span_dedup" -> ((s, d) => {
-      val spans = Tables.documents(s, d)
-        .select(col("doc_id"), expr(words).as("w"))
-        .filter(size(col("w")) >= 8)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(w) - 7), i -> array_join(slice(w, i, 8), ' '))"))
-          .as("span"))
-      val perDoc = spans.groupBy("span", "doc_id")
-        .agg(count(lit(1)).as("occ"))
-      perDoc.groupBy("span")
-        .agg(count(lit(1)).as("df"), sum(col("occ")).as("n_occ"))
-        .filter(col("df") >= 2)
+    "q_span_dedup" -> ((s, d) =>
+      topSpans(spanFrame(s, d))
         .orderBy(desc("df"), desc("n_occ"), asc("span"))
-        .limit(20)
+        .limit(20)),
+
+    // The actionable half of span mining: flag each document by how many
+    // of its span-positions hit the mined boilerplate inventory, plus the
+    // keep verdict a cleaning pass filters on. Scale shape: the inventory
+    // is the BOUNDED top-k from q_span_dedup, so it broadcasts onto the
+    // corpus-side span stream — no shuffle of the corpus, the join is a
+    // broadcast hash probe at scan speed; zero-hit docs ride a cheap
+    // left-anti-style coalesce, never a full outer shuffle.
+    "q_span_flag" -> ((s, d) => {
+      val spans = spanFrame(s, d)
+      val boiler = topSpans(spans)
+        .orderBy(desc("df"), desc("n_occ"), asc("span")).limit(20)
+        .select("span")
+      val hits = spans.join(broadcast(boiler), Seq("span"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_boiler_hits"))
+      Tables.documents(s, d).select("doc_id")
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_boiler_hits"), lit(0L)).as("n_boiler_hits"))
+        .withColumn("keep", col("n_boiler_hits") === 0)
+        .orderBy("doc_id")
     }),
 
     // Character-trigram Shannon entropy per doc — low entropy flags
@@ -273,6 +306,17 @@ object TextAnalysis {
         "SELECT span, count(*) AS df, CAST(sum(occ) AS BIGINT) AS n_occ " +
         "FROM per_doc GROUP BY span HAVING count(*) >= 2 " +
         "ORDER BY df DESC, n_occ DESC, span LIMIT 20"),
+    "q_span_flag" ->
+      (s"WITH base AS (SELECT doc_id, $duckWords AS w FROM documents), " +
+        "spans AS (SELECT doc_id, array_to_string(w[CAST(i AS INTEGER):CAST(i AS INTEGER) + 7], ' ') AS span " +
+        "FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i FROM base WHERE len(w) >= 8)), " +
+        "per_doc AS (SELECT span, doc_id, count(*) AS occ FROM spans GROUP BY span, doc_id), " +
+        "boiler AS (SELECT span FROM (SELECT span, count(*) AS df, CAST(sum(occ) AS BIGINT) AS n_occ " +
+        "FROM per_doc GROUP BY span HAVING count(*) >= 2 ORDER BY df DESC, n_occ DESC, span LIMIT 20)), " +
+        "hits AS (SELECT doc_id, count(*) AS n_boiler_hits FROM spans JOIN boiler USING (span) GROUP BY doc_id) " +
+        "SELECT d.doc_id, CAST(coalesce(h.n_boiler_hits, 0) AS BIGINT) AS n_boiler_hits, " +
+        "coalesce(h.n_boiler_hits, 0) = 0 AS keep " +
+        "FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id ORDER BY d.doc_id"),
     "q_ngram_entropy" ->
       ("WITH tri AS (SELECT doc_id, substr(text, CAST(i AS INTEGER), 3) AS gram FROM " +
         "(SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 2, 1))) AS i FROM documents)), " +

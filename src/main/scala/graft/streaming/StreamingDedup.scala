@@ -1,0 +1,116 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming near-duplicate detection — the dedup-at-ingest face of
+  * [[graft.ops.Dedup]]: new documents are checked against everything seen
+  * so far as they arrive, instead of re-running a corpus×corpus batch job
+  * per ingestion cycle.
+  *
+  * Same sketch as the batch path (8×16-bit MinHash signature over 3-word
+  * shingles, 4 bands × 2 rows), but computed ROW-LOCALLY with HOF folds:
+  * `min` over a doc's shingle hashes needs no distinct and no groupBy, so
+  * the signature is a stateless projection — legal in a streaming plan's
+  * append mode and identical to the batch aggregate's result (min is
+  * idempotent over duplicate shingles).
+  *
+  * Candidate detection is a [[flatMapGroupsWithState]] keyed by
+  * (band, bkey): group state holds the bucket's members seen so far
+  * (doc_id + signature), capped at the batch path's 512 hot-bucket limit —
+  * a mass-duplicated boilerplate bucket stops accumulating state and
+  * stops emitting its O(k²) pair stream, exactly the batch cap's
+  * semantics. Each arriving doc emits one candidate pair per earlier
+  * member whose signature agreement clears `minEst`.
+  *
+  * At scale: state is sharded by (band, bkey) across executors, each
+  * group's state is ≤ cap members × 16 bytes of signature, and the
+  * checkpoint carries it across restarts — the standard Structured
+  * Streaming state story, no custom machinery.
+  */
+object StreamingDedup {
+
+  /** A detected near-dup candidate: `a` < `b` by doc id, `est` = fraction
+    * of agreeing signature positions (the unbiased MinHash Jaccard
+    * estimator), `band` = which band's bucket surfaced it (the same pair
+    * can surface in several bands; distinct on (a, b) downstream). */
+  case class CandidatePair(a: Long, b: Long, est: Double, band: Int)
+
+  // field names mirror withBandKeys' column names for the as[] mapping.
+  // private[graft], not private: Catalyst's generated (de)serializers are
+  // separate classes and need bytecode-public constructors.
+  private[graft] case class BandedDoc(band: Int, bkey: String, doc_id: Long,
+    sig: Seq[String])
+
+  private[graft] case class BucketState(members: List[(Long, Seq[String])])
+
+  /** Row-local MinHash signature + band keys. Emits one row per (doc ×
+    * band): (band, bkey, doc_id, sig[8]). Works identically on batch and
+    * streaming frames — the batch run IS the ground truth for the
+    * streaming one (see StreamingSpec). */
+  def withBandKeys(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val shingled = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        split(col(textCol), " ").as("w"))
+      .withColumn("hs",
+        expr("transform(sequence(1, greatest(size(w) - 2, 1)), " +
+          "i -> md5(concat_ws(' ', try_element_at(w, i), " +
+          "try_element_at(w, i + 1), try_element_at(w, i + 2))))"))
+    val sig = array((0 to 7).map(k =>
+      expr(s"array_min(transform(hs, h -> substring(h, ${4 * k + 1}, 4)))")): _*)
+    shingled
+      .withColumn("sig", sig)
+      .select(col("doc_id"), col("sig"), explode(array((0 to 3).map(b =>
+        struct(lit(b).as("band"),
+          md5(concat(expr(s"sig[${2 * b}]"), expr(s"sig[${2 * b + 1}]")))
+            .as("bkey"))): _*)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bkey").as("bkey"),
+        col("doc_id"), col("sig"))
+  }
+
+  /** Stateful candidate detection over a banded stream (the output of
+    * [[withBandKeys]] on a streaming frame). Within a microbatch the
+    * group's rows are processed in doc_id order and compared against both
+    * carried state and earlier in-batch members, so the emitted pair set
+    * is independent of how the stream is chopped into batches. */
+  def nearDupPairs(banded: DataFrame, minEst: Double = 0.5,
+      maxBucket: Int = graft.ops.Dedup.defaultMaxBucket)
+      : Dataset[CandidatePair] = {
+    val spark = banded.sparkSession
+    import spark.implicits._
+    banded.as[BandedDoc]
+      .groupByKey(r => (r.band, r.bkey))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Int, String), rows: Iterator[BandedDoc],
+         state: GroupState[BucketState]) =>
+          val prev = state.getOption.map(_.members).getOrElse(Nil)
+          var members = prev
+          val out = List.newBuilder[CandidatePair]
+          // doc_id order makes in-batch pair emission deterministic
+          for (r <- rows.toSeq.sortBy(_.doc_id)) {
+            if (members.size < maxBucket &&
+                !members.exists(_._1 == r.doc_id)) {
+              for ((oldId, oldSig) <- members; if oldId != r.doc_id) {
+                val agree = (0 to 7).count(k => oldSig(k) == r.sig(k))
+                val est = agree / 8.0
+                if (est >= minEst)
+                  out += CandidatePair(math.min(oldId, r.doc_id),
+                    math.max(oldId, r.doc_id), est, key._1)
+              }
+              members = (r.doc_id, r.sig) :: members
+            }
+          }
+          state.update(BucketState(members))
+          out.result().iterator
+      }
+  }
+
+  /** Convenience composition: documents stream in, distinct near-dup
+    * candidate pairs stream out. `pairs.distinct` is left to the caller
+    * (cross-band duplicates of the same (a, b) need a downstream
+    * aggregation, whose output mode is the caller's choice). */
+  def detect(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minEst: Double = 0.5): Dataset[CandidatePair] =
+    nearDupPairs(withBandKeys(docs, idCol, textCol), minEst)
+}

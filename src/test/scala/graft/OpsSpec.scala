@@ -302,6 +302,17 @@ class OpsSpec extends SparkSpec {
     })
   }
 
+  test("span flag: every doc accounted, keep inverts boilerplate hits") {
+    val rows = q("q_span_flag").collect()
+    val nDocs = q("q_token_count").count()
+    assert(rows.length.toLong == nDocs, "one verdict row per document")
+    assert(rows.forall { r =>
+      r.getAs[Boolean]("keep") == (r.getAs[Long]("n_boiler_hits") == 0L)
+    })
+    // the mined inventory must actually hit documents on this corpus
+    assert(rows.exists(_.getAs[Long]("n_boiler_hits") > 0L))
+  }
+
   test("incremental dedup: verbatim copies exact, mutated never exact") {
     val rows = q("q_dedup_incremental").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap

@@ -205,6 +205,13 @@ class PlanSpec extends SparkSpec {
       "one shuffle per aggregate level on the span key")
   }
 
+  test("q_span_flag: bounded boilerplate inventory broadcasts onto the span stream") {
+    val p = plan("q_span_flag")
+    assert(p.contains("BroadcastHashJoin"),
+      "the top-k span set must broadcast, not shuffle the corpus spans")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q_source_balance: per-source thresholds broadcast, corpus filter row-local") {
     val p = plan("q_source_balance")
     assert(p.contains("BroadcastHashJoin"),

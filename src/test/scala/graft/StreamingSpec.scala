@@ -214,6 +214,72 @@ class StreamingSpec extends SparkSpec {
       "no hash may be emitted twice across batches")
   }
 
+  test("streaming near-dedup: cross-microbatch candidate pairs == batch self-join") {
+    // dedup-at-ingest for NEAR duplicates (StreamingDedup): batch 2 brings
+    // mutated copies of batch-1 documents, so their candidate pairs can
+    // only surface if the (band, bkey) bucket state carries the batch-1
+    // signatures across the microbatch boundary. Ground truth is the
+    // batch self-join over the SAME row-local banding projection.
+    import graft.streaming.StreamingDedup
+    val raw = Tables.documents(spark, sf).select("doc_id", "text")
+    val mutated = raw.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        regexp_replace(col("text"), "^[^ ]+", "zzz").as("text"))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_neardup_stream")
+    def stage(part: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_nd_$name")
+      part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dst = dir.resolve(s"$name.parquet")
+      java.nio.file.Files.copy(f, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    stage(raw, "0_base", 1000000L)
+    stage(mutated, "1_mutated", 2000000L)
+
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val pairs = StreamingDedup.detect(stream)
+    val q = pairs.toDF().writeStream.outputMode("append")
+      .format("memory").queryName("neardup_out").start()
+    try {
+      q.processAllAvailable()
+      assert(q.recentProgress.map(_.batchId).distinct.length >= 2,
+        "split input must actually produce multiple microbatches")
+    } finally q.stop()
+
+    val streamed = spark.table("neardup_out")
+      .select("a", "b", "est").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    // batch ground truth: same banding projection, plain self-join
+    val bb = StreamingDedup.withBandKeys(
+      raw.unionByName(mutated), "doc_id", "text")
+    val x = bb.select(col("band"), col("bkey"), col("doc_id").as("a"),
+      col("sig").as("sa"))
+    val y = bb.select(col("band"), col("bkey"), col("doc_id").as("b"),
+      col("sig").as("sb"))
+    val truth = x.join(y, Seq("band", "bkey")).filter(col("a") < col("b"))
+      .withColumn("est", expr(
+        "CAST(size(filter(zip_with(sa, sb, (p, q) -> p = q), m -> m)) AS DOUBLE) / 8"))
+      .filter(col("est") >= 0.5)
+      .select("a", "b", "est").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    assert(streamed == truth,
+      s"streaming pairs must equal the batch self-join: " +
+        s"missing=${truth -- streamed}, extra=${streamed -- truth}")
+    // the cross-batch evidence: at least one pair links a mutated doc
+    // (id >= 100000, batch 2) to its batch-1 original
+    assert(streamed.exists { case (a, b, _) => a < 100000L && b >= 100000L },
+      "mutated near-dups must pair with their batch-1 originals via state")
+  }
+
   test("incremental sessionization: state carries open sessions across microbatches") {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import spark.implicits._
