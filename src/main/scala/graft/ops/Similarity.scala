@@ -328,6 +328,38 @@ object Similarity {
       out
     }),
 
+    // kNN majority-vote label prediction — the classifier-propagation
+    // primitive a curation pipeline uses to spread a small set of
+    // human/LLM quality labels across the whole corpus (label the 0.1%,
+    // kNN-vote the rest). Same broadcast top-k shape as q_ann_bruteforce
+    // (query side broadcasts, corpus never shuffles; at scale the
+    // LSH/IVF candidate join replaces the nested loop), then a two-level
+    // argmax: per-(query, neighbor-label) vote counts, then min(struct)
+    // keeps the most-voted label with ties to the lowest label id — no
+    // sort, no second window.
+    "q_knn_label" -> ((s, d) => {
+      graft.functions.FloatDotProduct.register(s)
+      val n = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+        col("label"), expr("sqrt(dot_f(embedding, embedding))").as("nrm"))
+      val q = n.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q"), col("embedding").as("eq"),
+          col("nrm").as("nq"), col("label").as("true_label"))
+      val c = n.select(col("vec_id").as("b"), col("embedding").as("eb"),
+        col("nrm").as("nb"), col("label").as("nl"))
+      val w = Window.partitionBy("q").orderBy(desc("cos"), asc("b"))
+      broadcast(q).join(c, col("q") =!= col("b"))
+        .withColumn("cos", round(expr(sparkDot) / (col("nq") * col("nb")), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .groupBy("q", "true_label", "nl").agg(count(lit(1)).as("votes"))
+        .groupBy("q", "true_label")
+        .agg(min(struct((-col("votes")).as("nv"), col("nl"))).as("m"))
+        .select(col("q"), col("m.nl").as("pred_label"),
+          (-col("m.nv")).as("votes"), col("true_label"),
+          (col("m.nl") === col("true_label")).as("correct"))
+        .orderBy("q")
+    }),
+
     // LSH-bucketed ANN with multi-probe recall: candidates are corpus
     // vectors whose signature is within Hamming distance 1 of the query's
     // — the query side explodes over its 9 probe signatures (exact + 8
@@ -423,6 +455,20 @@ object Similarity {
         "ranked AS (SELECT q, neighbor, cos, " +
         "CAST(row_number() OVER (PARTITION BY q ORDER BY cos DESC, neighbor) AS INTEGER) AS rank " +
         "FROM scored) " +
-        "SELECT q, rank, neighbor, cos FROM ranked WHERE rank <= 3 ORDER BY q, rank")
+        "SELECT q, rank, neighbor, cos FROM ranked WHERE rank <= 3 ORDER BY q, rank"),
+    "q_knn_label" ->
+      ("WITH nl AS (SELECT vec_id, embedding, label, " +
+        "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm " +
+        "FROM embeddings), " +
+        "scored AS (SELECT q.vec_id AS q, q.label AS true_label, " +
+        "c.label AS nl_label, c.vec_id AS b, " +
+        s"round($duckDot / (q.nrm * c.nrm), 6) AS cos " +
+        "FROM nl q JOIN nl c ON q.vec_id < 20 AND q.vec_id <> c.vec_id), " +
+        "ranked AS (SELECT *, row_number() OVER (PARTITION BY q ORDER BY cos DESC, b) AS rank FROM scored), " +
+        "vc AS (SELECT q, true_label, nl_label, count(*) AS votes FROM ranked WHERE rank <= 5 GROUP BY q, true_label, nl_label), " +
+        "win AS (SELECT q, true_label, nl_label AS pred_label, votes, " +
+        "row_number() OVER (PARTITION BY q ORDER BY votes DESC, nl_label) AS r FROM vc) " +
+        "SELECT q, pred_label, CAST(votes AS BIGINT) AS votes, true_label, " +
+        "pred_label = true_label AS correct FROM win WHERE r = 1 ORDER BY q")
   )
 }

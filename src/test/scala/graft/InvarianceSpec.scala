@@ -36,7 +36,8 @@ class InvarianceSpec extends SparkSpec {
     "q_minhash_sim",      // signature-agreement estimate vs exact Jaccard
     "q_dedup_incremental", // cross-set banding + exact/near labeling
     "q_embed_centroids",  // (label, dim) double-avg under 4dp round
-    "q_span_dedup")       // two-level span aggregate + deterministic top-20
+    "q_span_dedup",       // two-level span aggregate + deterministic top-20
+    "q_knn_label")        // rank window + two-level vote argmax
 
   test("results are invariant under shuffle-partition counts 3/13/32") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")

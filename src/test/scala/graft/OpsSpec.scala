@@ -258,6 +258,17 @@ class OpsSpec extends SparkSpec {
     assert(ivf.forall { case (k, c) => p2(k) >= c - 1e-9 })
   }
 
+  test("knn label vote: one verdict per query, votes bounded by k") {
+    val rows = q("q_knn_label").collect()
+    assert(rows.length == 20, "one row per query vector")
+    assert(rows.forall { r =>
+      val v = r.getAs[Long]("votes")
+      v >= 1L && v <= 5L &&
+        r.getAs[Boolean]("correct") ==
+          (r.getAs[Int]("pred_label") == r.getAs[Int]("true_label"))
+    })
+  }
+
   test("repetition signals stay in range across the corpus") {
     val rows = q("q_repetition").collect()
     assert(rows.nonEmpty)
