@@ -210,6 +210,26 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // Hashing-trick featurization — the text→vector bridge (Weinberger et
+    // al. 2009): each doc becomes a 16-dim token-hash count vector (dim =
+    // first md5 hex digit of the token) plus its L2 norm, the fixed-width
+    // input a downstream similarity/clustering stage consumes without a
+    // vocabulary. Entirely row-local (one scan, zero shuffles — at 100 TB
+    // featurization runs at scan speed); the count vector is emitted
+    // serialized (array_join) per the harness' scalar-columns contract.
+    "q_feature_hash" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), expr(words).as("w"))
+        .withColumn("fh", expr(
+          "transform(sequence(0, 15), i -> size(filter(w, " +
+            "t -> substring(md5(t), 1, 1) = substring('0123456789abcdef', i + 1, 1))))"))
+        .select(col("doc_id"),
+          array_join(col("fh"), ",").as("fh"),
+          round(sqrt(expr(
+            "aggregate(fh, 0L, (a, x) -> a + CAST(x AS BIGINT) * x)").cast("double")), 4)
+            .as("l2"))
+        .orderBy("doc_id")),
+
     // Character-trigram Shannon entropy per doc — low entropy flags
     // repetitive/degenerate text, high entropy flags binary-ish noise;
     // a standard cheap quality gate next to perplexity.
@@ -317,6 +337,14 @@ object TextAnalysis {
         "SELECT d.doc_id, CAST(coalesce(h.n_boiler_hits, 0) AS BIGINT) AS n_boiler_hits, " +
         "coalesce(h.n_boiler_hits, 0) = 0 AS keep " +
         "FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id ORDER BY d.doc_id"),
+    "q_feature_hash" ->
+      (s"WITH base AS (SELECT doc_id, $duckWords AS w FROM documents), " +
+        "fh AS (SELECT doc_id, list_transform(range(0, 16), i -> " +
+        "len(list_filter(w, t -> substr(md5(t), 1, 1) = substr('0123456789abcdef', CAST(i AS INTEGER) + 1, 1)))) AS v " +
+        "FROM base) " +
+        "SELECT doc_id, array_to_string(v, ',') AS fh, " +
+        "round(sqrt(CAST(list_sum(list_transform(v, x -> x * x)) AS DOUBLE)), 4) AS l2 " +
+        "FROM fh ORDER BY doc_id"),
     "q_ngram_entropy" ->
       ("WITH tri AS (SELECT doc_id, substr(text, CAST(i AS INTEGER), 3) AS gram FROM " +
         "(SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 2, 1))) AS i FROM documents)), " +

@@ -197,6 +197,11 @@ class PlanSpec extends SparkSpec {
       "quality rules must run at scan speed")
   }
 
+  test("q_feature_hash: hashing-trick featurization is row-local, zero hash exchanges") {
+    assert(countOccurrences(plan("q_feature_hash"), "Exchange hashpartitioning") == 0,
+      "featurization must run at scan speed")
+  }
+
   test("q_span_dedup: distinct-first aggregation, no count-distinct Expand") {
     val p = plan("q_span_dedup")
     assert(!p.contains("Expand"),
@@ -244,6 +249,7 @@ class PlanSpec extends SparkSpec {
     "q_tfidf" -> "1-row doc-count aggregate broadcast",
     "q_source_balance" -> "1-row min-source-count aggregate broadcast",
     "q_ann_bruteforce" -> "bounded query-vector set broadcast (its own test)",
+    "q_knn_label" -> "bounded query-vector set broadcast, same shape as q_ann_bruteforce",
     "q_ann_ivf" -> "bounded centroid-table broadcast",
     "q_ann_ivf_probe2" -> "bounded centroid-table broadcast",
     "q_roc_binned" -> "1-row positive/negative-totals aggregate broadcast",
