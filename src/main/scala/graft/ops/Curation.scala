@@ -415,6 +415,43 @@ object Curation {
         .orderBy("bucket", "pack_id")
     }),
 
+    // Length-bucketed batching — the padding-efficiency primitive:
+    // grouping similar-length docs before fixed-shape batching shrinks the
+    // padded-cell waste (bucket 0 reports the unbucketed baseline; buckets
+    // 1-4 are token-count quartiles). Scale shape mirrors
+    // q_qcut_cutpoints: ONE tiny percentile aggregate broadcast back onto
+    // the corpus (row-local bucket assignment, no global sort window),
+    // then an ordinary partial+final per-bucket aggregate. Total bucketed
+    // padding is provably <= the baseline (each bucket's max <= the global
+    // max) — the win a training-data pipeline cashes at 100 TB.
+    "q_length_buckets" -> ((s, d) => {
+      graft.functions.TextTokenize.register(s)
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), expr("graft_token_count(text)").as("n_tokens"))
+      val cuts = toks.agg(
+        expr("percentile(n_tokens, 0.25)").as("c1"),
+        expr("percentile(n_tokens, 0.5)").as("c2"),
+        expr("percentile(n_tokens, 0.75)").as("c3"))
+      val bucketed = toks.crossJoin(broadcast(cuts))
+        .select(col("doc_id"), col("n_tokens"),
+          when(col("n_tokens") <= col("c1"), 1)
+            .when(col("n_tokens") <= col("c2"), 2)
+            .when(col("n_tokens") <= col("c3"), 3)
+            .otherwise(4).as("bucket"))
+      val base = toks.select(col("doc_id"), col("n_tokens"),
+        lit(0).as("bucket"))
+      bucketed.unionByName(base)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          max("n_tokens").as("max_tokens"),
+          sum("n_tokens").as("sum_tokens"))
+        .select(col("bucket"), col("n_docs"), col("max_tokens"),
+          col("sum_tokens"),
+          round(lit(1.0) - col("sum_tokens").cast("double") /
+            (col("n_docs") * col("max_tokens")), 4).as("padding_frac"))
+        .orderBy("bucket")
+    }),
+
     // Per-document term salience (tf-idf shape, log-free rational idf —
     // see class note): top-3 terms per doc by cnt·N/(words·df), ties to
     // the lexicographically first term. Explode → two partial+final
@@ -527,6 +564,20 @@ object Curation {
         "SELECT bucket, CAST(floor(CAST(cum_before AS DOUBLE) / 2048.0) AS BIGINT) AS pack_id, " +
         "count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens " +
         "FROM c GROUP BY bucket, pack_id ORDER BY bucket, pack_id"),
+    "q_length_buckets" ->
+      ("WITH toks AS (SELECT doc_id, " +
+        "CAST(len(list_filter(str_split_regex(text, '[^a-zA-Z0-9]+'), x -> length(x) > 0)) AS INTEGER) AS n_tokens " +
+        "FROM documents), " +
+        "cuts AS (SELECT quantile_cont(n_tokens, 0.25) AS c1, " +
+        "quantile_cont(n_tokens, 0.5) AS c2, quantile_cont(n_tokens, 0.75) AS c3 FROM toks), " +
+        "b AS (SELECT doc_id, n_tokens, " +
+        "CASE WHEN n_tokens <= c1 THEN 1 WHEN n_tokens <= c2 THEN 2 " +
+        "WHEN n_tokens <= c3 THEN 3 ELSE 4 END AS bucket FROM toks, cuts " +
+        "UNION ALL SELECT doc_id, n_tokens, 0 AS bucket FROM toks) " +
+        "SELECT bucket, count(*) AS n_docs, CAST(max(n_tokens) AS INTEGER) AS max_tokens, " +
+        "CAST(sum(n_tokens) AS BIGINT) AS sum_tokens, " +
+        "round(1.0 - CAST(sum(n_tokens) AS DOUBLE) / (count(*) * max(n_tokens)), 4) AS padding_frac " +
+        "FROM b GROUP BY bucket ORDER BY bucket"),
     "q_tfidf" ->
       ("WITH terms AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS term FROM documents), " +
         "tc AS (SELECT doc_id, term, count(*) AS cnt FROM terms GROUP BY doc_id, term), " +

@@ -258,6 +258,22 @@ class OpsSpec extends SparkSpec {
     assert(ivf.forall { case (k, c) => p2(k) >= c - 1e-9 })
   }
 
+  test("length buckets: bucketed padding never exceeds the unbucketed baseline") {
+    val rows = q("q_length_buckets").collect()
+      .map(r => r.getAs[Int]("bucket") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Int]("max_tokens"),
+          r.getAs[Long]("sum_tokens"))).toMap
+    assert(rows.keySet == Set(0, 1, 2, 3, 4))
+    val (n0, max0, sum0) = rows(0)
+    val buckets = (1 to 4).map(rows)
+    assert(buckets.map(_._1).sum == n0 && buckets.map(_._3).sum == sum0,
+      "quartile buckets must partition the corpus")
+    val baselineCells = n0 * max0.toLong
+    val bucketedCells = buckets.map { case (n, m, _) => n * m.toLong }.sum
+    assert(bucketedCells <= baselineCells,
+      "length bucketing must not increase padded cells")
+  }
+
   test("knn label vote: one verdict per query, votes bounded by k") {
     val rows = q("q_knn_label").collect()
     assert(rows.length == 20, "one row per query vector")
