@@ -415,6 +415,36 @@ object Curation {
         .orderBy("bucket", "pack_id")
     }),
 
+    // Per-source corpus report card — the observability surface a curation
+    // run publishes per ingest: volume, language spread, exact-dup rate,
+    // token mass, and a quality mean, keyed by provenance. Scale shape:
+    // THREE distinct-first aggregates joined on the tiny source key — no
+    // multi-count-distinct Expand (which would triple the corpus rows
+    // through one exchange); each distinct collapses map-side on a
+    // high-cardinality compound key before its per-source rollup.
+    "q_corpus_report" -> ((s, d) => {
+      graft.functions.TextTokenize.register(s)
+      val docs = Tables.documents(s, d)
+      val base = docs.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(expr("graft_token_count(text)")).as("total_tokens"),
+          round(avg(expr(
+            "CAST(graft_alpha_count(text) AS DOUBLE) / length(text)")), 4)
+            .as("avg_alpha"))
+      val langs = docs.select("source", "lang").distinct()
+        .groupBy("source").agg(count(lit(1)).as("n_langs"))
+      val uniq = docs.select(col("source"), md5(col("text")).as("h"))
+        .distinct()
+        .groupBy("source").agg(count(lit(1)).as("n_uniq_texts"))
+      base.join(langs, "source").join(uniq, "source")
+        .select(col("source"), col("n_docs"), col("n_langs"),
+          col("n_uniq_texts"),
+          round(lit(1.0) - col("n_uniq_texts").cast("double") / col("n_docs"), 4)
+            .as("dup_rate"),
+          col("total_tokens"), col("avg_alpha"))
+        .orderBy("source")
+    }),
+
     // Length-bucketed batching — the padding-efficiency primitive:
     // grouping similar-length docs before fixed-shape batching shrinks the
     // padded-cell waste (bucket 0 reports the unbucketed baseline; buckets
@@ -564,6 +594,20 @@ object Curation {
         "SELECT bucket, CAST(floor(CAST(cum_before AS DOUBLE) / 2048.0) AS BIGINT) AS pack_id, " +
         "count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens " +
         "FROM c GROUP BY bucket, pack_id ORDER BY bucket, pack_id"),
+    "q_corpus_report" ->
+      ("WITH base AS (SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(len(list_filter(str_split_regex(text, '[^a-zA-Z0-9]+'), x -> length(x) > 0))) AS BIGINT) AS total_tokens, " +
+        "round(avg(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text)), 4) AS avg_alpha " +
+        "FROM documents GROUP BY source), " +
+        "langs AS (SELECT source, count(*) AS n_langs FROM " +
+        "(SELECT DISTINCT source, lang FROM documents) GROUP BY source), " +
+        "uniq AS (SELECT source, count(*) AS n_uniq_texts FROM " +
+        "(SELECT DISTINCT source, md5(text) AS h FROM documents) GROUP BY source) " +
+        "SELECT b.source, b.n_docs, l.n_langs, u.n_uniq_texts, " +
+        "round(1.0 - CAST(u.n_uniq_texts AS DOUBLE) / b.n_docs, 4) AS dup_rate, " +
+        "b.total_tokens, b.avg_alpha " +
+        "FROM base b JOIN langs l ON b.source = l.source " +
+        "JOIN uniq u ON b.source = u.source ORDER BY b.source"),
     "q_length_buckets" ->
       ("WITH toks AS (SELECT doc_id, " +
         "CAST(len(list_filter(str_split_regex(text, '[^a-zA-Z0-9]+'), x -> length(x) > 0)) AS INTEGER) AS n_tokens " +

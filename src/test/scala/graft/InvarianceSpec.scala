@@ -37,7 +37,9 @@ class InvarianceSpec extends SparkSpec {
     "q_dedup_incremental", // cross-set banding + exact/near labeling
     "q_embed_centroids",  // (label, dim) double-avg under 4dp round
     "q_span_dedup",       // two-level span aggregate + deterministic top-20
-    "q_knn_label")        // rank window + two-level vote argmax
+    "q_knn_label",        // rank window + two-level vote argmax
+    "q_length_buckets",   // broadcast percentile cut points + rollup
+    "q_corpus_report")    // double-avg merge order under 4dp round
 
   test("results are invariant under shuffle-partition counts 3/13/32") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")

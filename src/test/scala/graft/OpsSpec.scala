@@ -258,6 +258,19 @@ class OpsSpec extends SparkSpec {
     assert(ivf.forall { case (k, c) => p2(k) >= c - 1e-9 })
   }
 
+  test("corpus report: one row per source, dup accounting consistent") {
+    val rows = q("q_corpus_report").collect()
+    val nSources = q("q_corpus_report").select("source").distinct().count()
+    assert(rows.nonEmpty && rows.length.toLong == nSources)
+    assert(rows.forall { r =>
+      val n = r.getAs[Long]("n_docs"); val u = r.getAs[Long]("n_uniq_texts")
+      val dr = r.getAs[Double]("dup_rate")
+      u >= 1L && u <= n && dr >= 0.0 && dr < 1.0 &&
+        math.abs(dr - (1.0 - u.toDouble / n)) < 1e-3 &&
+        r.getAs[Long]("total_tokens") > 0L
+    })
+  }
+
   test("length buckets: bucketed padding never exceeds the unbucketed baseline") {
     val rows = q("q_length_buckets").collect()
       .map(r => r.getAs[Int]("bucket") ->
