@@ -250,6 +250,7 @@ class PlanSpec extends SparkSpec {
     "q_source_balance" -> "1-row min-source-count aggregate broadcast",
     "q_ann_bruteforce" -> "bounded query-vector set broadcast (its own test)",
     "q_knn_label" -> "bounded query-vector set broadcast, same shape as q_ann_bruteforce",
+    "q_length_buckets" -> "single-row percentile cut-point frame broadcast onto the corpus",
     "q_ann_ivf" -> "bounded centroid-table broadcast",
     "q_ann_ivf_probe2" -> "bounded centroid-table broadcast",
     "q_roc_binned" -> "1-row positive/negative-totals aggregate broadcast",
