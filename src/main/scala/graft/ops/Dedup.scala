@@ -674,6 +674,38 @@ object Dedup {
       out
     }),
 
+    // Quality-aware canonical selection — the keep POLICY layer over
+    // near-dup clustering: production dedup keeps each family's
+    // highest-quality member (here: token count, ties to the lowest id),
+    // not blindly the lowest id. Same banding→verify→CC chain as
+    // q_dedup_clusters, then ONE min(struct) aggregate picks the canonical
+    // doc per cluster — no per-cluster window, no second shuffle beyond
+    // the label key. Reports multi-member clusters with their kept doc and
+    // drop count (singletons are identity keeps).
+    "q_dedup_keep_best" -> ((s, d) => {
+      graft.functions.TextTokenize.register(s)
+      val p = jaccardPairs(shingles(s, d))
+        .filter(col("jaccard") >= 0.5).select("a", "b")
+      val comps = connectedComponents(p)
+      val labeled = textCorpus(s, d)
+        .join(comps.select(col("id").as("doc_id"), col("cluster_id")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("label"),
+          expr("graft_token_count(text)").as("quality"))
+      val out = labeled.groupBy("label")
+        .agg(min(struct((-col("quality")).as("nq"), col("doc_id"))).as("m"),
+          count(lit(1)).as("n_members"))
+        .filter(col("n_members") >= 2)
+        .select(col("label").as("cluster_id"), col("m.doc_id").as("keep_id"),
+          (-col("m.nq")).as("keep_quality"), col("n_members"),
+          (col("n_members") - 1).as("n_dropped"))
+        .orderBy("cluster_id")
+        .localCheckpoint(true)
+      org.apache.spark.sql.graftshim.GraftDataset.freeLocalCheckpoint(comps)
+      out
+    }),
+
     // Leakage-safe train/val/test split — hash-split by near-dup CLUSTER
     // label, not by doc id: a naive per-doc hash split routes ~7/8 of
     // verified near-dup pairs across split boundaries (the planted
@@ -944,6 +976,29 @@ object Dedup {
         "labels AS (SELECT src AS id, least(src, min(dst)) AS label FROM reach GROUP BY src) " +
         "SELECT label AS cluster_id, count(*) AS n_members FROM labels " +
         "GROUP BY label ORDER BY cluster_id"),
+    "q_dedup_keep_best" ->
+      (s"WITH RECURSIVE $duckCorpus, $duckShingles, $duckSig, $duckBands, $duckPairs, " +
+        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+        "inter AS (SELECT p.a, p.b, count(*) AS ni FROM pairs p " +
+        "JOIN sh sa ON sa.doc_id = p.a " +
+        "JOIN sh sb ON sb.doc_id = p.b AND sb.shingle = sa.shingle GROUP BY p.a, p.b), " +
+        "verified AS (SELECT i.a, i.b FROM inter i " +
+        "JOIN sizes za ON za.doc_id = i.a JOIN sizes zb ON zb.doc_id = i.b " +
+        "WHERE CAST(ni AS DOUBLE) / (za.n + zb.n - ni) >= 0.5), " +
+        "edges AS (SELECT a, b FROM verified UNION SELECT b AS a, a AS b FROM verified), " +
+        "reach(src, dst) AS (SELECT a AS src, b AS dst FROM edges " +
+        "UNION SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON r.dst = e.a), " +
+        "labels AS (SELECT src AS id, least(src, min(dst)) AS label FROM reach GROUP BY src), " +
+        "fl AS (SELECT c.doc_id, coalesce(l.label, c.doc_id) AS label, " +
+        "CAST(len(list_filter(str_split_regex(c.text, '[^a-zA-Z0-9]+'), x -> length(x) > 0)) AS INTEGER) AS quality " +
+        "FROM corpus c LEFT JOIN labels l ON c.doc_id = l.id), " +
+        "agg AS (SELECT label AS cluster_id, count(*) AS n_members FROM fl GROUP BY label), " +
+        "win AS (SELECT label AS cluster_id, doc_id AS keep_id, quality AS keep_quality, " +
+        "row_number() OVER (PARTITION BY label ORDER BY quality DESC, doc_id) AS r FROM fl) " +
+        "SELECT a.cluster_id, w.keep_id, w.keep_quality, a.n_members, " +
+        "a.n_members - 1 AS n_dropped FROM agg a " +
+        "JOIN win w ON w.cluster_id = a.cluster_id AND w.r = 1 " +
+        "WHERE a.n_members >= 2 ORDER BY a.cluster_id"),
     "q_split_leakage" ->
       (s"WITH RECURSIVE $duckCorpus, $duckShingles, $duckSig, $duckBands, $duckPairs, " +
         "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +

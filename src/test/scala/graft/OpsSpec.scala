@@ -258,6 +258,22 @@ class OpsSpec extends SparkSpec {
     assert(ivf.forall { case (k, c) => p2(k) >= c - 1e-9 })
   }
 
+  test("dedup keep-best: multi-member clusters keep one canonical doc") {
+    val rows = q("q_dedup_keep_best").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val n = r.getAs[Long]("n_members")
+      n >= 2L && r.getAs[Long]("n_dropped") == n - 1 &&
+        r.getAs[Int]("keep_quality") >= 1
+    })
+    // mutated twins (+100000) tie on token count with their originals, so
+    // the lowest-id tie-break must keep the original in every such pair
+    val twins = rows.filter(r =>
+      r.getAs[Long]("n_members") == 2L && r.getAs[Long]("cluster_id") < 100000L)
+    assert(twins.nonEmpty &&
+      twins.forall(_.getAs[Long]("keep_id") < 100000L))
+  }
+
   test("corpus report: one row per source, dup accounting consistent") {
     val rows = q("q_corpus_report").collect()
     val nSources = q("q_corpus_report").select("source").distinct().count()
