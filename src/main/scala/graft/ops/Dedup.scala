@@ -261,6 +261,38 @@ object Dedup {
     df.join(dropIds, Seq(idCol), "left_anti")
   }
 
+  /** PUBLIC API — [[nearDedup]] with a quality-aware keep policy: within
+    * each near-dup cluster the surviving row is the one with the HIGHEST
+    * `qualityCol` value (ties to the lowest id), not the lowest id — the
+    * canonical-selection step a production pipeline runs so dedup keeps
+    * the best copy of every duplicated document. One min(struct)
+    * aggregate per cluster label; same banding/verify/CC chain, same
+    * scale shape, same `obs` telemetry as [[nearDedup]]. */
+  def nearDedupKeepBest(df: DataFrame, idCol: String, textCol: String,
+      qualityCol: String, threshold: Double = 0.5,
+      maxBucket: Int = defaultMaxBucket,
+      checkpointDir: Option[String] = None,
+      obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    val corpus = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val sh = shinglesOf(corpus).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val verified = jaccardPairs(sh, maxBucket, obs)
+      .filter(col("jaccard") >= threshold).select("a", "b")
+    val comps = connectedComponents(verified, checkpointDir)
+    // keep = per-cluster argmax(quality, ties lowest id); docs outside any
+    // cluster keep themselves (left join, coalesce to own id)
+    val labeled = df
+      .join(comps.select(col("id").as(idCol), col("cluster_id")),
+        Seq(idCol), "left")
+      .withColumn("graft_label", coalesce(col("cluster_id"), col(idCol)))
+    val keepIds = labeled.groupBy("graft_label")
+      .agg(min(struct((-col(qualityCol)).as("nq"), col(idCol).as("id"))).as("m"))
+      .select(col("m.id").as(idCol)).localCheckpoint(true)
+    org.apache.spark.sql.graftshim.GraftDataset.freeLocalCheckpoint(comps)
+    sh.unpersist(blocking = false)
+    df.join(keepIds, Seq(idCol), "left_semi")
+  }
+
   /** PUBLIC API — leakage-safe train/val/test split: appends a `split`
     * column whose hash key is the near-dup CLUSTER label rather than the
     * row id, so every near-duplicate family lands in ONE split — id-keyed

@@ -57,6 +57,30 @@ class ApiSpec extends SparkSpec {
       "the dropped bucket must be observable for telemetry")
   }
 
+  test("nearDedupKeepBest keeps the highest-quality member of each family") {
+    // two near-dup families built by word overlap (>=50% 3-shingle
+    // Jaccard); within each, the BEST copy has the HIGHER id, so keep-min
+    // would get both wrong
+    val base1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val base2 = "one two three four five six seven eight nine ten"
+    val docs = Seq(
+      (1L, base1, 5),   // family A, low quality
+      (2L, base1 + " lambda", 9), // family A, best — must survive
+      (30L, base2, 4),  // family B, low quality
+      (31L, base2 + " eleven", 8), // family B, best — must survive
+      (100L, "completely unrelated text with distinct words entirely", 7)
+    ).toDF("doc_id", "text", "quality")
+    val kept = ops.Dedup
+      .nearDedupKeepBest(docs, "doc_id", "text", "quality")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 31L, 100L),
+      s"keep-best must pick the high-quality members: $kept")
+    // same clusters under keep-min survive by lowest id instead
+    val keptMin = ops.Dedup.nearDedup(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptMin == Set(1L, 30L, 100L))
+  }
+
   test("packSequences shards by the requested bucket count and conserves mass") {
     val df = spark.range(500).toDF("id")
       .withColumn("toks", col("id") % 300 + 1)
