@@ -573,6 +573,50 @@ object Dedup {
       out
     }),
 
+    // Threshold calibration table — before trusting SIGNATURE-ONLY dedup
+    // at scale (where exact Jaccard on every candidate is the expensive
+    // verify stage), a rollout sweeps thresholds and reads
+    // precision/recall of the 8-position estimator against exact Jaccard
+    // on the SAME candidate set. One explode(thresholds) over the pair
+    // frame + one partial+final aggregate per threshold — the pair set is
+    // computed once (persisted signature subtree, as q_minhash_sim).
+    "q_minhash_calibration" -> ((s, d) => {
+      val sh = shingles(s, d)
+      val sig = signatures(sh)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sigA = sig.select(col("doc_id").as("a") +:
+        (0 to 7).map(k => col(s"s$k").as(s"a$k")): _*)
+      val sigB = sig.select(col("doc_id").as("b") +:
+        (0 to 7).map(k => col(s"s$k").as(s"b$k")): _*)
+      val matches = (0 to 7)
+        .map(k => when(col(s"a$k") === col(s"b$k"), 1).otherwise(0))
+        .reduce(_ + _)
+      val out = jaccardPairsFrom(sh, sig)
+        .join(sigA, "a").join(sigB, "b")
+        .select((matches / lit(8.0)).as("est"), col("jaccard"))
+        .select(col("est"), col("jaccard"), explode(array(
+          lit(0.5), lit(0.6), lit(0.7), lit(0.8))).as("threshold"))
+        .groupBy("threshold")
+        .agg(sum(when(col("est") >= col("threshold"), 1L).otherwise(0L))
+            .as("n_pred"),
+          sum(when(col("jaccard") >= col("threshold"), 1L).otherwise(0L))
+            .as("n_true"),
+          sum(when(col("est") >= col("threshold") &&
+              col("jaccard") >= col("threshold"), 1L).otherwise(0L))
+            .as("n_both"))
+        .select(col("threshold"), col("n_pred"), col("n_true"), col("n_both"),
+          when(col("n_pred") > 0,
+            round(col("n_both").cast("double") / col("n_pred"), 4))
+            .as("precision"),
+          when(col("n_true") > 0,
+            round(col("n_both").cast("double") / col("n_true"), 4))
+            .as("recall"))
+        .orderBy("threshold")
+        .localCheckpoint(true)
+      sig.unpersist(blocking = false)
+      out
+    }),
+
     // Incremental (batch-vs-corpus) dedup — the continuous-ingest shape: a
     // NEW batch is deduped against the EXISTING corpus without ever
     // comparing corpus docs to each other (that work is already done; at
@@ -926,6 +970,30 @@ object Dedup {
         s"round(abs($est - j.jaccard), 4) AS abs_err " +
         "FROM jac j JOIN sig x ON x.doc_id = j.a JOIN sig y ON y.doc_id = j.b " +
         "ORDER BY j.a, j.b"
+    },
+    "q_minhash_calibration" -> {
+      val est = "(" + (0 to 7)
+        .map(k => s"CASE WHEN x.s$k = y.s$k THEN 1 ELSE 0 END")
+        .mkString(" + ") + ") / 8.0"
+      s"$duckChain, " +
+        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+        "inter AS (SELECT p.a, p.b, count(*) AS ni FROM pairs p " +
+        "JOIN sh sa ON sa.doc_id = p.a " +
+        "JOIN sh sb ON sb.doc_id = p.b AND sb.shingle = sa.shingle GROUP BY p.a, p.b), " +
+        "jac AS (SELECT i.a, i.b, CAST(ni AS DOUBLE) / (za.n + zb.n - ni) AS jaccard " +
+        "FROM inter i JOIN sizes za ON za.doc_id = i.a JOIN sizes zb ON zb.doc_id = i.b), " +
+        s"pe AS (SELECT CAST($est AS DOUBLE) AS est, j.jaccard FROM jac j " +
+        "JOIN sig x ON x.doc_id = j.a JOIN sig y ON y.doc_id = j.b), " +
+        "th AS (SELECT CAST(unnest([0.5, 0.6, 0.7, 0.8]) AS DOUBLE) AS threshold), " +
+        "g AS (SELECT threshold, " +
+        "CAST(sum(CASE WHEN est >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_pred, " +
+        "CAST(sum(CASE WHEN jaccard >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_true, " +
+        "CAST(sum(CASE WHEN est >= threshold AND jaccard >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_both " +
+        "FROM pe CROSS JOIN th GROUP BY threshold) " +
+        "SELECT threshold, n_pred, n_true, n_both, " +
+        "CASE WHEN n_pred > 0 THEN round(CAST(n_both AS DOUBLE) / n_pred, 4) END AS precision, " +
+        "CASE WHEN n_true > 0 THEN round(CAST(n_both AS DOUBLE) / n_true, 4) END AS recall " +
+        "FROM g ORDER BY threshold"
     },
     "q_dedup_incremental" -> {
       def shCte(name: String, src: String) =

@@ -258,6 +258,20 @@ class OpsSpec extends SparkSpec {
     assert(ivf.forall { case (k, c) => p2(k) >= c - 1e-9 })
   }
 
+  test("minhash calibration: counts monotone in threshold, rates bounded") {
+    val rows = q("q_minhash_calibration").collect()
+      .map(r => (r.getAs[Double]("threshold"),
+        (r.getAs[Long]("n_pred"), r.getAs[Long]("n_true"), r.getAs[Long]("n_both"))))
+      .sortBy(_._1).toList
+    assert(rows.map(_._1) == List(0.5, 0.6, 0.7, 0.8))
+    assert(rows.forall { case (_, (p, t, b)) => b <= p && b <= t })
+    // raising the threshold can only shrink every count
+    assert(rows.map(_._2).sliding(2).forall {
+      case List((p1, t1, b1), (p2, t2, b2)) => p2 <= p1 && t2 <= t1 && b2 <= b1
+      case _ => true
+    })
+  }
+
   test("dedup keep-best: multi-member clusters keep one canonical doc") {
     val rows = q("q_dedup_keep_best").collect()
     assert(rows.nonEmpty)
