@@ -126,6 +126,10 @@ object Dedup {
       s"SELECT doc_id, $b AS band, md5(s${2 * b} || s${2 * b + 1}) AS bkey FROM sig")
       .mkString(" UNION ALL ") + ")"
 
+  /** Full shingle→signature→band chain over any (doc_id, text) corpus. */
+  private def bandsOf(corpus: DataFrame): DataFrame =
+    bands(signatures(shinglesOf(corpus).distinct()))
+
   /** Hot-bucket cap for LSH pair expansion. "Buckets stay tiny" holds for
     * organic text but NOT for mass-duplicated boilerplate — the #1
     * real-world dedup input — where one (band, bkey) can collect millions
@@ -573,6 +577,61 @@ object Dedup {
       out
     }),
 
+    // Persistent dedup INDEX — the layout-integration flagship: at 100 TB
+    // the corpus band-signature table is built ONCE and saved bucketed by
+    // the probe key, so every incremental batch joins it with ZERO
+    // corpus-side exchange — the corpus is never reshuffled per batch,
+    // only the (much smaller) batch side moves. The probe key folds
+    // (band, bkey) into one md5 so the join key IS the bucket key (a
+    // two-column join would not satisfy the single-column bucketing).
+    // The merge hint pins the sort-merge path a TB-scale batch would take
+    // (broadcast would hide the bucketing win at toy scale); the verdict
+    // reads the FINAL AQE plan after a drain: exactly one Exchange (the
+    // batch side) and a bucketed corpus scan. Scratch table + path are
+    // uuid-namespaced per run (concurrent-session safe, q_bucket_join
+    // precedent).
+    "q_dedup_index" -> ((s, d) => {
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      val wh = new java.io.File(new java.io.File(sys.props("java.io.tmpdir")),
+        s"graft_dedup_idx_$tag").getAbsolutePath
+      val idxTbl = s"graft_band_idx_$tag"
+      val corpus = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      bandsOf(corpus)
+        .select(md5(concat(col("band").cast("string"), col("bkey")))
+          .as("probe"), col("doc_id"))
+        .write.mode("overwrite").bucketBy(8, "probe")
+        .option("path", s"$wh/band_idx").saveAsTable(idxTbl)
+      val batch = Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          regexp_replace(col("text"), "^[^ ]+", "zzz").as("text"))
+      val batchProbe = bandsOf(batch)
+        .select(md5(concat(col("band").cast("string"), col("bkey")))
+          .as("probe"), col("doc_id").as("bid"))
+      val joined = s.table(idxTbl).hint("merge")
+        .join(batchProbe, Seq("probe"))
+      joined.queryExecution.toRdd.foreach(_ => ())
+      val finalPlan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      // the batch chain legitimately shuffles internally (its signature
+      // aggregate); the verdict counts only JOIN-KEY exchanges: exactly
+      // one side (the batch) may repartition on `probe`, and the corpus
+      // scan must come in bucketed
+      val probeExchanges = finalPlan
+        .split(java.util.regex.Pattern.quote("Exchange hashpartitioning(probe"), -1)
+        .length - 1
+      val verdict =
+        if (probeExchanges == 1 && finalPlan.contains("Bucketed: true")) 1 else 0
+      val out = joined.select(col("bid"), col("doc_id")).distinct()
+        .agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(batch.agg(count(lit(1)).as("n_batch_docs")))
+        .crossJoin(s.table(idxTbl).agg(count(lit(1)).as("n_index_rows")))
+        .withColumn("corpus_side_exchange_free", lit(verdict))
+        .localCheckpoint(true)
+      s.sql(s"DROP TABLE IF EXISTS $idxTbl")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+      out
+    }),
+
     // Threshold calibration table — before trusting SIGNATURE-ONLY dedup
     // at scale (where exact Jaccard on every candidate is the expensive
     // verify stage), a rollout sweeps thresholds and reads
@@ -970,6 +1029,33 @@ object Dedup {
         s"round(abs($est - j.jaccard), 4) AS abs_err " +
         "FROM jac j JOIN sig x ON x.doc_id = j.a JOIN sig y ON y.doc_id = j.b " +
         "ORDER BY j.a, j.b"
+    },
+    "q_dedup_index" -> {
+      def shCte(name: String, src: String) =
+        s"$name AS (SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i + 1], w[i + 2]) AS shingle FROM " +
+          "(SELECT doc_id, string_split(text, ' ') AS w, " +
+          "unnest(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1))) AS i " +
+          s"FROM $src))"
+      def sigCte(name: String, src: String) =
+        s"$name AS (SELECT doc_id, " +
+          (0 to 7).map(k => s"min(substr(md5(shingle), ${4 * k + 1}, 4)) AS s$k").mkString(", ") +
+          s" FROM $src GROUP BY doc_id)"
+      def bandsCte(name: String, src: String) =
+        s"$name AS (" + (0 to 3).map(b =>
+          s"SELECT doc_id, $b AS band, md5(s${2 * b} || s${2 * b + 1}) AS bkey FROM $src")
+          .mkString(" UNION ALL ") + ")"
+      "WITH corpus AS (SELECT doc_id, text FROM documents), " +
+        "batch AS (SELECT doc_id + 100000 AS doc_id, " +
+        "regexp_replace(text, '^[^ ]+', 'zzz') AS text FROM documents WHERE doc_id % 10 = 0), " +
+        shCte("cshx", "corpus") + ", " + shCte("bshx", "batch") + ", " +
+        sigCte("csigx", "cshx") + ", " + sigCte("bsigx", "bshx") + ", " +
+        bandsCte("cbx", "csigx") + ", " + bandsCte("bbx", "bsigx") + ", " +
+        "cand AS (SELECT DISTINCT bb.doc_id AS bid, cb.doc_id AS cid " +
+        "FROM bbx bb JOIN cbx cb ON bb.band = cb.band AND bb.bkey = cb.bkey) " +
+        "SELECT (SELECT count(*) FROM cand) AS n_candidates, " +
+        "(SELECT count(*) FROM batch) AS n_batch_docs, " +
+        "(SELECT count(*) FROM cbx) AS n_index_rows, " +
+        "1 AS corpus_side_exchange_free"
     },
     "q_minhash_calibration" -> {
       val est = "(" + (0 to 7)

@@ -58,6 +58,17 @@ class BucketingSpec extends SparkSpec {
       "both concurrent joins must be exchange-free")
   }
 
+  test("q_dedup_index: bucketed band index probes with zero corpus-side exchange") {
+    val r = SparkEntry.queries("q_dedup_index")(spark, sf).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Int]("corpus_side_exchange_free") == 1,
+      "the saved index must never reshuffle when the batch probes it")
+    assert(r.head.getAs[Long]("n_candidates") > 0L,
+      "mutated batch docs must collide with their corpus originals")
+    assert(r.head.getAs[Long]("n_index_rows") == 4L * Tables.documents(spark, sf).count(),
+      "index carries 4 band rows per corpus doc")
+  }
+
   test("partitionBy layout gives partition-pruned scans") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part")
     Tables.lineitem(spark, sf)
