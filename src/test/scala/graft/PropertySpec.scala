@@ -97,6 +97,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("sliding 8-word span expression matches a Scala reference on random texts") {
+    import spark.implicits._
+    // the core expr of q_span_dedup/q_span_flag, against List.sliding
+    val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString.take(6))
+    val textGen = Gen.listOf(word).map(_.mkString(" "))
+    forAll(Gen.nonEmptyListOf(textGen), n = 3) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = df
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), x -> length(x) > 0)").as("w"))
+        .filter(size(col("w")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(w) - 7), i -> array_join(slice(w, i, 8), ' '))"))
+          .as("span"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      val expected = texts.zipWithIndex.flatMap { case (t, i) =>
+        val ws = t.split(" ").filter(_.nonEmpty).toList
+        if (ws.length < 8) Nil
+        else ws.sliding(8).map(s => (i.toLong, s.mkString(" "))).toList
+      }.sorted
+      assert(got == expected)
+    }
+  }
+
   test("dot_f is symmetric and Cauchy-Schwarz-bounded on random float vectors") {
     import spark.implicits._
     graft.functions.FloatDotProduct.register(spark)
