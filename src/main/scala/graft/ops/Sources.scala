@@ -69,6 +69,30 @@ object Sources {
       summarize(s.read.parquet(path))
     }),
 
+    // Plain-text round-trip — the `.txt` dump format LLM pipelines ingest
+    // (one document per line; documents with embedded newlines belong in
+    // jsonl — q_scan_json's slot). The read-back has no ids, so the
+    // content verdict is ORDER-INDEPENDENT: bit_xor of xxhash64(line) over
+    // the file must equal the same digest over the table (a commutative
+    // multiset-parity digest — no sort, no collect, no ANSI sum overflow,
+    // scan-speed on both sides).
+    "q_scan_text" -> ((s, d) => {
+      val path = scratch("docs_txt")
+      Tables.documents(s, d).select("text")
+        .write.mode("overwrite").text(path)
+      val file = s.read.text(path)
+        .agg(count(lit(1)).as("n_lines"),
+          expr("bit_xor(xxhash64(value))").as("file_digest"))
+      val table = Tables.documents(s, d)
+        .agg(count(lit(1)).as("n_docs"),
+          expr("bit_xor(xxhash64(text))").as("table_digest"))
+      file.crossJoin(table)
+        .select(col("n_lines"), col("n_docs"),
+          (col("n_lines") === col("n_docs") &&
+            col("file_digest") === col("table_digest")).cast("int")
+            .as("content_match"))
+    }),
+
     // write_orc → read-back round-trip (columnar alternative to parquet,
     // built into spark-sql; the reference's Arrow IPC slot — Spark has no
     // native Arrow file reader, ORC is the columnar stand-in, SURVEY §2.3).
@@ -190,6 +214,9 @@ object Sources {
     "q_scan_csv" -> summarySql,
     "q_scan_json" -> summarySql,
     "q_scan_orc" -> summarySql,
-    "q_sink_parquet" -> summarySql
+    "q_sink_parquet" -> summarySql,
+    "q_scan_text" ->
+      ("SELECT count(*) AS n_lines, count(*) AS n_docs, 1 AS content_match " +
+        "FROM documents")
   )
 }
