@@ -251,6 +251,8 @@ class PlanSpec extends SparkSpec {
     "q_ann_bruteforce" -> "bounded query-vector set broadcast (its own test)",
     "q_knn_label" -> "bounded query-vector set broadcast, same shape as q_ann_bruteforce",
     "q_length_buckets" -> "single-row percentile cut-point frame broadcast onto the corpus",
+    "q_scan_text" -> "two single-row digest aggregates cross-joined for the verdict",
+    "q_sink_zstd" -> "two single-row count aggregates cross-joined for the verdict",
     "q_ann_ivf" -> "bounded centroid-table broadcast",
     "q_ann_ivf_probe2" -> "bounded centroid-table broadcast",
     "q_roc_binned" -> "1-row positive/negative-totals aggregate broadcast",
