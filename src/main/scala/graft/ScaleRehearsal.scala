@@ -161,6 +161,11 @@ object ScaleRehearsal {
       // cross-document duplicated-span mining over the documents corpus
       "span_dedup" -> { d: String =>
         SparkEntry.queries("q_span_dedup")(spark, d).count(): Unit
+      },
+      // bucketed band-index build + incremental batch probe (the index
+      // build scales with the corpus; the probe side stays batch-sized)
+      "dedup_index" -> { d: String =>
+        SparkEntry.queries("q_dedup_index")(spark, d).count(): Unit
       })
 
     def time(fn: String => Unit, dir: String): Double =
