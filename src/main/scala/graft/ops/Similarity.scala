@@ -328,6 +328,70 @@ object Similarity {
       out
     }),
 
+    // Unified ANN recall report — the index-selection table: every
+    // approximate variant (exact-cell IVF, nprobe=2 IVF, multi-probe LSH)
+    // scored against the SAME brute-force top-3 truth over the SAME
+    // 30-query set, in one result. This is the artifact an index rollout
+    // reads before picking a variant + recall knob; each variant keeps its
+    // production scale shape (signature/cell equi-joins, no pair scans).
+    "q_ann_recall" -> ((s, d) => {
+      val n = normed(s, d)
+      val w = Window.partitionBy("q").orderBy(desc("cos"), asc("b"))
+      def top3(qs: DataFrame, cs: DataFrame, joinOn: Seq[String]): DataFrame = {
+        val joined = if (joinOn.isEmpty) broadcast(qs).join(cs, col("q") =!= col("b"))
+          else qs.join(cs, joinOn).filter(col("q") =!= col("b"))
+        joined
+          .withColumn("cos", round(expr(sparkDot) / (col("nq") * col("nb")), 6))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3).select("q", "b")
+      }
+      val qset = n.filter(col("vec_id") < 30)
+        .select(col("vec_id").as("q"), col("embedding").as("eq"), col("nrm").as("nq"))
+      val cset = n.select(col("vec_id").as("b"), col("embedding").as("eb"),
+        col("nrm").as("nb"))
+      val truth = top3(qset, cset, Seq.empty)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val corpusCells = ivfAssign(n, ivfCents(n), "vec_id")
+        .select(col("vec_id").as("b"), col("embedding").as("eb"),
+          col("nrm").as("nb"), col("cid"))
+      val ivf1 = top3(
+        ivfAssign(n.filter(col("vec_id") < 30), ivfCents(n), "vec_id")
+          .select(col("vec_id").as("q"), col("embedding").as("eq"),
+            col("nrm").as("nq"), col("cid")),
+        corpusCells, Seq("cid"))
+      val qw = Window.partitionBy("vec_id").orderBy(desc("csim"), asc("cid"))
+      val ivf2 = top3(
+        n.filter(col("vec_id") < 30).crossJoin(broadcast(ivfCents(n)))
+          .withColumn("csim",
+            round(expr("dot_f(embedding, ec)") / (col("nrm") * col("nc")), 6))
+          .withColumn("rk", row_number().over(qw)).filter(col("rk") <= 2)
+          .select(col("vec_id").as("q"), col("embedding").as("eq"),
+            col("nrm").as("nq"), col("cid")),
+        corpusCells, Seq("cid"))
+      val nSig = n.withColumn("sig", expr(sigExpr("spark")))
+      val lsh = top3(
+        nSig.filter(col("vec_id") < 30)
+          .select(col("vec_id").as("q"), col("embedding").as("eq"),
+            col("nrm").as("nq"),
+            explode(expr(probesExpr("sig", "spark"))).as("sig")),
+        nSig.select(col("vec_id").as("b"), col("embedding").as("eb"),
+          col("nrm").as("nb"), col("sig")),
+        Seq("sig"))
+      def recallRow(name: String, pred: DataFrame): DataFrame =
+        truth.agg(count(lit(1)).as("n_truth"))
+          .crossJoin(truth.join(pred, Seq("q", "b"))
+            .agg(count(lit(1)).as("n_hits")))
+          .select(lit(name).as("variant"), col("n_truth"), col("n_hits"),
+            round(col("n_hits").cast("double") / col("n_truth"), 4).as("recall"))
+      val out = recallRow("ivf1", ivf1)
+        .unionByName(recallRow("ivf2", ivf2))
+        .unionByName(recallRow("lsh", lsh))
+        .orderBy("variant")
+        .localCheckpoint(true)
+      truth.unpersist(blocking = false)
+      out
+    }),
+
     // kNN majority-vote label prediction — the classifier-propagation
     // primitive a curation pipeline uses to spread a small set of
     // human/LLM quality labels across the whole corpus (label the 0.1%,
@@ -456,6 +520,55 @@ object Similarity {
         "CAST(row_number() OVER (PARTITION BY q ORDER BY cos DESC, neighbor) AS INTEGER) AS rank " +
         "FROM scored) " +
         "SELECT q, rank, neighbor, cos FROM ranked WHERE rank <= 3 ORDER BY q, rank"),
+    "q_ann_recall" -> {
+      def dotOf(a: String, b: String) =
+        s"list_sum(list_transform(list_zip($a.embedding, $b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+      s"WITH $duckNormed, " +
+        // brute-force top-3 truth over queries < 30
+        "bsc AS (SELECT q.vec_id AS q, c.vec_id AS b, " +
+        s"round(${dotOf("q", "c")} / (q.nrm * c.nrm), 6) AS cos " +
+        "FROM n q JOIN n c ON q.vec_id < 30 AND q.vec_id <> c.vec_id), " +
+        "btr AS (SELECT q, b FROM (SELECT q, b, " +
+        "row_number() OVER (PARTITION BY q ORDER BY cos DESC, b) AS rank FROM bsc) WHERE rank <= 3), " +
+        // IVF cells (first-16 centroids, argmin assignment)
+        "cents AS (SELECT vec_id AS cid, embedding, nrm AS nc FROM n WHERE vec_id < 16), " +
+        "asgn AS (SELECT v.vec_id, v.embedding, v.nrm, c.cid, " +
+        "row_number() OVER (PARTITION BY v.vec_id ORDER BY " +
+        s"round(${dotOf("v", "c")} / (v.nrm * c.nc), 6) DESC, c.cid) AS rk " +
+        "FROM n v, cents c), " +
+        "cell AS (SELECT vec_id, embedding, nrm, cid FROM asgn WHERE rk = 1), " +
+        "qcell AS (SELECT vec_id, embedding, nrm, cid FROM asgn WHERE rk <= 2 AND vec_id < 30), " +
+        "sc1 AS (SELECT q.vec_id AS q, c2.vec_id AS b, " +
+        s"round(${dotOf("q", "c2")} / (q.nrm * c2.nrm), 6) AS cos " +
+        "FROM cell q JOIN cell c2 ON q.cid = c2.cid AND q.vec_id < 30 AND q.vec_id <> c2.vec_id), " +
+        "v1 AS (SELECT q, b FROM (SELECT q, b, " +
+        "row_number() OVER (PARTITION BY q ORDER BY cos DESC, b) AS rank FROM sc1) WHERE rank <= 3), " +
+        "sc2 AS (SELECT q.vec_id AS q, c2.vec_id AS b, " +
+        s"round(${dotOf("q", "c2")} / (q.nrm * c2.nrm), 6) AS cos " +
+        "FROM qcell q JOIN cell c2 ON q.cid = c2.cid AND q.vec_id <> c2.vec_id), " +
+        "v2 AS (SELECT q, b FROM (SELECT q, b, " +
+        "row_number() OVER (PARTITION BY q ORDER BY cos DESC, b) AS rank FROM sc2) WHERE rank <= 3), " +
+        // multi-probe LSH
+        s"sigs AS (SELECT vec_id, embedding, nrm, ${sigExpr("duck")} AS sig FROM n), " +
+        "probed AS (SELECT vec_id, embedding, nrm, " +
+        s"unnest(${probesExpr("sig", "duck")}) AS psig FROM sigs WHERE vec_id < 30), " +
+        "sc3 AS (SELECT q.vec_id AS q, c.vec_id AS b, " +
+        s"round(${dotOf("q", "c")} / (q.nrm * c.nrm), 6) AS cos " +
+        "FROM probed q JOIN sigs c ON q.psig = c.sig AND q.vec_id <> c.vec_id), " +
+        "v3 AS (SELECT q, b FROM (SELECT q, b, " +
+        "row_number() OVER (PARTITION BY q ORDER BY cos DESC, b) AS rank FROM sc3) WHERE rank <= 3), " +
+        "nt AS (SELECT count(*) AS n_truth FROM btr) " +
+        "SELECT 'ivf1' AS variant, nt.n_truth, " +
+        "(SELECT count(*) FROM btr t JOIN v1 USING (q, b)) AS n_hits, " +
+        "round(CAST((SELECT count(*) FROM btr t JOIN v1 USING (q, b)) AS DOUBLE) / nt.n_truth, 4) AS recall FROM nt " +
+        "UNION ALL SELECT 'ivf2', nt.n_truth, " +
+        "(SELECT count(*) FROM btr t JOIN v2 USING (q, b)), " +
+        "round(CAST((SELECT count(*) FROM btr t JOIN v2 USING (q, b)) AS DOUBLE) / nt.n_truth, 4) FROM nt " +
+        "UNION ALL SELECT 'lsh', nt.n_truth, " +
+        "(SELECT count(*) FROM btr t JOIN v3 USING (q, b)), " +
+        "round(CAST((SELECT count(*) FROM btr t JOIN v3 USING (q, b)) AS DOUBLE) / nt.n_truth, 4) FROM nt " +
+        "ORDER BY variant"
+    },
     "q_knn_label" ->
       ("WITH nl AS (SELECT vec_id, embedding, label, " +
         "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm " +

@@ -317,6 +317,19 @@ class OpsSpec extends SparkSpec {
       "length bucketing must not increase padded cells")
   }
 
+  test("ann recall report: probe2 never loses to single-probe, rates bounded") {
+    val rows = q("q_ann_recall").collect()
+      .map(r => r.getAs[String]("variant") ->
+        (r.getAs[Long]("n_truth"), r.getAs[Long]("n_hits"),
+          r.getAs[Double]("recall"))).toMap
+    assert(rows.keySet == Set("ivf1", "ivf2", "lsh"))
+    assert(rows.values.forall { case (t, h, r) =>
+      t > 0 && h >= 0 && h <= t && r >= 0.0 && r <= 1.0
+    })
+    assert(rows("ivf2")._2 >= rows("ivf1")._2,
+      "searching two cells can only add candidates")
+  }
+
   test("knn label vote: one verdict per query, votes bounded by k") {
     val rows = q("q_knn_label").collect()
     assert(rows.length == 20, "one row per query vector")
