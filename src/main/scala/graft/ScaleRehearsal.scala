@@ -166,6 +166,19 @@ object ScaleRehearsal {
       // build scales with the corpus; the probe side stays batch-sized)
       "dedup_index" -> { d: String =>
         SparkEntry.queries("q_dedup_index")(spark, d).count(): Unit
+      },
+      // the WIDTH-SCALED embedding dedup: 8 bits at 1×, 8 + log2(mult)
+      // at mult× — the knob that keeps bucket occupancy (and the
+      // quadratic in-bucket verification) constant as the corpus grows.
+      // Contrast with embed_dedup above, which holds width fixed at 8
+      // and measures the occupancy blow-up instead.
+      "embed_dedup_wide" -> { d: String =>
+        val bits =
+          if (d == bigDir) 8 + math.ceil(math.log(mult) / math.log(2)).toInt
+          else 8
+        ops.Similarity.embeddingNearDup(
+          Tables.embeddings(spark, d), "vec_id", "embedding", bits)
+          .count(): Unit
       })
 
     def time(fn: String => Unit, dir: String): Double =

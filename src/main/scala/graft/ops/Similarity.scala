@@ -54,10 +54,18 @@ object Similarity {
   private def bitExpr(p: Int, dialect: String): String =
     s"CASE WHEN ${dotPlane(p, dialect)} > 0 THEN '1' ELSE '0' END"
 
-  private[ops] def sigExpr(dialect: String): String =
+  private[ops] def sigExpr(dialect: String): String = sigExprN(dialect, Planes)
+
+  /** Width-generic hyperplane signature: `bits` planes. Signature width is
+    * THE corpus-size knob for LSH self-joins — bucket occupancy scales as
+    * n / 2^bits, and in-bucket pair verification as occupancy², so a
+    * corpus m× bigger needs ~log2(m) more bits to keep per-bucket work
+    * constant (measured live: the 60× rehearsal's fixed-8-bit
+    * embed_dedup ratio hit 34× before width scaling recovered it). */
+  private[ops] def sigExprN(dialect: String, bits: Int): String =
     if (dialect == "spark")
-      (0 until Planes).map(bitExpr(_, "spark")).mkString("concat(", ", ", ")")
-    else (0 until Planes).map(bitExpr(_, "duck")).mkString(" || ")
+      (0 until bits).map(bitExpr(_, "spark")).mkString("concat(", ", ", ")")
+    else (0 until bits).map(bitExpr(_, "duck")).mkString(" || ")
 
   /** Multi-probe candidate signatures: the signature itself plus its
     * `bits` one-bit flips — every signature at Hamming distance ≤ 1.
@@ -117,6 +125,34 @@ object Similarity {
         col("embedding"), col("nrm"))).as("m"))
       .select(col(idCol), col("m.embedding").as("embedding"),
         col("m.nrm").as("nrm"), col("m.cid").as("cid"))
+
+  /** PUBLIC API — embedding-cosine near-duplicate pairs via multi-probe
+    * hyperplane LSH with a CONFIGURABLE signature width. `bits` is the
+    * corpus-size knob: bucket occupancy ~ n/2^bits and in-bucket exact
+    * verification ~ occupancy², so grow bits by ~log2(m) when the corpus
+    * grows m× to keep per-bucket work constant (the 60× rehearsal measured
+    * the fixed-width alternative: a 34× time ratio). Candidates come from
+    * a (bits+1)-probe Hamming≤1 signature equi-join — never a pair scan —
+    * and exact cosine (codegen'd dot_f) is verified on candidates only.
+    * Returns (a, b, cos) with a < b, distinct across probes. */
+  def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
+      bits: Int = Planes, minCos: Double = 0.9): DataFrame = {
+    val s = df.sparkSession
+    graft.functions.FloatDotProduct.register(s)
+    val n = df.select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol).as("embedding"))
+      .withColumn("nrm", expr("sqrt(dot_f(embedding, embedding))"))
+      .withColumn("sig", expr(sigExprN("spark", bits)))
+    val a = n.select(col("vec_id").as("a"), col("embedding").as("ea"),
+      col("nrm").as("na"),
+      explode(expr(probesExpr("sig", "spark", bits))).as("sig"))
+    val b = n.select(col("vec_id").as("b"), col("embedding").as("eb"),
+      col("nrm").as("nb"), col("sig"))
+    a.join(b, Seq("sig")).filter(col("a") < col("b"))
+      .withColumn("cos", expr("dot_f(ea, eb)") / (col("na") * col("nb")))
+      .filter(col("cos") >= minCos)
+      .select(col("a"), col("b"), col("cos")).distinct()
+  }
 
   val queries: Map[String, Q] = Map(
     // Brute-force cosine top-5 for each query vector (vec_id < 20): the

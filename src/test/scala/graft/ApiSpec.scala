@@ -57,6 +57,29 @@ class ApiSpec extends SparkSpec {
       "the dropped bucket must be observable for telemetry")
   }
 
+  test("embeddingNearDup finds planted duplicates at any signature width") {
+    // deterministic pseudo-random unit-ish vectors + planted exact copies:
+    // identical vectors share every hyperplane sign, so the planted pairs
+    // survive ANY bits setting; wider signatures only split apart the
+    // unrelated vectors
+    def vec(seed: Int): Seq[Float] =
+      (0 until 64).map(j => (((seed * 37 + j * 101) % 19) - 9).toFloat / 9f)
+    val base = (0 until 40).map(i => (i.toLong, vec(i)))
+    val plants = (0 until 5).map(i => (1000L + i, vec(i)))
+    val df = spark.createDataFrame(
+      (base ++ plants).map { case (id, v) => (id, v) }
+    ).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    for (bits <- Seq(8, 14)) {
+      val got = ops.Similarity
+        .embeddingNearDup(df, "vec_id", "embedding", bits, minCos = 0.999)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = (0 until 5).map(i => (i.toLong, 1000L + i)).toSet
+      assert(expected.subsetOf(got),
+        s"bits=$bits must find every planted duplicate: missing ${expected -- got}")
+    }
+  }
+
   test("nearDedupKeepBest keeps the highest-quality member of each family") {
     // two near-dup families built by word overlap (>=50% 3-shingle
     // Jaccard); within each, the BEST copy has the HIGHER id, so keep-min
