@@ -364,6 +364,17 @@ object Similarity {
       out
     }),
 
+    // The width-scaled embedding near-dup API under oracle parity: the
+    // same multi-probe chain as q_dedup_embedding but at 12 signature
+    // bits — the corpus-size knob the 60× rehearsal validated — so the
+    // width-generic signature path is cross-engine verified, not just
+    // self-tested. Cosine rounded 6dp for cross-engine float stability.
+    "q_dedup_embedding_wide" -> ((s, d) =>
+      embeddingNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
+        bits = 12, minCos = 0.9)
+        .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
+        .orderBy("a", "b")),
+
     // Unified ANN recall report — the index-selection table: every
     // approximate variant (exact-cell IVF, nprobe=2 IVF, multi-probe LSH)
     // scored against the SAME brute-force top-3 truth over the SAME
@@ -556,6 +567,18 @@ object Similarity {
         "CAST(row_number() OVER (PARTITION BY q ORDER BY cos DESC, neighbor) AS INTEGER) AS rank " +
         "FROM scored) " +
         "SELECT q, rank, neighbor, cos FROM ranked WHERE rank <= 3 ORDER BY q, rank"),
+    "q_dedup_embedding_wide" ->
+      ("WITH nw AS (SELECT vec_id, embedding, " +
+        "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm " +
+        "FROM embeddings), " +
+        s"sigs AS (SELECT vec_id, embedding, nrm, ${sigExprN("duck", 12)} AS sig FROM nw), " +
+        "probed AS (SELECT vec_id, embedding, nrm, " +
+        s"unnest(${probesExpr("sig", "duck", 12)}) AS psig FROM sigs), " +
+        "raw AS (SELECT q.vec_id AS a, c.vec_id AS b, " +
+        "list_sum(list_transform(list_zip(q.embedding, c.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (q.nrm * c.nrm) AS cos " +
+        "FROM probed q JOIN sigs c ON q.psig = c.sig AND q.vec_id < c.vec_id), " +
+        "pair AS (SELECT DISTINCT a, b, cos FROM raw WHERE cos >= 0.9) " +
+        "SELECT a, b, round(cos, 6) AS cos FROM pair ORDER BY a, b"),
     "q_ann_recall" -> {
       def dotOf(a: String, b: String) =
         s"list_sum(list_transform(list_zip($a.embedding, $b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
