@@ -439,6 +439,57 @@ object Similarity {
       out
     }),
 
+    // Product-quantization ANN (Jégou et al., "Product Quantization for
+    // Nearest Neighbor Search", TPAMI 2011) — the memory-compression index:
+    // each 64-dim vector is cut into M=8 subvectors of 8 dims, each
+    // subvector is assigned the nearest of 16 per-subspace codewords, and
+    // the vector is stored as 8 small codes (8 bytes, vs 256 for raw
+    // floats — the difference between an in-RAM and an on-disk index at
+    // 100 TB). Search is asymmetric distance computation (ADC): the query
+    // keeps its EXACT subvectors, builds a 8×16 lookup table of
+    // subvector→codeword distances, and every corpus vector's approximate
+    // distance is just the sum of its 8 codes' LUT entries. Codewords here
+    // are the first-16 corpus vectors' subvectors (a real index would
+    // k-means each subspace — the assignment/ADC mechanics are identical
+    // and this keeps a SQL oracle; q_ann_ivf_kmeans shows the learned-fit
+    // path). Scale shape: codebook + LUT are tiny broadcasts; code
+    // assignment is one broadcast join + argmin aggregate keyed by
+    // (vector, subspace); ADC is a broadcast-LUT probe + per-(query,
+    // vector) partial+final sum — no window over the corpus, no pair scan
+    // beyond the code table itself (which is the PQ contract: a linear
+    // scan over 8-byte codes; production stacks it under IVF cells).
+    "q_ann_pq" -> ((s, d) => {
+      val sub = Tables.embeddings(s, d)
+        .select(col("vec_id"), explode(expr(
+          "transform(sequence(0, 7), m -> struct(CAST(m AS INT) AS m, " +
+            "slice(embedding, CAST(m * 8 + 1 AS INT), 8) AS sv))")).as("e"))
+        .select(col("vec_id"), col("e.m").as("m"), col("e.sv").as("sv"))
+      val cb = sub.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("m"), col("sv").as("cv"))
+      val l2 = "aggregate(zip_with(sv, cv, (x, y) -> " +
+        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), " +
+        "0D, (a, v) -> a + v)"
+      val codes = sub.join(broadcast(cb), Seq("m"))
+        .withColumn("l2", round(expr(l2), 6))
+        .groupBy("vec_id", "m")
+        .agg(min(struct(col("l2"), col("cid"))).as("mn"))
+        .select(col("vec_id").as("b"), col("m"), col("mn.cid").as("code"))
+      val lut = sub.filter(col("vec_id") < 20)
+        .join(broadcast(cb), Seq("m"))
+        .select(col("vec_id").as("q"), col("m").as("qm"), col("cid"),
+          expr(l2).as("contr"))
+      val w = Window.partitionBy("q").orderBy(asc("adc_dist"), asc("b"))
+      codes.join(broadcast(lut),
+          col("m") === col("qm") && col("code") === col("cid"))
+        .filter(col("q") =!= col("b"))
+        .groupBy("q", "b")
+        .agg(round(sum(col("contr")), 6).as("adc_dist"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("q"), col("rank"), col("b").as("neighbor"), col("adc_dist"))
+        .orderBy("q", "rank")
+    }),
+
     // kNN majority-vote label prediction — the classifier-propagation
     // primitive a curation pipeline uses to spread a small set of
     // human/LLM quality labels across the whole corpus (label the 0.1%,
@@ -627,6 +678,28 @@ object Similarity {
         "(SELECT count(*) FROM btr t JOIN v3 USING (q, b)), " +
         "round(CAST((SELECT count(*) FROM btr t JOIN v3 USING (q, b)) AS DOUBLE) / nt.n_truth, 4) FROM nt " +
         "ORDER BY variant"
+    },
+    "q_ann_pq" -> {
+      val l2 = (a: String, b: String) =>
+        s"list_sum(list_transform(list_zip($a, $b), p -> " +
+          "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+      "WITH sub AS (SELECT vec_id, CAST(m AS INTEGER) AS m, " +
+        "embedding[CAST(m * 8 + 1 AS INTEGER):CAST(m * 8 + 8 AS INTEGER)] AS sv " +
+        "FROM (SELECT vec_id, embedding, unnest(generate_series(0, 7)) AS m FROM embeddings)), " +
+        "cb AS (SELECT vec_id AS cid, m, sv AS cv FROM sub WHERE vec_id < 16), " +
+        s"asgn AS (SELECT s.vec_id, s.m, c.cid, round(${l2("s.sv", "c.cv")}, 6) AS l2 " +
+        "FROM sub s JOIN cb c ON s.m = c.m), " +
+        "codes AS (SELECT vec_id AS b, m, cid AS code FROM " +
+        "(SELECT vec_id, m, cid, row_number() OVER (PARTITION BY vec_id, m ORDER BY l2, cid) AS rk FROM asgn) " +
+        "WHERE rk = 1), " +
+        s"lut AS (SELECT s.vec_id AS q, s.m, c.cid, ${l2("s.sv", "c.cv")} AS contr " +
+        "FROM sub s JOIN cb c ON s.m = c.m WHERE s.vec_id < 20), " +
+        "adc AS (SELECT l.q AS q, c.b AS b, round(sum(l.contr), 6) AS adc_dist " +
+        "FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.cid WHERE l.q <> c.b " +
+        "GROUP BY l.q, c.b), " +
+        "ranked AS (SELECT q, b, adc_dist, " +
+        "CAST(row_number() OVER (PARTITION BY q ORDER BY adc_dist, b) AS INTEGER) AS rank FROM adc) " +
+        "SELECT q, rank, b AS neighbor, adc_dist FROM ranked WHERE rank <= 3 ORDER BY q, rank"
     },
     "q_knn_label" ->
       ("WITH nl AS (SELECT vec_id, embedding, label, " +

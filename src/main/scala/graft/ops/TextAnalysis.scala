@@ -230,6 +230,65 @@ object TextAnalysis {
             .as("l2"))
         .orderBy("doc_id")),
 
+    // CCNet-style duplicated-segment REMOVAL — where q_span_flag only emits
+    // a keep verdict, this actually rewrites the corpus: documents are cut
+    // into NON-OVERLAPPING 8-word blocks (the segment analog of CCNet's
+    // paragraph hashing — this corpus has no newlines, so fixed word blocks
+    // are the deterministic segmentation), any block appearing in >= 2
+    // distinct documents is stripped from every document, and the surviving
+    // blocks are reassembled in order as the cleaned text. Scale shape:
+    // blocks are (doc, pos, text) rows — the duplicated-block inventory is
+    // a distinct-first two-level aggregate (in-doc repeats collapse
+    // map-side, no count-distinct Expand), the strip is one equi-join on
+    // the block key (at 100 TB the key is xxhash64(block), 8 bytes), and
+    // reassembly is one per-doc aggregate whose buffer is bounded by the
+    // document's own block count. No window, no driver collect.
+    "q_strip_boilerplate" -> ((s, d) => {
+      val blocks = Tables.documents(s, d)
+        .select(col("doc_id"), expr(words).as("w"))
+        .filter(size(col("w")) > 0)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, (size(w) - 1) div 8), " +
+            "i -> array_join(slice(w, CAST(i * 8 + 1 AS INT), 8), ' '))"))
+          .as(Seq("bi", "btxt")))
+      val dup = blocks.groupBy("btxt", "doc_id").agg(count(lit(1)).as("occ"))
+        .groupBy("btxt").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2)
+        .select(col("btxt"), lit(true).as("is_dup"))
+      blocks.join(dup, Seq("btxt"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_removed"),
+          collect_list(when(col("is_dup").isNull,
+            struct(col("bi"), col("btxt")))).as("kept"))
+        .select(col("doc_id"), col("n_blocks"), col("n_removed"),
+          expr("array_join(transform(array_sort(kept), x -> x.btxt), ' ')")
+            .as("clean_text"))
+        .orderBy("doc_id")
+    }),
+
+    // Fixed-window token chunking with stride — the doc→training-sample
+    // cut every pretraining pipeline runs (context windows of C tokens,
+    // overlapping by C−S so no boundary context is lost; the final window
+    // is allowed to run short so trailing tokens are never dropped).
+    // Window C=16 words, stride S=8 at this corpus' doc lengths. Entirely
+    // row-local (explode over per-row start offsets — zero shuffles except
+    // the output sort): at 100 TB chunking runs at scan speed and the
+    // output is immediately shard-writable.
+    "q_chunk_stride" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), expr(words).as("w"))
+        .filter(size(col("w")) > 0)
+        .select(col("doc_id"), size(col("w")).as("n_words"),
+          posexplode(expr(
+            "transform(sequence(0, (greatest(size(w) - 16, 0) + 7) div 8), " +
+              "i -> array_join(slice(w, CAST(i * 8 + 1 AS INT), 16), ' '))"))
+            .as(Seq("chunk_id", "chunk_text")))
+        .select(col("doc_id"), col("chunk_id"),
+          least(lit(16), col("n_words") - col("chunk_id") * 8).as("n_tokens"),
+          col("chunk_text"))
+        .orderBy("doc_id", "chunk_id")),
+
     // Character-trigram Shannon entropy per doc — low entropy flags
     // repetitive/degenerate text, high entropy flags binary-ish noise;
     // a standard cheap quality gate next to perplexity.
@@ -345,6 +404,25 @@ object TextAnalysis {
         "SELECT doc_id, array_to_string(v, ',') AS fh, " +
         "round(sqrt(CAST(list_sum(list_transform(v, x -> x * x)) AS DOUBLE)), 4) AS l2 " +
         "FROM fh ORDER BY doc_id"),
+    "q_strip_boilerplate" ->
+      (s"WITH base AS (SELECT doc_id, $duckWords AS w FROM documents WHERE len($duckWords) > 0), " +
+        "blk AS (SELECT doc_id, CAST(i AS INTEGER) AS bi, " +
+        "array_to_string(w[CAST(i * 8 + 1 AS INTEGER):CAST(i * 8 + 8 AS INTEGER)], ' ') AS btxt " +
+        "FROM (SELECT doc_id, w, unnest(generate_series(0, (len(w) - 1) // 8)) AS i FROM base)), " +
+        "per_doc AS (SELECT btxt, doc_id FROM blk GROUP BY btxt, doc_id), " +
+        "dup AS (SELECT btxt FROM per_doc GROUP BY btxt HAVING count(*) >= 2) " +
+        "SELECT b.doc_id, count(*) AS n_blocks, " +
+        "CAST(sum(CASE WHEN d.btxt IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed, " +
+        "coalesce(string_agg(b.btxt, ' ' ORDER BY b.bi) FILTER (WHERE d.btxt IS NULL), '') AS clean_text " +
+        "FROM blk b LEFT JOIN dup d USING (btxt) " +
+        "GROUP BY b.doc_id ORDER BY b.doc_id"),
+    "q_chunk_stride" ->
+      (s"WITH base AS (SELECT doc_id, $duckWords AS w FROM documents WHERE len($duckWords) > 0), " +
+        "ch AS (SELECT doc_id, CAST(len(w) AS INTEGER) AS n_words, CAST(i AS INTEGER) AS chunk_id, " +
+        "array_to_string(w[CAST(i * 8 + 1 AS INTEGER):CAST(i * 8 + 16 AS INTEGER)], ' ') AS chunk_text " +
+        "FROM (SELECT doc_id, w, unnest(generate_series(0, (greatest(len(w) - 16, 0) + 7) // 8)) AS i FROM base)) " +
+        "SELECT doc_id, chunk_id, CAST(least(16, n_words - chunk_id * 8) AS INTEGER) AS n_tokens, chunk_text " +
+        "FROM ch ORDER BY doc_id, chunk_id"),
     "q_ngram_entropy" ->
       ("WITH tri AS (SELECT doc_id, substr(text, CAST(i AS INTEGER), 3) AS gram FROM " +
         "(SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 2, 1))) AS i FROM documents)), " +

@@ -39,7 +39,10 @@ class InvarianceSpec extends SparkSpec {
     "q_span_dedup",       // two-level span aggregate + deterministic top-20
     "q_knn_label",        // rank window + two-level vote argmax
     "q_length_buckets",   // broadcast percentile cut points + rollup
-    "q_corpus_report")    // double-avg merge order under 4dp round
+    "q_corpus_report",    // double-avg merge order under 4dp round
+    "q_strip_boilerplate", // cross-doc block inventory join + per-doc reassembly
+    "q_chunk_stride",     // row-local windowing (pure scan, should be trivially invariant)
+    "q_ann_pq")           // code argmin + ADC double-sum under 6dp round
 
   test("results are invariant under shuffle-partition counts 3/13/32") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")

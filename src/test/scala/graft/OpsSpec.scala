@@ -317,6 +317,88 @@ class OpsSpec extends SparkSpec {
       "length bucketing must not increase padded cells")
   }
 
+  test("strip boilerplate: order-preserving subsequence, dup accounting exact") {
+    val rows = q("q_strip_boilerplate").collect()
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), expr("filter(split(text, ' '), x -> length(x) > 0)").as("w"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[scala.collection.Seq[String]]("w")).toMap
+    assert(rows.length == docs.size, "one cleaned row per document")
+    assert(rows.exists(_.getAs[Long]("n_removed") > 0),
+      "the corpus' duplicated docs must produce stripped blocks")
+    rows.foreach { r =>
+      val w = docs(r.getAs[Long]("doc_id"))
+      val nb = (w.length + 7) / 8
+      assert(r.getAs[Long]("n_blocks") == nb.toLong, "ceil(n/8) blocks")
+      val rem = r.getAs[Long]("n_removed")
+      assert(rem >= 0 && rem <= nb)
+      val clean = r.getAs[String]("clean_text")
+      if (rem == 0) assert(clean == w.mkString(" "), "no-op docs round-trip")
+      // surviving words are an order-preserving subsequence of the original
+      var i = 0
+      clean.split(' ').filter(_.nonEmpty).foreach { t =>
+        i = w.indexOf(t, i)
+        assert(i >= 0, s"cleaned token '$t' out of order / not in source")
+        i += 1
+      }
+    }
+  }
+
+  test("chunk stride: contiguous ids, faithful windows, tail never dropped") {
+    val rows = q("q_chunk_stride").collect()
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), expr("filter(split(text, ' '), x -> length(x) > 0)").as("w"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[scala.collection.Seq[String]]("w")).toMap
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == docs.keySet,
+      "every document is chunked")
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, ch) =>
+      val w = docs(id)
+      val sorted = ch.sortBy(_.getAs[Int]("chunk_id"))
+      assert(sorted.map(_.getAs[Int]("chunk_id")).toSeq == (0 until sorted.length),
+        "chunk ids contiguous from 0")
+      sorted.foreach { r =>
+        val cid = r.getAs[Int]("chunk_id")
+        val toks = r.getAs[String]("chunk_text").split(' ').filter(_.nonEmpty)
+        assert(toks.length == r.getAs[Int]("n_tokens"))
+        assert(toks.length <= 16 && toks.sameElements(
+          w.slice(cid * 8, cid * 8 + toks.length)),
+          "chunk = window of the source at stride 8")
+      }
+      val last = sorted.last
+      assert(last.getAs[Int]("chunk_id") * 8 + last.getAs[Int]("n_tokens") == w.length,
+        "the final chunk reaches the last token")
+    }
+  }
+
+  test("ann pq: sound ADC ranking; recalls exact-L2 neighbors on this corpus") {
+    val pq = q("q_ann_pq").collect()
+    pq.groupBy(_.getAs[Long]("q")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
+      val d = sorted.map(_.getAs[Double]("adc_dist"))
+      assert(d.forall(_ >= 0) && d.zip(d.tail).forall { case (a, b) => a <= b },
+        "ADC distance non-decreasing with rank")
+    }
+    // recall vs exact L2 top-3: deterministic on this corpus (9/60 at
+    // sf0.001 — isotropic random vectors are PQ's worst case; the test
+    // pins "substantially better than the 0-2 hits random ranking gives").
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, sf)
+    val qs = e.filter(col("vec_id") < 20).select(col("vec_id").as("q"), col("embedding").as("eq"))
+    val cs = e.select(col("vec_id").as("b"), col("embedding").as("eb"))
+    val w = Window.partitionBy("q").orderBy(asc("l2"), asc("b"))
+    val truth = qs.join(cs, col("q") =!= col("b"))
+      .withColumn("l2", expr("aggregate(zip_with(eq, eb, (x, y) -> " +
+        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), " +
+        "0D, (a, v) -> a + v)"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select("q", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = pq.count(r => truth((r.getAs[Long]("q"), r.getAs[Long]("neighbor"))))
+    assert(hits >= 5, s"PQ recall collapsed: $hits/${truth.size} exact-L2 top-3 hits")
+  }
+
   test("ann recall report: probe2 never loses to single-probe, rates bounded") {
     val rows = q("q_ann_recall").collect()
       .map(r => r.getAs[String]("variant") ->
