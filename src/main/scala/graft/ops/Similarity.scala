@@ -439,6 +439,60 @@ object Similarity {
       out
     }),
 
+    // PCA dimensionality reduction over the embedding column — the
+    // compaction step big-embedding pipelines run before indexing (project
+    // 64-dim vectors onto the top-8 principal directions; pairs with
+    // q_embed_quantize the way OPQ pairs rotation with PQ). spark.ml PCA
+    // fits from ONE distributed covariance pass (treeAggregate — no vector
+    // collect); only the 64×8 loadings matrix reaches the driver. The fit
+    // is verified by construction, not by a cross-engine float compare:
+    // loadings orthonormality (driver-side, tiny matrix), explained
+    // variance non-increasing and bounded, and two distributed invariants
+    // over every projected vector — projection energy never exceeds the
+    // vector's (orthonormal projections are contractions) and 8-component
+    // capture never falls below 4-component capture. The oracle asserts
+    // the verdicts + the cross-engine-checkable counts.
+    "q_embed_pca" -> ((s, d) => {
+      import org.apache.spark.ml.feature.PCA
+      import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+      val feats = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("features",
+          array_to_vector(expr("transform(embedding, x -> CAST(x AS DOUBLE))")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val model = new PCA().setK(8).setInputCol("features").setOutputCol("pc")
+        .fit(feats)
+      val pcm = model.pc
+      val basis = (0 until pcm.numCols)
+        .map(j => (0 until pcm.numRows).map(i => pcm(i, j)))
+      val orthDev = (for { a <- basis.indices; b <- a until basis.length } yield {
+        val dot = basis(a).lazyZip(basis(b)).map(_ * _).sum
+        math.abs(dot - (if (a == b) 1.0 else 0.0))
+      }).max
+      val ev = model.explainedVariance.toArray
+      val varMono = ev.zip(ev.tail).forall { case (x, y) => x >= y - 1e-12 }
+      val varBounded = ev.forall(v => v >= -1e-12 && v <= 1.0 + 1e-12) &&
+        ev.sum <= 1.0 + 1e-9
+      val out = model.transform(feats)
+        .withColumn("c", vector_to_array(col("pc")))
+        .withColumn("x2", expr(
+          "aggregate(embedding, 0D, (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"))
+        .withColumn("c8", expr("aggregate(c, 0D, (a, v) -> a + v * v)"))
+        .withColumn("c4", expr("aggregate(slice(c, 1, 4), 0D, (a, v) -> a + v * v)"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("c8") > col("x2") + 1e-6, 1).otherwise(0)).as("proj_viol"),
+          sum(when(col("c8") < col("c4") - 1e-9, 1).otherwise(0)).as("cap_viol"))
+        .select(col("n_vecs"), lit(8).as("k"),
+          lit(if (orthDev < 1e-6) 1 else 0).as("orth_ok"),
+          lit(if (varMono) 1 else 0).as("var_monotone"),
+          lit(if (varBounded) 1 else 0).as("var_bounded"),
+          (col("proj_viol") === 0).cast("int").as("proj_bounded"),
+          (col("cap_viol") === 0).cast("int").as("capture_monotone"))
+        .localCheckpoint(true)
+      feats.unpersist(blocking = false)
+      out
+    }),
+
     // Product-quantization ANN (Jégou et al., "Product Quantization for
     // Nearest Neighbor Search", TPAMI 2011) — the memory-compression index:
     // each 64-dim vector is cut into M=8 subvectors of 8 dims, each
@@ -679,6 +733,10 @@ object Similarity {
         "round(CAST((SELECT count(*) FROM btr t JOIN v3 USING (q, b)) AS DOUBLE) / nt.n_truth, 4) FROM nt " +
         "ORDER BY variant"
     },
+    "q_embed_pca" ->
+      ("SELECT (SELECT count(*) FROM embeddings) AS n_vecs, 8 AS k, " +
+        "1 AS orth_ok, 1 AS var_monotone, 1 AS var_bounded, " +
+        "1 AS proj_bounded, 1 AS capture_monotone"),
     "q_ann_pq" -> {
       val l2 = (a: String, b: String) =>
         s"list_sum(list_transform(list_zip($a, $b), p -> " +

@@ -371,6 +371,23 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("embed pca: orthonormal basis, bounded projections, monotone capture") {
+    val r = q("q_embed_pca").collect()(0)
+    assert(r.getAs[Long]("n_vecs") == Tables.embeddings(spark, sf).count())
+    for (c <- Seq("orth_ok", "var_monotone", "var_bounded",
+        "proj_bounded", "capture_monotone"))
+      assert(r.getAs[Int](c) == 1, s"$c verdict failed")
+  }
+
+  test("quality classifier: exact split accounting, learned-signal verdicts") {
+    val r = q("q_quality_classifier").collect()(0)
+    assert(r.getAs[Long]("n_docs") == Tables.documents(spark, sf).count())
+    assert(r.getAs[Long]("n_train") + r.getAs[Long]("n_test") ==
+      r.getAs[Long]("n_docs"), "hash split partitions the corpus")
+    // measured: AUC >= 0.98, accuracy >= 0.93 at every sf (floors 0.75)
+    assert(r.getAs[Int]("auc_floor") == 1 && r.getAs[Int]("acc_floor") == 1)
+  }
+
   test("ann pq: sound ADC ranking; recalls exact-L2 neighbors on this corpus") {
     val pq = q("q_ann_pq").collect()
     pq.groupBy(_.getAs[Long]("q")).foreach { case (_, rs) =>
