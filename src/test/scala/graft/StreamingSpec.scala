@@ -345,4 +345,54 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed.sameElements(batch),
       "incremental session counts must equal the batch sessionization")
   }
+
+  test("streaming decontamination: stream-static shingle semi-join == batch decontaminate") {
+    // Decontamination-at-ingest: documents arrive as a stream, the eval
+    // benchmark's (static, small-by-nature) shingle set joins against each
+    // arriving doc's shingles — a stream-static equi semi-join, which is
+    // append-mode-legal with no state, no watermark, and broadcasts the
+    // static side. Contaminated doc ids out of the stream must equal the
+    // batch decontaminate()'s complement exactly.
+    val dir = java.nio.file.Files.createTempDirectory("graft_decon")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+
+    val docs = Tables.documents(spark, sf)
+    val eval = docs.filter(col("doc_id") % 97 === 3)
+      .select(col("text").as("eval_text"))
+    val kept = ops.Curation.decontaminate(docs, "doc_id", "text", eval, "eval_text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val contaminatedTruth = all -- kept
+    assert(contaminatedTruth.nonEmpty && kept.nonEmpty,
+      "the planted eval overlap must split the corpus")
+
+    // same 3-word shingles as Dedup.shinglesOf, row-local so stream-legal
+    val shingles = (df: org.apache.spark.sql.DataFrame) => df
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        expr("explode(transform(sequence(1, greatest(size(w) - 2, 1)), " +
+          "i -> concat_ws(' ', try_element_at(w, i), " +
+          "try_element_at(w, i + 1), try_element_at(w, i + 2))))").as("shingle"))
+    val evalSh = shingles(
+      eval.select(lit(0L).as("doc_id"), col("eval_text").as("text")))
+      .select("shingle").distinct()
+    val hits = shingles(spark.readStream.schema(schema).parquet(dir.toString))
+      .join(broadcast(evalSh), Seq("shingle"), "left_semi")
+      .select("doc_id")
+    val q = hits.writeStream.outputMode("append")
+      .format("memory").queryName("decon_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamedContaminated = spark.table("decon_out")
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(streamedContaminated == contaminatedTruth,
+      s"stream/batch disagree: only-stream=${streamedContaminated -- contaminatedTruth} " +
+        s"only-batch=${contaminatedTruth -- streamedContaminated}")
+  }
 }
