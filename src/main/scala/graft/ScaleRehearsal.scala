@@ -179,6 +179,30 @@ object ScaleRehearsal {
         ops.Similarity.embeddingNearDup(
           Tables.embeddings(spark, d), "vec_id", "embedding", bits)
           .count(): Unit
+      },
+      // CCNet-style duplicated-block strip: inventory aggregate + one
+      // per-occurrence equi-join — NO pair expansion, so the planted
+      // 600-member family costs 600 joined rows, not 600² pairs
+      "strip_boilerplate" -> { d: String =>
+        SparkEntry.queries("q_strip_boilerplate")(spark, d).count(): Unit
+      },
+      // training-window chunking: pure row-local explode, the linearity
+      // baseline every other workload is judged against
+      "chunk_stride" -> { d: String =>
+        SparkEntry.queries("q_chunk_stride")(spark, d).count(): Unit
+      },
+      // PQ/ADC: code assignment + LUT scan both linear in the corpus;
+      // the fixed 20-query LUT broadcast never grows
+      "ann_pq" -> { d: String =>
+        SparkEntry.queries("q_ann_pq")(spark, d).count(): Unit
+      },
+      // one distributed covariance pass (treeAggregate) + projection scan
+      "embed_pca" -> { d: String =>
+        SparkEntry.queries("q_embed_pca")(spark, d).count(): Unit
+      },
+      // L-BFGS gradient passes over the train split + row-local scoring
+      "quality_classifier" -> { d: String =>
+        SparkEntry.queries("q_quality_classifier")(spark, d).count(): Unit
       })
 
     def time(fn: String => Unit, dir: String): Double =

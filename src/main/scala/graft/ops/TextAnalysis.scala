@@ -54,6 +54,66 @@ object TextAnalysis {
       .filter(col("df") >= 2)
   }
 
+  /** PUBLIC API — CCNet-style duplicated-segment removal, parameterized.
+    * Cuts each document into non-overlapping `blockWords`-word blocks,
+    * strips every block whose distinct-document frequency reaches `minDf`,
+    * and reassembles the survivors in order. Returns
+    * (idCol, n_blocks, n_removed, clean_text). Scale shape: distinct-first
+    * inventory aggregate, one per-OCCURRENCE equi-join on the block key
+    * (no pair expansion — a 10⁶-document boilerplate family costs 10⁶
+    * joined rows, never 10¹² pairs, so no bucket cap is needed), and one
+    * per-doc reassembly aggregate bounded by the document's own length. */
+  def stripBoilerplate(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, blockWords: Int = 8, minDf: Int = 2)
+      : org.apache.spark.sql.DataFrame = {
+    val bw = blockWords
+    val blocks = df
+      .select(col(idCol).as("doc_id"),
+        expr(s"filter(split($textCol, ' '), x -> length(x) > 0)").as("w"))
+      .filter(size(col("w")) > 0)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, (size(w) - 1) div $bw), " +
+          s"i -> array_join(slice(w, CAST(i * $bw + 1 AS INT), $bw), ' '))"))
+        .as(Seq("bi", "btxt")))
+    val dup = blocks.groupBy("btxt", "doc_id").agg(count(lit(1)).as("occ"))
+      .groupBy("btxt").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("btxt"), lit(true).as("is_dup"))
+    blocks.join(dup, Seq("btxt"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_removed"),
+        collect_list(when(col("is_dup").isNull,
+          struct(col("bi"), col("btxt")))).as("kept"))
+      .select(col("doc_id").as(idCol), col("n_blocks"), col("n_removed"),
+        expr("array_join(transform(array_sort(kept), x -> x.btxt), ' ')")
+          .as("clean_text"))
+  }
+
+  /** PUBLIC API — fixed-window token chunking with stride: context windows
+    * of `window` words starting every `stride` words; the final window may
+    * run short so trailing tokens are never dropped; documents shorter
+    * than `window` yield one chunk. Returns (idCol, chunk_id, n_tokens,
+    * chunk_text). Entirely row-local — chunking runs at scan speed. */
+  def chunkStride(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, window: Int = 16, stride: Int = 8)
+      : org.apache.spark.sql.DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      s"need 1 <= stride <= window, got window=$window stride=$stride")
+    df.select(col(idCol).as("doc_id"),
+        expr(s"filter(split($textCol, ' '), x -> length(x) > 0)").as("w"))
+      .filter(size(col("w")) > 0)
+      .select(col("doc_id"), size(col("w")).as("n_words"),
+        posexplode(expr(
+          s"transform(sequence(0, (greatest(size(w) - $window, 0) + ${stride - 1}) div $stride), " +
+            s"i -> array_join(slice(w, CAST(i * $stride + 1 AS INT), $window), ' '))"))
+          .as(Seq("chunk_id", "chunk_text")))
+      .select(col("doc_id").as(idCol), col("chunk_id"),
+        least(lit(window), col("n_words") - col("chunk_id") * stride)
+          .as("n_tokens"),
+        col("chunk_text"))
+  }
+
   /** count of words belonging to a marker set (same text in Spark + DuckDB
     * dialects modulo size()/len()). */
   private def score(ws: Seq[String], lenFn: String) =
@@ -243,29 +303,9 @@ object TextAnalysis {
     // the block key (at 100 TB the key is xxhash64(block), 8 bytes), and
     // reassembly is one per-doc aggregate whose buffer is bounded by the
     // document's own block count. No window, no driver collect.
-    "q_strip_boilerplate" -> ((s, d) => {
-      val blocks = Tables.documents(s, d)
-        .select(col("doc_id"), expr(words).as("w"))
-        .filter(size(col("w")) > 0)
-        .select(col("doc_id"), posexplode(expr(
-          "transform(sequence(0, (size(w) - 1) div 8), " +
-            "i -> array_join(slice(w, CAST(i * 8 + 1 AS INT), 8), ' '))"))
-          .as(Seq("bi", "btxt")))
-      val dup = blocks.groupBy("btxt", "doc_id").agg(count(lit(1)).as("occ"))
-        .groupBy("btxt").agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 2)
-        .select(col("btxt"), lit(true).as("is_dup"))
-      blocks.join(dup, Seq("btxt"), "left")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_blocks"),
-          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_removed"),
-          collect_list(when(col("is_dup").isNull,
-            struct(col("bi"), col("btxt")))).as("kept"))
-        .select(col("doc_id"), col("n_blocks"), col("n_removed"),
-          expr("array_join(transform(array_sort(kept), x -> x.btxt), ' ')")
-            .as("clean_text"))
-        .orderBy("doc_id")
-    }),
+    "q_strip_boilerplate" -> ((s, d) =>
+      stripBoilerplate(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
 
     // Fixed-window token chunking with stride — the doc→training-sample
     // cut every pretraining pipeline runs (context windows of C tokens,
@@ -276,17 +316,7 @@ object TextAnalysis {
     // the output sort): at 100 TB chunking runs at scan speed and the
     // output is immediately shard-writable.
     "q_chunk_stride" -> ((s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"), expr(words).as("w"))
-        .filter(size(col("w")) > 0)
-        .select(col("doc_id"), size(col("w")).as("n_words"),
-          posexplode(expr(
-            "transform(sequence(0, (greatest(size(w) - 16, 0) + 7) div 8), " +
-              "i -> array_join(slice(w, CAST(i * 8 + 1 AS INT), 16), ' '))"))
-            .as(Seq("chunk_id", "chunk_text")))
-        .select(col("doc_id"), col("chunk_id"),
-          least(lit(16), col("n_words") - col("chunk_id") * 8).as("n_tokens"),
-          col("chunk_text"))
+      chunkStride(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id", "chunk_id")),
 
     // Character-trigram Shannon entropy per doc — low entropy flags

@@ -273,4 +273,43 @@ class ApiSpec extends SparkSpec {
       "plan text must stay flat — a broadcast handle, not a serialized bitset")
     assert(out.count() == 50L, "no eval shingle overlaps the training rows")
   }
+
+  test("stripBoilerplate strips cross-doc blocks, keeps in-doc-only repeats") {
+    val docs = Seq(
+      (1L, "a b c d e f g h x1 x2 x3 x4"), // "a b c d" shared with doc 2
+      (2L, "p q r s a b c d y1 y2"), // shares the block at ANOTHER position
+      (3L, "m n o t m n o t z1 z2 z3") // block repeats only WITHIN this doc
+    ).toDF("id", "text")
+    val out = ops.TextAnalysis.stripBoilerplate(docs, "id", "text",
+        blockWords = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_blocks"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("clean_text"))).toMap
+    assert(out(1L) == ((3L, 1L, "e f g h x1 x2 x3 x4")),
+      s"cross-doc block must strip from doc 1: ${out(1L)}")
+    assert(out(2L) == ((3L, 1L, "p q r s y1 y2")),
+      s"cross-doc block must strip from doc 2: ${out(2L)}")
+    // distinct-document frequency: an in-doc repeat is NOT boilerplate
+    assert(out(3L) == ((3L, 0L, "m n o t m n o t z1 z2 z3")),
+      s"in-doc-only repeat must survive: ${out(3L)}")
+  }
+
+  test("chunkStride windows overlap by window-stride and keep the tail") {
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),
+      (2L, "s1 s2 s3") // shorter than one window
+    ).toDF("id", "text")
+    val out = ops.TextAnalysis.chunkStride(docs, "id", "text",
+        window = 4, stride = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Int]("chunk_id")) ->
+        (r.getAs[Int]("n_tokens"), r.getAs[String]("chunk_text"))).toMap
+    assert(out == Map(
+      (1L, 0) -> ((4, "t1 t2 t3 t4")), (1L, 1) -> ((4, "t3 t4 t5 t6")),
+      (1L, 2) -> ((4, "t5 t6 t7 t8")), (1L, 3) -> ((4, "t7 t8 t9 t10")),
+      (2L, 0) -> ((3, "s1 s2 s3"))), s"unexpected chunking: $out")
+    val e = intercept[IllegalArgumentException](
+      ops.TextAnalysis.chunkStride(docs, "id", "text", window = 4, stride = 5))
+    assert(e.getMessage.contains("stride"))
+  }
 }
