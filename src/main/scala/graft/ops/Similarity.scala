@@ -424,6 +424,37 @@ object Similarity {
         nSig.select(col("vec_id").as("b"), col("embedding").as("eb"),
           col("nrm").as("nb"), col("sig")),
         Seq("sig"))
+      // cosine-metric PQ: quantize NORMALIZED subvectors (unit vectors make
+      // ADC-L2 order == cosine order, so the comparison against the cosine
+      // truth is apples-to-apples); same first-16 codebook + ADC mechanics
+      // as q_ann_pq
+      val nsub = n.select(col("vec_id"), explode(expr(
+          "transform(sequence(0, 7), m -> struct(CAST(m AS INT) AS m, " +
+            "transform(slice(embedding, CAST(m * 8 + 1 AS INT), 8), " +
+            "x -> CAST(x AS DOUBLE) / nrm) AS sv))")).as("e"))
+        .select(col("vec_id"), col("e.m").as("m"), col("e.sv").as("sv"))
+      val pqCb = nsub.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("m"), col("sv").as("cv"))
+      val pqL2 = "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), " +
+        "0D, (a, v) -> a + v)"
+      val pqCodes = nsub.join(broadcast(pqCb), Seq("m"))
+        .withColumn("l2", round(expr(pqL2), 6))
+        .groupBy("vec_id", "m")
+        .agg(min(struct(col("l2"), col("cid"))).as("mn"))
+        .select(col("vec_id").as("b"), col("m"), col("mn.cid").as("code"))
+      val pqLut = nsub.filter(col("vec_id") < 30)
+        .join(broadcast(pqCb), Seq("m"))
+        .select(col("vec_id").as("q"), col("m").as("qm"), col("cid"),
+          expr(pqL2).as("contr"))
+      val pw = Window.partitionBy("q").orderBy(asc("d"), asc("b"))
+      val pq = pqCodes.join(broadcast(pqLut),
+          col("m") === col("qm") && col("code") === col("cid"))
+        .filter(col("q") =!= col("b"))
+        .groupBy("q", "b")
+        .agg(round(sum(col("contr")), 6).as("d"))
+        .withColumn("rank", row_number().over(pw))
+        .filter(col("rank") <= 3)
+        .select("q", "b")
       def recallRow(name: String, pred: DataFrame): DataFrame =
         truth.agg(count(lit(1)).as("n_truth"))
           .crossJoin(truth.join(pred, Seq("q", "b"))
@@ -433,6 +464,7 @@ object Similarity {
       val out = recallRow("ivf1", ivf1)
         .unionByName(recallRow("ivf2", ivf2))
         .unionByName(recallRow("lsh", lsh))
+        .unionByName(recallRow("pq", pq))
         .orderBy("variant")
         .localCheckpoint(true)
       truth.unpersist(blocking = false)
@@ -721,6 +753,26 @@ object Similarity {
         "FROM probed q JOIN sigs c ON q.psig = c.sig AND q.vec_id <> c.vec_id), " +
         "v3 AS (SELECT q, b FROM (SELECT q, b, " +
         "row_number() OVER (PARTITION BY q ORDER BY cos DESC, b) AS rank FROM sc3) WHERE rank <= 3), " +
+        // cosine-metric PQ over normalized subvectors (ADC, first-16 codebook)
+        "nsub AS (SELECT vec_id, CAST(m AS INTEGER) AS m, " +
+        "list_transform(embedding[CAST(m * 8 + 1 AS INTEGER):CAST(m * 8 + 8 AS INTEGER)], " +
+        "x -> CAST(x AS DOUBLE) / nrm) AS sv " +
+        "FROM (SELECT vec_id, embedding, nrm, unnest(generate_series(0, 7)) AS m FROM n)), " +
+        "pcb AS (SELECT vec_id AS cid, m, sv AS cv FROM nsub WHERE vec_id < 16), " +
+        "pasgn AS (SELECT s.vec_id, s.m, c.cid, " +
+        "round(list_sum(list_transform(list_zip(s.sv, c.cv), p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS l2 " +
+        "FROM nsub s JOIN pcb c ON s.m = c.m), " +
+        "pcodes AS (SELECT vec_id AS b, m, cid AS code FROM " +
+        "(SELECT vec_id, m, cid, row_number() OVER (PARTITION BY vec_id, m ORDER BY l2, cid) AS rk FROM pasgn) " +
+        "WHERE rk = 1), " +
+        "plut AS (SELECT s.vec_id AS q, s.m, c.cid, " +
+        "list_sum(list_transform(list_zip(s.sv, c.cv), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS contr " +
+        "FROM nsub s JOIN pcb c ON s.m = c.m WHERE s.vec_id < 30), " +
+        "padc AS (SELECT l.q AS q, c.b AS b, round(sum(l.contr), 6) AS d " +
+        "FROM pcodes c JOIN plut l ON c.m = l.m AND c.code = l.cid WHERE l.q <> c.b " +
+        "GROUP BY l.q, c.b), " +
+        "v4 AS (SELECT q, b FROM (SELECT q, b, " +
+        "row_number() OVER (PARTITION BY q ORDER BY d, b) AS rank FROM padc) WHERE rank <= 3), " +
         "nt AS (SELECT count(*) AS n_truth FROM btr) " +
         "SELECT 'ivf1' AS variant, nt.n_truth, " +
         "(SELECT count(*) FROM btr t JOIN v1 USING (q, b)) AS n_hits, " +
@@ -731,6 +783,9 @@ object Similarity {
         "UNION ALL SELECT 'lsh', nt.n_truth, " +
         "(SELECT count(*) FROM btr t JOIN v3 USING (q, b)), " +
         "round(CAST((SELECT count(*) FROM btr t JOIN v3 USING (q, b)) AS DOUBLE) / nt.n_truth, 4) FROM nt " +
+        "UNION ALL SELECT 'pq', nt.n_truth, " +
+        "(SELECT count(*) FROM btr t JOIN v4 USING (q, b)), " +
+        "round(CAST((SELECT count(*) FROM btr t JOIN v4 USING (q, b)) AS DOUBLE) / nt.n_truth, 4) FROM nt " +
         "ORDER BY variant"
     },
     "q_embed_pca" ->

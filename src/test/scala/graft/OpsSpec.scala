@@ -421,7 +421,7 @@ class OpsSpec extends SparkSpec {
       .map(r => r.getAs[String]("variant") ->
         (r.getAs[Long]("n_truth"), r.getAs[Long]("n_hits"),
           r.getAs[Double]("recall"))).toMap
-    assert(rows.keySet == Set("ivf1", "ivf2", "lsh"))
+    assert(rows.keySet == Set("ivf1", "ivf2", "lsh", "pq"))
     assert(rows.values.forall { case (t, h, r) =>
       t > 0 && h >= 0 && h <= t && r >= 0.0 && r <= 1.0
     })
