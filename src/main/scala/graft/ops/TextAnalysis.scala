@@ -319,6 +319,49 @@ object TextAnalysis {
       chunkStride(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id", "chunk_id")),
 
+    // END-TO-END pretraining prep — the composition a real corpus run
+    // executes as ONE lazy plan: strip cross-doc boilerplate blocks
+    // (stripBoilerplate) → Gopher-rule quality gate on the CLEANED text
+    // (fully-stripped docs die here: empty text fails the word-count
+    // rule) → cut survivors into stride-8 context windows (chunkStride)
+    // → greedy-pack the chunks into 256-token training sequences
+    // (packSequences, 16 hash buckets). Every stage keeps its individual
+    // operator's scale shape — block equi-join, row-local gate, row-local
+    // chunking, bucketed running-sum packing — so the composition
+    // introduces NO new shuffle beyond its parts, and Catalyst pipelines
+    // the gate into the chunk explode. Output is the pack manifest
+    // (bucket, pack_id, n_chunks, pack_tokens); the DuckDB oracle
+    // recomputes the entire four-stage chain.
+    "q_pipeline_pretrain" -> ((s, d) => {
+      graft.functions.TextTokenize.register(s)
+      val stripped = stripBoilerplate(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("clean_text").as("text"))
+      val kept = stripped
+        .withColumn("n_words", expr(s"size($words)"))
+        .filter(col("n_words").between(30, 10000))
+        // divisors guarded with greatest(., 1): identical for every row
+        // that can pass the word-count rule, and Catalyst is free to
+        // reorder the (ANSI) division past the filter without tripping
+        // DIVIDE_BY_ZERO on fully-stripped empty docs
+        .withColumn("mean_wlen",
+          expr(s"round(aggregate($words, CAST(0 AS BIGINT), (a, x) -> a + length(x)) " +
+            s"/ CAST(greatest(size($words), 1) AS DOUBLE), 4)"))
+        .withColumn("stop_hits", expr(score(stop, "size")))
+        .withColumn("alpha_ratio",
+          expr("round(CAST(graft_alpha_count(text) AS DOUBLE) / greatest(length(text), 1), 4)"))
+        .filter(col("mean_wlen").between(3.5, 10.0) &&
+          col("stop_hits") >= 3 && col("alpha_ratio") >= 0.75)
+        .select("doc_id", "text")
+      val chunks = chunkStride(kept, "doc_id", "text")
+      Curation.packSequences(
+          chunks.select((col("doc_id") * 1000 + col("chunk_id")).as("cid"),
+            col("n_tokens")),
+          "cid", "n_tokens", 256L, 16)
+        .select(col("bucket"), col("pack_id"),
+          col("n_docs").as("n_chunks"), col("pack_tokens"))
+        .orderBy("bucket", "pack_id")
+    }),
+
     // Character-trigram Shannon entropy per doc — low entropy flags
     // repetitive/degenerate text, high entropy flags binary-ish noise;
     // a standard cheap quality gate next to perplexity.
@@ -453,6 +496,33 @@ object TextAnalysis {
         "FROM (SELECT doc_id, w, unnest(generate_series(0, (greatest(len(w) - 16, 0) + 7) // 8)) AS i FROM base)) " +
         "SELECT doc_id, chunk_id, CAST(least(16, n_words - chunk_id * 8) AS INTEGER) AS n_tokens, chunk_text " +
         "FROM ch ORDER BY doc_id, chunk_id"),
+    "q_pipeline_pretrain" ->
+      (s"WITH base AS (SELECT doc_id, $duckWords AS w FROM documents WHERE len($duckWords) > 0), " +
+        "blk AS (SELECT doc_id, CAST(i AS INTEGER) AS bi, " +
+        "array_to_string(w[CAST(i * 8 + 1 AS INTEGER):CAST(i * 8 + 8 AS INTEGER)], ' ') AS btxt " +
+        "FROM (SELECT doc_id, w, unnest(generate_series(0, (len(w) - 1) // 8)) AS i FROM base)), " +
+        "per_doc AS (SELECT btxt, doc_id FROM blk GROUP BY btxt, doc_id), " +
+        "dup AS (SELECT btxt FROM per_doc GROUP BY btxt HAVING count(*) >= 2), " +
+        "stripped AS (SELECT b.doc_id, " +
+        "coalesce(string_agg(b.btxt, ' ' ORDER BY b.bi) FILTER (WHERE d.btxt IS NULL), '') AS text " +
+        "FROM blk b LEFT JOIN dup d USING (btxt) GROUP BY b.doc_id), " +
+        "sw AS (SELECT doc_id, text, " +
+        "list_filter(string_split(text, ' '), x -> length(x) > 0) AS w FROM stripped), " +
+        "kept AS (SELECT doc_id, w FROM sw WHERE len(w) BETWEEN 30 AND 10000 " +
+        "AND round(list_sum(list_transform(w, x -> length(x))) / CAST(len(w) AS DOUBLE), 4) BETWEEN 3.5 AND 10.0 " +
+        "AND len(list_filter(w, x -> list_contains(['the', 'a', 'of', 'and', 'to'], x))) >= 3 " +
+        "AND round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text), 4) >= 0.75), " +
+        "ch AS (SELECT doc_id, CAST(i AS INTEGER) AS chunk_id, " +
+        "least(16, CAST(len(w) AS INTEGER) - CAST(i AS INTEGER) * 8) AS n_tokens " +
+        "FROM (SELECT doc_id, w, unnest(generate_series(0, (greatest(len(w) - 16, 0) + 7) // 8)) AS i FROM kept)), " +
+        "t AS (SELECT (doc_id * 1000 + chunk_id) AS cid, " +
+        "(doc_id * 1000 + chunk_id) % 16 AS bucket, CAST(n_tokens AS BIGINT) AS n_tokens FROM ch), " +
+        "c AS (SELECT cid, bucket, n_tokens, " +
+        "coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY cid " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM t) " +
+        "SELECT bucket, CAST(floor(CAST(cum_before AS DOUBLE) / 256.0) AS BIGINT) AS pack_id, " +
+        "count(*) AS n_chunks, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens " +
+        "FROM c GROUP BY bucket, pack_id ORDER BY bucket, pack_id"),
     "q_ngram_entropy" ->
       ("WITH tri AS (SELECT doc_id, substr(text, CAST(i AS INTEGER), 3) AS gram FROM " +
         "(SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 2, 1))) AS i FROM documents)), " +

@@ -371,6 +371,25 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("pipeline pretrain: dense contiguous packs under the greedy bound") {
+    val packs = q("q_pipeline_pretrain").collect()
+    assert(packs.nonEmpty, "the pipeline must emit a pack manifest")
+    assert(packs.forall { r =>
+      val b = r.getAs[Long]("bucket")
+      b >= 0 && b < 16 && r.getAs[Long]("n_chunks") > 0 &&
+        r.getAs[Long]("pack_tokens") > 0 &&
+        // greedy bound: a pack overflows its 256 budget by at most one
+        // chunk's tail (chunks are <= 16 tokens)
+        r.getAs[Long]("pack_tokens") <= 256L + 15L
+    })
+    packs.groupBy(_.getAs[Long]("bucket")).foreach { case (b, rs) =>
+      val ids = rs.map(_.getAs[Long]("pack_id")).sorted.toSeq
+      assert(ids == (0L until ids.length), s"bucket $b pack ids not contiguous: $ids")
+    }
+    assert(packs.groupBy(_.getAs[Long]("bucket")).values.exists(_.size >= 2),
+      "packing must actually split some bucket into multiple sequences")
+  }
+
   test("embed pca: orthonormal basis, bounded projections, monotone capture") {
     val r = q("q_embed_pca").collect()(0)
     assert(r.getAs[Long]("n_vecs") == Tables.embeddings(spark, sf).count())
