@@ -203,6 +203,11 @@ object ScaleRehearsal {
       // L-BFGS gradient passes over the train split + row-local scoring
       "quality_classifier" -> { d: String =>
         SparkEntry.queries("q_quality_classifier")(spark, d).count(): Unit
+      },
+      // the composed strip → gate → chunk → pack chain: the end-to-end
+      // number a pretraining prep run actually pays
+      "pipeline_pretrain" -> { d: String =>
+        SparkEntry.queries("q_pipeline_pretrain")(spark, d).count(): Unit
       })
 
     def time(fn: String => Unit, dir: String): Double =

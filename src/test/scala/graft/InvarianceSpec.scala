@@ -42,7 +42,8 @@ class InvarianceSpec extends SparkSpec {
     "q_corpus_report",    // double-avg merge order under 4dp round
     "q_strip_boilerplate", // cross-doc block inventory join + per-doc reassembly
     "q_chunk_stride",     // row-local windowing (pure scan, should be trivially invariant)
-    "q_ann_pq")           // code argmin + ADC double-sum under 6dp round
+    "q_ann_pq",           // code argmin + ADC double-sum under 6dp round
+    "q_pipeline_pretrain") // composed strip → gate → chunk → pack chain
 
   test("results are invariant under shuffle-partition counts 3/13/32") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")

@@ -262,6 +262,7 @@ class PlanSpec extends SparkSpec {
     "q_join_cross" -> "the operator IS a cross join of bounded dims",
     "q_join_range" -> "pure theta join over the bounded nation dim",
     "q_layout_prune" -> "1-row files-touched count joins onto the 1-row stats",
+    "q_layout_zorder" -> "two 1-row files-touched counts join onto the 1-row stats",
     "q_sample_temperature" -> "1-row min-mix-count aggregate broadcast",
     "q_shard_write" -> "1-row shard-stats × 1-row total verdict join"
     // q_contamination_bloom's 1-row verdict joins are invisible to the
