@@ -342,6 +342,45 @@ object Curation {
         .orderBy("doc_id")
     }),
 
+    // Bigram LM quality score — q_perplexity's unigram model upgraded one
+    // order: per-doc mean negative log-probability of each token given its
+    // predecessor, add-one smoothed over the corpus vocabulary (the
+    // KenLM-shaped filter real curation stacks run). The scale-critical
+    // move is that bigram FORMATION is row-local: adjacent pairs come from
+    // a `transform` over each doc's own token array (no positional
+    // self-join, no window over an exploded token stream — the corpus is
+    // never shuffled just to find neighbors). Counting and joining then
+    // reuse q_perplexity's skew shape exactly: pre-aggregate to
+    // (doc, bigram, tf) on a compound key, zipfJoin both the bigram-count
+    // and the context-count lookups so the Zipf head ("of the") broadcasts
+    // instead of routing the corpus through one task, and the vocabulary
+    // size joins as a 1-row broadcast.
+    "q_bigram_lm" -> ((s, d) => {
+      val toks = Tables.documents(s, d).select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> length(x) > 0)").as("l"))
+      val big = toks.filter(size(col("l")) >= 2).select(col("doc_id"),
+        explode(expr("transform(sequence(1, size(l) - 1), i -> " +
+          "struct(element_at(l, i) AS w1, element_at(l, i + 1) AS w2))"))
+          .as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val tf = big.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
+        .withColumn("bg", concat_ws(" ", col("w1"), col("w2")))
+      val bc = big.groupBy("w1", "w2").agg(count(lit(1)).as("cbg"))
+        .select(concat_ws(" ", col("w1"), col("w2")).as("bg"), col("cbg"))
+      val cc = big.groupBy("w1").agg(count(lit(1)).as("cw1"))
+      val v = toks.select(explode(col("l")).as("term"))
+        .agg(countDistinct("term").as("v"))
+      zipfJoin(zipfJoin(tf, bc, "bg"), cc, "w1")
+        .crossJoin(broadcast(v))
+        .groupBy("doc_id")
+        .agg(sum("tf").as("n_bigrams"),
+          round(sum(col("tf").cast("double") *
+              -log((col("cbg") + lit(1.0)) / (col("cw1") + col("v")))) /
+              sum("tf"), 4)
+            .as("avg_nll"))
+        .orderBy("doc_id")
+    }),
+
     // Source rebalancing: deterministic hash-threshold downsampling so
     // every source contributes the same row count as the smallest one (the
     // "data mixing" step before training). Membership = first 4 md5 hex
@@ -555,6 +594,18 @@ object Curation {
         "SELECT doc_id, count(*) AS n_tokens, " +
         "round(avg(-ln(CAST(tc.cnt AS DOUBLE) / tot.t)), 4) AS avg_nll " +
         "FROM terms JOIN tc ON terms.term = tc.term CROSS JOIN tot " +
+        "GROUP BY doc_id ORDER BY doc_id"),
+    "q_bigram_lm" ->
+      ("WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS l FROM documents), " +
+        "big AS (SELECT doc_id, unnest([l[i+1] for i in range(len(l)-1)]) AS w1, " +
+        "unnest([l[i+2] for i in range(len(l)-1)]) AS w2 FROM toks WHERE len(l) >= 2), " +
+        "tf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM big GROUP BY ALL), " +
+        "bc AS (SELECT w1, w2, count(*) AS cbg FROM big GROUP BY ALL), " +
+        "cc AS (SELECT w1, count(*) AS cw1 FROM big GROUP BY ALL), " +
+        "v AS (SELECT count(DISTINCT term) AS v FROM (SELECT unnest(l) AS term FROM toks)) " +
+        "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams, " +
+        "round(sum(tf * -ln((cbg + 1.0) / (cw1 + v))) / sum(tf), 4) AS avg_nll " +
+        "FROM tf JOIN bc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN v " +
         "GROUP BY doc_id ORDER BY doc_id"),
     "q_source_balance" ->
       ("WITH bysrc AS (SELECT source, count(*) AS n_before FROM documents GROUP BY source), " +

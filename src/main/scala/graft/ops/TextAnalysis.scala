@@ -381,6 +381,29 @@ object TextAnalysis {
           round(log(col("st.n_grams").cast("double")) -
             col("st.clc") / col("st.n_grams"), 4).as("entropy"))
         .orderBy("doc_id")
+    }),
+
+    // BPE merge-pair counting — the inner loop of byte-pair-encoding
+    // tokenizer training: the corpus-wide frequency of every adjacent
+    // character pair, top-20 (ties broken by pair text, so the cut is
+    // deterministic). The scale move is the same one real BPE trainers
+    // make: aggregate the corpus to its DISTINCT word vocabulary first
+    // (Zipf: the vocab is orders of magnitude smaller than the corpus),
+    // then generate pairs row-locally over vocab entries weighted by word
+    // count — the per-character explode happens on the vocabulary, never
+    // on the 100 TB token stream.
+    "q_bpe_pairs" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .select(explode(
+          expr("filter(split(text, ' '), x -> length(x) > 0)")).as("w"))
+      val wc = words.groupBy("w").agg(count(lit(1)).as("c"))
+      wc.filter(length(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"), col("c"))
+        .groupBy("pair").agg(sum("c").as("freq"))
+        .orderBy(desc("freq"), asc("pair"))
+        .limit(20)
     })
   )
 
@@ -395,6 +418,13 @@ object TextAnalysis {
       "WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END"
 
   val oracle: Map[String, String] = Map(
+    "q_bpe_pairs" ->
+      ("WITH words AS (SELECT unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS w FROM documents), " +
+        "wc AS (SELECT w, count(*) AS c FROM words GROUP BY w), " +
+        "pairs AS (SELECT unnest([substr(w, i+1, 2) for i in range(length(w)-1)]) AS pair, c " +
+        "FROM wc WHERE length(w) >= 2) " +
+        "SELECT pair, CAST(sum(c) AS BIGINT) AS freq FROM pairs " +
+        "GROUP BY pair ORDER BY freq DESC, pair ASC LIMIT 20"),
     "q_token_count" ->
       (s"SELECT doc_id, CAST(len($duckToks) AS INTEGER) AS n_tokens, " +
         s"CAST(len(list_distinct($duckToks)) AS INTEGER) AS n_uniq_tokens, " +

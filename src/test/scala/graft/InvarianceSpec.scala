@@ -43,7 +43,9 @@ class InvarianceSpec extends SparkSpec {
     "q_strip_boilerplate", // cross-doc block inventory join + per-doc reassembly
     "q_chunk_stride",     // row-local windowing (pure scan, should be trivially invariant)
     "q_ann_pq",           // code argmin + ADC double-sum under 6dp round
-    "q_pipeline_pretrain") // composed strip → gate → chunk → pack chain
+    "q_pipeline_pretrain", // composed strip → gate → chunk → pack chain
+    "q_bigram_lm",        // tf-weighted transcendental sum under 4dp round
+    "q_bpe_pairs")        // vocab-weighted pair counts + deterministic top-20 cut
 
   test("results are invariant under shuffle-partition counts 3/13/32") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")

@@ -246,6 +246,7 @@ class PlanSpec extends SparkSpec {
   // — the justification is part of the contract.
   private val bnljJustified: Map[String, String] = Map(
     "q_perplexity" -> "1-row corpus-total aggregate broadcast",
+    "q_bigram_lm" -> "1-row vocabulary-size aggregate broadcast",
     "q_tfidf" -> "1-row doc-count aggregate broadcast",
     "q_source_balance" -> "1-row min-source-count aggregate broadcast",
     "q_ann_bruteforce" -> "bounded query-vector set broadcast (its own test)",
