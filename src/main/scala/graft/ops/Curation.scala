@@ -381,6 +381,74 @@ object Curation {
         .orderBy("doc_id")
     }),
 
+    // DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    // Language Models via Importance Resampling"): score every document by
+    // the log-likelihood ratio of its hashed n-gram features under a
+    // TARGET distribution (the lang='en' slice — the in-domain proxy) vs
+    // the RAW corpus distribution. Features are word unigrams + adjacent
+    // bigrams hashed into 16 buckets (first md5 hex digit — the same
+    // cross-engine hash as q_feature_hash), add-one smoothed.
+    //
+    // Scale shape — explode + hash-aggregate, NOT per-row HOF counting: a
+    // row-local `transform(sequence(0,15), i -> size(filter(hs, ...)))`
+    // formulation looks shuffle-free but measured 70 s at sf0.1, because
+    // (a) CollapseProject inlines the md5 pass into the 16-iteration
+    // lambda (16 md5 scans per doc at runtime — one lexical reference is
+    // not one evaluation), (b) InferFiltersFromGenerate duplicates the
+    // whole featurization into a `size(...) > 0` filter, and (c) higher-
+    // order functions are CodegenFallback (interpreted). Exploding the
+    // grams instead keeps everything in whole-stage codegen: md5 runs
+    // exactly once per gram as a hash-aggregate grouping key, map-side
+    // combine collapses each partition to ≤17 rows per doc before the
+    // exchange, so the shuffle carries docs×17 tiny rows — the corpus
+    // text itself never shuffles. The (doc, bucket) count frame then
+    // feeds BOTH the 16-key histogram and the per-doc scoring join;
+    // Spark's ReuseExchange dedupes the shared subtree so featurization
+    // runs once. The LLR table is 16 rows broadcast back onto the counts.
+    // explode_outer keeps zero-gram docs (h NULL, c 0) so empty documents
+    // surface with score 0 exactly as the oracle computes them.
+    "q_dsir" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val words = docs.select(col("doc_id"), col("lang"),
+        expr("filter(split(text, ' '), x -> length(x) > 0)").as("w"))
+      // small-input widening: at test SF the corpus is a single parquet
+      // split, which would serialize the md5 pass onto one core; at
+      // production scale the scan is already wide and this branch is a
+      // no-op (the repartition never enters the plan)
+      val par = s.sparkContext.defaultParallelism
+      val wide = if (docs.rdd.getNumPartitions < par) words.repartition(par)
+                 else words
+      val grams = wide.select(col("doc_id"), col("lang"), explode_outer(expr(
+        "concat(w, CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1), " +
+          "i -> concat(element_at(w, i), ' ', element_at(w, i + 1))) " +
+          "ELSE CAST(array() AS ARRAY<STRING>) END)")).as("t"))
+      val perDoc = grams
+        .groupBy(col("doc_id"), col("lang"),
+          expr("substring(md5(t), 1, 1)").as("h"))
+        .agg(count(col("t")).as("c"))
+      val hist = s.range(16)
+        .select(expr("substring('0123456789abcdef', CAST(id AS INT) + 1, 1)").as("h"))
+        .join(perDoc.where(col("h").isNotNull).groupBy("h")
+            .agg(sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("t"),
+              sum("c").as("r")),
+          Seq("h"), "left")
+        .na.fill(0L, Seq("t", "r"))
+      // corpus totals via an empty-frame window — 16 rows, one partition
+      val all = Window.partitionBy()
+      val llrTab = hist.select(col("h"),
+        (log((col("t") + 1.0) / (sum("t").over(all) + 16.0)) -
+          log((col("r") + 1.0) / (sum("r").over(all) + 16.0))).as("llr"))
+      perDoc
+        .join(broadcast(llrTab), Seq("h"), "left")
+        .groupBy("doc_id")
+        .agg(sum("c").cast("int").as("n_grams"),
+          // + 0.0 canonicalizes IEEE negative zero (q_embed_centroids precedent)
+          (round(coalesce(sum(col("c") * col("llr")), lit(0.0)), 4) + lit(0.0))
+            .as("dsir_logw"))
+        .withColumn("keep", col("dsir_logw") > 0)
+        .orderBy("doc_id")
+    }),
+
     // Source rebalancing: deterministic hash-threshold downsampling so
     // every source contributes the same row count as the smallest one (the
     // "data mixing" step before training). Membership = first 4 md5 hex
@@ -607,6 +675,27 @@ object Curation {
         "round(sum(tf * -ln((cbg + 1.0) / (cw1 + v))) / sum(tf), 4) AS avg_nll " +
         "FROM tf JOIN bc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN v " +
         "GROUP BY doc_id ORDER BY doc_id"),
+    "q_dsir" ->
+      ("WITH base AS (SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> length(x) > 0) AS w FROM documents), " +
+        "gr AS (SELECT doc_id, lang, list_concat(w, CASE WHEN len(w) >= 2 " +
+        "THEN [w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1] for i in range(1, len(w))] " +
+        "ELSE [] END) AS g FROM base), " +
+        "hsh AS (SELECT doc_id, lang, g, list_transform(g, t -> substr(md5(t), 1, 1)) AS hs FROM gr), " +
+        "cnt AS (SELECT doc_id, lang, CAST(len(g) AS INTEGER) AS n_grams, " +
+        "list_transform(range(0, 16), i -> CAST(len(list_filter(hs, h -> " +
+        "h = substr('0123456789abcdef', CAST(i AS INTEGER) + 1, 1))) AS BIGINT)) AS cnt FROM hsh), " +
+        "hist AS (SELECT CAST(u.b AS INTEGER) AS b, " +
+        "sum(CASE WHEN lang = 'en' THEN cnt[CAST(u.b AS INTEGER)] ELSE 0 END) AS t, " +
+        "sum(cnt[CAST(u.b AS INTEGER)]) AS r " +
+        "FROM cnt CROSS JOIN (SELECT unnest(range(1, 17)) AS b) u GROUP BY 1), " +
+        "llr AS (SELECT list_transform(range(1, 17), i -> " +
+        "ln((tl[CAST(i AS INTEGER)] + 1.0) / (tt + 16.0)) - ln((rl[CAST(i AS INTEGER)] + 1.0) / (rt + 16.0))) AS llr " +
+        "FROM (SELECT list(t ORDER BY b) AS tl, list(r ORDER BY b) AS rl, " +
+        "sum(t) AS tt, sum(r) AS rt FROM hist)) " +
+        "SELECT c.doc_id, c.n_grams, " +
+        "round(list_sum(list_transform(range(1, 17), i -> cnt[CAST(i AS INTEGER)] * llr[CAST(i AS INTEGER)])), 4) + 0.0 AS dsir_logw, " +
+        "round(list_sum(list_transform(range(1, 17), i -> cnt[CAST(i AS INTEGER)] * llr[CAST(i AS INTEGER)])), 4) + 0.0 > 0 AS keep " +
+        "FROM cnt c CROSS JOIN llr ORDER BY doc_id"),
     "q_source_balance" ->
       ("WITH bysrc AS (SELECT source, count(*) AS n_before FROM documents GROUP BY source), " +
         "mn AS (SELECT min(n_before) AS m FROM bysrc), " +

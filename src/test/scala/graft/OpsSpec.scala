@@ -493,6 +493,23 @@ class OpsSpec extends SparkSpec {
     assert(keeps == Set(true, false), s"expected mixed verdicts, got $keeps")
   }
 
+  test("dsir: target-language docs score higher than the rest on average") {
+    val rows = q("q_dsir").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Int]("n_grams") >= 0))
+    // the LLR must discriminate: mean score of the target slice (lang='en')
+    // strictly exceeds the mean of the rest
+    val byLang = q("q_dsir").join(
+        Tables.documents(spark, sf).select("doc_id", "lang"), "doc_id")
+      .groupBy(col("lang") === "en").agg(avg("dsir_logw").as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getAs[Double]("m")).toMap
+    assert(byLang(true) > byLang(false),
+      s"target slice must out-score the rest: $byLang")
+    // keep is exactly the sign of the score
+    assert(rows.forall(r =>
+      r.getAs[Boolean]("keep") == (r.getAs[Double]("dsir_logw") > 0)))
+  }
+
   test("span dedup: duplicated 8-word spans span >= 2 docs") {
     val rows = q("q_span_dedup").collect()
     assert(rows.nonEmpty && rows.length <= 20)
