@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -192,6 +193,51 @@ object Curation {
     val h = substring(md5(col(idCol).cast("string")), 1, 1)
     df.withColumn("split",
       when(h < "c", "train").when(h < "e", "val").otherwise("test"))
+  }
+
+  /** Shared DSIR scoring pipeline (q_dsir / q_dsir_resample): per-doc
+    * hashed-bigram bucket counts → corpus/target histograms → 16-row LLR
+    * table → per-doc log importance weight. See the q_dsir entry's comment
+    * for the explode + hash-aggregate scale rationale. Output: (doc_id,
+    * n_grams, dsir_logw), unordered. */
+  private def dsirScored(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val words = docs.select(col("doc_id"), col("lang"),
+      expr("filter(split(text, ' '), x -> length(x) > 0)").as("w"))
+    // small-input widening: at test SF the corpus is a single parquet
+    // split, which would serialize the md5 pass onto one core; at
+    // production scale the scan is already wide and this branch is a
+    // no-op (the repartition never enters the plan)
+    val par = s.sparkContext.defaultParallelism
+    val wide = if (docs.rdd.getNumPartitions < par) words.repartition(par)
+               else words
+    val grams = wide.select(col("doc_id"), col("lang"), explode_outer(expr(
+      "concat(w, CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1), " +
+        "i -> concat(element_at(w, i), ' ', element_at(w, i + 1))) " +
+        "ELSE CAST(array() AS ARRAY<STRING>) END)")).as("t"))
+    val perDoc = grams
+      .groupBy(col("doc_id"), col("lang"),
+        expr("substring(md5(t), 1, 1)").as("h"))
+      .agg(count(col("t")).as("c"))
+    val hist = s.range(16)
+      .select(expr("substring('0123456789abcdef', CAST(id AS INT) + 1, 1)").as("h"))
+      .join(perDoc.where(col("h").isNotNull).groupBy("h")
+          .agg(sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("t"),
+            sum("c").as("r")),
+        Seq("h"), "left")
+      .na.fill(0L, Seq("t", "r"))
+    // corpus totals via an empty-frame window — 16 rows, one partition
+    val all = Window.partitionBy()
+    val llrTab = hist.select(col("h"),
+      (log((col("t") + 1.0) / (sum("t").over(all) + 16.0)) -
+        log((col("r") + 1.0) / (sum("r").over(all) + 16.0))).as("llr"))
+    perDoc
+      .join(broadcast(llrTab), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(sum("c").cast("int").as("n_grams"),
+        // + 0.0 canonicalizes IEEE negative zero (q_embed_centroids precedent)
+        (round(coalesce(sum(col("c") * col("llr")), lit(0.0)), 4) + lit(0.0))
+          .as("dsir_logw"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -407,45 +453,29 @@ object Curation {
     // runs once. The LLR table is 16 rows broadcast back onto the counts.
     // explode_outer keeps zero-gram docs (h NULL, c 0) so empty documents
     // surface with score 0 exactly as the oracle computes them.
-    "q_dsir" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val words = docs.select(col("doc_id"), col("lang"),
-        expr("filter(split(text, ' '), x -> length(x) > 0)").as("w"))
-      // small-input widening: at test SF the corpus is a single parquet
-      // split, which would serialize the md5 pass onto one core; at
-      // production scale the scan is already wide and this branch is a
-      // no-op (the repartition never enters the plan)
-      val par = s.sparkContext.defaultParallelism
-      val wide = if (docs.rdd.getNumPartitions < par) words.repartition(par)
-                 else words
-      val grams = wide.select(col("doc_id"), col("lang"), explode_outer(expr(
-        "concat(w, CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1), " +
-          "i -> concat(element_at(w, i), ' ', element_at(w, i + 1))) " +
-          "ELSE CAST(array() AS ARRAY<STRING>) END)")).as("t"))
-      val perDoc = grams
-        .groupBy(col("doc_id"), col("lang"),
-          expr("substring(md5(t), 1, 1)").as("h"))
-        .agg(count(col("t")).as("c"))
-      val hist = s.range(16)
-        .select(expr("substring('0123456789abcdef', CAST(id AS INT) + 1, 1)").as("h"))
-        .join(perDoc.where(col("h").isNotNull).groupBy("h")
-            .agg(sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("t"),
-              sum("c").as("r")),
-          Seq("h"), "left")
-        .na.fill(0L, Seq("t", "r"))
-      // corpus totals via an empty-frame window — 16 rows, one partition
-      val all = Window.partitionBy()
-      val llrTab = hist.select(col("h"),
-        (log((col("t") + 1.0) / (sum("t").over(all) + 16.0)) -
-          log((col("r") + 1.0) / (sum("r").over(all) + 16.0))).as("llr"))
-      perDoc
-        .join(broadcast(llrTab), Seq("h"), "left")
-        .groupBy("doc_id")
-        .agg(sum("c").cast("int").as("n_grams"),
-          // + 0.0 canonicalizes IEEE negative zero (q_embed_centroids precedent)
-          (round(coalesce(sum(col("c") * col("llr")), lit(0.0)), 4) + lit(0.0))
-            .as("dsir_logw"))
+    "q_dsir" -> ((s, d) =>
+      dsirScored(s, d)
         .withColumn("keep", col("dsir_logw") > 0)
+        .orderBy("doc_id")),
+
+    // The "R" in DSIR — importance RESAMPLING of a fixed training budget
+    // from the scored corpus via the Gumbel-top-k trick: sampling k docs
+    // without replacement with probability ∝ exp(logw) is exactly taking
+    // the top k by logw + Gumbel noise. The noise is DETERMINISTIC (the
+    // library's reproducibility contract, like q_sample_det): u is the
+    // first 6 md5 hex digits of the doc id mapped into (0,1) — exact in
+    // both engines since (v + 0.5) / 2^24 is a dyadic rational — and
+    // g = -ln(-ln(u)). Scale shape: scoring is q_dsir's pipeline; the
+    // budget selection is orderBy(key).limit(k) = TakeOrderedAndProject,
+    // a per-partition top-k merge that moves only k rows — never a
+    // global sort of the corpus. Keys are rounded to 6 dp with a doc_id
+    // tie-break so the selection boundary is engine-stable.
+    "q_dsir_resample" -> ((s, d) => {
+      val keyed = dsirScored(s, d).select(col("doc_id"), col("dsir_logw"),
+        (round(col("dsir_logw") - log(-log(
+          (expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 6), 16, 10) AS DOUBLE)")
+            + 0.5) / 16777216.0)), 6) + lit(0.0)).as("gumbel_key"))
+      keyed.orderBy(col("gumbel_key").desc, col("doc_id")).limit(100)
         .orderBy("doc_id")
     }),
 
@@ -620,6 +650,29 @@ object Curation {
     })
   )
 
+  /** Shared DuckDB CTE prefix for the DSIR pair — ends in `scored`
+    * (doc_id, n_grams, dsir_logw), the dialect twin of [[dsirScored]]. */
+  private val dsirOracleCtes: String =
+    "WITH base AS (SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> length(x) > 0) AS w FROM documents), " +
+      "gr AS (SELECT doc_id, lang, list_concat(w, CASE WHEN len(w) >= 2 " +
+      "THEN [w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1] for i in range(1, len(w))] " +
+      "ELSE [] END) AS g FROM base), " +
+      "hsh AS (SELECT doc_id, lang, g, list_transform(g, t -> substr(md5(t), 1, 1)) AS hs FROM gr), " +
+      "cnt AS (SELECT doc_id, lang, CAST(len(g) AS INTEGER) AS n_grams, " +
+      "list_transform(range(0, 16), i -> CAST(len(list_filter(hs, h -> " +
+      "h = substr('0123456789abcdef', CAST(i AS INTEGER) + 1, 1))) AS BIGINT)) AS cnt FROM hsh), " +
+      "hist AS (SELECT CAST(u.b AS INTEGER) AS b, " +
+      "sum(CASE WHEN lang = 'en' THEN cnt[CAST(u.b AS INTEGER)] ELSE 0 END) AS t, " +
+      "sum(cnt[CAST(u.b AS INTEGER)]) AS r " +
+      "FROM cnt CROSS JOIN (SELECT unnest(range(1, 17)) AS b) u GROUP BY 1), " +
+      "llr AS (SELECT list_transform(range(1, 17), i -> " +
+      "ln((tl[CAST(i AS INTEGER)] + 1.0) / (tt + 16.0)) - ln((rl[CAST(i AS INTEGER)] + 1.0) / (rt + 16.0))) AS llr " +
+      "FROM (SELECT list(t ORDER BY b) AS tl, list(r ORDER BY b) AS rl, " +
+      "sum(t) AS tt, sum(r) AS rt FROM hist)), " +
+      "scored AS (SELECT c.doc_id, c.n_grams, " +
+      "round(list_sum(list_transform(range(1, 17), i -> cnt[CAST(i AS INTEGER)] * llr[CAST(i AS INTEGER)])), 4) + 0.0 AS dsir_logw " +
+      "FROM cnt c CROSS JOIN llr)"
+
   val oracle: Map[String, String] = Map(
     "q_pii_redact" ->
       ("WITH a AS (SELECT doc_id, text || CASE " +
@@ -676,26 +729,15 @@ object Curation {
         "FROM tf JOIN bc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN v " +
         "GROUP BY doc_id ORDER BY doc_id"),
     "q_dsir" ->
-      ("WITH base AS (SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> length(x) > 0) AS w FROM documents), " +
-        "gr AS (SELECT doc_id, lang, list_concat(w, CASE WHEN len(w) >= 2 " +
-        "THEN [w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1] for i in range(1, len(w))] " +
-        "ELSE [] END) AS g FROM base), " +
-        "hsh AS (SELECT doc_id, lang, g, list_transform(g, t -> substr(md5(t), 1, 1)) AS hs FROM gr), " +
-        "cnt AS (SELECT doc_id, lang, CAST(len(g) AS INTEGER) AS n_grams, " +
-        "list_transform(range(0, 16), i -> CAST(len(list_filter(hs, h -> " +
-        "h = substr('0123456789abcdef', CAST(i AS INTEGER) + 1, 1))) AS BIGINT)) AS cnt FROM hsh), " +
-        "hist AS (SELECT CAST(u.b AS INTEGER) AS b, " +
-        "sum(CASE WHEN lang = 'en' THEN cnt[CAST(u.b AS INTEGER)] ELSE 0 END) AS t, " +
-        "sum(cnt[CAST(u.b AS INTEGER)]) AS r " +
-        "FROM cnt CROSS JOIN (SELECT unnest(range(1, 17)) AS b) u GROUP BY 1), " +
-        "llr AS (SELECT list_transform(range(1, 17), i -> " +
-        "ln((tl[CAST(i AS INTEGER)] + 1.0) / (tt + 16.0)) - ln((rl[CAST(i AS INTEGER)] + 1.0) / (rt + 16.0))) AS llr " +
-        "FROM (SELECT list(t ORDER BY b) AS tl, list(r ORDER BY b) AS rl, " +
-        "sum(t) AS tt, sum(r) AS rt FROM hist)) " +
-        "SELECT c.doc_id, c.n_grams, " +
-        "round(list_sum(list_transform(range(1, 17), i -> cnt[CAST(i AS INTEGER)] * llr[CAST(i AS INTEGER)])), 4) + 0.0 AS dsir_logw, " +
-        "round(list_sum(list_transform(range(1, 17), i -> cnt[CAST(i AS INTEGER)] * llr[CAST(i AS INTEGER)])), 4) + 0.0 > 0 AS keep " +
-        "FROM cnt c CROSS JOIN llr ORDER BY doc_id"),
+      (dsirOracleCtes + " SELECT doc_id, n_grams, dsir_logw, dsir_logw > 0 AS keep " +
+        "FROM scored ORDER BY doc_id"),
+    "q_dsir_resample" ->
+      (dsirOracleCtes + ", keyed AS (SELECT doc_id, dsir_logw, " +
+        "round(dsir_logw - ln(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT + 0.5) / 16777216.0)), 6) + 0.0 AS gumbel_key " +
+        "FROM scored) " +
+        "SELECT doc_id, dsir_logw, gumbel_key FROM " +
+        "(SELECT * FROM keyed ORDER BY gumbel_key DESC, doc_id LIMIT 100) " +
+        "ORDER BY doc_id"),
     "q_source_balance" ->
       ("WITH bysrc AS (SELECT source, count(*) AS n_before FROM documents GROUP BY source), " +
         "mn AS (SELECT min(n_before) AS m FROM bysrc), " +

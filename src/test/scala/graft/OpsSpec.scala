@@ -510,6 +510,23 @@ class OpsSpec extends SparkSpec {
       r.getAs[Boolean]("keep") == (r.getAs[Double]("dsir_logw") > 0)))
   }
 
+  test("dsir resample: fixed deterministic budget = global top-k by gumbel key") {
+    val rows = q("q_dsir_resample").collect()
+    assert(rows.length == 100)
+    val ids = rows.map(_.getLong(0))
+    assert(ids.toSet.size == 100, "selection must be without replacement")
+    assert(ids.sameElements(ids.sorted), "output ordered by doc_id")
+    // deterministic reproducibility: a fresh plan selects the identical set
+    val again = q("q_dsir_resample").collect().map(_.getLong(0))
+    assert(again.sameElements(ids))
+    // top-k property: fewer than k docs in the full scored corpus can
+    // out-key the worst selected doc (recompute keys from q_dsir scores)
+    val minSel = rows.map(_.getAs[Double]("gumbel_key")).min
+    val full = q("q_dsir").withColumn("gk", expr(
+      "round(dsir_logw - ln(-ln((CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 6), 16, 10) AS DOUBLE) + 0.5) / 16777216.0)), 6) + 0.0"))
+    assert(full.filter(col("gk") > minSel).count() < 100)
+  }
+
   test("span dedup: duplicated 8-word spans span >= 2 docs") {
     val rows = q("q_span_dedup").collect()
     assert(rows.nonEmpty && rows.length <= 20)
