@@ -63,6 +63,33 @@ object Aggregates {
           expr("round(CAST(sum(pq) AS DOUBLE), 2)").as("sum_qty"))
         .orderBy("l_returnflag")),
 
+    // Grouping-set lattices (ROLLUP/CUBE): subtotal levels computed in ONE
+    // pass — Spark's Expand operator fans each input row out to its
+    // grouping sets BEFORE the partial aggregate, so map-side combine
+    // still applies and the shuffle carries one partial row per (set,
+    // key), never a second scan per subtotal level. grouping_id()
+    // disambiguates a subtotal NULL from a genuine NULL key; both engines
+    // agree on the bit order (first grouping column = most significant).
+    // Decimal-exact sums (q_group_agg precedent) keep subtotal rows
+    // bit-identical to the sum of their detail rows.
+    "q_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(grouping_id().cast("int").as("gid"),
+          count(lit(1)).as("n_rows"),
+          expr("round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)")
+            .as("sum_qty"))
+        .orderBy("gid", "l_returnflag", "l_linestatus")),
+
+    "q_cube" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(grouping_id().cast("int").as("gid"),
+          count(lit(1)).as("n_rows"),
+          expr("round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)")
+            .as("sum_qty"))
+        .orderBy("gid", "l_returnflag", "l_linestatus")),
+
     // Exact quantiles (polars median/quantile): Spark `percentile` (exact,
     // linear interpolation) === DuckDB `quantile_cont` (SURVEY §7.4.3).
     "q_quantile" -> ((s, d) =>
@@ -227,6 +254,20 @@ object Aggregates {
     "round(CAST(sum(CAST(%s AS DECIMAL(18,2))) AS DOUBLE) / count(%s), 4)"
 
   val oracle: Map[String, String] = Map(
+    "q_rollup" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "CAST(grouping_id(l_returnflag, l_linestatus) AS INTEGER) AS gid, " +
+        "count(*) AS n_rows, " +
+        "round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty " +
+        "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
+        "ORDER BY gid, l_returnflag, l_linestatus"),
+    "q_cube" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "CAST(grouping_id(l_returnflag, l_linestatus) AS INTEGER) AS gid, " +
+        "count(*) AS n_rows, " +
+        "round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty " +
+        "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) " +
+        "ORDER BY gid, l_returnflag, l_linestatus"),
     "q_approx_distinct" ->
       ("SELECT count(DISTINCT l_partkey) AS exact_parts, 1 AS within_5pct " +
         "FROM lineitem"),

@@ -540,6 +540,27 @@ object Dedup {
         .filter(col("jaccard") >= 0.5)
         .orderBy("a", "b")),
 
+    // Edit-distance verification of LSH candidates — the short-text fuzzy-
+    // dedup metric: shingle Jaccard is blind to token ORDER (two docs with
+    // the same words shuffled score 1.0), levenshtein is not. Scale shape:
+    // candidates come from the SAME bucket-capped banding pipeline as the
+    // Jaccard family (never n² pairs), texts attach via two high-
+    // cardinality equi-joins, and each pair costs one row-local O(n·m) DP.
+    // rel_dist normalizes by the longer side — a single IEEE division on
+    // identical integer operands, bit-equal across engines.
+    "q_dedup_editdist" -> ((s, d) => {
+      val corpus = textCorpus(s, d)
+      minhashPairs(s, d)
+        .join(corpus.select(col("doc_id").as("a"), col("text").as("ta")), "a")
+        .join(corpus.select(col("doc_id").as("b"), col("text").as("tb")), "b")
+        .select(col("a"), col("b"),
+          levenshtein(col("ta"), col("tb")).as("edit_dist"),
+          round(levenshtein(col("ta"), col("tb")).cast("double") /
+            greatest(length(col("ta")), length(col("tb"))), 4).as("rel_dist"))
+        .withColumn("near_dup", col("rel_dist") <= 0.2)
+        .orderBy("a", "b")
+    }),
+
     // MinHash similarity ESTIMATION vs ground truth — the calibration view
     // a dedup rollout needs before trusting signature-only thresholds at
     // scale (where exact Jaccard on all candidates is the expensive part):
@@ -1003,6 +1024,15 @@ object Dedup {
         "GROUP BY md5(text) ORDER BY doc_id"),
     "q_dedup_minhash" ->
       (s"$duckChain SELECT a, b FROM pairs ORDER BY a, b"),
+    "q_dedup_editdist" ->
+      (s"$duckChain SELECT p.a, p.b, " +
+        "CAST(levenshtein(ca.text, cb.text) AS INTEGER) AS edit_dist, " +
+        "round(CAST(levenshtein(ca.text, cb.text) AS DOUBLE) / " +
+        "greatest(length(ca.text), length(cb.text)), 4) AS rel_dist, " +
+        "round(CAST(levenshtein(ca.text, cb.text) AS DOUBLE) / " +
+        "greatest(length(ca.text), length(cb.text)), 4) <= 0.2 AS near_dup " +
+        "FROM pairs p JOIN corpus ca ON ca.doc_id = p.a " +
+        "JOIN corpus cb ON cb.doc_id = p.b ORDER BY a, b"),
     "q_dedup_ngram" ->
       (s"$duckChain, " +
         "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +

@@ -510,6 +510,36 @@ class OpsSpec extends SparkSpec {
       r.getAs[Boolean]("keep") == (r.getAs[Double]("dsir_logw") > 0)))
   }
 
+  test("editdist dedup: planted first-word mutations verify as near-dups") {
+    val rows = q("q_dedup_editdist").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val rel = r.getAs[Double]("rel_dist"); rel >= 0.0 && rel <= 1.0 })
+    // the corpus plants doc x -> x+100000 copies differing only in the
+    // first word; banding must surface them and the DP must verify them
+    val planted = rows.filter(r => r.getAs[Long]("b") == r.getAs[Long]("a") + 100000)
+    assert(planted.nonEmpty, "planted mutation pairs must be candidates")
+    assert(planted.forall(_.getAs[Boolean]("near_dup")),
+      "a one-word edit in a multi-hundred-char doc is a near-dup")
+  }
+
+  test("rollup/cube: subtotal lattice is self-consistent") {
+    for (name <- Seq("q_rollup", "q_cube")) {
+      val rows = q(name).collect()
+      val detail = rows.filter(_.getAs[Int]("gid") == 0)
+      val total = rows.filter(_.getAs[Int]("gid") == 3)
+      assert(total.length == 1, s"$name must have exactly one grand-total row")
+      assert(total.head.getAs[Long]("n_rows") ==
+        detail.map(_.getAs[Long]("n_rows")).sum)
+      // decimal-exact sums: the grand total equals the detail sum to the cent
+      assert(math.abs(total.head.getAs[Double]("sum_qty") -
+        detail.map(_.getAs[Double]("sum_qty")).sum) < 0.05)
+      val gids = rows.map(_.getAs[Int]("gid")).toSet
+      assert(gids == (if (name == "q_rollup") Set(0, 1, 3) else Set(0, 1, 2, 3)),
+        s"$name grouping-set ids: $gids")
+    }
+  }
+
   test("dsir resample: fixed deterministic budget = global top-k by gumbel key") {
     val rows = q("q_dsir_resample").collect()
     assert(rows.length == 100)
