@@ -90,6 +90,22 @@ object Aggregates {
             .as("sum_qty"))
         .orderBy("gid", "l_returnflag", "l_linestatus")),
 
+    // Explicit GROUPING SETS — the general lattice: only the subtotal
+    // levels asked for ((rf), (ls), ()) — no detail level. At 100 TB each
+    // grouping set is one more Expand replica of every scan row feeding
+    // the partial aggregate, so naming exactly the sets a dashboard needs
+    // (vs CUBE's full power set) is a linear input-volume lever.
+    "q_grouping_sets" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("int").as("gid"),
+          count(lit(1)).as("n_rows"),
+          expr("round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)")
+            .as("sum_qty"))
+        .orderBy("gid", "l_returnflag", "l_linestatus")),
+
     // Exact quantiles (polars median/quantile): Spark `percentile` (exact,
     // linear interpolation) === DuckDB `quantile_cont` (SURVEY §7.4.3).
     "q_quantile" -> ((s, d) =>
@@ -267,6 +283,13 @@ object Aggregates {
         "count(*) AS n_rows, " +
         "round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty " +
         "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) " +
+        "ORDER BY gid, l_returnflag, l_linestatus"),
+    "q_grouping_sets" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "CAST(grouping_id(l_returnflag, l_linestatus) AS INTEGER) AS gid, " +
+        "count(*) AS n_rows, " +
+        "round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty " +
+        "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ()) " +
         "ORDER BY gid, l_returnflag, l_linestatus"),
     "q_approx_distinct" ->
       ("SELECT count(DISTINCT l_partkey) AS exact_parts, 1 AS within_5pct " +

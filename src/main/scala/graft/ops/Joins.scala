@@ -94,6 +94,35 @@ object Joins {
         .groupBy("p_brand").agg(count(lit(1)).as("n"))
         .orderBy("p_brand")),
 
+    // Salted shuffle join — the JOIN-side skew lever (q_group_agg_salted
+    // covers aggregation): when one probe key dominates, a plain shuffle
+    // join lands the whole hot key in ONE reduce task. Salting splits it:
+    // the probe side gets a deterministic per-row salt in [0, R), the
+    // build side is replicated R times (explode over sequence), and the
+    // join key becomes (key, salt) — the hot key spreads over R tasks.
+    // The joined multiset is EXACTLY the unsalted join (every probe row
+    // meets every matching build row at exactly one salt), so the oracle
+    // is the plain join. The merge hint pins a shuffle join: broadcast IS
+    // the skew fix when the build side fits, salting is for when it
+    // doesn't at 100 TB — AQE's skewedJoin does this adaptively, salting
+    // is the explicit form for when stats mislead or AQE is off.
+    "q_join_skew_salted" -> ((s, d) => {
+      val r = 8
+      val probe = Tables.lineitem(s, d)
+        .withColumn("salt",
+          pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(r.toLong)))
+      val build = Tables.orders(s, d)
+        .withColumn("salt", explode(sequence(lit(0L), lit((r - 1).toLong))))
+      probe.join(build.hint("merge"),
+          col("l_orderkey") === col("o_orderkey") &&
+            probe("salt") === build("salt"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_lines"),
+          expr("round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)")
+            .as("sum_qty"))
+        .orderBy("o_orderstatus")
+    }),
+
     // As-of join (backward, per-user): every purchase picks the most recent
     // click at-or-before its timestamp. Union-tag + running
     // last(_, ignoreNulls) — the scalable Spark encoding of polars
@@ -246,6 +275,11 @@ object Joins {
       ("SELECT p_brand, count(*) AS n FROM lineitem JOIN part " +
         "ON l_partkey = p_partkey AND l_quantity BETWEEN p_size - 5 AND p_size + 5 " +
         "GROUP BY p_brand ORDER BY p_brand"),
+    "q_join_skew_salted" ->
+      ("SELECT o_orderstatus, count(*) AS n_lines, " +
+        "round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "q_join_asof" ->
       ("SELECT p.event_id, p.user_id, c.event_id AS click_id, " +
         "c.value AS click_value " +

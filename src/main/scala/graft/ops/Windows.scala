@@ -162,6 +162,27 @@ object Windows {
         .orderBy("user_id", "session_id")
     }),
 
+    // SCD2 snapshotting — event stream → validity intervals: each
+    // (user_id, event_type) observation is current from its ts until the
+    // user's NEXT observation of the same type; the open interval
+    // (valid_to IS NULL) is the current row. One window over the stream's
+    // natural partitioning key — a single shuffle by user, per-partition
+    // sort, no self-join (the naive encoding is an inequality self-join
+    // that explodes quadratically per hot user). This is the batch form
+    // of a warehouse dimension-history build; event_id breaks ts ties so
+    // interval chaining is deterministic under duplicate timestamps.
+    "q_scd2" -> ((s, d) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("ts").as("valid_from"),
+          lead(col("ts"), 1).over(w).as("valid_to"),
+          round(col("value"), 2).as("value"))
+        .withColumn("is_current", col("valid_to").isNull)
+        .orderBy("user_id", "event_type", "valid_from", "event_id")
+    }),
+
     // groupby.head(n): first rows per group by declared order. Catalyst
     // plans the rank-filter as WindowGroupLimit: a per-partition top-n
     // heap BEFORE the shuffle, so only n rows per group move (asserted in
@@ -364,6 +385,15 @@ object Windows {
         "count(*) AS n_events, round(sum(value), 2) AS session_value, " +
         "CAST(min(ts) AS TIMESTAMP) AS t0, CAST(max(ts) AS TIMESTAMP) AS t1 " +
         "FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id"),
+    "q_scd2" ->
+      ("SELECT user_id, event_type, event_id, " +
+        "CAST(ts AS TIMESTAMP) AS valid_from, " +
+        "CAST(lead(ts) OVER w AS TIMESTAMP) AS valid_to, " +
+        "round(value, 2) AS value, " +
+        "lead(ts) OVER w IS NULL AS is_current " +
+        "FROM events WINDOW w AS (PARTITION BY user_id, event_type " +
+        "ORDER BY ts, event_id) " +
+        "ORDER BY user_id, event_type, valid_from, event_id"),
     "q_group_head" ->
       ("WITH r AS (SELECT l_orderkey, l_linenumber, l_extendedprice, " +
         "CAST(row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice, l_discount, l_quantity) AS INTEGER) AS rn " +

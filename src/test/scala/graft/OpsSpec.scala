@@ -540,6 +540,58 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("grouping sets: only the requested lattice levels, totals agree") {
+    val rows = q("q_grouping_sets").collect()
+    val gids = rows.map(_.getAs[Int]("gid")).toSet
+    assert(gids == Set(1, 2, 3), s"requested sets only, no detail level: $gids")
+    // both single-column subtotal levels must sum to the same grand total
+    val total = rows.filter(_.getAs[Int]("gid") == 3)
+    assert(total.length == 1)
+    for (g <- Seq(1, 2)) {
+      assert(rows.filter(_.getAs[Int]("gid") == g)
+        .map(_.getAs[Long]("n_rows")).sum == total.head.getAs[Long]("n_rows"),
+        s"gid=$g subtotal rows must partition the corpus")
+    }
+  }
+
+  test("salted join: multiset equals the unsalted join, plan is SMJ on (key, salt)") {
+    val salted = q("q_join_skew_salted").collect()
+    val plain = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_lines"),
+        expr("round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)")
+          .as("sum_qty"))
+      .orderBy("o_orderstatus").collect()
+    assert(salted.map(_.toSeq).toSeq == plain.map(_.toSeq).toSeq,
+      "salting must not change the join result")
+    val plan = SparkEntry.queries("q_join_skew_salted")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), "merge hint must pin a shuffle join")
+    assert(!plan.contains("BroadcastHashJoin"),
+      "a broadcast would make the salt demonstration moot")
+  }
+
+  test("scd2: intervals chain gaplessly, exactly one current row per key") {
+    val rows = q("q_scd2").collect()
+    assert(rows.nonEmpty)
+    val byKey = rows.groupBy(r =>
+      (r.getAs[Long]("user_id"), r.getAs[String]("event_type")))
+    byKey.foreach { case (k, rs) =>
+      assert(rs.count(_.getAs[Boolean]("is_current")) == 1,
+        s"$k must have exactly one open interval")
+      // rows arrive ordered by valid_from, event_id; each valid_to equals
+      // the next row's valid_from (contiguous history, no gaps/overlaps)
+      rs.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[java.time.LocalDateTime]("valid_to") ==
+            b.getAs[java.time.LocalDateTime]("valid_from"),
+            s"$k history must chain: ${a} -> ${b}")
+        case _ =>
+      }
+    }
+  }
+
   test("dsir resample: fixed deterministic budget = global top-k by gumbel key") {
     val rows = q("q_dsir_resample").collect()
     assert(rows.length == 100)
