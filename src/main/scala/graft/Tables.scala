@@ -23,19 +23,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-    * ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos (legacy conf) and convert
-    * to a microsecond TimestampType — the same truncation DuckDB applies when
-    * casting TIMESTAMP_NS to TIMESTAMP, so oracle comparisons line up.
-    */
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) in some driver
+    * generations (Spark's reader rejects it — [PARQUET_TYPE_ILLEGAL] — unless
+    * read as raw nanos via the legacy conf) and TIMESTAMP(MICROS, NTZ) in
+    * others (read natively as TimestampNTZType). Normalize both layouts to a
+    * microsecond `timestamp_ntz` — the same value DuckDB sees — by keying on
+    * the type the reader actually inferred. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     // idempotent: only touch session conf when the flag isn't already on
     if (s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").forall(_ != "true"))
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000"))
-        .cast("timestamp_ntz"))
+    val raw = apply(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) read as raw nanos: truncate to micros
+        raw.withColumn("ts",
+          timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz"))
+      case TimestampNTZType => raw
+      case _ => // defensive: an LTZ read still compares as its UTC wall-clock
+        raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
