@@ -14,7 +14,8 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // nanosAsLong is enabled on demand by Tables.eventsRaw, only when
+      // events.ts is actually TIMESTAMP(NANOS)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -76,7 +77,14 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // The driver records only the LAST 2,000 chars of this line
+    // (BENCH_r06 lost the whole per-query map to the canary series that
+    // used to print after it). Layout is therefore tail-optimized: the
+    // per-query map — the only signal next round's regression triage has —
+    // comes LAST, values are ms-rounded, and the canary series sits early
+    // in the line where truncation can only eat it first.
+    def r3(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val cs = canaries.sorted
@@ -85,10 +93,18 @@ object Bench {
       else (cs.head, cs(cs.length / 2), cs.last)
     val contended = if (cMin > 0 && cMed > 2 * cMin) 1 else 0
     val canaryJson =
-      s"""{"workload":"q_group_agg","min":$cMin,"median":$cMed,"max":$cMax,""" +
-        s""""contended":$contended,"series":${canaries.mkString("[", ",", "]")}}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""load_canary":$canaryJson,"sf":"$sfDir"}""")
+      s"""{"workload":"q_group_agg","min":${r3(cMin)},"median":${r3(cMed)},""" +
+        s""""max":${r3(cMax)},"contended":$contended,""" +
+        s""""series":${canaries.map(r3).mkString("[", ",", "]")}}"""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+      s""""sf":"$sfDir","load_canary":$canaryJson,"queries":$qs}"""
+    // Belt and braces: the full untruncated line also lands in the repo so
+    // tools/bench_diff.py can always diff complete per-query maps.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")), line)
+    catch { case _: Throwable => }
+    println(line)
     spark.stop()
   }
 }

@@ -180,6 +180,16 @@ object ScaleRehearsal {
           Tables.embeddings(spark, d), "vec_id", "embedding", bits)
           .count(): Unit
       },
+      // the DEFAULT path: no width passed at all — embeddingNearDup's
+      // autoBits (max(8, ceil(log2(n/2)))) must pick a width that keeps
+      // this near-linear without the caller knowing mult. This is the
+      // point the r6 verdict demanded: default-path ratio within ~2× of
+      // linear at 60×.
+      "embed_dedup_auto" -> { d: String =>
+        ops.Similarity.embeddingNearDup(
+          Tables.embeddings(spark, d), "vec_id", "embedding")
+          .count(): Unit
+      },
       // CCNet-style duplicated-block strip: inventory aggregate + one
       // per-occurrence equi-join — NO pair expansion, so the planted
       // 600-member family costs 600 joined rows, not 600² pairs

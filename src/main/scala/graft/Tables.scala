@@ -32,18 +32,74 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
-    // idempotent: only touch session conf when the flag isn't already on
-    if (s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").forall(_ != "true"))
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = apply(s, d, "events")
+    val raw = eventsRaw(s, d)
     raw.schema("ts").dataType match {
       case LongType => // TIMESTAMP(NANOS) read as raw nanos: truncate to micros
         raw.withColumn("ts",
           timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz"))
       case TimestampNTZType => raw
-      case _ => // defensive: an LTZ read still compares as its UTC wall-clock
+      case _ =>
+        // defensive: an LTZ read compares as its UTC wall-clock ONLY under
+        // spark.sql.session.timeZone=UTC — a precondition every entrypoint
+        // enforces (Verify/Bench/Smoke builders, build.sbt javaOptions,
+        // TestSpark), not this function.
         raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
     }
+  }
+
+  /** First attempt reads WITHOUT the legacy nanos flag so a micros-layout
+    * file never turns it on (the flag would leak to every later parquet read
+    * in the session and silently surface other NANOS columns as raw Long).
+    * Only when the reader actually rejects the footer (NANOS layout) is the
+    * flag set — and it must then stay set, because the returned lazy plan
+    * re-checks the conf when the scan executes. */
+  private def eventsRaw(s: SparkSession, d: String): DataFrame =
+    try apply(s, d, "events")
+    catch {
+      case e: Throwable if isIllegalNanos(e) =>
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        apply(s, d, "events")
+    }
+
+  private def isIllegalNanos(e: Throwable): Boolean = {
+    val m = String.valueOf(e.getMessage)
+    m.contains("PARQUET_TYPE_ILLEGAL") || m.contains("Illegal Parquet type") ||
+      m.contains("TIMESTAMP(NANOS")
+  }
+
+  /** `readStream` needs its schema fixed before any file opens, so the
+    * per-footer dispatch `events` performs must be decided up front: detect
+    * how THIS directory's `events.ts` reads and hand back the matching
+    * stream schema plus the two normalizers every consumer needs. This is
+    * the single choke point for the ts layout — tests and streaming code
+    * must not hardcode `ts DIV 1000` (it silently shifts every window
+    * boundary 1000× when the driver regenerates testdata as micros). */
+  final case class EventsLayout(tsIsLong: Boolean) {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros, unix_micros}
+    import org.apache.spark.sql.types._
+    val schema: StructType = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", if (tsIsLong) LongType else TimestampNTZType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    /** `ts` → TimestampType instant; equals the file's wall clock under the
+      * UTC session every entrypoint enforces. */
+    def tsTimestampExpr: Column =
+      if (tsIsLong) timestamp_micros(expr("ts DIV 1000"))
+      else col("ts").cast("timestamp")
+    /** `ts` → microseconds-since-epoch Long (UTC session precondition as
+      * above; integer arithmetic throughout — doubles cannot hold nanos). */
+    def tsMicrosExpr: Column =
+      if (tsIsLong) expr("ts DIV 1000")
+      else unix_micros(col("ts").cast("timestamp"))
+  }
+
+  def eventsLayout(s: SparkSession, d: String): EventsLayout = {
+    import org.apache.spark.sql.types.LongType
+    EventsLayout(eventsRaw(s, d).schema("ts").dataType == LongType)
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

@@ -38,9 +38,8 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.ts is parquet TIMESTAMP(NANOS): read as long, convert in
-      // Tables.events (Spark's reader rejects NANOS otherwise).
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // events.ts layout (NANOS vs MICROS) is dispatched per-footer by
+      // Tables.events; the legacy nanosAsLong conf turns on there on demand.
       // Write LTZ timestamps as INT64 micros (not INT96) so the driver's
       // DuckDB-side read sees the same values it computes.
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")

@@ -126,26 +126,46 @@ object Similarity {
       .select(col(idCol), col("m.embedding").as("embedding"),
         col("m.nrm").as("nrm"), col("m.cid").as("cid"))
 
+  /** Auto-width rule: bits = max(8, floor(log2(n / 2))), capped at 24 —
+    * expected bucket occupancy n/2^bits stays in [2, 4) at any corpus
+    * size, so the quadratic in-bucket verification stays constant per
+    * bucket. The anchors: 8 bits reproduces the historical default at the
+    * sf0.001 corpus (n≈550 → occupancy ≈2.1), and at the 60× rehearsal
+    * (n≈300k → 17 bits) the width-scaled path holds a near-linear ratio
+    * where fixed-8-bit hit 21-34×. Capped because probe fan-out is
+    * (bits+1)× the candidate rows; past 24 bits the string signatures
+    * should become int64s. */
+  private[graft] def autoBits(n: Long): Int = {
+    val b = math.floor(
+      math.log(math.max(n, 2L).toDouble / 2.0) / math.log(2.0)).toInt
+    math.min(24, math.max(8, b))
+  }
+
   /** PUBLIC API — embedding-cosine near-duplicate pairs via multi-probe
     * hyperplane LSH with a CONFIGURABLE signature width. `bits` is the
     * corpus-size knob: bucket occupancy ~ n/2^bits and in-bucket exact
     * verification ~ occupancy², so grow bits by ~log2(m) when the corpus
     * grows m× to keep per-bucket work constant (the 60× rehearsal measured
-    * the fixed-width alternative: a 34× time ratio). Candidates come from
-    * a (bits+1)-probe Hamming≤1 signature equi-join — never a pair scan —
-    * and exact cosine (codegen'd dot_f) is verified on candidates only.
-    * Returns (a, b, cos) with a < b, distinct across probes. */
+    * the fixed-width alternative: a 34× time ratio). `bits <= 0` (the
+    * default) derives the width from a corpus count via [[autoBits]] — one
+    * count(*) over the input, which parquet serves near-metadata-speed —
+    * so callers who never think about width still get the scaled plan.
+    * Candidates come from a (bits+1)-probe Hamming≤1 signature equi-join —
+    * never a pair scan — and exact cosine (codegen'd dot_f) is verified on
+    * candidates only. Returns (a, b, cos) with a < b, distinct across
+    * probes. */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
-      bits: Int = Planes, minCos: Double = 0.9): DataFrame = {
+      bits: Int = 0, minCos: Double = 0.9): DataFrame = {
+    val width = if (bits > 0) bits else autoBits(df.count())
     val s = df.sparkSession
     graft.functions.FloatDotProduct.register(s)
     val n = df.select(col(idCol).cast("long").as("vec_id"),
         col(vecCol).as("embedding"))
       .withColumn("nrm", expr("sqrt(dot_f(embedding, embedding))"))
-      .withColumn("sig", expr(sigExprN("spark", bits)))
+      .withColumn("sig", expr(sigExprN("spark", width)))
     val a = n.select(col("vec_id").as("a"), col("embedding").as("ea"),
       col("nrm").as("na"),
-      explode(expr(probesExpr("sig", "spark", bits))).as("sig"))
+      explode(expr(probesExpr("sig", "spark", width))).as("sig"))
     val b = n.select(col("vec_id").as("b"), col("embedding").as("eb"),
       col("nrm").as("nb"), col("sig"))
     a.join(b, Seq("sig")).filter(col("a") < col("b"))

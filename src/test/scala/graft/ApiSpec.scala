@@ -70,7 +70,8 @@ class ApiSpec extends SparkSpec {
       (base ++ plants).map { case (id, v) => (id, v) }
     ).toDF("vec_id", "embedding")
       .withColumn("embedding", col("embedding").cast("array<float>"))
-    for (bits <- Seq(8, 14)) {
+    // bits=0 exercises the auto-width default (corpus-count-derived)
+    for (bits <- Seq(0, 8, 14)) {
       val got = ops.Similarity
         .embeddingNearDup(df, "vec_id", "embedding", bits, minCos = 0.999)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -78,6 +79,21 @@ class ApiSpec extends SparkSpec {
       assert(expected.subsetOf(got),
         s"bits=$bits must find every planted duplicate: missing ${expected -- got}")
     }
+  }
+
+  test("autoBits keeps bucket occupancy constant as the corpus grows") {
+    import ops.Similarity.autoBits
+    assert(autoBits(0L) == 8 && autoBits(550L) == 8,
+      "small corpora keep the historical 8-bit floor")
+    assert(autoBits(300600L) == 17,
+      "the 60x-rehearsal corpus must widen (fixed 8 bits measured 21-34x)")
+    // invariant, not just anchors: occupancy n/2^bits stays in [1, 4)
+    // between floor and cap
+    for (n <- Seq(1000L, 10000L, 100000L, 1000000L, 10000000L)) {
+      val occ = n.toDouble / (1L << autoBits(n))
+      assert(occ >= 1.0 && occ < 4.0, s"n=$n occupancy=$occ")
+    }
+    assert(autoBits(Long.MaxValue / 2) == 24, "probe fan-out cap holds")
   }
 
   test("nearDedupKeepBest keeps the highest-quality member of each family") {

@@ -12,7 +12,8 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // no nanosAsLong here: Tables.eventsRaw enables it on demand, only
+      // when the testdata's events.ts is actually TIMESTAMP(NANOS)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

@@ -9,23 +9,22 @@ import org.apache.spark.sql.types._
   * readStream + memory sink, must agree with the batch answer. */
 class StreamingSpec extends SparkSpec {
 
-  test("streaming tumbling window == batch tumbling window") {
-    // events.ts is TIMESTAMP(NANOS) → read as long (nanosAsLong is set on
-    // the shared session) and convert exactly like Tables.events.
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+  // events.ts has shipped as both TIMESTAMP(NANOS) (reads as raw-nanos Long)
+  // and TIMESTAMP(MICROS, NTZ) across driver testdata generations; every
+  // streaming read below takes its schema and ts conversion from the same
+  // layout dispatch Tables.events uses, never a hardcoded `ts DIV 1000`.
+  private lazy val layout = Tables.eventsLayout(spark, sf)
 
+  test("streaming tumbling window == batch tumbling window") {
     // FileStreamSource requires a directory: stage the single parquet file.
     val dir = java.nio.file.Files.createTempDirectory("graft_stream")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sf/events.parquet"),
       dir.resolve("events.parquet"))
 
-    val stream = spark.readStream.schema(schema)
+    val stream = spark.readStream.schema(layout.schema)
       .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("ts", layout.tsTimestampExpr)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("ws"), col("event_type"), col("n"))
@@ -58,12 +57,8 @@ class StreamingSpec extends SparkSpec {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sf/events.parquet"),
       dir.resolve("events.parquet"))
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
 
-    val counts = spark.readStream.schema(schema).parquet(dir.toString)
+    val counts = spark.readStream.schema(layout.schema).parquet(dir.toString)
       .select("user_id", "event_id").as[(Long, Long)]
       .groupByKey(_._1)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
@@ -95,15 +90,11 @@ class StreamingSpec extends SparkSpec {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sf/events.parquet"),
       dir.resolve("events.parquet"))
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
 
     // emit 0..1 rows per user per batch: an alert the first time a user's
     // cumulative value crosses 100 — the flatMap (variable arity) shape
     // mapGroupsWithState can't express.
-    val alerts = spark.readStream.schema(schema).parquet(dir.toString)
+    val alerts = spark.readStream.schema(layout.schema).parquet(dir.toString)
       .select("user_id", "value").as[(Long, Double)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
@@ -288,12 +279,9 @@ class StreamingSpec extends SparkSpec {
     // (maxFilesPerTrigger=1): every user's open session at the split must
     // survive in state and either continue or close in batch 2 — the real
     // incremental-sessionization contract, not a single-batch replay.
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val raw = spark.read.schema(schema).parquet(s"$sf/events.parquet")
-    val med = raw.agg(expr("percentile(ts, 0.5)")).head.getDouble(0)
+    val raw = spark.read.schema(layout.schema).parquet(s"$sf/events.parquet")
+      .withColumn("us", layout.tsMicrosExpr)
+    val med = raw.agg(expr("percentile(us, 0.5)")).head.getDouble(0)
     val dir = java.nio.file.Files.createTempDirectory("graft_sess")
     def stage(part: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
       val tmp = java.nio.file.Files.createTempDirectory(s"graft_sess_$name")
@@ -305,15 +293,15 @@ class StreamingSpec extends SparkSpec {
       java.nio.file.Files.setLastModifiedTime(dst,
         java.nio.file.attribute.FileTime.fromMillis(mtime))
     }
-    stage(raw.filter(col("ts") < med), "0_early", 1000000L)
-    stage(raw.filter(col("ts") >= med), "1_late", 2000000L)
+    stage(raw.filter(col("us") < med).drop("us"), "0_early", 1000000L)
+    stage(raw.filter(col("us") >= med).drop("us"), "1_late", 2000000L)
 
     // state = (last event micros, sessions so far); 30-min gap like
     // q_sessionize. Each update emits the running per-user session count;
     // the last update per user is the final answer.
-    val sessions = spark.readStream.schema(schema)
+    val sessions = spark.readStream.schema(layout.schema)
       .option("maxFilesPerTrigger", "1").parquet(dir.toString)
-      .select(col("user_id"), expr("ts DIV 1000").as("us"),
+      .select(col("user_id"), layout.tsMicrosExpr.as("us"),
         col("event_id")).as[(Long, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
