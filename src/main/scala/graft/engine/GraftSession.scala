@@ -16,6 +16,14 @@ final case class NoSqlFound(message: String) extends GraftError
 final case class BadSql(message: String) extends GraftError
 final case class RetriesExhausted(message: String) extends GraftError
 
+/** One failed generation inside the correction loop: the SQL that was
+  * tried and why it didn't survive (SqlGuard rejection reason, analysis
+  * error, or runtime error). The reference keeps this trail in `_logs` /
+  * `last_error`; here it rides on the Answer so callers see WHY retries
+  * happened — a Rejected verdict is no longer silently folded into "it
+  * eventually worked" or a bare exhaustion message. */
+final case class Attempt(sql: String, error: String)
+
 /** Engine configuration — SURVEY.md §2.1 `PolarsAI.__init__` mapping
   * (/root/reference/polarsai/__init__.py:78-163): verbosity, cache toggle,
   * conversational answers, retry budget, prompt overrides. */
@@ -40,12 +48,15 @@ final case class GraftConfig(
     functionAllowlist: Option[Set[String]] = Some(SqlGuard.defaultFunctionAllowlist),
     customPrompts: Map[String, (String, Seq[Prompts.TableCtx]) => String] = Map.empty)
 
-/** The answer envelope: rendered text plus the raw result and telemetry. */
+/** The answer envelope: rendered text plus the raw result and telemetry.
+  * `attempts` is the correction-loop trail — empty when the first
+  * generation succeeded. */
 final case class Answer(
     text: String,
     df: Option[DataFrame],
     sql: Option[String],
-    error: Option[GraftError])
+    error: Option[GraftError],
+    attempts: Seq[Attempt] = Nil)
 
 /** The conversational engine — SURVEY.md §2.1 `run`/`run_code` mapping:
   * the reference's cache → head/shape → prompt → codegen → sanitize →
@@ -103,6 +114,10 @@ final class GraftSession(
   @volatile var lastSqlExecuted: Option[String] = None
   @volatile var lastError: Option[String] = None
   @volatile var lastDurationMs: Long = 0L
+  /** Per-try (sql, error) trail of the most recent ask's correction loop
+    * (reference `_logs` / `last_error` parity); also attached to the
+    * returned Answer. */
+  @volatile var lastAttempts: Seq[Attempt] = Nil
   val logs: mutable.ArrayBuffer[String] = mutable.ArrayBuffer.empty
 
   private def log(msg: String): Unit = {
@@ -128,6 +143,7 @@ final class GraftSession(
   def askNamed(tables0: Seq[(String, DataFrame)], question: String): Answer = {
     val t0 = System.nanoTime()
     lastPromptId = Some(java.util.UUID.randomUUID().toString)
+    lastAttempts = Nil
     try {
       tables0.foreach { case (n, df) => df.createOrReplaceTempView(n) }
       val tables = tables0.map { case (n, df) =>
@@ -153,13 +169,14 @@ final class GraftSession(
         case Left(err) =>
           if (config.enableCache && cache.remove(key).isDefined) persistCache()
           lastError = Some(err.message)
-          Answer(envelope(err.message), None, lastSqlExecuted, Some(err))
+          Answer(envelope(err.message), None, lastSqlExecuted, Some(err),
+            lastAttempts)
       }
     } catch {
       case e: Exception =>
         lastError = Some(e.getMessage)
         Answer(envelope(e.getMessage), None, lastSqlExecuted,
-          Some(BadSql(String.valueOf(e.getMessage))))
+          Some(BadSql(String.valueOf(e.getMessage))), lastAttempts)
     } finally {
       lastDurationMs = (System.nanoTime() - t0) / 1000000
       log(s"Executed in: ${lastDurationMs}ms")
@@ -205,6 +222,7 @@ final class GraftSession(
             return Right((out, sql, head))
           } catch { case e: Exception => lastErr = String.valueOf(e.getMessage) }
       }
+      lastAttempts = lastAttempts :+ Attempt(sql, lastErr)
       log(s"attempt ${attempt + 1} failed: $lastErr")
       if (attempt < config.maxRetries) {
         val prompt = Prompts.correctError(question, sql, lastErr, tables)
@@ -234,7 +252,7 @@ final class GraftSession(
       if (config.conversational)
         llm.predict(Prompts.generateResponse(question, text))
       else text
-    Answer(finalText, Some(df), Some(sql), None)
+    Answer(finalText, Some(df), Some(sql), None, lastAttempts)
   }
 
   /** Reference's exact error envelope (polarsai/__init__.py:334-341). */

@@ -145,46 +145,14 @@ object Analytics {
     // is a 4-way conjunction, deliberately NOT linearly separable — the
     // floors pin "learned real signal", not perfection).
     "q_quality_classifier" -> ((s, d) => {
-      import org.apache.spark.ml.classification.LogisticRegression
-      import org.apache.spark.ml.functions.array_to_vector
-      graft.functions.TextTokenize.register(s)
-      val words = "filter(split(text, ' '), x -> length(x) > 0)"
-      val stops = "('the', 'a', 'of', 'and', 'to')"
-      val labeled = Tables.documents(s, d).select(col("doc_id"),
-          expr(s"CAST(size($words) AS DOUBLE)").as("f_words"),
-          expr(s"round(aggregate($words, CAST(0 AS BIGINT), (a, x) -> a + length(x)) " +
-            s"/ CAST(size($words) AS DOUBLE), 4)").as("f_wlen"),
-          expr(s"CAST(size(filter($words, w -> w IN $stops)) AS DOUBLE)").as("f_stop"),
-          expr("round(CAST(graft_alpha_count(text) AS DOUBLE) / length(text), 4)")
-            .as("f_alpha"))
-        .withColumn("label",
-          (col("f_words").between(30, 10000) && col("f_wlen").between(3.5, 10.0) &&
-            col("f_stop") >= 3 && col("f_alpha") >= 0.75).cast("double"))
-        .withColumn("is_train",
-          expr("substring(md5(CAST(doc_id AS STRING)), 1, 1) < 'c'"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val train = labeled.filter(col("is_train"))
-        .withColumn("features",
-          array_to_vector(array(col("f_words"), col("f_wlen"),
-            col("f_stop"), col("f_alpha"))))
-      val model = new LogisticRegression().setMaxIter(100)
-        .setFeaturesCol("features").setLabelCol("label").fit(train)
-      // Score with NATIVE expressions from the fitted weights (4 doubles +
-      // intercept pulled to the driver): production scoring is a codegen'd
-      // dot product at scan speed — model.transform's UDF closure is both
-      // slower and (Spark 4.1) drags the training summary's session
-      // reference into the task closure. Held-out AUC is the Mann-Whitney
-      // rank statistic with average ranks for ties; the rank window runs
-      // over the bounded held-out margin column (at 100 TB the same
-      // verdict comes from q_roc_binned's fixed-width margin bins).
-      val w = model.coefficients.toArray
-      val margin = lit(model.intercept) + lit(w(0)) * col("f_words") +
-        lit(w(1)) * col("f_wlen") + lit(w(2)) * col("f_stop") +
-        lit(w(3)) * col("f_alpha")
+      val (labeled, scoredRaw) = qualityScored(s, d)
+      // Held-out AUC as the exact Mann-Whitney rank statistic with
+      // average ranks for ties; the rank window runs over the full
+      // held-out margin column — single-partition, small-frame compat
+      // path. The 100-TB twin is q_quality_classifier_binned below.
       val rw = Window.orderBy("margin")
       val tw = Window.partitionBy("margin")
-      val scored = labeled.filter(!col("is_train"))
-        .withColumn("margin", margin)
+      val scored = scoredRaw
         .withColumn("avg_rank",
           rank().over(rw) + (count(lit(1)).over(tw) - 1) / 2.0)
       val accAgg = scored.agg(count(lit(1)).as("n_test"),
@@ -204,11 +172,109 @@ object Analytics {
         .localCheckpoint(true)
       labeled.unpersist(blocking = false)
       out
+    }),
+
+    // The scale twin of q_quality_classifier (same fit, same verdicts):
+    // held-out AUC from FIXED-WIDTH margin bins + ONE cumulative window
+    // over the bounded bin table — the q_roc_binned shape — instead of a
+    // global rank window over every held-out row. Tie-averaged ranks at
+    // bin granularity ARE the Mann-Whitney statistic on margins quantized
+    // to the bin grid; LR margins span many bins so the 0.75 floors land
+    // identically. Bins align at zero (bin >= 0 ⟺ margin >= 0), so
+    // accuracy also falls out of the bin aggregate with no per-row pass.
+    "q_quality_classifier_binned" -> ((s, d) => {
+      val (labeled, scoredRaw) = qualityScored(s, d)
+      val agg = binnedAucAgg(scoredRaw)
+      val out = labeled.agg(count(lit(1)).as("n_docs"),
+          sum(col("is_train").cast("long")).as("n_train"))
+        .crossJoin(agg)
+        .select(col("n_docs"), col("n_train"), col("n_test"),
+          ((col("rpos") - col("np") * (col("np") + 1) / 2.0) /
+            (col("np") * (col("n_test") - col("np"))) >= 0.75)
+            .cast("int").as("auc_floor"),
+          (col("n_correct").cast("double") / col("n_test") >= 0.75)
+            .cast("int").as("acc_floor"))
+        .localCheckpoint(true)
+      labeled.unpersist(blocking = false)
+      out
     })
   )
 
+  /** Shared by the two quality-classifier variants: rule-label the corpus
+    * (gopher signals, all row-local), fit the LR distillation on the md5
+    * train split, and score the held-out rows with a NATIVE margin
+    * expression built from the fitted weights (4 doubles + intercept
+    * pulled to the driver): production scoring is a codegen'd dot product
+    * at scan speed — model.transform's UDF closure is both slower and
+    * (Spark 4.1) drags the training summary's session reference into the
+    * task closure. Returns (labeled [persisted — caller unpersists],
+    * held-out rows with margin). */
+  private def qualityScored(s: SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.functions.array_to_vector
+    graft.functions.TextTokenize.register(s)
+    val words = "filter(split(text, ' '), x -> length(x) > 0)"
+    val stops = "('the', 'a', 'of', 'and', 'to')"
+    val labeled = Tables.documents(s, d).select(col("doc_id"),
+        expr(s"CAST(size($words) AS DOUBLE)").as("f_words"),
+        expr(s"round(aggregate($words, CAST(0 AS BIGINT), (a, x) -> a + length(x)) " +
+          s"/ CAST(size($words) AS DOUBLE), 4)").as("f_wlen"),
+        expr(s"CAST(size(filter($words, w -> w IN $stops)) AS DOUBLE)").as("f_stop"),
+        expr("round(CAST(graft_alpha_count(text) AS DOUBLE) / length(text), 4)")
+          .as("f_alpha"))
+      .withColumn("label",
+        (col("f_words").between(30, 10000) && col("f_wlen").between(3.5, 10.0) &&
+          col("f_stop") >= 3 && col("f_alpha") >= 0.75).cast("double"))
+      .withColumn("is_train",
+        expr("substring(md5(CAST(doc_id AS STRING)), 1, 1) < 'c'"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val train = labeled.filter(col("is_train"))
+      .withColumn("features",
+        array_to_vector(array(col("f_words"), col("f_wlen"),
+          col("f_stop"), col("f_alpha"))))
+    val model = new LogisticRegression().setMaxIter(100)
+      .setFeaturesCol("features").setLabelCol("label").fit(train)
+    val w = model.coefficients.toArray
+    val margin = lit(model.intercept) + lit(w(0)) * col("f_words") +
+      lit(w(1)) * col("f_wlen") + lit(w(2)) * col("f_stop") +
+      lit(w(3)) * col("f_alpha")
+    (labeled, labeled.filter(!col("is_train")).withColumn("margin", margin))
+  }
+
+  /** Binned Mann-Whitney core over (margin, label) rows: width-0.25 bins
+    * aligned at zero, per-bin partial+final aggregate, then ONE cumulative
+    * window whose input is the bounded bin table (never corpus-cardinality
+    * rows). Items in a bin occupy ranks (cum-n_b+1 .. cum) so their
+    * tie-averaged rank is cum - (n_b-1)/2. Emits the 1-row
+    * (n_test, np, rpos, n_correct) frame both verdict floors derive from.
+    * private[graft] so PlanSpec pins the bounded-window shape. */
+  private[graft] def binnedAucAgg(
+      scored: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val bins = scored
+      .groupBy(floor(col("margin") * 4).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n_b"), sum(col("label")).as("p_b"))
+    val wb = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bins
+      .withColumn("cum", sum(col("n_b")).over(wb))
+      .withColumn("avg_rank", col("cum") - (col("n_b") - 1) / 2.0)
+      .agg(sum(col("n_b")).as("n_test"),
+        sum(col("p_b")).as("np"),
+        sum(col("p_b") * col("avg_rank")).as("rpos"),
+        sum(when(col("bin") >= 0, col("p_b"))
+          .otherwise(col("n_b") - col("p_b"))).as("n_correct"))
+  }
+
   val oracle: Map[String, String] = Map(
     "q_quality_classifier" ->
+      ("SELECT count(*) AS n_docs, " +
+        "count(*) FILTER (WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c') AS n_train, " +
+        "count(*) FILTER (WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= 'c') AS n_test, " +
+        "1 AS auc_floor, 1 AS acc_floor FROM documents"),
+    // same contract as the exact-rank variant: the oracle re-derives the
+    // split counts and asserts the fit-quality self-verdicts hold
+    "q_quality_classifier_binned" ->
       ("SELECT count(*) AS n_docs, " +
         "count(*) FILTER (WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c') AS n_train, " +
         "count(*) FILTER (WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= 'c') AS n_test, " +

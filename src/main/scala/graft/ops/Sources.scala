@@ -122,13 +122,35 @@ object Sources {
     }),
 
     // write_orc → read-back round-trip (columnar alternative to parquet,
-    // built into spark-sql; the reference's Arrow IPC slot — Spark has no
-    // native Arrow file reader, ORC is the columnar stand-in, SURVEY §2.3).
+    // built into spark-sql).
     "q_scan_orc" -> ((s, d) => {
       val path = scratch("orders_orc")
       Tables.orders(s, d).select("o_orderstatus", "o_totalprice")
         .write.mode("overwrite").orc(path)
       summarize(s.read.orc(path))
+    }),
+
+    // pl.read_avro parity (SURVEY §2.3): the spark-avro datasource jar is
+    // absent from this build, so graft.sources.AvroIO implements the
+    // object-container format on avro-core directly — per-partition
+    // container writes, binaryFile-scan + mapPartitions decode reads.
+    // Same lossless round-trip contract as the CSV/JSON/ORC scans.
+    "q_scan_avro" -> ((s, d) => {
+      val path = scratch("orders_avro")
+      graft.sources.AvroIO.write(
+        Tables.orders(s, d).select("o_orderstatus", "o_totalprice"), path)
+      summarize(graft.sources.AvroIO.read(s, path))
+    }),
+
+    // polars read_ipc parity (SURVEY §2.3): Spark has no native Arrow IPC
+    // file reader, so graft.sources.ArrowIO implements the random-access
+    // IPC format on the arrow-vector jars Spark already ships — polars
+    // reads these files and vice versa.
+    "q_scan_arrow" -> ((s, d) => {
+      val path = scratch("orders_arrow")
+      graft.sources.ArrowIO.write(
+        Tables.orders(s, d).select("o_orderstatus", "o_totalprice"), path)
+      summarize(graft.sources.ArrowIO.read(s, path))
     }),
 
     // sample(fraction, seed): Bernoulli row sampling. Sampling RNGs differ
@@ -242,6 +264,8 @@ object Sources {
     "q_scan_csv" -> summarySql,
     "q_scan_json" -> summarySql,
     "q_scan_orc" -> summarySql,
+    "q_scan_avro" -> summarySql,
+    "q_scan_arrow" -> summarySql,
     "q_sink_parquet" -> summarySql,
     "q_scan_text" ->
       ("SELECT count(*) AS n_lines, count(*) AS n_docs, 1 AS content_match " +

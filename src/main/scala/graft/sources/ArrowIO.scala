@@ -1,0 +1,184 @@
+package graft.sources
+
+import java.nio.channels.Channels
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector.{BigIntVector, BitVector, Float4Vector, Float8Vector, IntVector, VarCharVector, VectorSchemaRoot}
+import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowFileWriter, SeekableReadChannel}
+import org.apache.arrow.vector.types.FloatingPointPrecision
+import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
+import org.apache.arrow.vector.util.ByteArrayReadableSeekableByteChannel
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Distributed Arrow IPC (Feather v2 / `.arrow` random-access file format)
+  * read/write built on the arrow-vector jars Spark already ships for its
+  * pandas interchange.
+  *
+  * The reference grants Arrow IPC scan (polars `read_ipc`, SURVEY §2.3);
+  * Spark has no native reader, so the format is implemented here: WRITE
+  * emits one IPC file per partition (record batches of `BatchRows` rows)
+  * through the Hadoop filesystem API; READ scans the files with Spark's
+  * `binaryFile` source and decodes per-file in `mapPartitions` (the same
+  * justified imperative seam as AvroIO / the multimodal decode). Polars
+  * can read these files and this reader accepts polars-written ones —
+  * that is the interchange the reference's users actually exercise.
+  *
+  * Scalar schemas only (long/int/double/float/string/boolean, nullable).
+  * `binaryFile` caps one file at 2 GB — size write-side partitions
+  * accordingly.
+  */
+object ArrowIO {
+
+  val BatchRows = 4096
+
+  private def arrowField(f: StructField): Field = {
+    val t: ArrowType = f.dataType match {
+      case LongType    => new ArrowType.Int(64, true)
+      case IntegerType => new ArrowType.Int(32, true)
+      case DoubleType  => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
+      case FloatType   => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
+      case StringType  => new ArrowType.Utf8()
+      case BooleanType => new ArrowType.Bool()
+      case other => throw new IllegalArgumentException(
+        s"ArrowIO supports scalar columns only, got: $other")
+    }
+    new Field(f.name, new FieldType(f.nullable, t, null), null)
+  }
+
+  private def structField(f: Field): StructField = {
+    val dt = f.getType match {
+      case i: ArrowType.Int if i.getBitWidth == 64 => LongType
+      case i: ArrowType.Int if i.getBitWidth == 32 => IntegerType
+      case fp: ArrowType.FloatingPoint
+          if fp.getPrecision == FloatingPointPrecision.DOUBLE => DoubleType
+      case fp: ArrowType.FloatingPoint
+          if fp.getPrecision == FloatingPointPrecision.SINGLE => FloatType
+      case _: ArrowType.Utf8 => StringType
+      case _: ArrowType.Bool => BooleanType
+      case other => throw new IllegalArgumentException(
+        s"ArrowIO cannot map Arrow type $other")
+    }
+    StructField(f.getName, dt, f.isNullable)
+  }
+
+  private def setValue(root: VectorSchemaRoot, c: Int, i: Int, v: Any): Unit =
+    root.getVector(c) match {
+      case vec: BigIntVector  => vec.setSafe(i, v.asInstanceOf[Long])
+      case vec: IntVector     => vec.setSafe(i, v.asInstanceOf[Int])
+      case vec: Float8Vector  => vec.setSafe(i, v.asInstanceOf[Double])
+      case vec: Float4Vector  => vec.setSafe(i, v.asInstanceOf[Float])
+      case vec: BitVector     => vec.setSafe(i, if (v.asInstanceOf[Boolean]) 1 else 0)
+      case vec: VarCharVector =>
+        vec.setSafe(i, v.asInstanceOf[String]
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      case other => throw new IllegalArgumentException(
+        s"unsupported vector ${other.getClass}")
+    }
+
+  private def getValue(root: VectorSchemaRoot, c: Int, i: Int): Any = {
+    val vec = root.getVector(c)
+    if (vec.isNull(i)) null
+    else vec match {
+      case v: BigIntVector  => v.get(i)
+      case v: IntVector     => v.get(i)
+      case v: Float8Vector  => v.get(i)
+      case v: Float4Vector  => v.get(i)
+      case v: BitVector     => v.get(i) == 1
+      case v: VarCharVector =>
+        new String(v.get(i), java.nio.charset.StandardCharsets.UTF_8)
+      case other => throw new IllegalArgumentException(
+        s"unsupported vector ${other.getClass}")
+    }
+  }
+
+  /** Write `df` as Arrow IPC files, one per partition (`part-N.arrow`),
+    * overwriting `path`. */
+  def write(df: DataFrame, path: String): Unit = {
+    val st = df.schema
+    val p0 = new org.apache.hadoop.fs.Path(path)
+    val fs0 = p0.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    fs0.delete(p0, true)
+    fs0.mkdirs(p0)
+    df.rdd.mapPartitionsWithIndex { (pid, rows) =>
+      if (!rows.hasNext) Iterator.empty
+      else {
+        val schema = new ArrowSchema(st.fields.map(arrowField).toSeq.asJava)
+        val part = new org.apache.hadoop.fs.Path(s"$path/part-$pid.arrow")
+        val fs = part.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val out = fs.create(part, true)
+        val allocator = new RootAllocator(Long.MaxValue)
+        val root = VectorSchemaRoot.create(schema, allocator)
+        val w = new ArrowFileWriter(root, null, Channels.newChannel(out))
+        w.start()
+        var total = 0L
+        val grouped = rows.grouped(BatchRows)
+        grouped.foreach { batch =>
+          root.allocateNew()
+          var i = 0
+          batch.foreach { r =>
+            var c = 0
+            while (c < st.length) {
+              // allocateNew zeroes validity bits, so skipping a null cell
+              // leaves it null
+              if (!r.isNullAt(c)) setValue(root, c, i, r.get(c))
+              c += 1
+            }
+            i += 1
+          }
+          root.setRowCount(i)
+          w.writeBatch()
+          total += i
+        }
+        w.end(); w.close(); root.close(); allocator.close()
+        Iterator(total)
+      }
+    }.count(): Unit
+  }
+
+  /** Read a directory of Arrow IPC files as a DataFrame: `binaryFile`
+    * scan, per-file decode in mapPartitions. Schema from one driver-side
+    * file peek. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.arrow").load(path)
+      .select("content").as[Array[Byte]](Encoders.BINARY)
+    val headBytes = files.head()
+    val st = {
+      val alloc = new RootAllocator(Long.MaxValue)
+      val rd = new ArrowFileReader(new SeekableReadChannel(
+        new ByteArrayReadableSeekableByteChannel(headBytes)), alloc)
+      try StructType(
+        rd.getVectorSchemaRoot.getSchema.getFields.asScala.map(structField).toSeq)
+      finally { rd.close(); alloc.close() }
+    }
+    val n = st.length
+    files.mapPartitions { it =>
+      it.flatMap { bytes =>
+        val alloc = new RootAllocator(Long.MaxValue)
+        val rd = new ArrowFileReader(new SeekableReadChannel(
+          new ByteArrayReadableSeekableByteChannel(bytes)), alloc)
+        val root = rd.getVectorSchemaRoot
+        val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
+        // decode the whole (2 GB-bounded) file eagerly, then free the
+        // native buffers — lazy iteration over closed allocators is UB
+        while (rd.loadNextBatch()) {
+          var i = 0
+          val m = root.getRowCount
+          while (i < m) {
+            val vals = new Array[Any](n)
+            var c = 0
+            while (c < n) { vals(c) = getValue(root, c, i); c += 1 }
+            rows += Row.fromSeq(
+              scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+            i += 1
+          }
+        }
+        rd.close(); alloc.close()
+        rows.iterator
+      }
+    }(Encoders.row(st))
+  }
+}

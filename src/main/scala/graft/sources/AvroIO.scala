@@ -1,0 +1,161 @@
+package graft.sources
+
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileReader, DataFileWriter, SeekableByteArrayInput}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Distributed Avro container read/write built on avro-core only.
+  *
+  * The reference grants `read_avro` (SURVEY §2.3); this Spark build ships
+  * the Avro CORE jars but not the `spark-avro` datasource, so the format
+  * is implemented here directly: the WRITE side emits one standard Avro
+  * object-container file per partition through the Hadoop filesystem API
+  * (shared-FS ready), and the READ side scans those containers through
+  * Spark's `binaryFile` source and decodes per-file in `mapPartitions` —
+  * the same justified imperative seam as the multimodal decode
+  * (pipeline/Media.scala): scheduling, pruning, and everything downstream
+  * of the decode stays declarative.
+  *
+  * Scalar schemas only (long/int/double/float/string/boolean, nullable) —
+  * the training-pipeline interchange subset. `binaryFile` caps one
+  * container at 2 GB; write-side files are one-per-partition, so size
+  * them with the upstream partitioning.
+  */
+object AvroIO {
+
+  private def avroType(dt: DataType): Schema.Type = dt match {
+    case LongType    => Schema.Type.LONG
+    case IntegerType => Schema.Type.INT
+    case DoubleType  => Schema.Type.DOUBLE
+    case FloatType   => Schema.Type.FLOAT
+    case StringType  => Schema.Type.STRING
+    case BooleanType => Schema.Type.BOOLEAN
+    case other => throw new IllegalArgumentException(
+      s"AvroIO supports scalar columns only, got: $other")
+  }
+
+  /** StructType → Avro record schema (nullable columns become
+    * union[null, T], Avro's idiom). */
+  def avroSchemaFor(st: StructType, name: String = "graft_record"): Schema = {
+    val fields = new java.util.ArrayList[Schema.Field]()
+    st.fields.foreach { f =>
+      val base = Schema.create(avroType(f.dataType))
+      val s =
+        if (f.nullable)
+          Schema.createUnion(Schema.create(Schema.Type.NULL), base)
+        else base
+      fields.add(new Schema.Field(f.name, s, null, null))
+    }
+    val rec = Schema.createRecord(name, null, "graft", false)
+    rec.setFields(fields)
+    rec
+  }
+
+  private def structFor(schema: Schema): StructType = {
+    def unwrap(s: Schema): (Schema, Boolean) =
+      if (s.getType == Schema.Type.UNION) {
+        val nonNull = s.getTypes.stream()
+          .filter(_.getType != Schema.Type.NULL).findFirst().get()
+        (nonNull, true)
+      } else (s, false)
+    StructType(scala.jdk.CollectionConverters.ListHasAsScala(schema.getFields)
+      .asScala.map { f =>
+        val (s, nullable) = unwrap(f.schema())
+        val dt = s.getType match {
+          case Schema.Type.LONG    => LongType
+          case Schema.Type.INT     => IntegerType
+          case Schema.Type.DOUBLE  => DoubleType
+          case Schema.Type.FLOAT   => FloatType
+          case Schema.Type.STRING  => StringType
+          case Schema.Type.BOOLEAN => BooleanType
+          case other => throw new IllegalArgumentException(
+            s"AvroIO cannot map Avro type $other")
+        }
+        StructField(f.name(), dt, nullable)
+      }.toSeq)
+  }
+
+  /** Write `df` as Avro object-container files, one per partition
+    * (`part-N.avro`), overwriting `path`. */
+  def write(df: DataFrame, path: String): Unit = {
+    val st = df.schema
+    // ship the schema as its canonical JSON — cheap and version-stable
+    val schemaJson = avroSchemaFor(st).toString
+    val names = st.fieldNames
+    val p0 = new org.apache.hadoop.fs.Path(path)
+    val fs0 = p0.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    fs0.delete(p0, true)
+    fs0.mkdirs(p0)
+    df.rdd.mapPartitionsWithIndex { (pid, rows) =>
+      if (!rows.hasNext) Iterator.empty
+      else {
+        val schema = new Schema.Parser().parse(schemaJson)
+        val part = new org.apache.hadoop.fs.Path(s"$path/part-$pid.avro")
+        // task-side Configuration: loads cluster defaults from the
+        // classpath; credential-bearing confs should land there too
+        val fs = part.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val out = fs.create(part, true)
+        val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+        w.create(schema, out)
+        var n = 0L
+        rows.foreach { r =>
+          val rec = new GenericData.Record(schema)
+          var i = 0
+          while (i < names.length) {
+            rec.put(names(i), if (r.isNullAt(i)) null else r.get(i))
+            i += 1
+          }
+          w.append(rec)
+          n += 1
+        }
+        w.close()
+        Iterator(n)
+      }
+    }.count(): Unit
+  }
+
+  /** Read a directory of Avro container files as a DataFrame: `binaryFile`
+    * scan (Spark schedules/splits by file), per-file decode in
+    * mapPartitions. The schema comes from one driver-side container peek. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.avro").load(path)
+      .select("content").as[Array[Byte]](Encoders.BINARY)
+    val headBytes = files.head()
+    val headReader = new DataFileReader[GenericRecord](
+      new SeekableByteArrayInput(headBytes),
+      new GenericDatumReader[GenericRecord]())
+    val st = try structFor(headReader.getSchema) finally headReader.close()
+    val n = st.length
+    files.mapPartitions { it =>
+      it.flatMap { bytes =>
+        val rd = new DataFileReader[GenericRecord](
+          new SeekableByteArrayInput(bytes),
+          new GenericDatumReader[GenericRecord]())
+        new Iterator[Row] {
+          def hasNext: Boolean = {
+            val h = rd.hasNext
+            if (!h) rd.close()
+            h
+          }
+          def next(): Row = {
+            val rec = rd.next()
+            val vals = new Array[Any](n)
+            var i = 0
+            while (i < n) {
+              vals(i) = rec.get(i) match {
+                case null => null
+                case u: org.apache.avro.util.Utf8 => u.toString
+                case v => v
+              }
+              i += 1
+            }
+            Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+          }
+        }
+      }
+    }(Encoders.row(st))
+  }
+}

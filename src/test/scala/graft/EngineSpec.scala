@@ -54,6 +54,33 @@ class EngineSpec extends SparkSpec {
     val ans = s.ask(freshDf, "?")
     assert(ans.error.exists(_.isInstanceOf[RetriesExhausted]))
     assert(ans.text.startsWith("Unfortunately, I was not able to answer your question"))
+    // every failed try is on the trail: initial generation + 2 retries
+    assert(ans.attempts.length == 3 &&
+      ans.attempts.forall(a => a.sql.contains("nope") && a.error.nonEmpty))
+  }
+
+  test("correction-loop trail: per-try (sql, error) recorded on the Answer") {
+    // try 1: SqlGuard-rejected (unbound table); try 2: analysis error;
+    // try 3: succeeds. The reference keeps this in _logs/last_error; here
+    // the Answer must carry both failures in order so a caller can see WHY
+    // generations failed even though the ask ultimately succeeded.
+    val llm = FakeLlm(
+      "```sql\nSELECT x FROM secrets\n```",
+      "```sql\nSELECT nope_column FROM df\n```",
+      "```sql\nSELECT count(*) AS n FROM df\n```")
+    val s = new GraftSession(spark, llm, GraftConfig(maxRetries = 2))
+    val ans = s.ask(freshDf, "how many rows?")
+    assert(ans.error.isEmpty, ans.text)
+    assert(ans.text == "5")
+    assert(ans.attempts.map(_.sql.split("FROM ")(1).trim) ==
+      Seq("secrets", "df"), ans.attempts)
+    assert(ans.attempts.forall(_.error.nonEmpty))
+    assert(ans.attempts(0).error != ans.attempts(1).error,
+      "guard rejection and engine error must be distinguishable")
+    assert(s.lastAttempts == ans.attempts, "session telemetry mirrors the Answer")
+    // a later clean ask resets the trail
+    val ans2 = s.ask(freshDf, "count again differently?")
+    assert(ans2.error.isEmpty && ans2.attempts.isEmpty)
   }
 
   test("guard rejects DML/DDL injection") {

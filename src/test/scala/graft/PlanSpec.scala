@@ -100,6 +100,21 @@ class PlanSpec extends SparkSpec {
       "the window input must be the bounded per-bin aggregate, not the corpus")
   }
 
+  test("q_quality_classifier_binned: AUC window runs over the bin aggregate, not held-out rows") {
+    // the binned-AUC core on a synthetic scored frame (the full query
+    // localCheckpoints its 1-row output, hiding the internal plan): the
+    // cumulative window's input must be the bounded per-bin aggregate
+    import spark.implicits._
+    val scored = Seq((0.5, 1.0), (-0.3, 0.0), (1.2, 1.0), (0.1, 0.0))
+      .toDF("margin", "label")
+    val p = ops.Analytics.binnedAucAgg(scored)
+      .queryExecution.executedPlan.toString
+    val wIdx = p.indexOf("Window")
+    assert(wIdx >= 0, "binned AUC keeps one cumulative window over bins")
+    assert(p.indexOf("HashAggregate", wIdx) > wIdx,
+      "the window input must be the bounded per-bin aggregate, not the held-out rows")
+  }
+
   test("q_dedup_embedding: LSH signature equi-join, no driver materialization") {
     val p = plan("q_dedup_embedding")
     assert(!p.contains("Scan ExistingRDD") && !p.contains("MapPartitions") &&

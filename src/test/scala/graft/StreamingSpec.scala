@@ -334,6 +334,80 @@ class StreamingSpec extends SparkSpec {
       "incremental session counts must equal the batch sessionization")
   }
 
+  test("streaming as-of join: stream-static backward as-of == batch q_join_asof") {
+    // As-of-at-ingest: purchases ARRIVE as a stream, the click history is
+    // static. Backward as-of is per-left-row against the static right
+    // side, so microbatch boundaries cannot change the answer: each batch
+    // runs the same union-tag window encoding as q_join_asof (clicks sort
+    // before purchases at equal ts for the inclusive bound) over (batch
+    // purchases ∪ all clicks), and the union of batch outputs must equal
+    // the batch query exactly. foreachBatch is the stream-legal home for
+    // the window (rank/last windows are unsupported on raw streams).
+    val raw = spark.read.schema(layout.schema).parquet(s"$sf/events.parquet")
+    val clicks = raw.filter(col("event_type") === "click")
+      .withColumn("us", layout.tsMicrosExpr)
+      .select(col("user_id"), col("us"), lit(0).as("is_p"),
+        lit(null).cast("long").as("event_id"),
+        col("event_id").as("click_id"),
+        col("value").as("click_value"))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_asof_stream")
+    def stage(part: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_as_$name")
+      part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dst = dir.resolve(s"$name.parquet")
+      java.nio.file.Files.copy(f, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    stage(raw.filter(col("event_id") % 2 === 0), "0_even", 1000000L)
+    stage(raw.filter(col("event_id") % 2 === 1), "1_odd", 2000000L)
+
+    val outDir = java.nio.file.Files.createTempDirectory("graft_asof_out")
+    val stream = spark.readStream.schema(layout.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        val purchases = batch.filter(col("event_type") === "purchase")
+          .withColumn("us", layout.tsMicrosExpr)
+          .select(col("user_id"), col("us"), lit(1).as("is_p"),
+            col("event_id"),
+            lit(null).cast("long").as("click_id"),
+            lit(null).cast("double").as("click_value"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(col("us").asc, col("is_p").asc)
+          .rowsBetween(Long.MinValue, 0)
+        purchases.unionByName(clicks)
+          .withColumn("asof_click",
+            last(col("click_id"), ignoreNulls = true).over(w))
+          .withColumn("asof_value",
+            last(col("click_value"), ignoreNulls = true).over(w))
+          .filter(col("is_p") === 1)
+          .select(col("event_id"), col("user_id"),
+            col("asof_click").as("click_id"),
+            col("asof_value").as("click_value"))
+          .write.mode("append").parquet(outDir.toString)
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(q.recentProgress.map(_.batchId).distinct.length >= 2,
+        "split input must actually produce multiple microbatches")
+    } finally q.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), Option(r.get(2)), Option(r.get(3)))
+    val streamed = spark.read.parquet(outDir.toString)
+      .orderBy("event_id").collect().map(key)
+    val batchRes = SparkEntry.queries("q_join_asof")(spark, sf)
+      .collect().map(key)
+    assert(streamed.nonEmpty && streamed.sameElements(batchRes),
+      "per-microbatch as-of against the static click history must equal the batch as-of")
+  }
+
   test("streaming decontamination: stream-static shingle semi-join == batch decontaminate") {
     // Decontamination-at-ingest: documents arrive as a stream, the eval
     // benchmark's (static, small-by-nature) shingle set joins against each
