@@ -415,6 +415,23 @@ object Similarity {
         .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
         .orderBy("a", "b")),
 
+    // The auto-width rule under cross-engine parity: Spark derives the
+    // default signature width exactly as embeddingNearDup's bits<=0 path
+    // does (autoBits over a corpus count); the oracle recomputes the same
+    // max(8, min(24, floor(log2(n/2)))) in SQL — so the width the default
+    // path would pick is verified against an independent engine at
+    // whatever corpus size the driver ships. (Pair-finding on the default
+    // path is pinned by ApiSpec bits=0 and the embed_dedup_auto rehearsal
+    // workload; pairs themselves aren't emitted here because a
+    // width-dependent result would break whenever the corpus count — and
+    // therefore the chosen width — legitimately changes.)
+    "q_dedup_embedding_auto" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val width = autoBits(e.count())
+      e.agg(count(lit(1)).as("n_corpus"))
+        .select(col("n_corpus"), lit(width).cast("int").as("bits_used"))
+    }),
+
     // Unified ANN recall report — the index-selection table: every
     // approximate variant (exact-cell IVF, nprobe=2 IVF, multi-probe LSH)
     // scored against the SAME brute-force top-3 truth over the SAME
@@ -756,6 +773,12 @@ object Similarity {
         "FROM probed q JOIN sigs c ON q.psig = c.sig AND q.vec_id < c.vec_id), " +
         "pair AS (SELECT DISTINCT a, b, cos FROM raw WHERE cos >= 0.9) " +
         "SELECT a, b, round(cos, 6) AS cos FROM pair ORDER BY a, b"),
+    // the independent re-derivation of autoBits: max(8, min(24,
+    // floor(log2(n/2)))) over whatever corpus count the driver ships
+    "q_dedup_embedding_auto" ->
+      ("SELECT count(*) AS n_corpus, " +
+        "CAST(GREATEST(8, LEAST(24, CAST(floor(log2(count(*) / 2.0)) AS INTEGER))) AS INTEGER) AS bits_used " +
+        "FROM embeddings"),
     "q_ann_recall" -> {
       def dotOf(a: String, b: String) =
         s"list_sum(list_transform(list_zip($a.embedding, $b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"

@@ -282,8 +282,8 @@ class PlanSpec extends SparkSpec {
     "q_sample_temperature" -> "1-row min-mix-count aggregate broadcast",
     "q_shard_write" -> "1-row shard-stats × 1-row total verdict join"
     // q_contamination_bloom's 1-row verdict joins are invisible to the
-    // sweep: the query localCheckpoints its single-row output eagerly,
-    // as do q_embed_pca / q_quality_classifier / q_ann_ivf_kmeans
+    // sweep: the query localCheckpoints its single-row output eagerly, as
+    // do q_embed_pca / q_quality_classifier(_binned) / q_ann_ivf_kmeans
   )
 
   test("sweep: no CartesianProduct anywhere; BNLJ only where justified") {

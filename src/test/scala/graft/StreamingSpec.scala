@@ -408,6 +408,58 @@ class StreamingSpec extends SparkSpec {
       "per-microbatch as-of against the static click history must equal the batch as-of")
   }
 
+  test("streaming shard sink: foreachBatch AvroIO shards reassemble the corpus") {
+    // training-shards-at-ingest: documents arrive as a stream and every
+    // microbatch lands as Avro container shards (graft.sources.AvroIO,
+    // one container per partition). The union of all shards read back
+    // through the same IO must equal the batch corpus exactly — the sink
+    // face of the q_scan_avro round-trip, across a batch boundary.
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val raw = spark.read.schema(schema).parquet(s"$sf/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_shard_stream")
+    def stage(part: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_sh_$name")
+      part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dst = dir.resolve(s"$name.parquet")
+      java.nio.file.Files.copy(f, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    stage(raw.filter(col("doc_id") % 2 === 0), "0_even", 1000000L)
+    stage(raw.filter(col("doc_id") % 2 === 1), "1_odd", 2000000L)
+
+    val out = java.nio.file.Files.createTempDirectory("graft_shard_out")
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) =>
+        // one shard dir per microbatch: AvroIO.write overwrites its target,
+        // so batches must not share one
+        graft.sources.AvroIO.write(
+          batch.select("doc_id", "text"), s"$out/batch_$id")
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(q.recentProgress.map(_.batchId).distinct.length >= 2,
+        "split input must actually produce multiple microbatches")
+    } finally q.stop()
+
+    val shards = graft.sources.AvroIO.read(spark, s"$out/*")
+    val shardAgg = shards.agg(count(lit(1)).as("n"),
+      expr("bit_xor(xxhash64(doc_id, text))").as("digest")).head
+    val corpusAgg = raw.agg(count(lit(1)).as("n"),
+      expr("bit_xor(xxhash64(doc_id, text))").as("digest")).head
+    assert(shardAgg == corpusAgg && corpusAgg.getLong(0) > 0,
+      "reassembled shards must equal the batch corpus (order-independent digest)")
+  }
+
   test("streaming decontamination: stream-static shingle semi-join == batch decontaminate") {
     // Decontamination-at-ingest: documents arrive as a stream, the eval
     // benchmark's (static, small-by-nature) shingle set joins against each
