@@ -145,7 +145,9 @@ object ArrowIO {
     val files = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.arrow").load(path)
       .select("content").as[Array[Byte]](Encoders.BINARY)
-    val headBytes = files.head()
+    val headBytes = files.limit(1).collect().headOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"ArrowIO.read: no .arrow IPC files under $path"))
     val st = {
       val alloc = new RootAllocator(Long.MaxValue)
       val rd = new ArrowFileReader(new SeekableReadChannel(

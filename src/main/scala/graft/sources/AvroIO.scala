@@ -123,7 +123,9 @@ object AvroIO {
     val files = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.avro").load(path)
       .select("content").as[Array[Byte]](Encoders.BINARY)
-    val headBytes = files.head()
+    val headBytes = files.limit(1).collect().headOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"AvroIO.read: no .avro container files under $path"))
     val headReader = new DataFileReader[GenericRecord](
       new SeekableByteArrayInput(headBytes),
       new GenericDatumReader[GenericRecord]())

@@ -72,6 +72,14 @@ class IOSpec extends SparkSpec {
       Row(3L, "grace", null, null)))
   }
 
+  test("empty input directories fail with a clear error, not a NoSuchElement") {
+    val empty = java.nio.file.Files.createTempDirectory("graft_io_empty").toString
+    val eAvro = intercept[IllegalArgumentException](AvroIO.read(spark, empty))
+    assert(eAvro.getMessage.contains("no .avro"))
+    val eArrow = intercept[IllegalArgumentException](ArrowIO.read(spark, empty))
+    assert(eArrow.getMessage.contains("no .arrow"))
+  }
+
   test("ArrowIO batches large partitions into multiple record batches") {
     // > BatchRows rows in one partition forces the writer's batch loop
     val n = ArrowIO.BatchRows + 10
