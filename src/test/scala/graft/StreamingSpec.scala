@@ -408,6 +408,86 @@ class StreamingSpec extends SparkSpec {
       "per-microbatch as-of against the static click history must equal the batch as-of")
   }
 
+  test("stateful streaming as-of: per-user click state carries across microbatches") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+
+    // The TRUE streaming as-of (no static side): clicks and purchases
+    // arrive in ONE time-ordered stream, split at the median event time so
+    // batch 2's purchases can only match their batch-1 clicks through
+    // per-user state surviving the microbatch boundary. State is O(1) per
+    // user — exactly the latest click (ts, id, value) — which is what
+    // makes backward as-of streamable at scale. Ground truth is the full
+    // batch q_join_asof.
+    val raw = spark.read.schema(layout.schema).parquet(s"$sf/events.parquet")
+      .withColumn("us", layout.tsMicrosExpr)
+    val med = raw.agg(expr("percentile(us, 0.5)")).head.getDouble(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_asof_state")
+    def stage(part: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_ass_$name")
+      part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dst = dir.resolve(s"$name.parquet")
+      java.nio.file.Files.copy(f, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    stage(raw.filter(col("us") < med).drop("us"), "0_early", 1000000L)
+    stage(raw.filter(col("us") >= med).drop("us"), "1_late", 2000000L)
+
+    val matched = spark.readStream.schema(layout.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), layout.tsMicrosExpr.as("us"), col("user_id"),
+        (col("event_type") === "purchase").as("is_p"), col("value"))
+      .as[(Long, Long, Long, Boolean, Double)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[(Long, Long, Long, Boolean, Double)],
+            state: GroupState[(Long, Long, Double)]) =>
+          var last = state.getOption // latest click: (us, click_id, value)
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Option[Long], Option[Double])]
+          // within a batch, replay in event-time order; clicks sort before
+          // purchases at equal ts — the batch encoding's inclusive >= bound
+          for (e <- it.toSeq.sortBy(e => (e._2, e._4, e._1))) {
+            if (!e._4) last = Some((e._2, e._1, e._5))
+            else out += ((e._1, user, last.map(_._2), last.map(_._3)))
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+
+    val q = matched.toDF("event_id", "user_id", "click_id", "click_value")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("asof_state_out").start()
+    try {
+      q.processAllAvailable()
+      assert(q.recentProgress.map(_.batchId).distinct.length >= 2,
+        "split input must actually produce multiple microbatches")
+    } finally q.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), Option(r.get(2)), Option(r.get(3)))
+    val streamed = spark.table("asof_state_out")
+      .orderBy("event_id").collect().map(key)
+    val batchRes = SparkEntry.queries("q_join_asof")(spark, sf)
+      .collect().map(key)
+    assert(streamed.nonEmpty && streamed.sameElements(batchRes),
+      "stateful streaming as-of must equal the batch union-tag as-of")
+    // the cross-batch evidence, asserted not assumed: at least one batch-2
+    // purchase (us >= med) matched a batch-1 click (us < med), which only
+    // state carried across the boundary can produce
+    val ev = raw.select(col("event_id"), col("us"))
+    val cross = spark.table("asof_state_out").as("m")
+      .join(ev.as("p"), col("m.event_id") === col("p.event_id"))
+      .join(ev.as("c"), col("m.click_id") === col("c.event_id"))
+      .filter(col("p.us") >= med && col("c.us") < med).count()
+    assert(cross > 0,
+      "split must produce purchases whose as-of click lives in the earlier batch")
+  }
+
   test("streaming shard sink: foreachBatch AvroIO shards reassemble the corpus") {
     // training-shards-at-ingest: documents arrive as a stream and every
     // microbatch lands as Avro container shards (graft.sources.AvroIO,
