@@ -45,7 +45,9 @@ class InvarianceSpec extends SparkSpec {
     "q_ann_pq",           // code argmin + ADC double-sum under 6dp round
     "q_pipeline_pretrain", // composed strip → gate → chunk → pack chain
     "q_bigram_lm",        // tf-weighted transcendental sum under 4dp round
-    "q_bpe_pairs")        // vocab-weighted pair counts + deterministic top-20 cut
+    "q_bpe_pairs",        // vocab-weighted pair counts + deterministic top-20 cut
+    "q_quality_classifier_binned") // LR fit (treeAggregate order) + binned AUC:
+                          // thresholded verdicts must absorb partition-order ulps
 
   test("results are invariant under shuffle-partition counts 3/13/32") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")
