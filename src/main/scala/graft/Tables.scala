@@ -73,34 +73,42 @@ object Tables {
     * stream schema plus the two normalizers every consumer needs. This is
     * the single choke point for the ts layout — tests and streaming code
     * must not hardcode `ts DIV 1000` (it silently shifts every window
-    * boundary 1000× when the driver regenerates testdata as micros). */
-  final case class EventsLayout(tsIsLong: Boolean) {
+    * boundary 1000× when the driver regenerates testdata as micros).
+    * The schema declares EXACTLY the type the batch reader inferred
+    * (raw-nanos Long, TimestampNTZType, or — defensively, mirroring
+    * `events`' LTZ branch — TimestampType for an adjusted-to-UTC
+    * regeneration), so no future layout flip can produce a
+    * reader/schema mismatch. */
+  final case class EventsLayout(tsType: org.apache.spark.sql.types.DataType) {
     import org.apache.spark.sql.Column
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros, unix_micros}
     import org.apache.spark.sql.types._
+    def tsIsLong: Boolean = tsType == LongType
     val schema: StructType = StructType(Seq(
       StructField("event_id", LongType),
-      StructField("ts", if (tsIsLong) LongType else TimestampNTZType),
+      StructField("ts", tsType),
       StructField("user_id", LongType),
       StructField("event_type", StringType),
       StructField("value", DoubleType),
       StructField("props", StringType)))
     /** `ts` → TimestampType instant; equals the file's wall clock under the
       * UTC session every entrypoint enforces. */
-    def tsTimestampExpr: Column =
-      if (tsIsLong) timestamp_micros(expr("ts DIV 1000"))
-      else col("ts").cast("timestamp")
+    def tsTimestampExpr: Column = tsType match {
+      case LongType      => timestamp_micros(expr("ts DIV 1000"))
+      case TimestampType => col("ts")
+      case _             => col("ts").cast("timestamp")
+    }
     /** `ts` → microseconds-since-epoch Long (UTC session precondition as
       * above; integer arithmetic throughout — doubles cannot hold nanos). */
-    def tsMicrosExpr: Column =
-      if (tsIsLong) expr("ts DIV 1000")
-      else unix_micros(col("ts").cast("timestamp"))
+    def tsMicrosExpr: Column = tsType match {
+      case LongType      => expr("ts DIV 1000")
+      case TimestampType => unix_micros(col("ts"))
+      case _             => unix_micros(col("ts").cast("timestamp"))
+    }
   }
 
-  def eventsLayout(s: SparkSession, d: String): EventsLayout = {
-    import org.apache.spark.sql.types.LongType
-    EventsLayout(eventsRaw(s, d).schema("ts").dataType == LongType)
-  }
+  def eventsLayout(s: SparkSession, d: String): EventsLayout =
+    EventsLayout(eventsRaw(s, d).schema("ts").dataType)
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

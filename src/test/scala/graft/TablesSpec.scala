@@ -41,6 +41,21 @@ class TablesSpec extends SparkSpec {
     assert(Tables.eventsLayout(spark, d).tsIsLong)
   }
 
+  test("events dispatch: adjusted-to-UTC (LTZ) layout normalizes to the same wall clock") {
+    import spark.implicits._
+    // a plain TimestampType column lands as INT96 or adjusted-to-UTC
+    // micros depending on writer conf — either reads back as TimestampType,
+    // exercising the defensive third branch of both dispatch points
+    val d = fabricate(Seq((1L, micros)).toDF("event_id", "us")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts")))
+    assert(Tables.events(spark, d).select("ts").head.get(0) == wallClock)
+    val lay = Tables.eventsLayout(spark, d)
+    assert(!lay.tsIsLong)
+    val r = spark.read.schema(lay.schema).parquet(s"$d/events.parquet")
+      .select(lay.tsTimestampExpr.as("t"), lay.tsMicrosExpr.as("us")).head
+    assert(r.getLong(1) == micros, "LTZ layout must yield the same micros")
+  }
+
   test("EventsLayout stream schema + normalizers agree across layouts") {
     import spark.implicits._
     def full(ts: org.apache.spark.sql.Column) = Seq(1L).toDF("event_id")
