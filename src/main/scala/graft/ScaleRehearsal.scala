@@ -218,6 +218,17 @@ object ScaleRehearsal {
       // number a pretraining prep run actually pays
       "pipeline_pretrain" -> { d: String =>
         SparkEntry.queries("q_pipeline_pretrain")(spark, d).count(): Unit
+      },
+      // the hand-rolled Avro container IO (graft.sources.AvroIO): write
+      // the corpus as per-partition containers, read it back through the
+      // binaryFile+decode path — both sides must scale linearly in rows
+      "avro_roundtrip" -> { d: String =>
+        val p = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), "graft_scale_avro").toString
+        graft.sources.AvroIO.write(
+          Tables.documents(spark, d).select("doc_id", "text")
+            .repartition(32), p)
+        graft.sources.AvroIO.read(spark, p).count(): Unit
       })
 
     def time(fn: String => Unit, dir: String): Double =
