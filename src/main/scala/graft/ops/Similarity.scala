@@ -76,7 +76,7 @@ object Similarity {
     * corpus m× bigger needs ~log2(m) more bits to keep per-bucket work
     * constant (measured live: the 60× rehearsal's fixed-8-bit
     * embed_dedup ratio hit 34× before width scaling recovered it). */
-  private[ops] def sigExprN(dialect: String, bits: Int): String =
+  private[graft] def sigExprN(dialect: String, bits: Int): String =
     if (dialect == "spark")
       (0 until bits).map(bitExpr(_, "spark")).mkString("concat(", ", ", ")")
     else (0 until bits).map(bitExpr(_, "duck")).mkString(" || ")

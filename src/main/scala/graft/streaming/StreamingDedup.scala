@@ -113,4 +113,99 @@ object StreamingDedup {
   def detect(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", minEst: Double = 0.5): Dataset[CandidatePair] =
     nearDupPairs(withBandKeys(docs, idCol, textCol), minEst)
+
+  // ---------------------------------------------------------------------
+  // Embedding-space dedup-at-ingest — the streaming face of
+  // ops.Similarity.embeddingNearDup: hyperplane LSH signature + Hamming≤1
+  // multi-probe, exact cosine verified within buckets only.
+  // ---------------------------------------------------------------------
+
+  /** A cosine-verified embedding near-dup: `a` < `b` by vec id. */
+  case class EmbPair(a: Long, b: Long, cos: Double)
+
+  private[graft] case class ProbedVec(gkey: String, own: Boolean,
+    vec_id: Long, embedding: Seq[Float], nrm: Double)
+
+  private[graft] case class EmbBucketState(
+    members: List[(Long, Seq[Float], Double)])
+
+  /** Same ascending double fold as the codegen'd dot_f kernel, so the
+    * streaming cosine is bit-identical to the batch path's. */
+  private def dotSeq(a: Seq[Float], b: Seq[Float]): Double = {
+    var s = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  /** Row-local signature + multi-probe fan-out: one row per (vector ×
+    * probe), `gkey` = the probed signature, `own` marks the identity probe
+    * (the row that ADDS the vector to its exact-signature bucket; the
+    * other bits+1-1 rows only LOOK). Stateless projection + explode —
+    * append-mode-legal, identical on batch and streaming frames. */
+  def withProbeKeys(vecs: DataFrame, idCol: String, vecCol: String,
+      bits: Int): DataFrame = {
+    graft.functions.FloatDotProduct.register(vecs.sparkSession)
+    vecs.select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol).as("embedding"))
+      .withColumn("nrm", expr("sqrt(dot_f(embedding, embedding))"))
+      .withColumn("sig", expr(graft.ops.Similarity.sigExprN("spark", bits)))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("sig"),
+        explode(expr(graft.ops.Similarity.probesExpr("sig", "spark", bits)))
+          .as("gkey"))
+      .select(col("gkey"), (col("gkey") === col("sig")).as("own"),
+        col("vec_id"), col("embedding"), col("nrm"))
+  }
+
+  /** Stateful in-bucket verification. Group = one exact-signature bucket;
+    * state = its members (id, embedding, norm), capped like the text
+    * path. Emission is exactly-once by construction: an arriving row
+    * pairs with every PREVIOUS-batch member (their probe rows ran in
+    * earlier batches and can never see this vector), and with earlier
+    * in-batch members only through ascending vec_id processing — the
+    * reverse-direction probe row sees an empty `fresh` and stays silent.
+    * A pair (a, b) with Hamming(sig_a, sig_b) ≤ 1 matches in EXACTLY one
+    * group (the exact signature of the stored side), so no cross-group
+    * duplicates either. */
+  def embeddingPairs(probed: Dataset[ProbedVec], minCos: Double = 0.9,
+      maxBucket: Int = graft.ops.Dedup.defaultMaxBucket): Dataset[EmbPair] = {
+    val spark = probed.sparkSession
+    import spark.implicits._
+    probed.groupByKey(_.gkey)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[ProbedVec],
+         state: GroupState[EmbBucketState]) =>
+          val old = state.getOption.map(_.members).getOrElse(Nil)
+          var fresh = List.empty[(Long, Seq[Float], Double)]
+          val out = List.newBuilder[EmbPair]
+          for (r <- rows.toSeq.sortBy(_.vec_id)) {
+            for ((mid, memb, mnrm) <- old ++ fresh; if mid != r.vec_id) {
+              val cos = dotSeq(r.embedding, memb) / (r.nrm * mnrm)
+              if (cos >= minCos)
+                out += EmbPair(math.min(mid, r.vec_id),
+                  math.max(mid, r.vec_id), cos)
+            }
+            if (r.own && old.size + fresh.size < maxBucket &&
+                !old.exists(_._1 == r.vec_id) &&
+                !fresh.exists(_._1 == r.vec_id))
+              fresh = fresh :+ ((r.vec_id, r.embedding, r.nrm))
+          }
+          if (fresh.nonEmpty) state.update(EmbBucketState(old ++ fresh))
+          out.result().iterator
+      }
+  }
+
+  /** Convenience composition: embedding vectors stream in, cosine-verified
+    * near-dup pairs stream out (distinct by construction — see
+    * [[embeddingPairs]]). Width is the same corpus-size knob as the batch
+    * path; pass ops.Similarity.autoBits(expectedCorpus) when sizing for
+    * an ingest pipeline. */
+  def detectEmbedding(vecs: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", bits: Int = graft.ops.Similarity.Planes,
+      minCos: Double = 0.9): Dataset[EmbPair] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    embeddingPairs(
+      withProbeKeys(vecs, idCol, vecCol, bits).as[ProbedVec], minCos)
+  }
 }

@@ -488,6 +488,64 @@ class StreamingSpec extends SparkSpec {
       "split must produce purchases whose as-of click lives in the earlier batch")
   }
 
+  test("streaming embedding near-dedup: cross-microbatch pairs == batch multi-probe LSH") {
+    // embedding-dedup-at-ingest (StreamingDedup.detectEmbedding): batch 2
+    // brings ×2-scaled copies of batch-1 vectors (scaling is
+    // signature-invariant, cosine 1.0), so their pairs can only surface if
+    // the exact-signature buckets carry batch-1 members across the
+    // boundary. Ground truth is the batch multi-probe path at the same
+    // width.
+    import graft.streaming.StreamingDedup
+    val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val late = e.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        expr("transform(embedding, x -> CAST(x * 2 AS FLOAT))").as("embedding"))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_embdup_stream")
+    def stage(part: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_ed_$name")
+      part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dst = dir.resolve(s"$name.parquet")
+      java.nio.file.Files.copy(f, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    stage(e, "0_base", 1000000L)
+    stage(late, "1_late", 2000000L)
+
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val pairs = StreamingDedup.detectEmbedding(stream)
+    val q = pairs.toDF().writeStream.outputMode("append")
+      .format("memory").queryName("embdup_out").start()
+    try {
+      q.processAllAvailable()
+      assert(q.recentProgress.map(_.batchId).distinct.length >= 2,
+        "split input must actually produce multiple microbatches")
+    } finally q.stop()
+
+    val streamed = spark.table("embdup_out")
+      .select(col("a"), col("b"), round(col("cos"), 6).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(streamed.length == streamed.distinct.length,
+      "emission must be exactly-once per pair")
+    val truth = ops.Similarity.embeddingNearDup(
+        e.unionByName(late), "vec_id", "embedding",
+        bits = ops.Similarity.Planes, minCos = 0.9)
+      .select(col("a"), col("b"), round(col("cos"), 6).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(streamed.toSet == truth.toSet,
+      s"streaming pairs must equal the batch multi-probe LSH: " +
+        s"missing=${truth.toSet -- streamed.toSet}, extra=${streamed.toSet -- truth.toSet}")
+    assert(streamed.exists { case (a, b, _) => a < 100000L && b >= 100000L },
+      "late scaled copies must pair with their batch-1 originals via state")
+  }
+
   test("streaming shard sink: foreachBatch AvroIO shards reassemble the corpus") {
     // training-shards-at-ingest: documents arrive as a stream and every
     // microbatch lands as Avro container shards (graft.sources.AvroIO,
