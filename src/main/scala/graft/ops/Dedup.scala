@@ -653,6 +653,69 @@ object Dedup {
       out
     }),
 
+    // Persistent EMBEDDING dedup index — the vector face of q_dedup_index:
+    // the corpus is signed once (8-bit hyperplane LSH) and saved BUCKETED
+    // BY the signature, so an incremental vector batch probes it with
+    // ZERO corpus-side exchange. Multi-probe recall lives entirely on the
+    // batch side (the batch explodes to its Hamming≤1 probe signatures and
+    // equi-joins `sig`), so widening recall never touches the corpus
+    // layout. Exact cosine (codegen'd dot_f) verifies candidates only.
+    // Batch plants: ×2 scalings (+100000, signature-invariant) and
+    // hyperplane-0 reflections (+200000, flip exactly bit 0 — provably
+    // invisible without the probes). Verdict audits the FINAL AQE plan:
+    // exactly one join-key Exchange (the batch) + a bucketed corpus scan.
+    "q_embed_index" -> ((s, d) => {
+      graft.functions.FloatDotProduct.register(s)
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      val wh = new java.io.File(new java.io.File(sys.props("java.io.tmpdir")),
+        s"graft_embed_idx_$tag").getAbsolutePath
+      val idxTbl = s"graft_embed_idx_$tag"
+      val e = Tables.embeddings(s, d)
+      e.select(col("vec_id"), col("embedding"))
+        .withColumn("nrm", expr("sqrt(dot_f(embedding, embedding))"))
+        .withColumn("sig", expr(Similarity.sigExpr("spark")))
+        .write.mode("overwrite").bucketBy(8, "sig")
+        .option("path", s"$wh/embed_idx").saveAsTable(idxTbl)
+      val scaled = e.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          expr("transform(embedding, x -> CAST(x * 2 AS FLOAT))").as("embedding"))
+      val perturbed = e.filter(col("vec_id") % 10 === 5)
+        .withColumn("d0", expr(Similarity.dotPlane(0, "spark")))
+        .select((col("vec_id") + 200000).as("vec_id"),
+          expr("zip_with(embedding, " + Similarity.planeLit(0, "spark") +
+            ", (x, h) -> CAST(CAST(x AS DOUBLE) - d0 * 1.05 / 64 * h AS FLOAT))")
+            .as("embedding"))
+      val batch = scaled.unionByName(perturbed)
+      val batchProbe = batch
+        .withColumn("nb", expr("sqrt(dot_f(embedding, embedding))"))
+        .withColumn("sig0", expr(Similarity.sigExpr("spark")))
+        .select(col("vec_id").as("bid"), col("embedding").as("eb"),
+          col("nb"),
+          explode(expr(Similarity.probesExpr("sig0", "spark"))).as("sig"))
+      val joined = s.table(idxTbl).hint("merge")
+        .join(batchProbe, Seq("sig"))
+        .withColumn("cos",
+          round(expr("dot_f(embedding, eb)") / (col("nrm") * col("nb")), 6))
+        .filter(col("cos") >= 0.99)
+      joined.queryExecution.toRdd.foreach(_ => ())
+      val finalPlan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      val probeExchanges = finalPlan
+        .split(java.util.regex.Pattern.quote("Exchange hashpartitioning(sig"), -1)
+        .length - 1
+      val verdict =
+        if (probeExchanges == 1 && finalPlan.contains("Bucketed: true")) 1 else 0
+      val out = joined.select(col("bid"), col("vec_id")).distinct()
+        .agg(count(lit(1)).as("n_pairs"))
+        .crossJoin(batch.agg(count(lit(1)).as("n_batch_vecs")))
+        .crossJoin(s.table(idxTbl).agg(count(lit(1)).as("n_index_rows")))
+        .withColumn("corpus_side_exchange_free", lit(verdict))
+        .localCheckpoint(true)
+      s.sql(s"DROP TABLE IF EXISTS $idxTbl")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+      out
+    }),
+
     // Threshold calibration table — before trusting SIGNATURE-ONLY dedup
     // at scale (where exact Jaccard on every candidate is the expensive
     // verify stage), a rollout sweeps thresholds and reads
@@ -1275,6 +1338,35 @@ object Dedup {
     "q_dedup_embedding" ->
       (s"WITH $duckEmbedChain " +
         "SELECT a, b, cos FROM vp ORDER BY a, b"),
+    // the embedding index probe re-derived: batch plants signed + probed
+    // against the base-corpus signature table, exact cosine on candidates
+    "q_embed_index" ->
+      ("WITH pert0 AS (SELECT vec_id, embedding, " +
+        s"${Similarity.dotPlane(0, "duck")} AS d0 " +
+        "FROM embeddings WHERE vec_id % 10 = 5), " +
+        "batchv0 AS (SELECT vec_id + 100000 AS vec_id, " +
+        "list_transform(embedding, x -> CAST(x * 2 AS FLOAT)) AS embedding " +
+        "FROM embeddings WHERE vec_id % 10 = 0 " +
+        "UNION ALL SELECT vec_id + 200000 AS vec_id, " +
+        s"list_transform(list_zip(embedding, ${Similarity.planeLit(0, "duck")}), " +
+        "p -> CAST(CAST(p[1] AS DOUBLE) - d0 * 1.05 / 64 * p[2] AS FLOAT)) AS embedding " +
+        "FROM pert0), " +
+        "nidx AS (SELECT vec_id, embedding, " +
+        "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm, " +
+        s"${Similarity.sigExpr("duck")} AS sig FROM embeddings), " +
+        "batchv AS (SELECT vec_id, embedding, " +
+        "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm, " +
+        s"${Similarity.sigExpr("duck")} AS sig FROM batchv0), " +
+        "probed AS (SELECT vec_id, embedding, nrm, " +
+        s"unnest(${Similarity.probesExpr("sig", "duck")}) AS psig FROM batchv), " +
+        "cand AS (SELECT DISTINCT b.vec_id AS bid, c.vec_id AS cid " +
+        "FROM probed b JOIN nidx c ON b.psig = c.sig " +
+        "WHERE round(list_sum(list_transform(list_zip(b.embedding, c.embedding), " +
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (b.nrm * c.nrm), 6) >= 0.99) " +
+        "SELECT (SELECT count(*) FROM cand) AS n_pairs, " +
+        "(SELECT count(*) FROM batchv) AS n_batch_vecs, " +
+        "(SELECT count(*) FROM nidx) AS n_index_rows, " +
+        "1 AS corpus_side_exchange_free"),
     "q_dedup_embedding_clusters" ->
       (s"WITH RECURSIVE $duckEmbedChain, " +
         "edges AS (SELECT a, b FROM vp UNION SELECT b AS a, a AS b FROM vp), " +
