@@ -539,6 +539,38 @@ object Curation {
         .orderBy("mix_src")
     }),
 
+    // Deterministic source interleave — the training-schedule half of data
+    // mixing: q_source_balance decides HOW MUCH of each source survives,
+    // this decides the ORDER the trainer consumes it in (round-robin
+    // across sources so no batch is single-source, hash-shuffled within
+    // each source so the interleave is also an epoch shuffle). Scale
+    // shape: the within-source position is Reshape's 2-pass count-offset
+    // global index (sort exchange reused by both passes, no single-
+    // partition window over the corpus); the per-source offset table and
+    // the source-rank table are tiny broadcast aggregates; the interleave
+    // position i·S + rank is then row-local, and the head of the schedule
+    // is TakeOrderedAndProject. Positions are unique by construction
+    // ((i, rank) is unique), so the output is engine-deterministic.
+    "q_interleave" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          md5(concat(lit("mix|"), col("doc_id").cast("string"))).as("k"))
+      val g = Reshape.withGlobalIndex(docs.orderBy("source", "k"), "gidx")
+      val offs = g.groupBy("source").agg(min("gidx").as("off"))
+      val ranks = docs.select("source").distinct()
+        .withColumn("src_rank",
+          row_number().over(Window.orderBy("source")).cast("long"))
+      val nSrc = ranks.agg(count(lit(1)).as("n_src"))
+      g.join(broadcast(offs), "source")
+        .join(broadcast(ranks), "source")
+        .crossJoin(broadcast(nSrc))
+        .select(((col("gidx") - col("off")) * col("n_src") + col("src_rank"))
+            .as("pos"),
+          col("doc_id"), col("source"))
+        .orderBy("pos")
+        .limit(300)
+    }),
+
     // Sequence packing via the public packSequences (budget 2048). The qid
     // pins buckets=16 for oracle parity; library callers get the
     // cluster-proportional default (shuffle parallelism), so the window
@@ -751,6 +783,18 @@ object Curation {
         "SELECT source, n_before, n_after, " +
         "round(CAST(n_after AS DOUBLE) / n_before, 4) AS kept_frac " +
         "FROM kept ORDER BY source"),
+    "q_interleave" ->
+      ("WITH k AS (SELECT doc_id, source, " +
+        "md5('mix|' || CAST(doc_id AS VARCHAR)) AS k FROM documents), " +
+        "r AS (SELECT doc_id, source, " +
+        "row_number() OVER (PARTITION BY source ORDER BY k) - 1 AS i FROM k), " +
+        "sr AS (SELECT source, row_number() OVER (ORDER BY source) AS src_rank " +
+        "FROM (SELECT DISTINCT source FROM documents)), " +
+        "n AS (SELECT count(*) AS n_src FROM sr) " +
+        "SELECT CAST(r.i * n.n_src + sr.src_rank AS BIGINT) AS pos, " +
+        "r.doc_id, r.source " +
+        "FROM r JOIN sr USING (source) CROSS JOIN n " +
+        "ORDER BY pos LIMIT 300"),
     "q_sample_temperature" ->
       ("WITH dm AS (SELECT doc_id, CASE WHEN doc_id % 500 < 250 THEN 'big' " +
         "WHEN doc_id % 500 < 400 THEN 'mid' ELSE 'small' END AS mix_src FROM documents), " +

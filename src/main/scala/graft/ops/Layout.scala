@@ -194,6 +194,47 @@ object Layout {
           (col("nz") < col("ns")).cast("int").as("zorder_skips_files"))
     }),
 
+    // Small-file compaction — the table-maintenance pass every long-running
+    // ingest needs: incremental appends leave a directory of KB-sized
+    // files whose per-file open/footer/seek cost dominates scans long
+    // before data volume does (at 100 TB a million 100 KB files is a
+    // planner and NameNode incident, not a table). The pathological layout
+    // is simulated by writing documents across 64 splits; compaction is a
+    // single rewrite through repartition(target) with target =
+    // ceil(rows / rowsPerFile) — the planned file count, derived from data,
+    // not guessed. Verdicts computed in-query: the file count collapses to
+    // exactly the target, and an order-independent content digest
+    // (bit_xor of row hashes) proves the rewrite lost nothing. File counts
+    // are driver-side directory metadata, same contract as q_sink_zstd.
+    "q_compact_files" -> ((s, d) => {
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      val smallPath = scratch(s"compact_small_$tag")
+      val bigPath = scratch(s"compact_big_$tag")
+      val docs = Tables.documents(s, d).select("doc_id", "text", "source")
+      docs.repartition(64).write.mode("overwrite").parquet(smallPath)
+      val small = s.read.parquet(smallPath)
+      val nRows = small.count()
+      val rowsPerFile = 4096L
+      val target = math.max(1L, (nRows + rowsPerFile - 1) / rowsPerFile).toInt
+      small.repartition(target).write.mode("overwrite").parquet(bigPath)
+      def nFiles(p: String): Int =
+        Option(new java.io.File(p).listFiles).map(
+          _.count(_.getName.endsWith(".parquet"))).getOrElse(0)
+      def digest(df: DataFrame) = df.agg(count(lit(1)).as("n"),
+        expr("bit_xor(xxhash64(doc_id, text, source))").as("dg"))
+      val out = digest(s.read.parquet(bigPath))
+        .crossJoin(digest(docs).select(col("n").as("n0"), col("dg").as("dg0")))
+        .select(col("n").as("n_docs"),
+          lit(nFiles(smallPath)).as("files_before"),
+          lit(nFiles(bigPath)).as("files_after"),
+          (col("n") === col("n0") && col("dg") === col("dg0")).cast("int")
+            .as("content_match"))
+        .localCheckpoint(true)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(smallPath))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(bigPath))
+      out
+    }),
+
     // One-pass observed metrics: Dataset.observe collects aggregates ON
     // the rows streaming through an action — here a full write pass — so
     // pipeline telemetry (row counts, byte totals, id bounds) costs zero
@@ -237,6 +278,10 @@ object Layout {
         "1 AS zorder_skips_files FROM lineitem " +
         "WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01' " +
         "AND l_quantity >= 41"),
+    "q_compact_files" ->
+      ("SELECT count(*) AS n_docs, 64 AS files_before, " +
+        "CAST(ceil(count(*) / 4096.0) AS INTEGER) AS files_after, " +
+        "1 AS content_match FROM documents"),
     "q_observe" ->
       ("SELECT count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars, " +
         "min(doc_id) AS min_id, max(doc_id) AS max_id FROM documents")

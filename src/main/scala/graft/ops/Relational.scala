@@ -139,6 +139,46 @@ object Relational {
           count(col("disc_n")).as("n_notnull"),
           round(sum(coalesce(col("disc_n"), lit(0.05))), 2).as("sum_filled"))
         .orderBy("l_returnflag")
+    }),
+
+    // CDC changelog apply — upsert/delete materialization, the ingestion
+    // side of every warehouse MERGE: a synthetic (key, seq, op) changelog
+    // over orders (insert all, update every 7th key, delete every 13th)
+    // collapses to latest-row-wins via ONE map-side-combinable
+    // max(struct(seq, …)) aggregate per key — no window, no self-join, no
+    // sort; the shuffle is a narrow partial-aggregated exchange on the key,
+    // which is exactly the shape that survives a billion-key changelog.
+    // Deletes survive the aggregate (a tombstone is the latest row) and
+    // are dropped after it, so a delete followed by nothing stays deleted.
+    // Output: the post-apply rows of every touched key.
+    "q_cdc_apply" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        col("o_totalprice").as("p"), col("o_orderstatus").as("st"))
+      val ins = o.select(col("k"), lit(1L).as("seq"), lit("I").as("op"),
+        round(col("p"), 2).as("price"), col("st").as("status"))
+      val upd = o.filter(col("k") % 7 === 0)
+        .select(col("k"), lit(2L).as("seq"), lit("U").as("op"),
+          round(col("p") + 1.5, 2).as("price"), lit("R").as("status"))
+      val del = o.filter(col("k") % 13 === 0)
+        .select(col("k"), lit(3L).as("seq"), lit("D").as("op"),
+          lit(null).cast("double").as("price"),
+          lit(null).cast("string").as("status"))
+      // re-insert after tombstone: resurrect every other deleted key, so
+      // the output carries updates (seq 2), gaps (deleted, absent) AND
+      // post-delete re-inserts (seq 4) — all three MERGE outcomes
+      val rei = o.filter(col("k") % 26 === 0)
+        .select(col("k"), lit(4L).as("seq"), lit("I").as("op"),
+          round(col("p"), 2).as("price"), col("st").as("status"))
+      ins.unionByName(upd).unionByName(del).unionByName(rei)
+        .groupBy("k")
+        .agg(max(struct(col("seq"), col("op"), col("price"), col("status")))
+          .as("m"))
+        .select(col("k").as("o_orderkey"), col("m.seq").as("last_seq"),
+          col("m.op").as("last_op"), col("m.price").as("price"),
+          col("m.status").as("status"))
+        .filter(col("last_op") =!= "D" &&
+          (col("o_orderkey") % 7 === 0 || col("o_orderkey") % 13 === 0))
+        .orderBy("o_orderkey")
     })
   )
 
@@ -191,6 +231,22 @@ object Relational {
         "count(CASE WHEN nullif(l_discount, 0.0) IS NULL THEN 1 END) AS n_null, " +
         "count(nullif(l_discount, 0.0)) AS n_notnull, " +
         "round(sum(coalesce(nullif(l_discount, 0.0), 0.05)), 2) AS sum_filled " +
-        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q_cdc_apply" ->
+      ("WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p, o_orderstatus AS st FROM orders), " +
+        "chg AS (SELECT k, 1 AS seq, 'I' AS op, round(p, 2) AS price, st AS status FROM o " +
+        "UNION ALL SELECT k, 2, 'U', round(p + 1.5, 2), 'R' FROM o WHERE k % 7 = 0 " +
+        "UNION ALL SELECT k, 3, 'D', NULL, NULL FROM o WHERE k % 13 = 0 " +
+        "UNION ALL SELECT k, 4, 'I', round(p, 2), st FROM o WHERE k % 26 = 0), " +
+        // arg_max skips NULL args, so the tombstone's null price/status
+        // never wins; for every SURVIVOR (last_op <> 'D') the latest row's
+        // payload is non-null, making arg_max(x, seq) == payload-at-max-seq
+        "a AS (SELECT k, max(seq) AS last_seq, arg_max(op, seq) AS last_op, " +
+        "arg_max(price, seq) AS price, arg_max(status, seq) AS status " +
+        "FROM chg GROUP BY k) " +
+        "SELECT k AS o_orderkey, CAST(last_seq AS BIGINT) AS last_seq, last_op, " +
+        "price, status " +
+        "FROM a WHERE last_op <> 'D' AND (k % 7 = 0 OR k % 13 = 0) " +
+        "ORDER BY o_orderkey")
   )
 }

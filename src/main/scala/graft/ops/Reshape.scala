@@ -26,7 +26,7 @@ object Reshape {
     * Still two passes, but both subtrees share the identical sort exchange
     * (ReusedExchange), every stage stays in whole-stage codegen, and the
     * index is LongType — no 2^31 wrap at the >2B-row scale this exists for. */
-  private def withGlobalIndex(df: DataFrame, name: String): DataFrame = {
+  private[ops] def withGlobalIndex(df: DataFrame, name: String): DataFrame = {
     val localMask = (1L << 33) - 1
     val mid = df.withColumn("_mid", monotonically_increasing_id())
       .withColumn("_pid", shiftright(col("_mid"), 33))
@@ -56,6 +56,24 @@ object Reshape {
         .orderBy(desc("o_totalprice"), asc("o_orderkey"))
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .limit(10)),
+
+    // Deterministic epoch shuffle — reproducible training-data ordering:
+    // shuffle_key = md5(epoch || doc_id) is a uniform, seed-switchable
+    // total order (new epoch string → statistically independent new
+    // order over the SAME corpus, no RNG state to coordinate across
+    // executors). The head of the order is TakeOrderedAndProject — a
+    // per-partition top-k heap, no global sort materialization; a full
+    // epoch write at scale is the same key fed to repartitionByRange +
+    // sortWithinPartitions. OpsSpec asserts epoch1/epoch2 orders differ
+    // while the underlying sets match.
+    "q_shuffle_det" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(concat(lit("epoch1|"), col("doc_id").cast("string")))
+            .as("shuffle_key"),
+          col("source"))
+        .orderBy("shuffle_key")
+        .limit(200)),
 
     // Vertical concat (pl.concat how=vertical / vstack).
     "q_union" -> ((s, d) =>
@@ -168,6 +186,9 @@ object Reshape {
     "q_topk" ->
       ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
         "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"),
+    "q_shuffle_det" ->
+      ("SELECT doc_id, md5('epoch1|' || CAST(doc_id AS VARCHAR)) AS shuffle_key, " +
+        "source FROM documents ORDER BY shuffle_key LIMIT 200"),
     "q_union" ->
       ("SELECT c_name AS name, 'customer' AS src FROM customer " +
         "UNION ALL SELECT s_name, 'supplier' FROM supplier " +

@@ -290,6 +290,37 @@ object TextAnalysis {
             .as("l2"))
         .orderBy("doc_id")),
 
+    // Bounded-memory heavy hitters — the Misra-Gries sketch
+    // (functions/HeavyHitters.scala) run as a real aggregate over the
+    // corpus word stream: one k-entry map per partition rides Spark's
+    // map-side combine, so the exact groupBy's full term shuffle is
+    // replaced by k-row partials — the 100 TB shape for "what are the top
+    // terms" when the vocabulary itself doesn't fit anywhere. The sketch's
+    // retained set depends on partition merge order, so the output
+    // surfaces only its partition-INDEPENDENT guarantees, computed against
+    // the exact counts in the same query: every term with cnt > n/k must
+    // be present (in_sketch), never overcounted, and undercounted by at
+    // most n/k (bound_ok). The oracle re-derives the exact heavy-hitter
+    // table and asserts both verdicts — a broken sketch turns rows red.
+    "q_heavy_hitters" -> ((s, d) => {
+      graft.functions.HeavyHittersAgg.register(s)
+      val k = graft.functions.HeavyHittersAgg.defaultK
+      val terms = Tables.documents(s, d)
+        .select(explode(expr(words)).as("term"))
+      val sketch = terms.agg(expr("mg_sketch(term)").as("mg"),
+        count(lit(1)).as("n"))
+      val exact = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
+      exact.crossJoin(sketch)
+        .filter(col("cnt") > col("n") / lit(k.toDouble))
+        .select(col("term"), col("cnt"), col("n").as("n_terms"),
+          element_at(col("mg"), col("term")).isNotNull.cast("int")
+            .as("in_sketch"),
+          (coalesce(element_at(col("mg"), col("term")), lit(0L)) <= col("cnt")
+            && col("cnt") - coalesce(element_at(col("mg"), col("term")), lit(0L))
+              <= col("n") / lit(k.toDouble)).cast("int").as("bound_ok"))
+        .orderBy(desc("cnt"), asc("term"))
+    }),
+
     // CCNet-style duplicated-segment REMOVAL — where q_span_flag only emits
     // a keep verdict, this actually rewrites the corpus: documents are cut
     // into NON-OVERLAPPING 8-word blocks (the segment analog of CCNet's
@@ -418,6 +449,13 @@ object TextAnalysis {
       "WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END"
 
   val oracle: Map[String, String] = Map(
+    "q_heavy_hitters" ->
+      (s"WITH terms AS (SELECT unnest($duckWords) AS term FROM documents), " +
+        "n AS (SELECT count(*) AS n FROM terms), " +
+        "exact AS (SELECT term, count(*) AS cnt FROM terms GROUP BY term) " +
+        "SELECT term, cnt, n.n AS n_terms, 1 AS in_sketch, 1 AS bound_ok " +
+        "FROM exact, n WHERE cnt > n.n / 256.0 " +
+        "ORDER BY cnt DESC, term ASC"),
     "q_bpe_pairs" ->
       ("WITH words AS (SELECT unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS w FROM documents), " +
         "wc AS (SELECT w, count(*) AS c FROM words GROUP BY w), " +

@@ -227,6 +227,34 @@ object Windows {
         .orderBy("event_id")
     }),
 
+    // Rolling lag-1 autocorrelation over a trailing 10-row frame — the
+    // time-series drift/regime-change signal (is the series trending or
+    // mean-reverting right now?). Built from primitive windowed SUMS, not
+    // the engines' corr() kernels: Spark accumulates a sliding frame
+    // front-to-back while DuckDB uses segment trees, so their corr()
+    // outputs differ in FP association — but `value` carries exactly 2
+    // decimals, making every sum-of-products a terminating 4-decimal
+    // rational that round(..,6) recovers identically in both engines;
+    // the closed-form corr is then computed from bit-equal inputs. One
+    // shuffle on user_id serves the lag AND all six frame sums (same
+    // partition/order spec).
+    "q_rolling_corr" -> ((s, d) => {
+      val f = byUser.rowsBetween(-9, 0)
+      val base = Tables.events(s, d)
+        .withColumn("y", lag(col("value"), 1).over(byUser))
+      val xm = when(col("y").isNotNull, col("value"))
+      def s6(c: org.apache.spark.sql.Column) = round(sum(c).over(f), 6)
+      val n = count(col("y")).over(f)
+      val sx = s6(xm); val sy = s6(col("y"))
+      val sxx = s6(xm * xm); val syy = s6(col("y") * col("y"))
+      val sxy = s6(xm * col("y"))
+      val den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+      base.select(col("event_id"), n.as("n_pairs"),
+          when(n >= 3 && den > 0,
+            round((n * sxy - sx * sy) / sqrt(den), 4)).as("auto_corr"))
+        .orderBy("event_id")
+    }),
+
     // groupby_rolling(index_column=ts, period=10m): time-based trailing
     // window via rangeBetween on epoch micros.
     "q_rolling_time" -> ((s, d) => {
@@ -414,6 +442,22 @@ object Windows {
       ("SELECT event_id, round(stddev_samp(value) OVER w, 6) AS roll_std " +
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
         "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) ORDER BY event_id"),
+    "q_rolling_corr" ->
+      ("WITH b AS (SELECT event_id, user_id, ts, value AS x, " +
+        "lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y FROM events), " +
+        "m AS (SELECT event_id, count(y) OVER f AS n, " +
+        "round(sum(CASE WHEN y IS NOT NULL THEN x END) OVER f, 6) AS sx, " +
+        "round(sum(y) OVER f, 6) AS sy, " +
+        "round(sum(CASE WHEN y IS NOT NULL THEN x * x END) OVER f, 6) AS sxx, " +
+        "round(sum(y * y) OVER f, 6) AS syy, " +
+        "round(sum(CASE WHEN y IS NOT NULL THEN x * y END) OVER f, 6) AS sxy " +
+        "FROM b WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)) " +
+        "SELECT event_id, n AS n_pairs, " +
+        "CASE WHEN n >= 3 AND (n * sxx - sx * sx) * (n * syy - sy * sy) > 0 " +
+        "THEN round((n * sxy - sx * sy) / " +
+        "sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) END AS auto_corr " +
+        "FROM m ORDER BY event_id"),
     "q_rolling_time" ->
       ("SELECT event_id, round(sum(value) OVER w, 4) AS sum_10m, " +
         "count(*) OVER w AS n_10m " +

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.functions.FloatDotProduct
+import graft.functions.{FloatDotProduct, HeavyHittersAgg}
 
 /** Native Catalyst expression: correctness vs the HOF formulation, codegen
   * and interpreted paths, SQL registration. */
@@ -129,6 +129,32 @@ class FunctionsSpec extends SparkSpec {
       .filter(expr("graft_top_bigram_count(w)") =!= col("top_bigram"))
       .count()
     assert(topDiff == 0, "top-bigram kernel must match the relational form")
+  }
+
+  test("mg sketch: guarantees hold under every partitioning of a skewed stream") {
+    // adversarially small k so the decrement/merge-prune paths actually
+    // fire, on a stream whose tail (90 singletons) swamps the head
+    import spark.implicits._
+    val stream = (Seq.fill(40)("hot") ++ Seq.fill(25)("warm") ++
+      (1 to 90).map(i => s"cold$i"))
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = stream.size
+    val k = 8
+    spark.udf.register("mg_test",
+      org.apache.spark.sql.functions.udaf(new HeavyHittersAgg(k),
+        org.apache.spark.sql.Encoders.STRING))
+    for (parts <- Seq(1, 3, 16)) {
+      val m = stream.toDF("t").repartition(parts)
+        .agg(expr("mg_test(t)")).head.getMap[String, Long](0)
+      // no overcount anywhere
+      assert(m.forall { case (t, est) => est <= exact(t) })
+      // guaranteed presence + n/k undercount bound for true heavy hitters
+      for ((t, c) <- exact if c > n.toDouble / k) {
+        assert(m.contains(t), s"$t (count $c > n/k) missing at parts=$parts")
+        assert(c - m(t) <= n.toDouble / k)
+      }
+      assert(m.size <= k)
+    }
   }
 
   test("dot_f survives both codegen and interpreted evaluation") {

@@ -698,6 +698,61 @@ class OpsSpec extends SparkSpec {
     assert(r.getAs[Int]("sharding_effective") == 1)
   }
 
+  test("epoch shuffle: different epochs reorder the SAME set") {
+    def order(epoch: String) = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        md5(concat(lit(s"$epoch|"), col("doc_id").cast("string"))).as("k"))
+      .orderBy("k").select("doc_id").collect().map(_.getLong(0)).toSeq
+    val e1 = order("epoch1"); val e2 = order("epoch2")
+    assert(e1.toSet == e2.toSet, "epochs must cover the identical corpus")
+    assert(e1 != e2, "different epoch seeds must produce different orders")
+  }
+
+  test("cdc apply: updates win, deletes vanish, re-inserts resurrect") {
+    val rows = q("q_cdc_apply").collect()
+    val byKey = rows.map(r => r.getAs[Long]("o_orderkey") -> r).toMap
+    // every surviving %13 key must be a seq-4 re-insert (i.e. %26)
+    val del = byKey.keys.filter(k => k % 13 == 0)
+    assert(del.forall(k => k % 26 == 0 &&
+      byKey(k).getAs[Long]("last_seq") == 4L))
+    // %7-only keys are seq-2 updates with status R
+    val upd = byKey.collect {
+      case (k, r) if k % 7 == 0 && k % 13 != 0 => r }
+    assert(upd.nonEmpty && upd.forall(r =>
+      r.getAs[Long]("last_seq") == 2L && r.getAs[String]("status") == "R"))
+    // a deleted-not-resurrected key must be absent
+    assert(!byKey.keys.exists(k => k % 13 == 0 && k % 26 != 0))
+  }
+
+  test("heavy hitters: guarantees hold and in-sketch flags are 1") {
+    val rows = q("q_heavy_hitters").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Int]("in_sketch") == 1))
+    assert(rows.forall(_.getAs[Int]("bound_ok") == 1))
+  }
+
+  test("interleave: schedule head is round-robin while sources last") {
+    val rows = q("q_interleave").collect()
+    val nSrc = Tables.documents(spark, sf)
+      .select("source").distinct().count().toInt
+    // positions strictly increase and are unique
+    val pos = rows.map(_.getAs[Long]("pos"))
+    assert(pos.sameElements(pos.sorted) && pos.distinct.length == pos.length)
+    // while every source still has documents left, each consecutive
+    // nSrc-sized block covers all sources exactly once
+    val head = rows.take(rows.length / nSrc * nSrc)
+    head.grouped(nSrc).take(5).foreach { block =>
+      assert(block.map(_.getAs[String]("source")).distinct.length == nSrc)
+    }
+  }
+
+  test("compact files: verdicts hold") {
+    val r = q("q_compact_files").collect().head
+    assert(r.getAs[Int]("files_before") == 64)
+    assert(r.getAs[Int]("files_after") < 64)
+    assert(r.getAs[Int]("content_match") == 1)
+  }
+
   test("embedding centroids cover every (label, dim) cell with all vectors") {
     val rows = q("q_embed_centroids").collect()
     val labels = Tables.embeddings(spark, sf)
