@@ -261,6 +261,56 @@ object Curation {
         .orderBy("doc_id")
     }),
 
+    // URL-canonicalization dedup — the first dedup pass of every web-crawl
+    // pipeline: the same page arrives under scheme/host case variants,
+    // default ports, trailing slashes, tracking parameters, fragments and
+    // www prefixes; canonicalizing BEFORE content dedup collapses these
+    // for free (string ops at scan speed, zero shuffles before the final
+    // group-by on the canonical key) instead of paying shingle/LSH cost on
+    // byte-identical pages. The corpus carries no URLs, so 8 raw variants
+    // of a canonical URL are PLANTED per doc_id residue (the q_pii_redact
+    // pattern) and the chain lower → strip fragment → strip utm_* params →
+    // strip dangling ?/& → strip :80 → strip www → strip trailing slash
+    // must collapse all 8 — group sizes below 8 turn the row red.
+    "q_dedup_url" -> ((s, d) => {
+      val gs = expr("CAST(doc_id DIV 8 AS STRING)")
+      val host = concat(lit("example"), gs, lit(".com"))
+      val path = concat(lit("/p/"), gs)
+      val raw = when(col("doc_id") % 8 === 0,
+          concat(lit("http://"), host, path))
+        .when(col("doc_id") % 8 === 1,
+          concat(lit("HTTP://"), upper(host), path))
+        .when(col("doc_id") % 8 === 2,
+          concat(lit("http://"), host, lit(":80"), path))
+        .when(col("doc_id") % 8 === 3,
+          concat(lit("http://"), host, path, lit("/")))
+        .when(col("doc_id") % 8 === 4,
+          concat(lit("http://"), host, path, lit("?utm_source=news")))
+        .when(col("doc_id") % 8 === 5,
+          concat(lit("http://"), host, path, lit("#section2")))
+        .when(col("doc_id") % 8 === 6,
+          concat(lit("http://"), host, path,
+            lit("?utm_campaign=x&utm_source=y")))
+        .otherwise(concat(lit("http://www."), host, path))
+      val canon =
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(lower(raw), "#.*$", ""),
+                  "utm_[a-z]+=[^&#]*&?", ""),
+                "[?&]+$", ""),
+              ":80/", "/"),
+            "://www\\.", "://"),
+          "/$", "")
+      Tables.documents(s, d)
+        .select(col("doc_id"), canon.as("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(count(lit(1)).as("n_raw"), min("doc_id").as("keep_id"))
+        .orderBy("canonical_url")
+    }),
+
     // Deterministic stratified split: membership from the first hex digit
     // of md5(doc_id) — 12/2/2 sixteenths train/val/test. Hash-based
     // assignment is reproducible across engines, partitionings, and reruns
@@ -706,6 +756,23 @@ object Curation {
       "FROM cnt c CROSS JOIN llr)"
 
   val oracle: Map[String, String] = Map(
+    "q_dedup_url" ->
+      ("WITH b AS (SELECT doc_id, CAST(doc_id // 8 AS VARCHAR) AS g FROM documents), " +
+        "r AS (SELECT doc_id, CASE doc_id % 8 " +
+        "WHEN 0 THEN 'http://example' || g || '.com/p/' || g " +
+        "WHEN 1 THEN 'HTTP://' || upper('example' || g || '.com') || '/p/' || g " +
+        "WHEN 2 THEN 'http://example' || g || '.com:80/p/' || g " +
+        "WHEN 3 THEN 'http://example' || g || '.com/p/' || g || '/' " +
+        "WHEN 4 THEN 'http://example' || g || '.com/p/' || g || '?utm_source=news' " +
+        "WHEN 5 THEN 'http://example' || g || '.com/p/' || g || '#section2' " +
+        "WHEN 6 THEN 'http://example' || g || '.com/p/' || g || '?utm_campaign=x&utm_source=y' " +
+        "ELSE 'http://www.example' || g || '.com/p/' || g END AS raw FROM b), " +
+        "c AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(" +
+        "regexp_replace(regexp_replace(regexp_replace(lower(raw), " +
+        "'#.*$', ''), 'utm_[a-z]+=[^&#]*&?', '', 'g'), '[?&]+$', ''), " +
+        "':80/', '/'), '://www\\.', '://'), '/$', '') AS canonical_url FROM r) " +
+        "SELECT canonical_url, count(*) AS n_raw, min(doc_id) AS keep_id " +
+        "FROM c GROUP BY canonical_url ORDER BY canonical_url"),
     "q_pii_redact" ->
       ("WITH a AS (SELECT doc_id, text || CASE " +
         "WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' " +

@@ -255,6 +255,28 @@ object Windows {
         .orderBy("event_id")
     }),
 
+    // ewm_mean (polars exponentially-weighted mean, adjust=true) over a
+    // BOUNDED 10-row trailing history — the scale-friendly form: the exact
+    // recursive EWMA is inherently sequential per key (unbounded state),
+    // while truncating at 10 lags (weight 0.5^9 < 0.2% — numerically the
+    // same signal) makes it one windowed expression that rides the same
+    // user_id shuffle as the rest of the rolling family. The frame's rows
+    // are collected in order and folded with dyadic weights 0.5^i — an
+    // EXACT exponent shift per term, so both engines sum identical
+    // doubles in identical order; the weight normalizer 2 - 0.5^(L-1) is
+    // the closed-form geometric sum (exact dyadic).
+    "q_rolling_ewm" -> ((s, d) => {
+      val f = byUser.rowsBetween(-9, 0)
+      Tables.events(s, d)
+        .select(col("event_id"), collect_list("value").over(f).as("l"))
+        .select(col("event_id"), size(col("l")).as("n_hist"),
+          round(expr(
+            "aggregate(sequence(1, size(l)), 0D, " +
+              "(a, i) -> a + element_at(l, i) * power(0.5D, size(l) - i))")
+            / (lit(2.0) - pow(lit(0.5), size(col("l")) - 1)), 4).as("ewm"))
+        .orderBy("event_id")
+    }),
+
     // groupby_rolling(index_column=ts, period=10m): time-based trailing
     // window via rangeBetween on epoch micros.
     "q_rolling_time" -> ((s, d) => {
@@ -458,6 +480,14 @@ object Windows {
         "THEN round((n * sxy - sx * sy) / " +
         "sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) END AS auto_corr " +
         "FROM m ORDER BY event_id"),
+    "q_rolling_ewm" ->
+      ("WITH h AS (SELECT event_id, list(value) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS l " +
+        "FROM events) " +
+        "SELECT event_id, CAST(len(l) AS INTEGER) AS n_hist, " +
+        "round(list_sum(list_transform(generate_series(1, len(l)), " +
+        "i -> l[i] * 0.5 ** (len(l) - i))) / (2 - 0.5 ** (len(l) - 1)), 4) AS ewm " +
+        "FROM h ORDER BY event_id"),
     "q_rolling_time" ->
       ("SELECT event_id, round(sum(value) OVER w, 4) AS sum_10m, " +
         "count(*) OVER w AS n_10m " +

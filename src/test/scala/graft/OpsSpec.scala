@@ -746,6 +746,41 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("url dedup: all planted variants collapse to one canonical form") {
+    val rows = q("q_dedup_url").collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    // unification: exactly one group per 8 consecutive doc_ids (ids are
+    // contiguous from 0), so any leftover variant splits a group and
+    // raises the count
+    assert(rows.length == ((nDocs + 7) / 8).toInt,
+      s"expected ${(nDocs + 7) / 8} canonical groups, got ${rows.length}")
+    assert(rows.count(_.getAs[Long]("n_raw") == 8L) >= rows.length - 1,
+      "every full group must unify all 8 raw variants")
+    assert(rows.forall(r => !r.getAs[String]("canonical_url").contains("utm_")
+      && !r.getAs[String]("canonical_url").contains("#")
+      && !r.getAs[String]("canonical_url").contains(":80")
+      && !r.getAs[String]("canonical_url").contains("www.")
+      && !r.getAs[String]("canonical_url").endsWith("/")))
+  }
+
+  test("rolling ewm: convex combination stays inside the frame's hull") {
+    import org.apache.spark.sql.expressions.Window
+    val w10 = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc).rowsBetween(-9, 0)
+    val hull = Tables.events(spark, sf)
+      .select(col("event_id"), min("value").over(w10).as("lo"),
+        max("value").over(w10).as("hi"))
+    val bad = q("q_rolling_ewm").join(hull, "event_id")
+      .filter(col("ewm") < col("lo") - 1e-9 || col("ewm") > col("hi") + 1e-9)
+      .count()
+    assert(bad == 0)
+    // a 1-row history is the identity
+    val first = q("q_rolling_ewm").filter(col("n_hist") === 1)
+      .join(Tables.events(spark, sf), "event_id")
+      .filter(abs(col("ewm") - round(col("value"), 4)) > 1e-9).count()
+    assert(first == 0)
+  }
+
   test("compact files: verdicts hold") {
     val r = q("q_compact_files").collect().head
     assert(r.getAs[Int]("files_before") == 64)

@@ -7,6 +7,11 @@ import org.apache.spark.sql.types._
   * (SURVEY.md §2.10 stretch): the same `window()` expression as
   * q_window_tumbling, fed incrementally from the events parquet via
   * readStream + memory sink, must agree with the batch answer. */
+/** Top-level so Spark can derive an Encoder (local case classes capture an
+  * outer pointer the product encoder cannot serialize). */
+case class CdcChg(k: Long, seq: Long, op: String,
+  price: Option[Double], status: Option[String])
+
 class StreamingSpec extends SparkSpec {
 
   // events.ts has shipped as both TIMESTAMP(NANOS) (reads as raw-nanos Long)
@@ -646,5 +651,141 @@ class StreamingSpec extends SparkSpec {
     assert(streamedContaminated == contaminatedTruth,
       s"stream/batch disagree: only-stream=${streamedContaminated -- contaminatedTruth} " +
         s"only-batch=${contaminatedTruth -- streamedContaminated}")
+  }
+
+  test("streaming CDC apply: latest-wins state across microbatches == batch q_cdc_apply") {
+    // the streaming face of q_cdc_apply: all inserts land in microbatch 1,
+    // every mutation (update / tombstone / re-insert) in microbatch 2 —
+    // latest-wins can only happen in mapGroupsWithState state carried
+    // across the batch boundary, not within a batch.
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import spark.implicits._
+
+    val o = Tables.orders(spark, sf).select(col("o_orderkey").as("k"),
+      col("o_totalprice").as("p"), col("o_orderstatus").as("st"))
+    val ins = o.select(col("k"), lit(1L).as("seq"), lit("I").as("op"),
+      round(col("p"), 2).as("price"), col("st").as("status"))
+    val muts = o.filter(col("k") % 7 === 0)
+      .select(col("k"), lit(2L).as("seq"), lit("U").as("op"),
+        round(col("p") + 1.5, 2).as("price"), lit("R").as("status"))
+      .unionByName(o.filter(col("k") % 13 === 0)
+        .select(col("k"), lit(3L).as("seq"), lit("D").as("op"),
+          lit(null).cast("double").as("price"),
+          lit(null).cast("string").as("status")))
+      .unionByName(o.filter(col("k") % 26 === 0)
+        .select(col("k"), lit(4L).as("seq"), lit("I").as("op"),
+          round(col("p"), 2).as("price"), col("st").as("status")))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc_stream")
+    def stage(part: org.apache.spark.sql.DataFrame, name: String,
+        mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_cdc_$name")
+      part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = java.nio.file.Files.list(tmp)
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      val dst = dir.resolve(s"$name.parquet")
+      java.nio.file.Files.copy(f, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    stage(ins, "0_inserts", 1000000L)
+    stage(muts, "1_mutations", 2000000L)
+
+    val chgSchema = StructType(Seq(
+      StructField("k", LongType), StructField("seq", LongType),
+      StructField("op", StringType), StructField("price", DoubleType),
+      StructField("status", StringType)))
+    val applied = spark.readStream.schema(chgSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      .as[CdcChg]
+      .groupByKey(_.k)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (k: Long, rows: Iterator[CdcChg], state: GroupState[CdcChg]) =>
+          val latest = (rows ++ state.getOption.iterator).maxBy(_.seq)
+          state.update(latest)
+          latest
+      }
+    val q = applied.writeStream.outputMode("update")
+      .format("memory").queryName("cdc_stream_out").start()
+    try {
+      q.processAllAvailable()
+      assert(q.recentProgress.map(_.batchId).distinct.length >= 2,
+        "split changelog must produce multiple microbatches")
+    } finally q.stop()
+
+    // the memory sink holds one emission per (key, batch) — the final
+    // materialized row per key is its max-seq emission
+    val finalState = spark.table("cdc_stream_out").as[CdcChg].collect()
+      .groupBy(_.k).map { case (_, rows) => rows.maxBy(_.seq) }
+    val streamed = finalState
+      .filter(c => c.op != "D" && (c.k % 7 == 0 || c.k % 13 == 0))
+      .map(c => (c.k, c.seq, c.op, c.price.get, c.status.get)).toSet
+    val batch = SparkEntry.queries("q_cdc_apply")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("o_orderkey"), r.getAs[Long]("last_seq"),
+        r.getAs[String]("last_op"), r.getAs[Double]("price"),
+        r.getAs[String]("status"))).toSet
+    assert(streamed == batch,
+      s"stream/batch disagree: only-stream=${streamed -- batch} " +
+        s"only-batch=${batch -- streamed}")
+  }
+
+  test("streaming heavy hitters: MG sketch aggregate keeps its guarantees over microbatches") {
+    // the sketch as a STREAMING aggregate: complete-mode groupless agg
+    // whose state is the k-entry MG map itself — corpus words stream in
+    // two microbatches, and the partition-independent guarantees (no
+    // overcount, presence + n/k bound for true heavy hitters) must hold
+    // on the final sketch exactly as they do in batch.
+    graft.functions.HeavyHittersAgg.register(spark)
+    val k = graft.functions.HeavyHittersAgg.defaultK
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val raw = spark.read.schema(schema).parquet(s"$sf/documents.parquet")
+    val med = raw.agg(expr("percentile(doc_id, 0.5)")).head.getDouble(0)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_mg_stream")
+    def stage(part: org.apache.spark.sql.DataFrame, name: String,
+        mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_mg_$name")
+      part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = java.nio.file.Files.list(tmp)
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      val dst = dir.resolve(s"$name.parquet")
+      java.nio.file.Files.copy(f, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    stage(raw.filter(col("doc_id") < med), "0_early", 1000000L)
+    stage(raw.filter(col("doc_id") >= med), "1_late", 2000000L)
+
+    val words = "filter(split(text, ' '), x -> length(x) > 0)"
+    val sketched = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      .select(explode(expr(words)).as("term"))
+      .agg(expr("mg_sketch(term)").as("mg"), count(lit(1)).as("n"))
+    val q = sketched.writeStream.outputMode("complete")
+      .format("memory").queryName("mg_stream_out").start()
+    try {
+      q.processAllAvailable()
+      assert(q.recentProgress.map(_.batchId).distinct.length >= 2,
+        "split corpus must produce multiple microbatches")
+    } finally q.stop()
+
+    val row = spark.table("mg_stream_out").orderBy(desc("n")).head
+    val m = row.getMap[String, Long](0)
+    val n = row.getLong(1)
+    val exact = Tables.documents(spark, sf)
+      .select(explode(expr(words)).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(n == exact.values.sum, "stream must have seen every word")
+    assert(m.forall { case (t, est) => est <= exact(t) }, "no overcount")
+    val heavy = exact.filter { case (_, c) => c > n.toDouble / k }
+    assert(heavy.nonEmpty)
+    for ((t, c) <- heavy) {
+      assert(m.contains(t), s"true heavy hitter $t missing from stream sketch")
+      assert(c - m(t) <= n.toDouble / k, s"undercount bound violated for $t")
+    }
   }
 }
