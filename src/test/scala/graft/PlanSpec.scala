@@ -280,11 +280,52 @@ class PlanSpec extends SparkSpec {
     "q_layout_prune" -> "1-row files-touched count joins onto the 1-row stats",
     "q_layout_zorder" -> "two 1-row files-touched counts join onto the 1-row stats",
     "q_sample_temperature" -> "1-row min-mix-count aggregate broadcast",
-    "q_shard_write" -> "1-row shard-stats × 1-row total verdict join"
+    "q_shard_write" -> "1-row shard-stats × 1-row total verdict join",
+    "q_heavy_hitters" -> "1-row (sketch, n) aggregate broadcast onto the exact counts",
+    "q_interleave" -> "1-row source-count aggregate broadcast"
     // q_contamination_bloom's 1-row verdict joins are invisible to the
     // sweep: the query localCheckpoints its single-row output eagerly, as
     // do q_embed_pca / q_quality_classifier(_binned) / q_ann_ivf_kmeans
   )
+
+  test("q_cdc_apply: latest-wins is one partial+final aggregate — no window, no self-join") {
+    val p = plan("q_cdc_apply")
+    assert(countOccurrences(p, "HashAggregate") +
+      countOccurrences(p, "SortAggregate") >= 2,
+      "max(struct) must partial-aggregate map-side")
+    assert(!p.contains("Window"), "no window in the changelog apply")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "no join in the changelog apply")
+  }
+
+  test("q_heavy_hitters: MG sketch partial-aggregates before the exchange") {
+    val p = plan("q_heavy_hitters")
+    // the udaf rides ObjectHashAggregate/SortAggregate with a partial mode
+    // upstream of the single-partition exchange — terms never shuffle raw
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"sketch must run as an imperative aggregate:\n$p")
+    assert(!p.contains("CollectLimit") || !p.contains("collect_list"),
+      "no driver-side fold")
+  }
+
+  test("q_shuffle_det: epoch-shuffle head is a per-partition heap, not a global sort") {
+    assert(plan("q_shuffle_det").contains("TakeOrderedAndProject"))
+  }
+
+  test("q_rolling_corr/q_rolling_ewm: lag + frame sums share the one user_id shuffle") {
+    for (n <- Seq("q_rolling_corr", "q_rolling_ewm")) {
+      val p = plan(n)
+      assert(countOccurrences(p, "Exchange hashpartitioning") <= 1,
+        s"$n must shuffle once by user_id:\n$p")
+    }
+  }
+
+  test("q_dedup_url: canonicalization is row-local ahead of one partial+final aggregate") {
+    val p = plan("q_dedup_url")
+    assert(countOccurrences(p, "Exchange hashpartitioning") <= 1,
+      "one shuffle on the canonical key")
+    assert(!p.contains("Window") && !p.contains("Join"))
+  }
 
   test("sweep: no CartesianProduct anywhere; BNLJ only where justified") {
     val withBnlj = scala.collection.mutable.Set.empty[String]
