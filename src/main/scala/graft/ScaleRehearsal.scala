@@ -229,6 +229,12 @@ object ScaleRehearsal {
           Tables.documents(spark, d).select("doc_id", "text")
             .repartition(32), p)
         graft.sources.AvroIO.read(spark, p).count(): Unit
+      },
+      // Misra-Gries heavy hitters: the k-entry sketch partial-aggregates
+      // per partition, so cost must track the token stream linearly while
+      // the shuffled state stays k entries regardless of mult
+      "heavy_hitters" -> { d: String =>
+        SparkEntry.queries("q_heavy_hitters")(spark, d).count(): Unit
       })
 
     def time(fn: String => Unit, dir: String): Double =
