@@ -321,6 +321,34 @@ object TextAnalysis {
         .orderBy(desc("cnt"), asc("term"))
     }),
 
+    // The sketch in its most realistic deployment: PER-GROUP heavy hitters
+    // (per-source vocabulary profiling — "what does each corpus slice talk
+    // about"). One mg_sketch aggregate per source rides the same
+    // partial-aggregation tree, so state is k entries PER GROUP per
+    // partition — the per-language/per-domain top-terms job that cannot
+    // exact-groupBy a 100 TB (source, term) space. Same
+    // partition-independent guarantees as q_heavy_hitters, now asserted
+    // within each group against that group's own n/k threshold.
+    "q_heavy_hitters_grouped" -> ((s, d) => {
+      graft.functions.HeavyHittersAgg.register(s)
+      val k = graft.functions.HeavyHittersAgg.defaultK
+      val terms = Tables.documents(s, d)
+        .select(col("source"), explode(expr(words)).as("term"))
+      val sk = terms.groupBy("source")
+        .agg(expr("mg_sketch(term)").as("mg"), count(lit(1)).as("n"))
+      val exact = terms.groupBy("source", "term")
+        .agg(count(lit(1)).as("cnt"))
+      exact.join(sk, "source")
+        .filter(col("cnt") > col("n") / lit(k.toDouble))
+        .select(col("source"), col("term"), col("cnt"),
+          element_at(col("mg"), col("term")).isNotNull.cast("int")
+            .as("in_sketch"),
+          (coalesce(element_at(col("mg"), col("term")), lit(0L)) <= col("cnt")
+            && col("cnt") - coalesce(element_at(col("mg"), col("term")), lit(0L))
+              <= col("n") / lit(k.toDouble)).cast("int").as("bound_ok"))
+        .orderBy(asc("source"), desc("cnt"), asc("term"))
+    }),
+
     // CCNet-style duplicated-segment REMOVAL — where q_span_flag only emits
     // a keep verdict, this actually rewrites the corpus: documents are cut
     // into NON-OVERLAPPING 8-word blocks (the segment analog of CCNet's
@@ -456,6 +484,13 @@ object TextAnalysis {
         "SELECT term, cnt, n.n AS n_terms, 1 AS in_sketch, 1 AS bound_ok " +
         "FROM exact, n WHERE cnt > n.n / 256.0 " +
         "ORDER BY cnt DESC, term ASC"),
+    "q_heavy_hitters_grouped" ->
+      (s"WITH terms AS (SELECT source, unnest($duckWords) AS term FROM documents), " +
+        "n AS (SELECT source, count(*) AS n FROM terms GROUP BY source), " +
+        "exact AS (SELECT source, term, count(*) AS cnt FROM terms GROUP BY source, term) " +
+        "SELECT exact.source, term, cnt, 1 AS in_sketch, 1 AS bound_ok " +
+        "FROM exact JOIN n ON exact.source = n.source WHERE cnt > n.n / 256.0 " +
+        "ORDER BY exact.source ASC, cnt DESC, term ASC"),
     "q_bpe_pairs" ->
       ("WITH words AS (SELECT unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS w FROM documents), " +
         "wc AS (SELECT w, count(*) AS c FROM words GROUP BY w), " +

@@ -731,6 +731,15 @@ class OpsSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Int]("bound_ok") == 1))
   }
 
+  test("grouped heavy hitters: per-group guarantees hold for every source") {
+    val rows = q("q_heavy_hitters_grouped").collect()
+    val nSrc = Tables.documents(spark, sf).select("source").distinct().count()
+    assert(rows.map(_.getAs[String]("source")).distinct.length == nSrc,
+      "every source must surface its own heavy hitters")
+    assert(rows.forall(_.getAs[Int]("in_sketch") == 1))
+    assert(rows.forall(_.getAs[Int]("bound_ok") == 1))
+  }
+
   test("interleave: schedule head is round-robin while sources last") {
     val rows = q("q_interleave").collect()
     val nSrc = Tables.documents(spark, sf)
