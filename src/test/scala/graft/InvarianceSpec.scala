@@ -46,8 +46,16 @@ class InvarianceSpec extends SparkSpec {
     "q_pipeline_pretrain", // composed strip → gate → chunk → pack chain
     "q_bigram_lm",        // tf-weighted transcendental sum under 4dp round
     "q_bpe_pairs",        // vocab-weighted pair counts + deterministic top-20 cut
-    "q_quality_classifier_binned") // LR fit (treeAggregate order) + binned AUC:
+    "q_quality_classifier_binned", // LR fit (treeAggregate order) + binned AUC:
                           // thresholded verdicts must absorb partition-order ulps
+    "q_cdc_apply",        // max(struct) latest-wins merge order
+    "q_heavy_hitters",    // sketch content varies with partitioning — the
+                          // OUTPUT (exact counts + guarantee verdicts) must not
+    "q_heavy_hitters_grouped", // same, per group
+    "q_interleave",       // count-offset per-source index + broadcast ranks
+    "q_rolling_corr",     // 6dp-rounded windowed sums, closed-form corr
+    "q_rolling_ewm",      // ordered frame collect + dyadic-weight fold
+    "q_dedup_url")        // canonical-key aggregate
 
   test("results are invariant under shuffle-partition counts 3/13/32") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")
