@@ -197,6 +197,41 @@ object Analytics {
         .localCheckpoint(true)
       labeled.unpersist(blocking = false)
       out
+    }),
+
+    // Sequential ANY-ANCHOR conversion funnel (view → click within 6 h →
+    // purchase within 6 h, in event order per user) — the event-analytics
+    // staple whose naive encoding is a triple self-join on inequalities
+    // (quadratic per hot user). Anchoring each stage on the LAST
+    // qualifying prior event (not the first — first-anchor funnels
+    // undercount any user whose first view goes stale) makes each stage a
+    // running max over the same ordered lookback frame: last_view feeds
+    // the click qualifier, qualified clicks feed the purchase qualifier,
+    // and Spark plans both Window nodes over ONE user_id shuffle. The
+    // (ts, event_id) order makes same-timestamp handling
+    // engine-deterministic; the per-user funnel depth is then a single
+    // max aggregate.
+    "q_funnel" -> ((s, d) => {
+      val look = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val h6 = expr("INTERVAL 6 HOURS")
+      val e = Tables.events(s, d)
+        .withColumn("last_view",
+          max(when(col("event_type") === "view", col("ts"))).over(look))
+        .withColumn("good_click",
+          when(col("event_type") === "click"
+            && col("ts") <= col("last_view") + h6, col("ts")))
+        .withColumn("last_click", max(col("good_click")).over(look))
+      e.groupBy("user_id")
+        .agg(max(
+          when(col("event_type") === "purchase"
+            && col("ts") <= col("last_click") + h6, 3)
+            .when(col("good_click").isNotNull, 2)
+            .when(col("event_type") === "view", 1)
+            .otherwise(0)).as("stage"))
+        .groupBy("stage").agg(count(lit(1)).as("n_users"))
+        .orderBy("stage")
     })
   )
 
@@ -331,6 +366,22 @@ object Analytics {
         "round(ln(o_totalprice), 6) AS ln_price, " +
         "CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS epoch_days, " +
         "CAST(o_orderpriority = '1-URGENT' AS INTEGER) AS urgent " +
-        "FROM orders ORDER BY o_orderkey")
+        "FROM orders ORDER BY o_orderkey"),
+    "q_funnel" ->
+      ("WITH o AS (SELECT user_id, event_id, event_type, ts, " +
+        "max(CASE WHEN event_type = 'view' THEN ts END) OVER w AS last_view " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), " +
+        "o2 AS (SELECT *, CASE WHEN event_type = 'click' " +
+        "AND ts <= last_view + INTERVAL 6 HOUR THEN ts END AS good_click FROM o), " +
+        "o3 AS (SELECT *, max(good_click) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) " +
+        "AS last_click FROM o2), " +
+        "u AS (SELECT user_id, max(CASE WHEN event_type = 'purchase' " +
+        "AND ts <= last_click + INTERVAL 6 HOUR THEN 3 " +
+        "WHEN good_click IS NOT NULL THEN 2 " +
+        "WHEN event_type = 'view' THEN 1 ELSE 0 END) AS stage " +
+        "FROM o3 GROUP BY user_id) " +
+        "SELECT stage, count(*) AS n_users FROM u GROUP BY stage ORDER BY stage")
   )
 }

@@ -790,6 +790,14 @@ class OpsSpec extends SparkSpec {
     assert(first == 0)
   }
 
+  test("funnel: stage counts partition the user base") {
+    val rows = q("q_funnel").collect()
+    val total = rows.map(_.getAs[Long]("n_users")).sum
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(total == users, "every user lands in exactly one stage")
+    assert(rows.map(_.getAs[Int]("stage")).forall(s => s >= 0 && s <= 3))
+  }
+
   test("compact files: verdicts hold") {
     val r = q("q_compact_files").collect().head
     assert(r.getAs[Int]("files_before") == 64)

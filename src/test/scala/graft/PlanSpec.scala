@@ -327,6 +327,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window") && !p.contains("Join"))
   }
 
+  test("q_funnel: both lookback windows and the depth aggregate share one user_id shuffle") {
+    val p = plan("q_funnel")
+    assert(countOccurrences(p, "Exchange hashpartitioning") <= 2,
+      s"funnel should shuffle by user_id once plus the stage rollup:\n$p")
+    assert(!p.contains("Join"), "the funnel must not be a self-join")
+  }
+
   test("sweep: no CartesianProduct anywhere; BNLJ only where justified") {
     val withBnlj = scala.collection.mutable.Set.empty[String]
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
