@@ -232,6 +232,32 @@ object Analytics {
             .otherwise(0)).as("stage"))
         .groupBy("stage").agg(count(lit(1)).as("n_users"))
         .orderBy("stage")
+    }),
+
+    // Cohort retention — the other event-analytics staple beside the
+    // funnel: users grouped by signup week, counted once per
+    // subsequent-activity week offset. Scale shape: the cohort table is
+    // one aggregate over the signup slice; activity collapses to DISTINCT
+    // (user, week) map-side BEFORE the join, so a user's thousandth event
+    // in a week costs nothing; one equi-join on user_id; offsets are
+    // exact integer day arithmetic on week-truncated Mondays (identical
+    // in both engines — no timezone math under the enforced UTC session).
+    "q_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val cohort = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("t0"))
+        .select(col("user_id"), date_trunc("week", col("t0")).as("cohort"))
+      val activity = ev
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+        .distinct()
+      activity.join(cohort, "user_id")
+        .filter(col("wk") >= col("cohort"))
+        .select(col("cohort").cast("date").as("cohort_week"),
+          (datediff(col("wk"), col("cohort")) / 7).cast("int")
+            .as("week_offset"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_week", "week_offset")
     })
   )
 
@@ -382,6 +408,16 @@ object Analytics {
         "WHEN good_click IS NOT NULL THEN 2 " +
         "WHEN event_type = 'view' THEN 1 ELSE 0 END) AS stage " +
         "FROM o3 GROUP BY user_id) " +
-        "SELECT stage, count(*) AS n_users FROM u GROUP BY stage ORDER BY stage")
+        "SELECT stage, count(*) AS n_users FROM u GROUP BY stage ORDER BY stage"),
+    "q_retention" ->
+      ("WITH cohort AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort " +
+        "FROM events WHERE event_type = 'signup' GROUP BY user_id), " +
+        "activity AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events) " +
+        "SELECT CAST(a.cohort AS DATE) AS cohort_week, " +
+        "CAST(date_diff('day', a.cohort, a.wk) // 7 AS INTEGER) AS week_offset, " +
+        "count(*) AS n_users " +
+        "FROM (SELECT c.cohort, x.wk FROM activity x JOIN cohort c USING (user_id) " +
+        "WHERE x.wk >= c.cohort) a " +
+        "GROUP BY cohort_week, week_offset ORDER BY cohort_week, week_offset")
   )
 }

@@ -798,6 +798,19 @@ class OpsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Int]("stage")).forall(s => s >= 0 && s <= 3))
   }
 
+  test("retention: offset-0 is the cohort ceiling for every later week") {
+    val rows = q("q_retention").collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getAs[java.sql.Date]("cohort_week"))
+    for ((_, rs) <- byCohort) {
+      val base = rs.find(_.getAs[Int]("week_offset") == 0)
+        .map(_.getAs[Long]("n_users"))
+      assert(base.exists(_ > 0), "every cohort must be active in week 0")
+      assert(rs.forall(_.getAs[Long]("n_users") <= base.get),
+        "no later week can exceed the cohort's week-0 actives")
+    }
+  }
+
   test("compact files: verdicts hold") {
     val r = q("q_compact_files").collect().head
     assert(r.getAs[Int]("files_before") == 64)
