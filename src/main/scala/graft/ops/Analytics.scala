@@ -258,6 +258,71 @@ object Analytics {
         .groupBy("cohort_week", "week_offset")
         .agg(count(lit(1)).as("n_users"))
         .orderBy("cohort_week", "week_offset")
+    }),
+
+    // Distribution drift between two corpus snapshots — the
+    // training-data-observability gate that catches a silently shifting
+    // ingest mix before it reaches a training run. Two deterministic
+    // md5-hash snapshots of `documents` stand in for reference/current;
+    // the doc-length (n_chars) distribution is binned at fixed width 400
+    // and compared per source via PSI = Σ (p_cur − p_ref)·ln(p_cur/p_ref)
+    // with +0.5 Laplace smoothing so empty bins stay finite. Scale shape:
+    // ONE conditional-count aggregate per (source, bin) — the raw corpus
+    // is touched exactly once, map-side combined; the window runs over the
+    // bounded bin table, never corpus rows. PSI < 0.1 is the standard
+    // "stable" reading; planted drift would trip `stable` to 0.
+    "q_drift" -> ((s, d) => {
+      val wSrc = Window.partitionBy("source")
+      val bins = Tables.documents(s, d)
+        .withColumn("is_ref",
+          expr("substring(md5(CAST(doc_id AS STRING)), 1, 1) < '8'"))
+        .groupBy(col("source"), floor(col("n_chars") / 400).as("bin"))
+        .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("ref_n"),
+          sum(when(col("is_ref"), 0L).otherwise(1L)).as("cur_n"))
+      bins
+        .withColumn("ref_t", sum("ref_n").over(wSrc))
+        .withColumn("cur_t", sum("cur_n").over(wSrc))
+        .withColumn("n_bins", count(lit(1)).over(wSrc))
+        .withColumn("p_ref",
+          (col("ref_n") + 0.5) / (col("ref_t") + col("n_bins") * 0.5))
+        .withColumn("p_cur",
+          (col("cur_n") + 0.5) / (col("cur_t") + col("n_bins") * 0.5))
+        .groupBy("source")
+        .agg(max("n_bins").cast("long").as("n_bins"),
+          round(sum((col("p_cur") - col("p_ref"))
+            * log(col("p_cur") / col("p_ref"))), 4).as("psi"))
+        .withColumn("stable", (col("psi") < 0.1).cast("int"))
+        .orderBy("source")
+    }),
+
+    // Robust anomaly detection over the event stream — median/MAD
+    // outlier flagging per event_type (3×1.4826·MAD ≈ 3σ under
+    // normality, but unlike mean/stddev the threshold itself isn't
+    // dragged by the outliers it's hunting). Scale shape: two exact
+    // percentile aggregates on the bounded event_type key (memory scales
+    // with per-group DISTINCT values — the q_quantile_approx sketch is
+    // the drop-in when that's too wide), stats rejoin the stream via
+    // broadcast (tiny per-type table), and the final count is one
+    // map-side-combinable aggregate — the full corpus is scanned twice,
+    // shuffled never (only per-type counts move).
+    "q_anomaly" -> ((s, d) => {
+      val ev = Tables.events(s, d).select("event_type", "value")
+      val med = ev.groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val mad = ev.join(broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(expr("percentile(abs(value - med), 0.5)").as("mad"),
+          max("med").as("med"))
+      ev.join(broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(max("med"), 4).as("med"),
+          round(max("mad"), 4).as("mad"),
+          sum((abs(col("value") - col("med"))
+            > lit(3 * 1.4826) * col("mad")).cast("long")).as("n_outliers"))
+        .withColumn("outlier_rate",
+          round(col("n_outliers").cast("double") / col("n"), 6))
+        .orderBy("event_type")
     })
   )
 
@@ -418,6 +483,36 @@ object Analytics {
         "count(*) AS n_users " +
         "FROM (SELECT c.cohort, x.wk FROM activity x JOIN cohort c USING (user_id) " +
         "WHERE x.wk >= c.cohort) a " +
-        "GROUP BY cohort_week, week_offset ORDER BY cohort_week, week_offset")
+        "GROUP BY cohort_week, week_offset ORDER BY cohort_week, week_offset"),
+    "q_drift" ->
+      ("WITH bins AS (SELECT source, CAST(floor(n_chars / 400.0) AS BIGINT) AS bin, " +
+        "count(*) FILTER (WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8') AS ref_n, " +
+        "count(*) FILTER (WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= '8') AS cur_n " +
+        "FROM documents GROUP BY 1, 2), " +
+        "t AS (SELECT source, ref_n, cur_n, " +
+        "sum(ref_n) OVER (PARTITION BY source) AS ref_t, " +
+        "sum(cur_n) OVER (PARTITION BY source) AS cur_t, " +
+        "count(*) OVER (PARTITION BY source) AS n_bins FROM bins), " +
+        "p AS (SELECT source, n_bins, " +
+        "(ref_n + 0.5) / (ref_t + 0.5 * n_bins) AS p_ref, " +
+        "(cur_n + 0.5) / (cur_t + 0.5 * n_bins) AS p_cur FROM t), " +
+        "agg AS (SELECT source, CAST(max(n_bins) AS BIGINT) AS n_bins, " +
+        "round(sum((p_cur - p_ref) * ln(p_cur / p_ref)), 4) AS psi " +
+        "FROM p GROUP BY source) " +
+        "SELECT source, n_bins, psi, " +
+        "CASE WHEN psi < 0.1 THEN 1 ELSE 0 END AS stable " +
+        "FROM agg ORDER BY source"),
+    "q_anomaly" ->
+      ("WITH med AS (SELECT event_type, median(value) AS med " +
+        "FROM events GROUP BY 1), " +
+        "mad AS (SELECT e.event_type, median(abs(e.value - m.med)) AS mad, " +
+        "max(m.med) AS med FROM events e JOIN med m USING (event_type) GROUP BY 1) " +
+        "SELECT e.event_type, count(*) AS n, round(max(m.med), 4) AS med, " +
+        "round(max(m.mad), 4) AS mad, " +
+        "count(*) FILTER (WHERE abs(e.value - m.med) > 3 * 1.4826 * m.mad) AS n_outliers, " +
+        "round((count(*) FILTER (WHERE abs(e.value - m.med) > 3 * 1.4826 * m.mad)) " +
+        "* 1.0 / count(*), 6) AS outlier_rate " +
+        "FROM events e JOIN mad m USING (event_type) " +
+        "GROUP BY 1 ORDER BY 1")
   )
 }

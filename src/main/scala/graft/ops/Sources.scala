@@ -153,6 +153,22 @@ object Sources {
       summarize(graft.sources.ArrowIO.read(s, path))
     }),
 
+    // Excel ingest parity (reference helpers/from_excel.py:11-24 —
+    // pandas.read_excel). No POI/spark-excel jars in this build, so
+    // graft.sources.ExcelIO implements .xlsx (ZIP + SpreadsheetML) on the
+    // JDK alone: per-partition workbook writes, binaryFile-scan + StAX
+    // decode reads. Cells surface as strings (Excel's untyped-cell
+    // reality); the query casts explicitly — same lossless round-trip
+    // contract as the other scans.
+    "q_scan_excel" -> ((s, d) => {
+      val path = scratch("orders_xlsx")
+      graft.sources.ExcelIO.write(
+        Tables.orders(s, d).select("o_orderstatus", "o_totalprice"), path)
+      summarize(graft.sources.ExcelIO.read(s, path)
+        .select(col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice")))
+    }),
+
     // sample(fraction, seed): Bernoulli row sampling. Sampling RNGs differ
     // between engines, so the oracle can't compare the sampled count — the
     // query emits the total plus its OWN binomial verdict (count within
@@ -266,6 +282,7 @@ object Sources {
     "q_scan_orc" -> summarySql,
     "q_scan_avro" -> summarySql,
     "q_scan_arrow" -> summarySql,
+    "q_scan_excel" -> summarySql,
     "q_sink_parquet" -> summarySql,
     "q_scan_text" ->
       ("SELECT count(*) AS n_lines, count(*) AS n_docs, 1 AS content_match " +
