@@ -295,6 +295,67 @@ object Analytics {
         .orderBy("source")
     }),
 
+    // Per-user behavioral Markov chain — the event-type transition matrix
+    // (prev → next counts and row-normalized probabilities), the model
+    // behind next-action prediction and session simulators. Scale shape:
+    // ONE user_id shuffle feeds the lag window; transitions then collapse
+    // through a map-side-combined (prev, next) aggregate whose key space
+    // is |event_types|² — bounded — so the probability normalization
+    // window runs over the tiny transition table, never event rows.
+    "q_markov" -> ((s, d) => {
+      val seq = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val trans = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("next_type"))
+        .withColumn("prev_type", lag(col("next_type"), 1).over(seq))
+        .filter(col("prev_type").isNotNull)
+        .groupBy("prev_type", "next_type")
+        .agg(count(lit(1)).as("n"))
+      trans
+        .withColumn("p", round(col("n").cast("double")
+          / sum(col("n")).over(Window.partitionBy("prev_type")), 6))
+        .orderBy("prev_type", "next_type")
+    }),
+
+    // Two-proportion A/B significance test — deterministic md5 hash of
+    // user_id splits the user base 50/50; "conversion" is a purchase share
+    // above 20% of the user's events, tested in EXACT integer form
+    // (5·n_purch > n_events) so the flag is engine-identical. Scale shape:
+    // events collapse to one row per user via a map-side-combined count
+    // aggregate, the variant flag is row-local hash arithmetic, and the
+    // verdict is ONE 1-row conditional aggregate — the pooled
+    // two-proportion z-score and the |z| > 1.96 call are plain IEEE
+    // arithmetic on exact integer counts, identical in any engine.
+    "q_ab_test" -> ((s, d) => {
+      val users = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg((sum((col("event_type") === "purchase").cast("long")) * 5
+          > count(lit(1))).cast("int").as("conv"))
+        .withColumn("variant",
+          when(expr("substring(md5(CAST(user_id AS STRING)), 1, 1) < '8'"),
+            "A").otherwise("B"))
+      val a = when(col("variant") === "A", 1L).otherwise(0L)
+      val b = lit(1L) - a
+      users.agg(
+        sum(a).as("n_a"), sum(a * col("conv")).as("conv_a"),
+        sum(b).as("n_b"), sum(b * col("conv")).as("conv_b"))
+        .withColumn("rate_a",
+          round(col("conv_a").cast("double") / col("n_a"), 6))
+        .withColumn("rate_b",
+          round(col("conv_b").cast("double") / col("n_b"), 6))
+        .withColumn("p_pool", (col("conv_a") + col("conv_b")).cast("double")
+          / (col("n_a") + col("n_b")))
+        .withColumn("z", round(
+          (col("conv_a").cast("double") / col("n_a")
+            - col("conv_b").cast("double") / col("n_b"))
+            / sqrt(col("p_pool") * (lit(1.0) - col("p_pool"))
+              * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 4))
+        .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+          col("rate_a"), col("rate_b"), col("z"),
+          (abs(col("z")) > 1.96).cast("int").as("significant"))
+    }),
+
     // Robust anomaly detection over the event stream — median/MAD
     // outlier flagging per event_type (3×1.4826·MAD ≈ 3σ under
     // normality, but unlike mean/stddev the threshold itself isn't
@@ -502,6 +563,36 @@ object Analytics {
         "SELECT source, n_bins, psi, " +
         "CASE WHEN psi < 0.1 THEN 1 ELSE 0 END AS stable " +
         "FROM agg ORDER BY source"),
+    "q_markov" ->
+      ("WITH t AS (SELECT user_id, event_type AS next_type, " +
+        "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type " +
+        "FROM events), " +
+        "c AS (SELECT prev_type, next_type, count(*) AS n FROM t " +
+        "WHERE prev_type IS NOT NULL GROUP BY 1, 2) " +
+        "SELECT prev_type, next_type, n, " +
+        "round(n * 1.0 / sum(n) OVER (PARTITION BY prev_type), 6) AS p " +
+        "FROM c ORDER BY prev_type, next_type"),
+    "q_ab_test" ->
+      ("WITH g AS (SELECT user_id, " +
+        "CASE WHEN 5 * count(*) FILTER (event_type = 'purchase') > count(*) " +
+        "THEN 1 ELSE 0 END AS conv FROM events GROUP BY user_id), " +
+        "u AS (SELECT conv, " +
+        "CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8' " +
+        "THEN 'A' ELSE 'B' END AS variant FROM g), " +
+        "agg AS (SELECT " +
+        "CAST(count(*) FILTER (variant = 'A') AS BIGINT) AS n_a, " +
+        "CAST(sum(conv) FILTER (variant = 'A') AS BIGINT) AS conv_a, " +
+        "CAST(count(*) FILTER (variant = 'B') AS BIGINT) AS n_b, " +
+        "CAST(sum(conv) FILTER (variant = 'B') AS BIGINT) AS conv_b FROM u), " +
+        "s AS (SELECT *, (conv_a + conv_b) * 1.0 / (n_a + n_b) AS p_pool FROM agg) " +
+        "SELECT n_a, conv_a, n_b, conv_b, " +
+        "round(conv_a * 1.0 / n_a, 6) AS rate_a, " +
+        "round(conv_b * 1.0 / n_b, 6) AS rate_b, " +
+        "round((conv_a * 1.0 / n_a - conv_b * 1.0 / n_b) " +
+        "/ sqrt(p_pool * (1.0 - p_pool) * (1.0 / n_a + 1.0 / n_b)), 4) AS z, " +
+        "CASE WHEN abs(round((conv_a * 1.0 / n_a - conv_b * 1.0 / n_b) " +
+        "/ sqrt(p_pool * (1.0 - p_pool) * (1.0 / n_a + 1.0 / n_b)), 4)) > 1.96 " +
+        "THEN 1 ELSE 0 END AS significant FROM s"),
     "q_anomaly" ->
       ("WITH med AS (SELECT event_type, median(value) AS med " +
         "FROM events GROUP BY 1), " +

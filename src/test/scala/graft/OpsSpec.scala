@@ -798,6 +798,30 @@ class OpsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Int]("stage")).forall(s => s >= 0 && s <= 3))
   }
 
+  test("markov: per-prev transition probabilities sum to 1") {
+    val rows = q("q_markov").collect()
+    assert(rows.nonEmpty)
+    // transition count = events - one chain start per user
+    val nTrans = rows.map(_.getAs[Long]("n")).sum
+    val events = Tables.events(spark, sf).count()
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(nTrans == events - users)
+    for ((_, rs) <- rows.groupBy(_.getAs[String]("prev_type"))) {
+      val pSum = rs.map(_.getAs[Double]("p")).sum
+      assert(math.abs(pSum - 1.0) < 1e-4, s"row-stochastic violation: $pSum")
+    }
+  }
+
+  test("ab_test: variants partition the user base; verdict matches z") {
+    val r = q("q_ab_test").collect().head
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") == users)
+    assert(r.getAs[Long]("conv_a") <= r.getAs[Long]("n_a"))
+    assert(r.getAs[Long]("conv_b") <= r.getAs[Long]("n_b"))
+    val sig = math.abs(r.getAs[Double]("z")) > 1.96
+    assert(r.getAs[Int]("significant") == (if (sig) 1 else 0))
+  }
+
   test("retention: offset-0 is the cohort ceiling for every later week") {
     val rows = q("q_retention").collect()
     assert(rows.nonEmpty)

@@ -334,6 +334,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), "the funnel must not be a self-join")
   }
 
+  test("q_markov/q_ab_test: event rows shuffle once by user_id, no joins") {
+    val pm = plan("q_markov")
+    assert(!pm.contains("Join"), "transition matrix must not self-join")
+    // user_id window shuffle + bounded (prev,next) agg + tiny prob window
+    assert(countOccurrences(pm, "Exchange hashpartitioning") <= 3, pm)
+    val pa = plan("q_ab_test")
+    assert(!pa.contains("Join") && !pa.contains("Window"),
+      "A/B verdict is pure aggregation")
+    assert(countOccurrences(pa, "Exchange hashpartitioning") <= 1,
+      s"one user_id shuffle only:\n$pa")
+  }
+
   test("sweep: no CartesianProduct anywhere; BNLJ only where justified") {
     val withBnlj = scala.collection.mutable.Set.empty[String]
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
