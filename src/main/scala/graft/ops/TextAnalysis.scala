@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.Tables.Q
@@ -267,6 +268,54 @@ object TextAnalysis {
         .select(col("doc_id"),
           coalesce(col("n_boiler_hits"), lit(0L)).as("n_boiler_hits"))
         .withColumn("keep", col("n_boiler_hits") === 0)
+        .orderBy("doc_id")
+    }),
+
+    // Duplicated-REGION accounting — the per-document completion of span
+    // mining: merge every duplicated 8-word span's [pos, pos+8) interval
+    // into maximal islands and report how much of each document is
+    // cross-document duplicated text (the CCNet/RefinedWeb "dup fraction"
+    // cleaning signal; q_span_dedup surfaces WHAT repeats, this says WHERE
+    // and HOW MUCH per doc). Scale shape: the duplicated-span inventory is
+    // a distinct-first aggregate; spans rejoin it by span key (per
+    // OCCURRENCE — no pair expansion); the island merge is the classic
+    // prev-max-end window, partitioned by doc_id with frames bounded by
+    // the doc's own span count — both windows and the island aggregate
+    // share ONE doc_id shuffle, nothing global.
+    "q_span_merge" -> ((s, d) => {
+      val spans = Tables.documents(s, d)
+        .select(col("doc_id"), expr(words).as("w"))
+        .filter(size(col("w")) >= 8)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(1, size(w) - 7), i -> array_join(slice(w, i, 8), ' '))"))
+          .as(Seq("pos", "span")))
+      val dup = spans.select("span", "doc_id").distinct()
+        .groupBy("span").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2).select("span")
+      val ord = Window.partitionBy("doc_id").orderBy("pos")
+      val hits = spans.join(dup, Seq("span"))
+        .withColumn("prev_end", max(col("pos") + 8)
+          .over(ord.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("new_isl",
+          (col("prev_end").isNull || col("pos") > col("prev_end"))
+            .cast("long"))
+        .withColumn("island", sum(col("new_isl")).over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val perDoc = hits.groupBy("doc_id", "island")
+        .agg(min("pos").as("st"), max(col("pos") + 8).as("en"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_islands"),
+          sum(col("en") - col("st")).as("dup_words"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), size(expr(words)).cast("long").as("n_words"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_islands"), lit(0L)).as("n_islands"),
+          coalesce(col("dup_words"), lit(0L)).as("dup_words"),
+          col("n_words"),
+          when(col("n_words") === 0, 0.0).otherwise(
+            round(coalesce(col("dup_words"), lit(0L)).cast("double")
+              / col("n_words"), 4)).as("dup_frac"))
         .orderBy("doc_id")
     }),
 
@@ -553,6 +602,34 @@ object TextAnalysis {
         s"(${scoreDuck(stop)} >= 3) AND " +
         "(round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text), 4) >= 0.75) AS keep " +
         "FROM documents ORDER BY doc_id"),
+    "q_span_merge" ->
+      (s"WITH base AS (SELECT doc_id, $duckWords AS w FROM documents), " +
+        "spans AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, " +
+        "array_to_string(w[CAST(i AS INTEGER):CAST(i AS INTEGER) + 7], ' ') AS span " +
+        "FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i " +
+        "FROM base WHERE len(w) >= 8)), " +
+        "dup AS (SELECT span FROM (SELECT span, doc_id FROM spans GROUP BY 1, 2) " +
+        "GROUP BY span HAVING count(*) >= 2), " +
+        "hits AS (SELECT s.doc_id, s.pos FROM spans s JOIN dup USING (span)), " +
+        "isl AS (SELECT doc_id, pos, CASE WHEN " +
+        "max(pos + 8) OVER w IS NULL OR pos > max(pos + 8) OVER w " +
+        "THEN 1 ELSE 0 END AS new_isl FROM hits " +
+        "WINDOW w AS (PARTITION BY doc_id ORDER BY pos " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), " +
+        "isl2 AS (SELECT doc_id, pos, sum(new_isl) OVER " +
+        "(PARTITION BY doc_id ORDER BY pos) AS island FROM isl), " +
+        "merged AS (SELECT doc_id, island, min(pos) AS st, max(pos + 8) AS en " +
+        "FROM isl2 GROUP BY 1, 2), " +
+        "per_doc AS (SELECT doc_id, count(*) AS n_islands, " +
+        "sum(en - st) AS dup_words FROM merged GROUP BY 1), " +
+        s"nw AS (SELECT doc_id, len($duckWords) AS n_words FROM documents) " +
+        "SELECT nw.doc_id, CAST(coalesce(n_islands, 0) AS BIGINT) AS n_islands, " +
+        "CAST(coalesce(dup_words, 0) AS BIGINT) AS dup_words, " +
+        "CAST(n_words AS BIGINT) AS n_words, " +
+        "CASE WHEN n_words = 0 THEN 0.0 " +
+        "ELSE round(coalesce(dup_words, 0) * 1.0 / n_words, 4) END AS dup_frac " +
+        "FROM nw LEFT JOIN per_doc ON nw.doc_id = per_doc.doc_id " +
+        "ORDER BY nw.doc_id"),
     "q_span_dedup" ->
       (s"WITH base AS (SELECT doc_id, $duckWords AS w FROM documents), " +
         "spans AS (SELECT doc_id, array_to_string(w[CAST(i AS INTEGER):CAST(i AS INTEGER) + 7], ' ') AS span " +

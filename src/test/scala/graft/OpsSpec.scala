@@ -822,6 +822,28 @@ class OpsSpec extends SparkSpec {
     assert(r.getAs[Int]("significant") == (if (sig) 1 else 0))
   }
 
+  test("span_merge: islands are maximal, bounded by the doc's own words") {
+    val rows = q("q_span_merge").collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.length == nDocs, "one accounting row per document")
+    for (r <- rows) {
+      val (ni, dw, nw) = (r.getAs[Long]("n_islands"),
+        r.getAs[Long]("dup_words"), r.getAs[Long]("n_words"))
+      assert(dw >= ni * 8, "every merged island spans at least 8 words")
+      assert(dw <= nw, "duplicated words cannot exceed the doc's words")
+      val f = r.getAs[Double]("dup_frac")
+      assert(f >= 0.0 && f <= 1.0)
+    }
+    // consistency with span_flag: a doc hit by top-20 boilerplate spans
+    // must show a non-zero duplicated region here (its inventory is a
+    // superset of the top-20)
+    val flagged = q("q_span_flag").filter(col("n_boiler_hits") > 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val withDup = rows.filter(_.getAs[Long]("dup_words") > 0)
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(flagged.subsetOf(withDup))
+  }
+
   test("retention: offset-0 is the cohort ceiling for every later week") {
     val rows = q("q_retention").collect()
     assert(rows.nonEmpty)

@@ -346,6 +346,14 @@ class PlanSpec extends SparkSpec {
       s"one user_id shuffle only:\n$pa")
   }
 
+  test("q_span_merge: both island windows ride one doc_id shuffle") {
+    val p = plan("q_span_merge")
+    assert(countOccurrences(p, "Exchange hashpartitioning(doc_id") == 1,
+      s"prev-end + island windows and the island aggregate must share a " +
+        s"single doc_id exchange:\n$p")
+    assert(countOccurrences(p, "Window") == 2)
+  }
+
   test("sweep: no CartesianProduct anywhere; BNLJ only where justified") {
     val withBnlj = scala.collection.mutable.Set.empty[String]
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
