@@ -25,6 +25,7 @@ object SparkEntry {
     (ops.Multimodal.queries, ops.Multimodal.oracle),
     (ops.Sources.queries, ops.Sources.oracle),
     (ops.Layout.queries, ops.Layout.oracle),
+    (ops.Graph.queries, ops.Graph.oracle),
     (ops.AsOf.queries, ops.AsOf.oracle)
   )
 

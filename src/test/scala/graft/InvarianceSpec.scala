@@ -55,7 +55,11 @@ class InvarianceSpec extends SparkSpec {
     "q_interleave",       // count-offset per-source index + broadcast ranks
     "q_rolling_corr",     // 6dp-rounded windowed sums, closed-form corr
     "q_rolling_ewm",      // ordered frame collect + dyadic-weight fold
-    "q_dedup_url")        // canonical-key aggregate
+    "q_dedup_url",        // canonical-key aggregate
+    "q_span_merge",       // span-inventory join + per-doc island windows
+    "q_markov",           // lag window + bounded transition normalization
+    "q_ab_test",          // exact-int conversion flags, 1-row verdict
+    "q_pagerank")         // fixed-point integer power iteration
 
   test("results are invariant under shuffle-partition counts 3/13/32") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")

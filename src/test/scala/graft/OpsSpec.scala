@@ -844,6 +844,24 @@ class OpsSpec extends SparkSpec {
     assert(flagged.subsetOf(withDup))
   }
 
+  test("pagerank: teleport floor and mass ceiling hold for every node") {
+    val rows = q("q_pagerank").collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    val nNodes = (Tables.customer(spark, sf).select("c_custkey").distinct()
+      .count() + Tables.supplier(spark, sf).count())
+    for (r <- rows) {
+      val pr = r.getAs[Long]("pr")
+      // every node keeps at least the teleport share (0.15 in 1e-7 units)
+      assert(pr >= 1500000L, s"below teleport floor: $pr")
+      // and no node can exceed the whole graph's rank mass
+      assert(pr <= nNodes * 10000000L)
+      assert(r.getAs[String]("node").matches("[cs]\\d+"))
+    }
+    // output is rank-descending
+    val prs = rows.map(_.getAs[Long]("pr")).toSeq
+    assert(prs == prs.sorted.reverse)
+  }
+
   test("retention: offset-0 is the cohort ceiling for every later week") {
     val rows = q("q_retention").collect()
     assert(rows.nonEmpty)

@@ -354,6 +354,13 @@ class PlanSpec extends SparkSpec {
     assert(countOccurrences(p, "Window") == 2)
   }
 
+  test("q_pagerank: bounded top-k head, no windows, BSP join-agg iterations") {
+    val p = plan("q_pagerank")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-50 must be a per-partition heap, not a global sort")
+    assert(!p.contains("Window"), "power iteration is pure join+aggregate")
+  }
+
   test("sweep: no CartesianProduct anywhere; BNLJ only where justified") {
     val withBnlj = scala.collection.mutable.Set.empty[String]
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
