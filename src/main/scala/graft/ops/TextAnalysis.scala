@@ -512,8 +512,70 @@ object TextAnalysis {
         .groupBy("pair").agg(sum("c").as("freq"))
         .orderBy(desc("freq"), asc("pair"))
         .limit(20)
+    }),
+
+    // BPE tokenizer TRAINING — the full iterative merge loop, not just one
+    // round of pair counts (q_bpe_pairs): 5 greedy merges, each picking
+    // the corpus-wide most frequent adjacent symbol pair (ties to the
+    // lexicographically first) and fusing it across the vocabulary.
+    // Output = the learned merge table, the artifact a tokenizer ships.
+    // Scale shape: trains on the DISTINCT word vocabulary weighted by
+    // count (Zipf: orders of magnitude smaller than the corpus — the same
+    // move every real BPE trainer makes); each round is one row-local pair
+    // explode + one map-side-combined aggregate + a 1-ROW collect (the
+    // winning pair — control flow only, like a KMeans centroid pull);
+    // merge application is a row-local string rewrite on the persisted
+    // vocab. Symbols ride a '|'-sentinel encoding; the rewrite applies
+    // replace() 3× so odd-aligned runs fuse — a deterministic greedy
+    // variant mirrored EXACTLY by the oracle (both engines scan
+    // left-to-right, non-overlapping).
+    "q_bpe_train" -> ((s, d) => {
+      import s.implicits._
+      val wc = Tables.documents(s, d)
+        .select(explode(expr(words)).as("w"))
+        .filter(!col("w").contains("|")) // '|' is the symbol sentinel
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .select(col("c"), concat(lit("|"),
+          regexp_replace(col("w"), "(.)", "$1|")).as("seq"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var vocab = wc
+      val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+      for (i <- 1 to 5) {
+        val top = vocab
+          .select(col("c"),
+            expr("filter(split(seq, '\\\\|'), x -> length(x) > 0)").as("sy"))
+          .filter(size(col("sy")) >= 2)
+          .select(col("c"), explode(expr(
+            "transform(sequence(1, size(sy) - 1), " +
+              "j -> concat(element_at(sy, j), '|', element_at(sy, j + 1)))"))
+            .as("pair"))
+          .groupBy("pair").agg(sum("c").as("freq"))
+          .orderBy(desc("freq"), asc("pair")).limit(1)
+          .collect()(0)
+        val pair = top.getString(0)
+        val Array(l, r) = pair.split("\\|", 2)
+        merges += ((i, l, r, l + r, top.getLong(1)))
+        val from = lit("|" + pair + "|"); val to = lit("|" + l + r + "|")
+        vocab = vocab.withColumn("seq",
+          replace(replace(replace(col("seq"), from, to), from, to), from, to))
+      }
+      merges.result().toDF("iter", "lhs", "rhs", "merged", "freq")
     })
   )
+
+  /** The BPE oracle's per-iteration CTE triple (pair counts → top-1 pick →
+    * vocab rewrite), unrolled — replays the exact greedy recurrence,
+    * including the 3× replace() merge application. */
+  private def bpeIter(i: Int): String = {
+    val rw = "'|' || pair || '|', '|' || replace(pair, '|', '') || '|'"
+    s"p$i AS (SELECT pair, CAST(sum(c) AS BIGINT) AS freq FROM " +
+      s"(SELECT c, unnest([sy[j+1] || '|' || sy[j+2] for j in range(len(sy)-1)]) AS pair " +
+      s"FROM (SELECT c, list_filter(string_split(seq, '|'), x -> length(x) > 0) AS sy " +
+      s"FROM v${i - 1}) WHERE len(sy) >= 2) GROUP BY pair), " +
+      s"t$i AS (SELECT pair, freq FROM p$i ORDER BY freq DESC, pair LIMIT 1), " +
+      s"v$i AS (SELECT c, replace(replace(replace(seq, $rw), $rw), $rw) AS seq " +
+      s"FROM v${i - 1}, t$i)"
+  }
 
   private val duckToks =
     "list_filter(str_split_regex(text, '[^a-zA-Z0-9]+'), x -> length(x) > 0)"
@@ -602,6 +664,19 @@ object TextAnalysis {
         s"(${scoreDuck(stop)} >= 3) AND " +
         "(round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text), 4) >= 0.75) AS keep " +
         "FROM documents ORDER BY doc_id"),
+    "q_bpe_train" ->
+      (s"WITH w0 AS (SELECT w, count(*) AS c FROM " +
+        s"(SELECT unnest($duckWords) AS w FROM documents) " +
+        "WHERE NOT contains(w, '|') GROUP BY w), " +
+        raw"v0 AS (SELECT c, '|' || regexp_replace(w, '(.)', '\1|', 'g') AS seq FROM w0), " +
+        (1 to 5).map(bpeIter).mkString(", ") + " " +
+        "SELECT * FROM (" +
+        (1 to 5).map { i =>
+          s"SELECT CAST($i AS INTEGER) AS iter, " +
+            "split_part(pair, '|', 1) AS lhs, split_part(pair, '|', 2) AS rhs, " +
+            s"replace(pair, '|', '') AS merged, freq FROM t$i"
+        }.mkString(" UNION ALL ") +
+        ") ORDER BY iter"),
     "q_span_merge" ->
       (s"WITH base AS (SELECT doc_id, $duckWords AS w FROM documents), " +
         "spans AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, " +

@@ -59,7 +59,8 @@ class InvarianceSpec extends SparkSpec {
     "q_span_merge",       // span-inventory join + per-doc island windows
     "q_markov",           // lag window + bounded transition normalization
     "q_ab_test",          // exact-int conversion flags, 1-row verdict
-    "q_pagerank")         // fixed-point integer power iteration
+    "q_pagerank",         // fixed-point integer power iteration
+    "q_bpe_train")        // greedy merge loop: exact counts + lexicographic ties
 
   test("results are invariant under shuffle-partition counts 3/13/32") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")

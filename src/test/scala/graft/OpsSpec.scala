@@ -862,6 +862,26 @@ class OpsSpec extends SparkSpec {
     assert(prs == prs.sorted.reverse)
   }
 
+  test("bpe_train: greedy merge invariants + round-1 agreement with q_bpe_pairs") {
+    val rows = q("q_bpe_train").orderBy("iter").collect()
+    assert(rows.length == 5)
+    for (r <- rows) {
+      val (l, rr, m) = (r.getAs[String]("lhs"), r.getAs[String]("rhs"),
+        r.getAs[String]("merged"))
+      assert(l.nonEmpty && rr.nonEmpty && m == l + rr)
+      assert(!m.contains("|"), "symbols never contain the sentinel")
+    }
+    // each merge can only reduce (or tie) the achievable max pair count
+    val freqs = rows.map(_.getAs[Long]("freq")).toSeq
+    assert(freqs == freqs.sorted.reverse, s"non-increasing violated: $freqs")
+    // round 1 operates on single-char symbols — must agree with the
+    // one-shot char-pair counter's top entry
+    val top = q("q_bpe_pairs").orderBy(desc("freq"), asc("pair"))
+      .limit(1).collect().head
+    assert(rows.head.getAs[String]("merged") == top.getAs[String]("pair"))
+    assert(rows.head.getAs[Long]("freq") == top.getAs[Long]("freq"))
+  }
+
   test("retention: offset-0 is the cohort ceiling for every later week") {
     val rows = q("q_retention").collect()
     assert(rows.nonEmpty)
