@@ -295,6 +295,53 @@ object Analytics {
         .orderBy("source")
     }),
 
+    // Smoothed target encoding — the category→number featurization that
+    // replaces one-hot for high-cardinality categoricals: each market
+    // segment is encoded as its average order value shrunk toward the
+    // global mean with strength m=10 (encoded = (n·mean + m·g)/(n + m)),
+    // so rare categories don't memorize their few labels. Scale shape:
+    // ONE map-side-combined aggregate per category plus a 1-row global
+    // prior joined in by broadcast — the encoding table is dimension-
+    // sized and itself broadcasts onto any scoring pass downstream.
+    "q_target_encode" -> ((s, d) => {
+      val joined = Tables.orders(s, d)
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment"), col("o_totalprice"))
+      val prior = joined.agg(avg("o_totalprice").as("g"))
+      joined.groupBy("segment")
+        .agg(count(lit(1)).as("n"), avg("o_totalprice").as("mean"))
+        .join(broadcast(prior))
+        .select(col("segment"), col("n"), round(col("mean"), 4).as("raw_mean"),
+          round((col("n") * col("mean") + lit(10) * col("g"))
+            / (col("n") + lit(10)), 4).as("encoded"),
+          round(col("g"), 4).as("global_mean"))
+        .orderBy("segment")
+    }),
+
+    // Per-group standardization (z-score) with self-verifying output: the
+    // post-transform per-group stats must read mean 0 / stddev 1, and the
+    // min/max z expose outlier reach. Scale shape: two passes over the
+    // column — a per-group moment aggregate whose tiny result broadcasts
+    // back onto the rows (never a window over the corpus), then one
+    // map-side-combined verification aggregate; at 100 TB both passes run
+    // at scan speed.
+    "q_standardize" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("grp"), col("l_extendedprice").as("x"))
+      val stats = li.groupBy("grp")
+        .agg(avg("x").as("mu"), stddev_samp(col("x")).as("sigma"))
+      li.join(broadcast(stats), "grp")
+        .withColumn("z", (col("x") - col("mu")) / col("sigma"))
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n"),
+          (round(avg("z"), 4) + lit(0.0)).as("mean_z"),
+          round(stddev_samp(col("z")), 4).as("std_z"),
+          round(min("z"), 4).as("min_z"),
+          round(max("z"), 4).as("max_z"))
+        .orderBy("grp")
+    }),
+
     // Per-user behavioral Markov chain — the event-type transition matrix
     // (prev → next counts and row-normalized probabilities), the model
     // behind next-action prediction and session simulators. Scale shape:
@@ -563,6 +610,23 @@ object Analytics {
         "SELECT source, n_bins, psi, " +
         "CASE WHEN psi < 0.1 THEN 1 ELSE 0 END AS stable " +
         "FROM agg ORDER BY source"),
+    "q_target_encode" ->
+      ("WITH j AS (SELECT c_mktsegment AS segment, o_totalprice " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey), " +
+        "prior AS (SELECT avg(o_totalprice) AS g FROM j), " +
+        "enc AS (SELECT segment, count(*) AS n, avg(o_totalprice) AS mean FROM j GROUP BY 1) " +
+        "SELECT segment, n, round(mean, 4) AS raw_mean, " +
+        "round((n * mean + 10 * g) / (n + 10), 4) AS encoded, " +
+        "round(g, 4) AS global_mean FROM enc, prior ORDER BY segment"),
+    "q_standardize" ->
+      ("WITH li AS (SELECT l_returnflag AS grp, l_extendedprice AS x FROM lineitem), " +
+        "st AS (SELECT grp, avg(x) AS mu, stddev_samp(x) AS sigma FROM li GROUP BY 1) " +
+        "SELECT li.grp, count(*) AS n, " +
+        "round(avg((x - mu) / sigma), 4) + 0.0 AS mean_z, " +
+        "round(stddev_samp((x - mu) / sigma), 4) AS std_z, " +
+        "round(min((x - mu) / sigma), 4) AS min_z, " +
+        "round(max((x - mu) / sigma), 4) AS max_z " +
+        "FROM li JOIN st ON li.grp = st.grp GROUP BY li.grp ORDER BY li.grp"),
     "q_markov" ->
       ("WITH t AS (SELECT user_id, event_type AS next_type, " +
         "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type " +

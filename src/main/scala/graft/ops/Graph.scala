@@ -59,6 +59,48 @@ object Graph {
           .select(col("dst").as("node"), col("pr"))
       }
       ranks.orderBy(desc("pr"), asc("node")).limit(50)
+    }),
+
+    // Degree distribution of the purchase graph, split by node side — the
+    // first observability read on any graph workload (skew detection: a
+    // heavy-degree node is tomorrow's hot-partition straggler). Scale
+    // shape: two map-side-combined aggregates (node degree, then
+    // histogram); output is bounded by the number of DISTINCT degrees,
+    // never node count.
+    "q_degree_dist" -> ((s, d) =>
+      purchaseEdges(s, d)
+        .groupBy("src").agg(count(lit(1)).as("deg"))
+        .groupBy(substring(col("src"), 1, 1).as("side"), col("deg"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy("side", "deg")),
+
+    // Supplier similarity by shared customer base — Jaccard over DISTINCT
+    // customer sets, the co-occurrence recommendation primitive. Scale
+    // shape: pairs form through the shared-CUSTOMER equi-join, so a
+    // customer buying from k suppliers contributes k² pair rows with k
+    // bounded by the supplier DIMENSION (never corpus size); per-supplier
+    // degrees broadcast back onto the bounded pair table; Jaccard is
+    // exact-integer set algebra over distinct counts, rounded 6 dp.
+    "q_copurchase_sim" -> ((s, d) => {
+      val e0 = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val deg = e0.groupBy("sk").agg(count(lit(1)).as("deg"))
+      val pairs = e0.select(col("c"), col("sk").as("s1"))
+        .join(e0.select(col("c"), col("sk").as("s2")), Seq("c"))
+        .filter(col("s1") < col("s2"))
+        .groupBy("s1", "s2").agg(count(lit(1)).as("shared"))
+      pairs
+        .join(broadcast(deg.select(col("sk").as("s1"), col("deg").as("d1"))), Seq("s1"))
+        .join(broadcast(deg.select(col("sk").as("s2"), col("deg").as("d2"))), Seq("s2"))
+        .select(col("s1"), col("s2"), col("shared"),
+          round(col("shared").cast("double")
+            / (col("d1") + col("d2") - col("shared")), 6).as("jaccard"))
+        .orderBy(desc("jaccard"), desc("shared"), asc("s1"), asc("s2"))
+        .limit(20)
     })
   )
 
@@ -80,6 +122,25 @@ object Graph {
         "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src), " +
         "r0 AS (SELECT src AS node, CAST(10000000 AS BIGINT) AS pr FROM deg), " +
         prIters + " " +
-        "SELECT node, pr FROM r3 ORDER BY pr DESC, node LIMIT 50")
+        "SELECT node, pr FROM r3 ORDER BY pr DESC, node LIMIT 50"),
+    "q_degree_dist" ->
+      ("WITH e0 AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sk " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
+        "edges AS (SELECT 'c' || c AS src FROM e0 " +
+        "UNION ALL SELECT 's' || sk FROM e0), " +
+        "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src) " +
+        "SELECT substr(src, 1, 1) AS side, deg, count(*) AS n_nodes " +
+        "FROM deg GROUP BY 1, 2 ORDER BY side, deg"),
+    "q_copurchase_sim" ->
+      ("WITH e0 AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sk " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
+        "deg AS (SELECT sk, count(*) AS deg FROM e0 GROUP BY sk), " +
+        "pairs AS (SELECT a.sk AS s1, b.sk AS s2, count(*) AS shared " +
+        "FROM e0 a JOIN e0 b ON a.c = b.c AND a.sk < b.sk GROUP BY 1, 2) " +
+        "SELECT s1, s2, shared, " +
+        "round(shared * 1.0 / (d1.deg + d2.deg - shared), 6) AS jaccard " +
+        "FROM pairs JOIN deg d1 ON pairs.s1 = d1.sk " +
+        "JOIN deg d2 ON pairs.s2 = d2.sk " +
+        "ORDER BY jaccard DESC, shared DESC, s1, s2 LIMIT 20")
   )
 }

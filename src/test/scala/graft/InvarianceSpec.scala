@@ -60,7 +60,11 @@ class InvarianceSpec extends SparkSpec {
     "q_markov",           // lag window + bounded transition normalization
     "q_ab_test",          // exact-int conversion flags, 1-row verdict
     "q_pagerank",         // fixed-point integer power iteration
-    "q_bpe_train")        // greedy merge loop: exact counts + lexicographic ties
+    "q_bpe_train",        // greedy merge loop: exact counts + lexicographic ties
+    "q_target_encode",    // double-avg shrinkage under 4dp round
+    "q_standardize",      // two-pass moments under 4dp round
+    "q_degree_dist",      // exact-integer degree histogram
+    "q_copurchase_sim")   // exact-integer set overlap + 6dp jaccard
 
   test("results are invariant under shuffle-partition counts 3/13/32") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")

@@ -882,6 +882,46 @@ class OpsSpec extends SparkSpec {
     assert(rows.head.getAs[Long]("freq") == top.getAs[Long]("freq"))
   }
 
+  test("target_encode: shrinkage lands between category and global mean") {
+    for (r <- q("q_target_encode").collect()) {
+      val (raw, enc, g) = (r.getAs[Double]("raw_mean"),
+        r.getAs[Double]("encoded"), r.getAs[Double]("global_mean"))
+      assert(enc >= math.min(raw, g) - 1e-9 && enc <= math.max(raw, g) + 1e-9,
+        s"encoding must interpolate raw↔global: $raw $enc $g")
+    }
+  }
+
+  test("standardize: post-transform groups read mean 0 / stddev 1") {
+    val rows = q("q_standardize").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getAs[Double]("mean_z") == 0.0)
+      assert(r.getAs[Double]("std_z") == 1.0)
+      assert(r.getAs[Double]("min_z") < 0 && r.getAs[Double]("max_z") > 0)
+    }
+  }
+
+  test("degree_dist: both graph sides carry the same edge mass") {
+    val rows = q("q_degree_dist").collect()
+    val mass = rows.groupBy(_.getAs[String]("side"))
+      .view.mapValues(_.map(r =>
+        r.getAs[Long]("deg") * r.getAs[Long]("n_nodes")).sum).toMap
+    assert(mass.keySet == Set("c", "s"))
+    assert(mass("c") == mass("s"),
+      "sum of customer degrees must equal sum of supplier degrees")
+  }
+
+  test("copurchase_sim: jaccard bounded, pairs canonical") {
+    val rows = q("q_copurchase_sim").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    for (r <- rows) {
+      assert(r.getAs[Long]("s1") < r.getAs[Long]("s2"))
+      val j = r.getAs[Double]("jaccard")
+      assert(j > 0.0 && j <= 1.0)
+      assert(r.getAs[Long]("shared") >= 1)
+    }
+  }
+
   test("retention: offset-0 is the cohort ceiling for every later week") {
     val rows = q("q_retention").collect()
     assert(rows.nonEmpty)

@@ -282,7 +282,8 @@ class PlanSpec extends SparkSpec {
     "q_sample_temperature" -> "1-row min-mix-count aggregate broadcast",
     "q_shard_write" -> "1-row shard-stats × 1-row total verdict join",
     "q_heavy_hitters" -> "1-row (sketch, n) aggregate broadcast onto the exact counts",
-    "q_interleave" -> "1-row source-count aggregate broadcast"
+    "q_interleave" -> "1-row source-count aggregate broadcast",
+    "q_target_encode" -> "1-row global-prior aggregate broadcast"
     // q_contamination_bloom's 1-row verdict joins are invisible to the
     // sweep: the query localCheckpoints its single-row output eagerly, as
     // do q_embed_pca / q_quality_classifier(_binned) / q_ann_ivf_kmeans
@@ -359,6 +360,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       "top-50 must be a per-partition heap, not a global sort")
     assert(!p.contains("Window"), "power iteration is pure join+aggregate")
+  }
+
+  test("q_standardize/q_target_encode: group stats broadcast back, no window") {
+    for (n <- Seq("q_standardize", "q_target_encode")) {
+      val p = plan(n)
+      assert(!p.contains("Window"), s"$n must not window over corpus rows")
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+        s"$n rejoins tiny stats via broadcast:\n$p")
+    }
   }
 
   test("sweep: no CartesianProduct anywhere; BNLJ only where justified") {
