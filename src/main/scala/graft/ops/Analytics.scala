@@ -342,6 +342,84 @@ object Analytics {
         .orderBy("grp")
     }),
 
+    // RFM segmentation — the classic customer-value cube: each user
+    // scored 1–4 on Recency / Frequency / Monetary against quartile cut
+    // points, reported as the (r, f, m) cell histogram. Scale shape: one
+    // map-side-combined per-user aggregate; "now" and the 9 quartile cut
+    // points are 1-ROW broadcasts (the q_qcut_cutpoints pattern — never a
+    // global ntile window over the user base); bucket assignment is then
+    // row-local, and the cell histogram is bounded at 4³ rows. Monetary
+    // sums and cut points are rounded (2 dp / 6 dp) before any
+    // comparison so bucket edges are engine-identical.
+    "q_rfm" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val users = ev.groupBy("user_id").agg(
+        max("ts").as("last_ts"),
+        count(lit(1)).as("freq"),
+        // integer CENTS: all downstream sums/avgs are exact integer math
+        round(sum(when(col("event_type") === "purchase", col("value"))
+          .otherwise(0.0)) * 100).cast("long").as("monetary"))
+      val nowDf = ev.agg(max("ts").as("now"))
+      val base = users.crossJoin(broadcast(nowDf))
+        .select(col("user_id"),
+          datediff(col("now").cast("date"), col("last_ts").cast("date"))
+            .as("rec"),
+          col("freq"), col("monetary"))
+      val cuts = base.agg(
+        round(expr("percentile(rec, 0.25)"), 6).as("r1"),
+        round(expr("percentile(rec, 0.5)"), 6).as("r2"),
+        round(expr("percentile(rec, 0.75)"), 6).as("r3"),
+        round(expr("percentile(freq, 0.25)"), 6).as("f1"),
+        round(expr("percentile(freq, 0.5)"), 6).as("f2"),
+        round(expr("percentile(freq, 0.75)"), 6).as("f3"),
+        round(expr("percentile(monetary, 0.25)"), 6).as("m1"),
+        round(expr("percentile(monetary, 0.5)"), 6).as("m2"),
+        round(expr("percentile(monetary, 0.75)"), 6).as("m3"))
+      def bucket(c: org.apache.spark.sql.Column, q: String) =
+        lit(1) + (c > col(s"${q}1")).cast("int") +
+          (c > col(s"${q}2")).cast("int") + (c > col(s"${q}3")).cast("int")
+      base.crossJoin(broadcast(cuts))
+        .select(bucket(col("rec"), "r").as("r_bucket"),
+          bucket(col("freq"), "f").as("f_bucket"),
+          bucket(col("monetary"), "m").as("m_bucket"), col("monetary"))
+        .groupBy("r_bucket", "f_bucket", "m_bucket")
+        .agg(count(lit(1)).as("n_users"),
+          round(sum("monetary").cast("double")
+            / (count(lit(1)) * 100), 2).as("avg_monetary"))
+        .orderBy("r_bucket", "f_bucket", "m_bucket")
+    }),
+
+    // Market-basket association rules — support / confidence / lift over
+    // supplier co-occurrence in order baskets, the a-priori first pass.
+    // Scale shape: baskets collapse to DISTINCT (order, supplier) FIRST;
+    // pairs then form through the shared-ORDER equi-join, bounded by
+    // basket size squared per order (never corpus²); per-item supports
+    // and the 1-row basket total broadcast onto the bounded pair table.
+    // Confidence and lift are single IEEE divisions of exact integers —
+    // bit-identical in any engine.
+    "q_basket_lift" -> ((s, d) => {
+      val bi = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_suppkey").as("sk"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tot = bi.agg(countDistinct("o").as("n_orders"))
+      val supp = bi.groupBy("sk").agg(count(lit(1)).as("supp"))
+      val pairs = bi.select(col("o"), col("sk").as("s1"))
+        .join(bi.select(col("o"), col("sk").as("s2")), Seq("o"))
+        .filter(col("s1") < col("s2"))
+        .groupBy("s1", "s2").agg(count(lit(1)).as("supp_ab"))
+      pairs
+        .join(broadcast(supp.select(col("sk").as("s1"), col("supp").as("supp_a"))), Seq("s1"))
+        .join(broadcast(supp.select(col("sk").as("s2"), col("supp").as("supp_b"))), Seq("s2"))
+        .crossJoin(broadcast(tot))
+        .select(col("s1"), col("s2"), col("supp_ab"), col("supp_a"), col("supp_b"),
+          round(col("supp_ab").cast("double") / col("supp_a"), 6).as("confidence"),
+          round((col("n_orders") * col("supp_ab")).cast("double")
+            / (col("supp_a") * col("supp_b")), 6).as("lift"))
+        .orderBy(desc("lift"), desc("supp_ab"), asc("s1"), asc("s2"))
+        .limit(20)
+    }),
+
     // Per-user behavioral Markov chain — the event-type transition matrix
     // (prev → next counts and row-normalized probabilities), the model
     // behind next-action prediction and session simulators. Scale shape:
@@ -627,6 +705,42 @@ object Analytics {
         "round(min((x - mu) / sigma), 4) AS min_z, " +
         "round(max((x - mu) / sigma), 4) AS max_z " +
         "FROM li JOIN st ON li.grp = st.grp GROUP BY li.grp ORDER BY li.grp"),
+    "q_rfm" ->
+      ("WITH u AS (SELECT user_id, max(ts) AS last_ts, count(*) AS freq, " +
+        "CAST(round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END) * 100) AS BIGINT) AS monetary " +
+        "FROM events GROUP BY user_id), " +
+        "nw AS (SELECT max(ts) AS now FROM events), " +
+        "b AS (SELECT user_id, " +
+        "date_diff('day', CAST(last_ts AS DATE), CAST(now AS DATE)) AS rec, " +
+        "freq, monetary FROM u, nw), " +
+        "cuts AS (SELECT " +
+        "round(quantile_cont(rec, 0.25), 6) AS r1, round(quantile_cont(rec, 0.5), 6) AS r2, " +
+        "round(quantile_cont(rec, 0.75), 6) AS r3, " +
+        "round(quantile_cont(freq, 0.25), 6) AS f1, round(quantile_cont(freq, 0.5), 6) AS f2, " +
+        "round(quantile_cont(freq, 0.75), 6) AS f3, " +
+        "round(quantile_cont(monetary, 0.25), 6) AS m1, round(quantile_cont(monetary, 0.5), 6) AS m2, " +
+        "round(quantile_cont(monetary, 0.75), 6) AS m3 FROM b), " +
+        "scored AS (SELECT " +
+        "1 + CAST(rec > r1 AS INTEGER) + CAST(rec > r2 AS INTEGER) + CAST(rec > r3 AS INTEGER) AS r_bucket, " +
+        "1 + CAST(freq > f1 AS INTEGER) + CAST(freq > f2 AS INTEGER) + CAST(freq > f3 AS INTEGER) AS f_bucket, " +
+        "1 + CAST(monetary > m1 AS INTEGER) + CAST(monetary > m2 AS INTEGER) + CAST(monetary > m3 AS INTEGER) AS m_bucket, " +
+        "monetary FROM b, cuts) " +
+        "SELECT r_bucket, f_bucket, m_bucket, count(*) AS n_users, " +
+        "round(sum(monetary) / (count(*) * 100.0), 2) AS avg_monetary FROM scored " +
+        "GROUP BY 1, 2, 3 ORDER BY r_bucket, f_bucket, m_bucket"),
+    "q_basket_lift" ->
+      ("WITH bi AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS sk FROM lineitem), " +
+        "tot AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM bi), " +
+        "supp AS (SELECT sk, count(*) AS supp FROM bi GROUP BY sk), " +
+        "pairs AS (SELECT a.sk AS s1, b.sk AS s2, count(*) AS supp_ab " +
+        "FROM bi a JOIN bi b ON a.o = b.o AND a.sk < b.sk GROUP BY 1, 2) " +
+        "SELECT s1, s2, supp_ab, " +
+        "CAST(sa.supp AS BIGINT) AS supp_a, CAST(sb.supp AS BIGINT) AS supp_b, " +
+        "round(supp_ab * 1.0 / sa.supp, 6) AS confidence, " +
+        "round((n_orders * supp_ab) * 1.0 / (sa.supp * sb.supp), 6) AS lift " +
+        "FROM pairs JOIN supp sa ON pairs.s1 = sa.sk " +
+        "JOIN supp sb ON pairs.s2 = sb.sk, tot " +
+        "ORDER BY lift DESC, supp_ab DESC, s1, s2 LIMIT 20"),
     "q_markov" ->
       ("WITH t AS (SELECT user_id, event_type AS next_type, " +
         "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type " +

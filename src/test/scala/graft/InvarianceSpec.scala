@@ -64,7 +64,9 @@ class InvarianceSpec extends SparkSpec {
     "q_target_encode",    // double-avg shrinkage under 4dp round
     "q_standardize",      // two-pass moments under 4dp round
     "q_degree_dist",      // exact-integer degree histogram
-    "q_copurchase_sim")   // exact-integer set overlap + 6dp jaccard
+    "q_copurchase_sim",   // exact-integer set overlap + 6dp jaccard
+    "q_rfm",              // integer-cents RFM cube + broadcast cut points
+    "q_basket_lift")      // exact-integer support/confidence/lift
 
   test("results are invariant under shuffle-partition counts 3/13/32") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")

@@ -922,6 +922,30 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("rfm: cells cover the user base; buckets stay in 1..4") {
+    val rows = q("q_rfm").collect()
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum == users)
+    for (r <- rows; b <- Seq("r_bucket", "f_bucket", "m_bucket")) {
+      val v = r.getAs[Int](b)
+      assert(v >= 1 && v <= 4, s"$b out of range: $v")
+    }
+  }
+
+  test("basket_lift: rule algebra holds on every emitted rule") {
+    val rows = q("q_basket_lift").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    for (r <- rows) {
+      val (ab, a, b) = (r.getAs[Long]("supp_ab"),
+        r.getAs[Long]("supp_a"), r.getAs[Long]("supp_b"))
+      assert(ab <= math.min(a, b), "joint support bounded by each side")
+      val conf = r.getAs[Double]("confidence")
+      assert(conf > 0.0 && conf <= 1.0)
+      assert(r.getAs[Double]("lift") > 0.0)
+      assert(r.getAs[Long]("s1") < r.getAs[Long]("s2"))
+    }
+  }
+
   test("retention: offset-0 is the cohort ceiling for every later week") {
     val rows = q("q_retention").collect()
     assert(rows.nonEmpty)

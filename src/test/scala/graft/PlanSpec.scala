@@ -283,7 +283,9 @@ class PlanSpec extends SparkSpec {
     "q_shard_write" -> "1-row shard-stats × 1-row total verdict join",
     "q_heavy_hitters" -> "1-row (sketch, n) aggregate broadcast onto the exact counts",
     "q_interleave" -> "1-row source-count aggregate broadcast",
-    "q_target_encode" -> "1-row global-prior aggregate broadcast"
+    "q_target_encode" -> "1-row global-prior aggregate broadcast",
+    "q_rfm" -> "1-row now + 1-row quartile cut-point frames broadcast",
+    "q_basket_lift" -> "1-row basket-total aggregate broadcast"
     // q_contamination_bloom's 1-row verdict joins are invisible to the
     // sweep: the query localCheckpoints its single-row output eagerly, as
     // do q_embed_pca / q_quality_classifier(_binned) / q_ann_ivf_kmeans

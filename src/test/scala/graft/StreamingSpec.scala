@@ -339,6 +339,69 @@ class StreamingSpec extends SparkSpec {
       "incremental session counts must equal the batch sessionization")
   }
 
+  test("streaming markov: transition counts across microbatches == batch q_markov") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+
+    // Same two-file median-time split as the sessionization test: each
+    // user's LAST event type at the split must survive in state so the
+    // boundary transition (last of batch 1 → first of batch 2) is counted
+    // exactly once — the incremental analog of q_markov's lag window.
+    val raw = spark.read.schema(layout.schema).parquet(s"$sf/events.parquet")
+      .withColumn("us", layout.tsMicrosExpr)
+    val med = raw.agg(expr("percentile(us, 0.5)")).head.getDouble(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_markov")
+    def stage(part: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_markov_$name")
+      part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dst = dir.resolve(s"$name.parquet")
+      java.nio.file.Files.copy(f, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    stage(raw.filter(col("us") < med).drop("us"), "0_early", 1000000L)
+    stage(raw.filter(col("us") >= med).drop("us"), "1_late", 2000000L)
+
+    val trans = spark.readStream.schema(layout.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      .select(col("user_id"), layout.tsMicrosExpr.as("us"),
+        col("event_id"), col("event_type")).as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[(Long, Long, Long, String)],
+            state: GroupState[String]) =>
+          var prev = state.getOption.getOrElse("")
+          val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+          for ((_, _, _, t) <- it.toSeq.sortBy(e => (e._2, e._3))) {
+            if (prev.nonEmpty) out += ((prev, t))
+            prev = t
+          }
+          state.update(prev)
+          out.iterator
+      }
+
+    val q = trans.writeStream.outputMode("append")
+      .format("memory").queryName("markov_out").start()
+    try {
+      q.processAllAvailable()
+      assert(q.recentProgress.map(_.batchId).distinct.length >= 2,
+        "split input must actually produce multiple microbatches")
+    } finally q.stop()
+
+    val streamed = spark.table("markov_out")
+      .groupBy("_1", "_2").agg(count(lit(1)).as("n"))
+      .orderBy("_1", "_2").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val batch = SparkEntry.queries("q_markov")(spark, sf)
+      .select("prev_type", "next_type", "n")
+      .orderBy("prev_type", "next_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(streamed.nonEmpty && streamed.sameElements(batch),
+      "incremental transition counts must equal the batch markov matrix")
+  }
+
   test("streaming as-of join: stream-static backward as-of == batch q_join_asof") {
     // As-of-at-ingest: purchases ARRIVE as a stream, the click history is
     // static. Backward as-of is per-left-row against the static right
