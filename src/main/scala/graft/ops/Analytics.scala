@@ -342,6 +342,104 @@ object Analytics {
         .orderBy("grp")
     }),
 
+    // Kaplan-Meier survival — the churn curve done right: users enter at
+    // their first-event day, exit at their last, and anyone still active
+    // on the corpus' final day is CENSORED (not a churn event) — the
+    // distinction naive retention math gets wrong. Scale shape: one
+    // map-side-combined per-user aggregate; the duration histogram is
+    // bounded by the number of days observed, so the at-risk/cumulative-
+    // product windows run over bounded rows regardless of corpus size; totals
+    // and the observation-end week join as 1-row broadcasts. The product
+    // rides exp∘Σln (the q_cumprod pattern) with an explicit zero-factor
+    // flag so S(t) hits exact 0 when the last at-risk user churns.
+    "q_survival_km" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val users = ev.groupBy("user_id").agg(
+        min("ts").cast("date").as("b"),
+        max("ts").cast("date").as("e"))
+      val maxW = ev.agg(max("ts").cast("date").as("mw"))
+      val durs = users.crossJoin(broadcast(maxW))
+        .select(datediff(col("e"), col("b")).as("t"),
+          (col("e") === col("mw")).cast("long").as("censored"))
+      val byT = durs.groupBy("t").agg(
+        count(lit(1)).as("n_leave"),
+        sum(lit(1L) - col("censored")).as("d"))
+      val tot = durs.agg(count(lit(1)).as("n_total"))
+      val prev = Window.orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = Window.orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byT.crossJoin(broadcast(tot))
+        .withColumn("n_risk",
+          col("n_total") - coalesce(sum(col("n_leave")).over(prev), lit(0L)))
+        .withColumn("factor",
+          (col("n_risk") - col("d")).cast("double") / col("n_risk"))
+        .withColumn("hit_zero",
+          max((col("factor") === 0.0).cast("int")).over(cum))
+        .withColumn("surv", when(col("hit_zero") === 1, 0.0).otherwise(
+          round(exp(sum(when(col("factor") > 0.0, log(col("factor"))))
+            .over(cum)), 6)))
+        .select(col("t"), col("n_risk"), col("d").as("n_events"),
+          (col("n_leave") - col("d")).as("n_censored"), col("surv"))
+        .orderBy("t")
+    }),
+
+    // Chi-square independence test + Cramér's V over the
+    // segment × priority contingency table — the categorical counterpart
+    // of q_ab_test. Scale shape: ONE map-side-combined aggregate builds
+    // the bounded contingency table; margins and the statistic are
+    // windows/aggregates over that tiny table (corpus rows are touched
+    // exactly once); expected counts are single IEEE divisions of exact
+    // integers.
+    "q_chi2" -> ((s, d) => {
+      val cells = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("seg"),
+          col("o_orderpriority").as("prio"))
+        .agg(count(lit(1)).as("n"))
+      val wSeg = Window.partitionBy("seg")
+      val wPrio = Window.partitionBy("prio")
+      val wAll = Window.partitionBy()
+      cells
+        .withColumn("r_tot", sum("n").over(wSeg))
+        .withColumn("c_tot", sum("n").over(wPrio))
+        .withColumn("n_tot", sum("n").over(wAll))
+        .withColumn("n_seg", size(collect_set("seg").over(wAll)))
+        .withColumn("n_prio", size(collect_set("prio").over(wAll)))
+        .withColumn("e",
+          (col("r_tot") * col("c_tot")).cast("double") / col("n_tot"))
+        .groupBy("n_seg", "n_prio")
+        .agg(max("n_tot").as("n"), count(lit(1)).as("n_cells"),
+          sum(pow(col("n") - col("e"), 2) / col("e")).as("chi2raw"))
+        .select(col("n"), col("n_cells"),
+          ((col("n_seg") - 1) * (col("n_prio") - 1)).cast("long").as("dof"),
+          round(col("chi2raw"), 4).as("chi2"),
+          round(sqrt(col("chi2raw") / (col("n")
+            * least(col("n_seg") - 1, col("n_prio") - 1))), 4).as("cramers_v"))
+    }),
+
+    // Winsorization — outlier capping at the global [p01, p99] band, the
+    // standard robust-feature step before scaling. Scale shape: the two
+    // percentile cut points are a 1-row broadcast (rounded 6 dp so the
+    // clip boundary is engine-identical); clipping is row-local; the
+    // per-group report is one map-side-combined aggregate.
+    "q_winsorize" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("grp"), col("l_extendedprice").as("x"))
+      val cuts = li.agg(
+        round(expr("percentile(x, 0.01)"), 6).as("lo"),
+        round(expr("percentile(x, 0.99)"), 6).as("hi"))
+      li.crossJoin(broadcast(cuts))
+        .withColumn("xc", greatest(least(col("x"), col("hi")), col("lo")))
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n"),
+          sum((col("x") < col("lo")).cast("long")).as("n_clip_low"),
+          sum((col("x") > col("hi")).cast("long")).as("n_clip_high"),
+          round(avg("x"), 4).as("mean_before"),
+          round(avg("xc"), 4).as("mean_after"))
+        .orderBy("grp")
+    }),
+
     // RFM segmentation — the classic customer-value cube: each user
     // scored 1–4 on Recency / Frequency / Monetary against quartile cut
     // points, reported as the (r, f, m) cell histogram. Scale shape: one
@@ -705,6 +803,56 @@ object Analytics {
         "round(min((x - mu) / sigma), 4) AS min_z, " +
         "round(max((x - mu) / sigma), 4) AS max_z " +
         "FROM li JOIN st ON li.grp = st.grp GROUP BY li.grp ORDER BY li.grp"),
+    "q_survival_km" ->
+      ("WITH u AS (SELECT user_id, CAST(min(ts) AS DATE) AS b, " +
+        "CAST(max(ts) AS DATE) AS e FROM events GROUP BY user_id), " +
+        "mw AS (SELECT CAST(max(ts) AS DATE) AS mw FROM events), " +
+        "durs AS (SELECT CAST(date_diff('day', b, e) AS INTEGER) AS t, " +
+        "CASE WHEN e = mw THEN 1 ELSE 0 END AS censored FROM u, mw), " +
+        "byt AS (SELECT t, count(*) AS n_leave, " +
+        "CAST(sum(1 - censored) AS BIGINT) AS d FROM durs GROUP BY t), " +
+        "tot AS (SELECT count(*) AS n_total FROM durs), " +
+        "r AS (SELECT t, n_leave, d, " +
+        "n_total - coalesce(sum(n_leave) OVER " +
+        "(ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk " +
+        "FROM byt, tot), " +
+        "f AS (SELECT *, (n_risk - d) * 1.0 / n_risk AS factor FROM r), " +
+        "s AS (SELECT *, max(CASE WHEN factor = 0.0 THEN 1 ELSE 0 END) OVER w AS hit_zero, " +
+        "sum(CASE WHEN factor > 0.0 THEN ln(factor) END) OVER w AS slog FROM f " +
+        "WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
+        "SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d AS n_events, " +
+        "CAST(n_leave - d AS BIGINT) AS n_censored, " +
+        "CASE WHEN hit_zero = 1 THEN 0.0 ELSE round(exp(slog), 6) END AS surv " +
+        "FROM s ORDER BY t"),
+    "q_chi2" ->
+      ("WITH cells AS (SELECT c_mktsegment AS seg, o_orderpriority AS prio, " +
+        "count(*) AS n FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY 1, 2), " +
+        "m AS (SELECT *, sum(n) OVER (PARTITION BY seg) AS r_tot, " +
+        "sum(n) OVER (PARTITION BY prio) AS c_tot, " +
+        "sum(n) OVER () AS n_tot, " +
+        "count(DISTINCT seg) OVER () AS n_seg, " +
+        "count(DISTINCT prio) OVER () AS n_prio FROM cells), " +
+        "agg AS (SELECT CAST(max(n_seg) AS INTEGER) AS n_seg, " +
+        "CAST(max(n_prio) AS INTEGER) AS n_prio, " +
+        "CAST(max(n_tot) AS BIGINT) AS n, count(*) AS n_cells, " +
+        "sum(pow(n - (r_tot * c_tot) * 1.0 / n_tot, 2) " +
+        "/ ((r_tot * c_tot) * 1.0 / n_tot)) AS chi2raw FROM m) " +
+        "SELECT n, n_cells, " +
+        "CAST((n_seg - 1) * (n_prio - 1) AS BIGINT) AS dof, " +
+        "round(chi2raw, 4) AS chi2, " +
+        "round(sqrt(chi2raw / (n * least(n_seg - 1, n_prio - 1))), 4) AS cramers_v " +
+        "FROM agg"),
+    "q_winsorize" ->
+      ("WITH li AS (SELECT l_returnflag AS grp, l_extendedprice AS x FROM lineitem), " +
+        "cuts AS (SELECT round(quantile_cont(x, 0.01), 6) AS lo, " +
+        "round(quantile_cont(x, 0.99), 6) AS hi FROM li) " +
+        "SELECT grp, count(*) AS n, " +
+        "count(*) FILTER (x < lo) AS n_clip_low, " +
+        "count(*) FILTER (x > hi) AS n_clip_high, " +
+        "round(avg(x), 4) AS mean_before, " +
+        "round(avg(greatest(least(x, hi), lo)), 4) AS mean_after " +
+        "FROM li, cuts GROUP BY grp ORDER BY grp"),
     "q_rfm" ->
       ("WITH u AS (SELECT user_id, max(ts) AS last_ts, count(*) AS freq, " +
         "CAST(round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END) * 100) AS BIGINT) AS monetary " +

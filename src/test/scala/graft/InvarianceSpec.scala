@@ -66,7 +66,10 @@ class InvarianceSpec extends SparkSpec {
     "q_degree_dist",      // exact-integer degree histogram
     "q_copurchase_sim",   // exact-integer set overlap + 6dp jaccard
     "q_rfm",              // integer-cents RFM cube + broadcast cut points
-    "q_basket_lift")      // exact-integer support/confidence/lift
+    "q_basket_lift",      // exact-integer support/confidence/lift
+    "q_survival_km",      // bounded KM table, exp∘Σln under 6dp round
+    "q_chi2",             // bounded contingency stats under 4dp round
+    "q_winsorize")        // broadcast clip band, 4dp means
 
   test("results are invariant under shuffle-partition counts 3/13/32") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")

@@ -946,6 +946,48 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("survival_km: monotone non-increasing curve with correct risk accounting") {
+    val rows = q("q_survival_km").orderBy("t").collect()
+    assert(rows.nonEmpty)
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(rows.head.getAs[Long]("n_risk") == users,
+      "everyone is at risk at the first observed duration")
+    var prevSurv = 1.0
+    var prevRisk = users
+    for (r <- rows) {
+      val (nr, d, c, sv) = (r.getAs[Long]("n_risk"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("n_censored"), r.getAs[Double]("surv"))
+      assert(nr <= prevRisk, "at-risk can only shrink")
+      assert(d + c >= 1 && d + c <= nr)
+      assert(sv <= prevSurv + 1e-9 && sv >= 0.0 && sv <= 1.0)
+      prevSurv = sv; prevRisk = nr
+    }
+    // every user leaves exactly once (death or censoring)
+    val leavers = rows.map(r =>
+      r.getAs[Long]("n_events") + r.getAs[Long]("n_censored")).sum
+    assert(leavers == users)
+  }
+
+  test("chi2: statistic non-negative, cramers_v in [0,1], margins coherent") {
+    val r = q("q_chi2").collect().head
+    assert(r.getAs[Long]("n") ==
+      Tables.orders(spark, sf).count(), "every order lands in one cell")
+    assert(r.getAs[Double]("chi2") >= 0.0)
+    val v = r.getAs[Double]("cramers_v")
+    assert(v >= 0.0 && v <= 1.0)
+    assert(r.getAs[Long]("dof") >= 1)
+  }
+
+  test("winsorize: clipping only pulls the mean toward the center") {
+    val rows = q("q_winsorize").collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n")).sum
+    val clipped = rows.map(r =>
+      r.getAs[Long]("n_clip_low") + r.getAs[Long]("n_clip_high")).sum
+    // p01/p99 band: ~2% clipped overall, never more than 5%
+    assert(clipped > 0 && clipped.toDouble / total < 0.05)
+  }
+
   test("retention: offset-0 is the cohort ceiling for every later week") {
     val rows = q("q_retention").collect()
     assert(rows.nonEmpty)
