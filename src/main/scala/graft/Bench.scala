@@ -77,7 +77,15 @@ object Bench {
       val times = (1 to 2).map { _ =>
         clearResidue()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // force through toRdd, NOT count(): a count() on top lets Catalyst
+        // re-optimize with every output column pruned, and for plans
+        // ending in a row-preserving join (unique-keyed left join — e.g.
+        // q_span_merge/q_span_flag) the whole analytical subtree collapses
+        // to a bare file scan, timing an empty plan. toRdd executes the
+        // query's own physical plan, all columns included, with zero
+        // driver transfer beyond partition counts.
+        try { fn(spark, sfDir).queryExecution.toRdd.count() }
+        catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
       name -> times.min

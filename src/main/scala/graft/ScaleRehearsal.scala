@@ -235,6 +235,24 @@ object ScaleRehearsal {
       // the shuffled state stays k entries regardless of mult
       "heavy_hitters" -> { d: String =>
         SparkEntry.queries("q_heavy_hitters")(spark, d).count(): Unit
+      },
+      // span-interval merge: the replicated corpus makes EVERY span
+      // cross-document duplicated (df >= mult), so the per-occurrence
+      // inventory join runs at its worst case — cost must stay linear in
+      // occurrences, never pairs
+      // (forced via toRdd, not count(): the final left join has unique
+      // right keys, so a bare count() lets Catalyst prune the whole span
+      // subtree and times an empty plan — same rationale as Bench)
+      "span_merge" -> { d: String =>
+        SparkEntry.queries("q_span_merge")(spark, d)
+          .queryExecution.toRdd.count(): Unit
+      },
+      // BPE training is vocabulary-bounded: replicas add counts, not
+      // words, so the merge loop after the one corpus-scan word count
+      // should be nearly mult-independent (the Zipf-vocab scale claim,
+      // measured)
+      "bpe_train" -> { d: String =>
+        SparkEntry.queries("q_bpe_train")(spark, d).count(): Unit
       })
 
     def time(fn: String => Unit, dir: String): Double =

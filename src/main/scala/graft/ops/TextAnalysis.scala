@@ -329,9 +329,14 @@ object TextAnalysis {
     "q_feature_hash" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), expr(words).as("w"))
+        // hash each token ONCE (md5 dominates), then fold the cheap digit
+        // stream into the 16 bins — the per-dimension-filter formulation
+        // re-hashes every token 16 times and benches ~10× slower
+        .withColumn("dig", expr(
+          "transform(w, t -> CAST(conv(substring(md5(t), 1, 1), 16, 10) AS INT))"))
         .withColumn("fh", expr(
-          "transform(sequence(0, 15), i -> size(filter(w, " +
-            "t -> substring(md5(t), 1, 1) = substring('0123456789abcdef', i + 1, 1))))"))
+          "aggregate(dig, array_repeat(0, 16), " +
+            "(acc, dg) -> transform(acc, (v, i) -> v + IF(i = dg, 1, 0)))"))
         .select(col("doc_id"),
           array_join(col("fh"), ",").as("fh"),
           round(sqrt(expr(
@@ -514,6 +519,39 @@ object TextAnalysis {
         .limit(20)
     }),
 
+    // Pointwise mutual information over adjacent word pairs — the
+    // collocation detector ("new york" ≫ chance) used for phrase mining
+    // and tokenizer-vocabulary seeding. PMI = ln(N·c_ab / (c_a·c_b)) on
+    // EXACT integer counts (one ln per surviving pair, 4 dp). Scale
+    // shape: pair formation is row-local (transform over each doc's word
+    // array); unigram and pair counts are map-side-combined aggregates;
+    // the unigram table joins the bounded (freq ≥ 20) pair survivors —
+    // Zipf head, broadcast-sized at any corpus — and the top-20 is a
+    // TakeOrdered heap.
+    "q_cooccur_pmi" -> ((s, d) => {
+      val docsW = Tables.documents(s, d).select(expr(words).as("w"))
+      val uni = docsW.select(explode(col("w")).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("c"))
+      val tot = docsW.agg(sum(size(col("w"))).as("n"))
+      val pairs = docsW.filter(size(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(w) - 1), " +
+            "i -> named_struct('t1', element_at(w, i), 't2', element_at(w, i + 1)))"))
+          .as("p"))
+        .groupBy(col("p.t1").as("t1"), col("p.t2").as("t2"))
+        .agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 20)
+      pairs
+        .join(uni.select(col("t").as("t1"), col("c").as("c_a")), Seq("t1"))
+        .join(uni.select(col("t").as("t2"), col("c").as("c_b")), Seq("t2"))
+        .crossJoin(broadcast(tot))
+        .select(col("t1"), col("t2"), col("c_ab"), col("c_a"), col("c_b"),
+          round(log(col("n").cast("double") * col("c_ab")
+            / (col("c_a") * col("c_b"))), 4).as("pmi"))
+        .orderBy(desc("pmi"), desc("c_ab"), asc("t1"), asc("t2"))
+        .limit(20)
+    }),
+
     // BPE tokenizer TRAINING — the full iterative merge loop, not just one
     // round of pair counts (q_bpe_pairs): 5 greedy merges, each picking
     // the corpus-wide most frequent adjacent symbol pair (ties to the
@@ -664,6 +702,18 @@ object TextAnalysis {
         s"(${scoreDuck(stop)} >= 3) AND " +
         "(round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text), 4) >= 0.75) AS keep " +
         "FROM documents ORDER BY doc_id"),
+    "q_cooccur_pmi" ->
+      (s"WITH dw AS (SELECT $duckWords AS w FROM documents), " +
+        "uni AS (SELECT unnest(w) AS t FROM dw), " +
+        "uc AS (SELECT t, count(*) AS c FROM uni GROUP BY t), " +
+        "tot AS (SELECT CAST(sum(len(w)) AS BIGINT) AS n FROM dw), " +
+        "pr AS (SELECT unnest([{'t1': w[i+1], 't2': w[i+2]} for i in range(len(w)-1)], recursive := true) " +
+        "FROM dw WHERE len(w) >= 2), " +
+        "pc AS (SELECT t1, t2, count(*) AS c_ab FROM pr GROUP BY 1, 2 HAVING count(*) >= 20) " +
+        "SELECT t1, t2, c_ab, ca.c AS c_a, cb.c AS c_b, " +
+        "round(ln(n * 1.0 * c_ab / (ca.c * cb.c)), 4) AS pmi " +
+        "FROM pc JOIN uc ca ON pc.t1 = ca.t JOIN uc cb ON pc.t2 = cb.t, tot " +
+        "ORDER BY pmi DESC, c_ab DESC, t1, t2 LIMIT 20"),
     "q_bpe_train" ->
       (s"WITH w0 AS (SELECT w, count(*) AS c FROM " +
         s"(SELECT unnest($duckWords) AS w FROM documents) " +
