@@ -440,6 +440,38 @@ object Analytics {
         .orderBy("grp")
     }),
 
+    // Binned Gini coefficient — spend-concentration per market segment
+    // (the "do 20% of customers drive 80% of revenue" number) from a
+    // trapezoidal Lorenz curve over FIXED-WIDTH spend bins. Scale shape:
+    // per-customer spend is one map-side-combined aggregate carried as
+    // exact integer cents; the Lorenz accumulation runs over the bounded
+    // (segment, bin) table — never a global sort/rank of customers — and
+    // every term is exact-integer arithmetic until the single final
+    // division, so the 4 dp result is engine-identical.
+    "q_gini" -> ((s, d) => {
+      val spend = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"), col("o_custkey"))
+        .agg(round(sum("o_totalprice") * 100).cast("long").as("cents"))
+      val bins = spend
+        .groupBy(col("segment"), floor(col("cents") / 10000000L).as("bin"))
+        .agg(count(lit(1)).as("n_i"), sum("cents").as("s_i"))
+      val cum = Window.partitionBy("segment").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val seg = Window.partitionBy("segment")
+      bins
+        .withColumn("cum_s", sum("s_i").over(cum))
+        .withColumn("nn", sum("n_i").over(seg))
+        .withColumn("ss", sum("s_i").over(seg))
+        .withColumn("term", col("n_i") * (lit(2) * col("cum_s") - col("s_i")))
+        .groupBy("segment")
+        .agg(max("nn").as("n_users"),
+          round(max("ss") / lit(100.0), 2).as("total_spend"),
+          round(lit(1.0) - sum("term").cast("double")
+            / (max("nn") * max("ss")).cast("double"), 4).as("gini"))
+        .orderBy("segment")
+    }),
+
     // RFM segmentation — the classic customer-value cube: each user
     // scored 1–4 on Recency / Frequency / Monetary against quartile cut
     // points, reported as the (r, f, m) cell histogram. Scale shape: one
@@ -853,6 +885,22 @@ object Analytics {
         "round(avg(x), 4) AS mean_before, " +
         "round(avg(greatest(least(x, hi), lo)), 4) AS mean_after " +
         "FROM li, cuts GROUP BY grp ORDER BY grp"),
+    "q_gini" ->
+      ("WITH spend AS (SELECT c_mktsegment AS segment, o_custkey, " +
+        "CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS cents " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2), " +
+        "bins AS (SELECT segment, CAST(floor(cents / 10000000.0) AS BIGINT) AS bin, " +
+        "count(*) AS n_i, sum(cents) AS s_i FROM spend GROUP BY 1, 2), " +
+        "l AS (SELECT segment, n_i, s_i, " +
+        "sum(s_i) OVER (PARTITION BY segment ORDER BY bin " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_s, " +
+        "sum(n_i) OVER (PARTITION BY segment) AS nn, " +
+        "sum(s_i) OVER (PARTITION BY segment) AS ss FROM bins) " +
+        "SELECT segment, CAST(max(nn) AS BIGINT) AS n_users, " +
+        "round(max(ss) / 100.0, 2) AS total_spend, " +
+        "round(1.0 - CAST(sum(n_i * (2 * cum_s - s_i)) AS DOUBLE) " +
+        "/ (CAST(max(nn) AS DOUBLE) * CAST(max(ss) AS DOUBLE)), 4) AS gini " +
+        "FROM l GROUP BY segment ORDER BY segment"),
     "q_rfm" ->
       ("WITH u AS (SELECT user_id, max(ts) AS last_ts, count(*) AS freq, " +
         "CAST(round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END) * 100) AS BIGINT) AS monetary " +

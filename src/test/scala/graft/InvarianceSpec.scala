@@ -69,7 +69,9 @@ class InvarianceSpec extends SparkSpec {
     "q_basket_lift",      // exact-integer support/confidence/lift
     "q_survival_km",      // bounded KM table, exp∘Σln under 6dp round
     "q_chi2",             // bounded contingency stats under 4dp round
-    "q_winsorize")        // broadcast clip band, 4dp means
+    "q_winsorize",        // broadcast clip band, 4dp means
+    "q_cooccur_pmi",      // exact-int counts, one ln per pair at 4dp
+    "q_gini")             // integer-cents Lorenz bins, single final division
 
   test("results are invariant under shuffle-partition counts 3/13/32") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")

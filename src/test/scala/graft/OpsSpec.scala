@@ -988,6 +988,36 @@ class OpsSpec extends SparkSpec {
     assert(clipped > 0 && clipped.toDouble / total < 0.05)
   }
 
+  test("cooccur_pmi: counts coherent, pmi bounded by the rarer word") {
+    val rows = q("q_cooccur_pmi").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    for (r <- rows) {
+      val (ab, a, b) = (r.getAs[Long]("c_ab"),
+        r.getAs[Long]("c_a"), r.getAs[Long]("c_b"))
+      assert(ab >= 20 && ab <= math.min(a, b))
+      // PMI <= -ln(p(rarer word)): c_ab <= min(c_a, c_b) bounds it
+      val n = Tables.documents(spark, sf)
+        .select(expr("filter(split(text, ' '), x -> length(x) > 0)").as("w"))
+        .agg(sum(size(col("w")))).head.getLong(0)
+      assert(r.getAs[Double]("pmi") <=
+        math.log(n.toDouble / math.max(a, b)) + 1e-6)
+    }
+  }
+
+  test("gini: concentration index stays in [0, 1) per segment") {
+    val rows = q("q_gini").collect()
+    assert(rows.nonEmpty)
+    val customers = Tables.orders(spark, sf)
+      .select("o_custkey").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum == customers,
+      "every ordering customer lands in exactly one segment")
+    for (r <- rows) {
+      val g = r.getAs[Double]("gini")
+      assert(g >= 0.0 && g < 1.0)
+      assert(r.getAs[Double]("total_spend") > 0.0)
+    }
+  }
+
   test("retention: offset-0 is the cohort ceiling for every later week") {
     val rows = q("q_retention").collect()
     assert(rows.nonEmpty)
