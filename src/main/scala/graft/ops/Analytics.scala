@@ -440,6 +440,66 @@ object Analytics {
         .orderBy("grp")
     }),
 
+    // Autocorrelation function of the daily event-value series at lags
+    // 1..10 — the periodicity probe run before any seasonal model. Scale
+    // shape: the corpus collapses to a BOUNDED daily series (one
+    // map-side-combined aggregate, values rounded 2 dp so the series is
+    // engine-exact); lagged pairs form on the bounded table via an
+    // integer offset self-join (≤ 10·|days| rows); the series mean joins
+    // as a 1-row broadcast.
+    "q_acf" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(round(sum("value"), 2).as("v"))
+      val idx = daily
+        .withColumn("t", datediff(col("day"),
+          lit("2024-01-01").cast("date")))
+      val m = daily.agg(round(avg("v"), 6).as("mu"))
+      val lagged = idx.select(col("t"), col("v"))
+        .crossJoin(broadcast(m))
+        .withColumn("k", explode(expr("sequence(1, 10)")))
+        .select(col("k"), (col("t") - col("k")).as("t0"),
+          col("v").as("vt"), col("mu"))
+        .join(idx.select(col("t").as("t0"), col("v").as("v0")), Seq("t0"))
+      val denom = idx.crossJoin(broadcast(m))
+        .agg(sum(pow(col("v") - col("mu"), 2)).as("den"))
+      lagged.groupBy(col("k").cast("long").as("k"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum((col("vt") - col("mu")) * (col("v0") - col("mu"))).as("num"))
+        .crossJoin(broadcast(denom))
+        .select(col("k"), col("n_pairs"),
+          round(col("num") / col("den"), 4).as("acf"))
+        .orderBy("k")
+    }),
+
+    // Change-point detection — the single largest level shift in the
+    // daily series, found by scanning every cut point's |mean-before −
+    // mean-after| (the two-sample CUSUM heuristic). Scale shape: after
+    // the bounded daily collapse, cumulative sums/counts are windows over
+    // |days| rows; the argmax is a deterministic (gap desc, day asc)
+    // TakeOrdered head. Daily values are rounded 2 dp first so both
+    // engines walk identical series.
+    "q_changepoint" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(round(sum("value"), 2).as("v"))
+      val cum = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = daily.agg(count(lit(1)).as("n_tot"), sum("v").as("s_tot"))
+      daily
+        .withColumn("n_le", count(lit(1)).over(cum))
+        .withColumn("s_le", sum("v").over(cum))
+        .crossJoin(broadcast(tot))
+        .filter(col("n_le") < col("n_tot")) // a cut needs both sides
+        .select(col("day").as("cut_day"), col("n_le").as("n_before"),
+          (col("n_tot") - col("n_le")).as("n_after"),
+          round(abs(col("s_le") / col("n_le")
+            - (col("s_tot") - col("s_le"))
+              / (col("n_tot") - col("n_le"))), 4).as("gap"))
+        .orderBy(desc("gap"), asc("cut_day"))
+        .limit(1)
+    }),
+
     // Binned Gini coefficient — spend-concentration per market segment
     // (the "do 20% of customers drive 80% of revenue" number) from a
     // trapezoidal Lorenz curve over FIXED-WIDTH spend bins. Scale shape:
@@ -885,6 +945,29 @@ object Analytics {
         "round(avg(x), 4) AS mean_before, " +
         "round(avg(greatest(least(x, hi), lo)), 4) AS mean_after " +
         "FROM li, cuts GROUP BY grp ORDER BY grp"),
+    "q_acf" ->
+      ("WITH daily AS (SELECT CAST(ts AS DATE) AS day, round(sum(value), 2) AS v " +
+        "FROM events GROUP BY 1), " +
+        "idx AS (SELECT date_diff('day', DATE '2024-01-01', day) AS t, v FROM daily), " +
+        "m AS (SELECT round(avg(v), 6) AS mu FROM daily), " +
+        "den AS (SELECT sum(pow(v - mu, 2)) AS den FROM idx, m), " +
+        "lagged AS (SELECT k.k, a.v AS vt, b.v AS v0 FROM idx a " +
+        "CROSS JOIN (SELECT unnest(generate_series(1, 10)) AS k) k " +
+        "JOIN idx b ON b.t = a.t - k.k) " +
+        "SELECT k, count(*) AS n_pairs, " +
+        "round(sum((vt - mu) * (v0 - mu)) / den, 4) AS acf " +
+        "FROM lagged, m, den GROUP BY k, den ORDER BY k"),
+    "q_changepoint" ->
+      ("WITH daily AS (SELECT CAST(ts AS DATE) AS day, round(sum(value), 2) AS v " +
+        "FROM events GROUP BY 1), " +
+        "tot AS (SELECT count(*) AS n_tot, sum(v) AS s_tot FROM daily), " +
+        "c AS (SELECT day, " +
+        "count(*) OVER w AS n_le, sum(v) OVER w AS s_le FROM daily " +
+        "WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
+        "SELECT day AS cut_day, n_le AS n_before, n_tot - n_le AS n_after, " +
+        "round(abs(s_le / n_le - (s_tot - s_le) / (n_tot - n_le)), 4) AS gap " +
+        "FROM c, tot WHERE n_le < n_tot " +
+        "ORDER BY gap DESC, cut_day LIMIT 1"),
     "q_gini" ->
       ("WITH spend AS (SELECT c_mktsegment AS segment, o_custkey, " +
         "CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS cents " +

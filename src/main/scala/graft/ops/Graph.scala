@@ -74,6 +74,56 @@ object Graph {
         .agg(count(lit(1)).as("n_nodes"))
         .orderBy("side", "deg")),
 
+    // Item-based collaborative filtering — top-3 new-supplier
+    // recommendations per customer, scored by summed co-purchase Jaccard
+    // against the customer's current suppliers (the classic "customers
+    // who bought X also bought Y"). Scale shape: the item-item similarity
+    // table is bounded by the supplier DIMENSION squared, so it joins the
+    // customer edge list as a broadcast; already-owned candidates drop
+    // via an anti-join; the per-customer top-3 is a rank window Spark
+    // executes as WindowGroupLimit (per-partition heaps, no full sort).
+    // Scores are sums of exact micro-Jaccard INTEGERS divided once at the
+    // end, so values and rank order are engine-deterministic.
+    "q_recommend" -> ((s, d) => {
+      val e0 = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val deg = e0.groupBy("sk").agg(count(lit(1)).as("deg"))
+      val half = e0.select(col("c"), col("sk").as("s1"))
+        .join(e0.select(col("c"), col("sk").as("s2")), Seq("c"))
+        .filter(col("s1") < col("s2"))
+        .groupBy("s1", "s2").agg(count(lit(1)).as("shared"))
+        .join(broadcast(deg.select(col("sk").as("s1"), col("deg").as("d1"))), Seq("s1"))
+        .join(broadcast(deg.select(col("sk").as("s2"), col("deg").as("d2"))), Seq("s2"))
+        .select(col("s1"), col("s2"),
+          // micro-Jaccard as an exact INTEGER so downstream score sums
+          // cannot straddle a rounding boundary across engines
+          round(col("shared") * lit(1000000L).cast("double")
+            / (col("d1") + col("d2") - col("shared"))).cast("long").as("jac"))
+      val sims = half.union(
+        half.select(col("s2").as("s1"), col("s1").as("s2"), col("jac")))
+      val scored = e0.join(broadcast(sims),
+          col("sk") === col("s1"))
+        .groupBy(col("c"), col("s2").as("rec"))
+        // no round(): the sum is an exact integer, so the single division
+        // is already bit-identical across engines — and round()'s
+        // half-up-on-string vs half-even-on-binary mismatch would bite
+        .agg((sum("jac") / lit(1000000.0)).as("score"),
+          count(lit(1)).as("n_paths"))
+        .join(e0.select(col("c"), col("sk").as("rec")),
+          Seq("c", "rec"), "left_anti")
+      val top = org.apache.spark.sql.expressions.Window.partitionBy("c")
+        .orderBy(desc("score"), desc("n_paths"), asc("rec"))
+      scored.withColumn("rnk", row_number().over(top))
+        .filter(col("rnk") <= 3)
+        .select(col("c").as("custkey"), col("rnk"), col("rec"),
+          col("score"), col("n_paths"))
+        .orderBy("custkey", "rnk")
+    }),
+
     // Supplier similarity by shared customer base — Jaccard over DISTINCT
     // customer sets, the co-occurrence recommendation primitive. Scale
     // shape: pairs form through the shared-CUSTOMER equi-join, so a
@@ -131,6 +181,26 @@ object Graph {
         "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src) " +
         "SELECT substr(src, 1, 1) AS side, deg, count(*) AS n_nodes " +
         "FROM deg GROUP BY 1, 2 ORDER BY side, deg"),
+    "q_recommend" ->
+      ("WITH e0 AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sk " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
+        "deg AS (SELECT sk, count(*) AS deg FROM e0 GROUP BY sk), " +
+        "half AS (SELECT a.sk AS s1, b.sk AS s2, " +
+        "CAST(round(count(*) * 1000000.0 / (d1.deg + d2.deg - count(*))) AS BIGINT) AS jac " +
+        "FROM e0 a JOIN e0 b ON a.c = b.c AND a.sk < b.sk " +
+        "JOIN deg d1 ON a.sk = d1.sk JOIN deg d2 ON b.sk = d2.sk " +
+        "GROUP BY a.sk, b.sk, d1.deg, d2.deg), " +
+        "sims AS (SELECT s1, s2, jac FROM half " +
+        "UNION ALL SELECT s2, s1, jac FROM half), " +
+        "scored AS (SELECT e.c, s.s2 AS rec, sum(jac) / 1000000.0 AS score, " +
+        "count(*) AS n_paths FROM e0 e JOIN sims s ON e.sk = s.s1 " +
+        "GROUP BY e.c, s.s2), " +
+        "fresh AS (SELECT sc.* FROM scored sc " +
+        "WHERE NOT EXISTS (SELECT 1 FROM e0 x WHERE x.c = sc.c AND x.sk = sc.rec)), " +
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY c " +
+        "ORDER BY score DESC, n_paths DESC, rec) AS rnk FROM fresh) " +
+        "SELECT c AS custkey, CAST(rnk AS INTEGER) AS rnk, rec, score, n_paths " +
+        "FROM rk WHERE rnk <= 3 ORDER BY custkey, rnk"),
     "q_copurchase_sim" ->
       ("WITH e0 AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sk " +
         "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +

@@ -71,7 +71,10 @@ class InvarianceSpec extends SparkSpec {
     "q_chi2",             // bounded contingency stats under 4dp round
     "q_winsorize",        // broadcast clip band, 4dp means
     "q_cooccur_pmi",      // exact-int counts, one ln per pair at 4dp
-    "q_gini")             // integer-cents Lorenz bins, single final division
+    "q_gini",             // integer-cents Lorenz bins, single final division
+    "q_acf",              // bounded 2dp daily series, 4dp correlations
+    "q_changepoint",      // bounded cumulative scan, deterministic argmax
+    "q_recommend")        // exact micro-Jaccard integer scores
 
   test("results are invariant under shuffle-partition counts 3/13/32") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")

@@ -1018,6 +1018,49 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("acf: correlations bounded, pair counts shrink with lag") {
+    val rows = q("q_acf").orderBy("k").collect()
+    assert(rows.length == 10)
+    val nDays = Tables.events(spark, sf)
+      .select(col("ts").cast("date")).distinct().count()
+    var prevPairs = Long.MaxValue
+    for (r <- rows) {
+      assert(math.abs(r.getAs[Double]("acf")) <= 1.0 + 1e-9)
+      val np = r.getAs[Long]("n_pairs")
+      assert(np < nDays && np <= prevPairs)
+      prevPairs = np
+    }
+  }
+
+  test("changepoint: the cut splits the series and maximizes the gap") {
+    val r = q("q_changepoint").collect().head
+    val nDays = Tables.events(spark, sf)
+      .select(col("ts").cast("date")).distinct().count()
+    assert(r.getAs[Long]("n_before") + r.getAs[Long]("n_after") == nDays)
+    assert(r.getAs[Long]("n_before") >= 1 && r.getAs[Long]("n_after") >= 1)
+    assert(r.getAs[Double]("gap") >= 0.0)
+  }
+
+  test("recommend: never suggests an already-owned supplier, ranks dense") {
+    val recs = q("q_recommend").collect()
+    assert(recs.nonEmpty)
+    val owned = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (r <- recs) {
+      assert(!owned.contains((r.getAs[Long]("custkey"), r.getAs[Long]("rec"))),
+        "a recommendation must be a NEW supplier")
+      assert(r.getAs[Int]("rnk") >= 1 && r.getAs[Int]("rnk") <= 3)
+      assert(r.getAs[Double]("score") > 0.0)
+    }
+    // per-customer ranks are dense from 1
+    for ((_, rs) <- recs.groupBy(_.getAs[Long]("custkey")))
+      assert(rs.map(_.getAs[Int]("rnk")).sorted.toSeq ==
+        (1 to rs.length).toSeq)
+  }
+
   test("retention: offset-0 is the cohort ceiling for every later week") {
     val rows = q("q_retention").collect()
     assert(rows.nonEmpty)
