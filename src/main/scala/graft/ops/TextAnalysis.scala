@@ -569,14 +569,69 @@ object TextAnalysis {
     // left-to-right, non-overlapping).
     "q_bpe_train" -> ((s, d) => {
       import s.implicits._
-      val wc = Tables.documents(s, d)
-        .select(explode(expr(words)).as("w"))
-        .filter(!col("w").contains("|")) // '|' is the symbol sentinel
-        .groupBy("w").agg(count(lit(1)).as("c"))
-        .select(col("c"), concat(lit("|"),
-          regexp_replace(col("w"), "(.)", "$1|")).as("seq"))
+      bpeMerges(s, d).toDF("iter", "lhs", "rhs", "merged", "freq")
+    }),
+
+    // BPE tokenizer APPLICATION — the deploy half of q_bpe_train: rewrite
+    // the vocabulary with the learned merge table and report the corpus
+    // compression it buys (chars → tokens). Scale shape: the merge table
+    // is 5 driver-side strings (memoized per session/corpus, the KMeans-
+    // centroid pattern); application is a row-local replace chain over
+    // the DISTINCT vocabulary, and corpus totals are count-weighted
+    // map-side-combined sums — exact integers with ONE final division, so
+    // the ratio is bit-identical in any engine.
+    "q_bpe_apply" -> ((s, d) => {
+      val ms = bpeMerges(s, d)
+      var vocab = bpeCharVocab(s, d)
+      for ((_, l, r, m, _) <- ms) {
+        val from = lit("|" + l + "|" + r + "|"); val to = lit("|" + m + "|")
+        vocab = vocab.withColumn("seq",
+          replace(replace(replace(col("seq"), from, to), from, to), from, to))
+      }
+      vocab
+        .select(col("c"),
+          expr("size(filter(split(seq, '\\\\|'), x -> length(x) > 0))")
+            .cast("long").as("toks"),
+          expr("size(filter(split(seq0, '\\\\|'), x -> length(x) > 0))")
+            .cast("long").as("chars"))
+        .agg(count(lit(1)).as("n_vocab"),
+          sum("c").as("n_words"),
+          sum(col("c") * col("chars")).as("chars_total"),
+          sum(col("c") * col("toks")).as("tokens_total"))
+        .select(col("n_vocab"), col("n_words"), col("chars_total"),
+          col("tokens_total"),
+          (col("chars_total").cast("double") / col("tokens_total"))
+            .as("compression"))
+    })
+  )
+
+  /** (w, c, seq, seq0): distinct words with counts, the live symbol
+    * sequence, and the frozen character-level encoding. */
+  private def bpeCharVocab(s: SparkSession, d: String) =
+    Tables.documents(s, d)
+      .select(explode(expr(words)).as("w"))
+      .filter(!col("w").contains("|")) // '|' is the symbol sentinel
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .select(col("w"), col("c"),
+        concat(lit("|"), regexp_replace(col("w"), "(.)", "$1|")).as("seq"))
+      .withColumn("seq0", col("seq"))
+
+  private val bpeCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[(Int, String, String, String, Long)]]
+
+  /** Drop memoized BPE merge tables (test/bench isolation hook — the
+    * Similarity.centroidCache pattern). */
+  def clearCaches(): Unit = bpeCache.clear()
+
+  /** The training loop behind q_bpe_train/q_bpe_apply, memoized per
+    * (session, corpus): 5 greedy rounds, each one row-local pair explode +
+    * one map-side-combined aggregate + a 1-row winning-pair collect. */
+  private def bpeMerges(s: SparkSession, d: String)
+      : Seq[(Int, String, String, String, Long)] =
+    bpeCache.getOrElseUpdate((s, d), {
+      val wc = bpeCharVocab(s, d).select("c", "seq")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      var vocab = wc
+      var vocab: org.apache.spark.sql.DataFrame = wc
       val merges = Seq.newBuilder[(Int, String, String, String, Long)]
       for (i <- 1 to 5) {
         val top = vocab
@@ -597,9 +652,9 @@ object TextAnalysis {
         vocab = vocab.withColumn("seq",
           replace(replace(replace(col("seq"), from, to), from, to), from, to))
       }
-      merges.result().toDF("iter", "lhs", "rhs", "merged", "freq")
+      wc.unpersist(blocking = false)
+      merges.result()
     })
-  )
 
   /** The BPE oracle's per-iteration CTE triple (pair counts → top-1 pick →
     * vocab rewrite), unrolled — replays the exact greedy recurrence,
@@ -611,9 +666,18 @@ object TextAnalysis {
       s"FROM (SELECT c, list_filter(string_split(seq, '|'), x -> length(x) > 0) AS sy " +
       s"FROM v${i - 1}) WHERE len(sy) >= 2) GROUP BY pair), " +
       s"t$i AS (SELECT pair, freq FROM p$i ORDER BY freq DESC, pair LIMIT 1), " +
-      s"v$i AS (SELECT c, replace(replace(replace(seq, $rw), $rw), $rw) AS seq " +
+      s"v$i AS (SELECT w, c, replace(replace(replace(seq, $rw), $rw), $rw) AS seq " +
       s"FROM v${i - 1}, t$i)"
   }
+
+  /** Shared WITH prefix for the two BPE oracles: char-encoded vocabulary +
+    * the 5 unrolled merge iterations. */
+  private def bpeChain: String =
+    s"WITH w0 AS (SELECT w, count(*) AS c FROM " +
+      s"(SELECT unnest($duckWords) AS w FROM documents) " +
+      "WHERE NOT contains(w, '|') GROUP BY w), " +
+      raw"v0 AS (SELECT w, c, '|' || regexp_replace(w, '(.)', '\1|', 'g') AS seq FROM w0), " +
+      (1 to 5).map(bpeIter).mkString(", ")
 
   private val duckToks =
     "list_filter(str_split_regex(text, '[^a-zA-Z0-9]+'), x -> length(x) > 0)"
@@ -714,12 +778,20 @@ object TextAnalysis {
         "round(ln(n * 1.0 * c_ab / (ca.c * cb.c)), 4) AS pmi " +
         "FROM pc JOIN uc ca ON pc.t1 = ca.t JOIN uc cb ON pc.t2 = cb.t, tot " +
         "ORDER BY pmi DESC, c_ab DESC, t1, t2 LIMIT 20"),
+    "q_bpe_apply" ->
+      (bpeChain + ", " +
+        "tk AS (SELECT c, " +
+        "len(list_filter(string_split(seq, '|'), x -> length(x) > 0)) AS na, " +
+        raw"len(list_filter(string_split('|' || regexp_replace(w, '(.)', '\1|', 'g'), '|'), x -> length(x) > 0)) AS nb " +
+        "FROM v5), " +
+        "agg AS (SELECT CAST(count(*) AS BIGINT) AS n_vocab, " +
+        "CAST(sum(c) AS BIGINT) AS n_words, " +
+        "CAST(sum(c * nb) AS BIGINT) AS chars_total, " +
+        "CAST(sum(c * na) AS BIGINT) AS tokens_total FROM tk) " +
+        "SELECT n_vocab, n_words, chars_total, tokens_total, " +
+        "CAST(chars_total AS DOUBLE) / tokens_total AS compression FROM agg"),
     "q_bpe_train" ->
-      (s"WITH w0 AS (SELECT w, count(*) AS c FROM " +
-        s"(SELECT unnest($duckWords) AS w FROM documents) " +
-        "WHERE NOT contains(w, '|') GROUP BY w), " +
-        raw"v0 AS (SELECT c, '|' || regexp_replace(w, '(.)', '\1|', 'g') AS seq FROM w0), " +
-        (1 to 5).map(bpeIter).mkString(", ") + " " +
+      (bpeChain + " " +
         "SELECT * FROM (" +
         (1 to 5).map { i =>
           s"SELECT CAST($i AS INTEGER) AS iter, " +

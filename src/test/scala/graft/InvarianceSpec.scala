@@ -74,7 +74,8 @@ class InvarianceSpec extends SparkSpec {
     "q_gini",             // integer-cents Lorenz bins, single final division
     "q_acf",              // bounded 2dp daily series, 4dp correlations
     "q_changepoint",      // bounded cumulative scan, deterministic argmax
-    "q_recommend")        // exact micro-Jaccard integer scores
+    "q_recommend",        // exact micro-Jaccard integer scores
+    "q_bpe_apply")        // memoized merges + exact count-weighted totals
 
   test("results are invariant under shuffle-partition counts 3/13/32") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")
@@ -83,6 +84,7 @@ class InvarianceSpec extends SparkSpec {
         val runs = Seq("3", "13", "32").map { n =>
           spark.conf.set("spark.sql.shuffle.partitions", n)
           ops.Dedup.clearCaches() // no memoized plan may leak across configs
+          ops.TextAnalysis.clearCaches() // ditto for memoized BPE merges
           SparkEntry.queries(qid)(spark, sf).collect().map(_.toString).toSeq
         }
         assert(runs(0) == runs(1) && runs(1) == runs(2),

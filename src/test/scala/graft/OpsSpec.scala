@@ -1061,6 +1061,20 @@ class OpsSpec extends SparkSpec {
         (1 to rs.length).toSeq)
   }
 
+  test("bpe_apply: merges only ever shorten the token stream") {
+    val r = q("q_bpe_apply").collect().head
+    val (chars, toks) = (r.getAs[Long]("chars_total"),
+      r.getAs[Long]("tokens_total"))
+    assert(toks <= chars && toks > 0)
+    assert(r.getAs[Double]("compression") == chars.toDouble / toks)
+    // corpus accounting: every non-sentinel word occurrence is tokenized
+    val nWords = Tables.documents(spark, sf)
+      .select(explode(expr("filter(split(text, ' '), x -> length(x) > 0)"))
+        .as("w"))
+      .filter(!col("w").contains("|")).count()
+    assert(r.getAs[Long]("n_words") == nWords)
+  }
+
   test("retention: offset-0 is the cohort ceiling for every later week") {
     val rows = q("q_retention").collect()
     assert(rows.nonEmpty)
