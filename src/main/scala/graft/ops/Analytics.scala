@@ -440,6 +440,43 @@ object Analytics {
         .orderBy("grp")
     }),
 
+    // Skyline (Pareto frontier) — suppliers not dominated on
+    // (revenue, customer reach), the multi-criteria "best options" query.
+    // The naive formulation is an O(n²) dominance self-join; the scale
+    // form is the classic sort-free trick: group metrics by revenue,
+    // run ONE running-max window over the BOUNDED distinct-revenue table
+    // (revenue descending), and a row survives iff it tops its own
+    // revenue group and strictly beats every higher-revenue group's best
+    // reach. Metrics are exact integers (revenue in cents, distinct-first
+    // customer counts), so the frontier is engine-identical.
+    "q_skyline" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      // EXACT integer revenue: price and discount are 2 dp, so *100 lands
+      // a hair from an integer and round() is unambiguous in every
+      // engine; the revenue row term is then pure integer multiplication
+      // (units of 1e-4 dollars) — no half-cent rounding ever happens
+      val rev = li.groupBy(col("l_suppkey").as("sk"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")
+          * (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          .as("rev_units"))
+      val reach = li.select(col("l_suppkey").as("sk"), col("o_custkey"))
+        .distinct()
+        .groupBy("sk").agg(count(lit(1)).as("n_custs"))
+      val m = rev.join(reach, "sk")
+      val byRev = m.groupBy("rev_units").agg(max("n_custs").as("best_nc"))
+      val prev = Window.orderBy(desc("rev_units"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val frontier = byRev
+        .withColumn("prev_best", max("best_nc").over(prev))
+      m.join(frontier, Seq("rev_units"))
+        .filter(col("n_custs") === col("best_nc")
+          && (col("prev_best").isNull || col("n_custs") > col("prev_best")))
+        .select(col("sk"), (col("rev_units") / 10000.0).as("revenue"),
+          col("n_custs"))
+        .orderBy(desc("revenue"), asc("sk"))
+    }),
+
     // Autocorrelation function of the daily event-value series at lags
     // 1..10 — the periodicity probe run before any seasonal model. Scale
     // shape: the corpus collapses to a BOUNDED daily series (one
@@ -945,6 +982,23 @@ object Analytics {
         "round(avg(x), 4) AS mean_before, " +
         "round(avg(greatest(least(x, hi), lo)), 4) AS mean_after " +
         "FROM li, cuts GROUP BY grp ORDER BY grp"),
+    "q_skyline" ->
+      ("WITH li AS (SELECT l_suppkey AS sk, o_custkey, " +
+        "CAST(round(l_extendedprice * 100) AS BIGINT) " +
+        "* (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rc " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), " +
+        "rev AS (SELECT sk, CAST(sum(rc) AS BIGINT) AS rev_units " +
+        "FROM li GROUP BY sk), " +
+        "reach AS (SELECT sk, count(*) AS n_custs FROM " +
+        "(SELECT DISTINCT sk, o_custkey FROM li) GROUP BY sk), " +
+        "m AS (SELECT rev.sk, rev_units, n_custs FROM rev JOIN reach ON rev.sk = reach.sk), " +
+        "g AS (SELECT rev_units, max(n_custs) AS best_nc FROM m GROUP BY 1), " +
+        "f AS (SELECT *, max(best_nc) OVER (ORDER BY rev_units DESC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_best FROM g) " +
+        "SELECT m.sk, m.rev_units / 10000.0 AS revenue, CAST(m.n_custs AS BIGINT) AS n_custs " +
+        "FROM m JOIN f ON m.rev_units = f.rev_units " +
+        "WHERE m.n_custs = f.best_nc AND (prev_best IS NULL OR m.n_custs > prev_best) " +
+        "ORDER BY revenue DESC, sk"),
     "q_acf" ->
       ("WITH daily AS (SELECT CAST(ts AS DATE) AS day, round(sum(value), 2) AS v " +
         "FROM events GROUP BY 1), " +

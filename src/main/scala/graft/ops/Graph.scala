@@ -124,6 +124,36 @@ object Graph {
         .orderBy("custkey", "rnk")
     }),
 
+    // Triangle census of the co-purchase projection — the standard
+    // community-structure probe. The projection keeps supplier pairs with
+    // >= 2 shared customers (bounded by the supplier DIMENSION squared),
+    // so the canonical a<b<c wedge-close join — the MapReduce triangle
+    // algorithm — runs over a dimension-sized edge list; nothing at
+    // corpus scale is ever self-joined. Exact integers throughout.
+    "q_triangles" -> ((s, d) => {
+      val e0 = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+        .distinct()
+      val edges = e0.select(col("c"), col("sk").as("s1"))
+        .join(e0.select(col("c"), col("sk").as("s2")), Seq("c"))
+        .filter(col("s1") < col("s2"))
+        .groupBy("s1", "s2").agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 2)
+        .select("s1", "s2")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nodes = edges.select(col("s1").as("n"))
+        .union(edges.select(col("s2").as("n"))).distinct()
+      val wedges = edges.join(
+        edges.select(col("s1").as("s2"), col("s2").as("s3")), Seq("s2"))
+      val tris = wedges.join(
+        edges.select(col("s1"), col("s2").as("s3")), Seq("s1", "s3"))
+      nodes.agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+        .crossJoin(tris.agg(count(lit(1)).as("n_triangles")))
+    }),
+
     // Supplier similarity by shared customer base — Jaccard over DISTINCT
     // customer sets, the co-occurrence recommendation primitive. Scale
     // shape: pairs form through the shared-CUSTOMER equi-join, so a
@@ -181,6 +211,19 @@ object Graph {
         "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src) " +
         "SELECT substr(src, 1, 1) AS side, deg, count(*) AS n_nodes " +
         "FROM deg GROUP BY 1, 2 ORDER BY side, deg"),
+    "q_triangles" ->
+      ("WITH e0 AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sk " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
+        "edges AS (SELECT a.sk AS s1, b.sk AS s2 FROM e0 a " +
+        "JOIN e0 b ON a.c = b.c AND a.sk < b.sk " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "nodes AS (SELECT DISTINCT n FROM " +
+        "(SELECT s1 AS n FROM edges UNION ALL SELECT s2 FROM edges)), " +
+        "tris AS (SELECT count(*) AS n_triangles FROM edges e1 " +
+        "JOIN edges e2 ON e1.s2 = e2.s1 " +
+        "JOIN edges e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2) " +
+        "SELECT (SELECT count(*) FROM nodes) AS n_nodes, " +
+        "(SELECT count(*) FROM edges) AS n_edges, n_triangles FROM tris"),
     "q_recommend" ->
       ("WITH e0 AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sk " +
         "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +

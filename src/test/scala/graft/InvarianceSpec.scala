@@ -75,7 +75,9 @@ class InvarianceSpec extends SparkSpec {
     "q_acf",              // bounded 2dp daily series, 4dp correlations
     "q_changepoint",      // bounded cumulative scan, deterministic argmax
     "q_recommend",        // exact micro-Jaccard integer scores
-    "q_bpe_apply")        // memoized merges + exact count-weighted totals
+    "q_bpe_apply",        // memoized merges + exact count-weighted totals
+    "q_skyline",          // exact-integer dominance staircase
+    "q_triangles")        // exact-integer wedge-close census
 
   test("results are invariant under shuffle-partition counts 3/13/32") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")

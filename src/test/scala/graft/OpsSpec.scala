@@ -1075,6 +1075,28 @@ class OpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_words") == nWords)
   }
 
+  test("skyline: frontier is mutually non-dominated and revenue-anchored") {
+    val rows = q("q_skyline").collect()
+    assert(rows.nonEmpty)
+    // ordered by revenue desc, customer reach must strictly increase —
+    // the defining staircase of a max-max Pareto frontier
+    val ncs = rows.map(_.getAs[Long]("n_custs")).toSeq
+    assert(ncs == ncs.sorted.distinct.sorted,
+      s"reach must strictly increase along falling revenue: $ncs")
+    val revs = rows.map(_.getAs[Double]("revenue")).toSeq
+    assert(revs == revs.sorted.reverse)
+  }
+
+  test("triangles: census bounded by the complete graph") {
+    val r = q("q_triangles").collect().head
+    val (n, e, t) = (r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges"),
+      r.getAs[Long]("n_triangles"))
+    assert(e <= n * (n - 1) / 2)
+    assert(t <= n * (n - 1) * (n - 2) / 6)
+    if (e == n * (n - 1) / 2) // complete projection ⇒ all triples close
+      assert(t == n * (n - 1) * (n - 2) / 6)
+  }
+
   test("retention: offset-0 is the cohort ceiling for every later week") {
     val rows = q("q_retention").collect()
     assert(rows.nonEmpty)
