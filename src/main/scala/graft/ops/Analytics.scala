@@ -509,6 +509,28 @@ object Analytics {
         .orderBy("k")
     }),
 
+    // Forecast backtest — a trailing-7-day moving-average forecaster
+    // walked forward over the daily series, scored by MAE/MAPE: the
+    // baseline every fancier model must beat, and the pattern (bounded
+    // per-step history, one pass, no model state) a production backtest
+    // harness uses. Scale shape: after the daily collapse everything runs
+    // on the bounded day table; the forecast window sums exactly 7
+    // rounded values in frame order, so both engines walk identical
+    // numbers.
+    "q_backtest_sma" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(round(sum("value"), 2).as("v"))
+      val w7 = Window.orderBy("day").rowsBetween(-7, -1)
+      daily
+        .withColumn("hist", count(lit(1)).over(w7))
+        .withColumn("f", round(avg("v").over(w7), 4))
+        .filter(col("hist") === 7)
+        .agg(count(lit(1)).as("n_evals"),
+          round(avg(abs(col("v") - col("f"))), 4).as("mae"),
+          round(avg(abs(col("v") - col("f")) / col("v")), 4).as("mape"))
+    }),
+
     // Change-point detection — the single largest level shift in the
     // daily series, found by scanning every cut point's |mean-before −
     // mean-after| (the two-sample CUSUM heuristic). Scale shape: after
@@ -1011,6 +1033,16 @@ object Analytics {
         "SELECT k, count(*) AS n_pairs, " +
         "round(sum((vt - mu) * (v0 - mu)) / den, 4) AS acf " +
         "FROM lagged, m, den GROUP BY k, den ORDER BY k"),
+    "q_backtest_sma" ->
+      ("WITH daily AS (SELECT CAST(ts AS DATE) AS day, round(sum(value), 2) AS v " +
+        "FROM events GROUP BY 1), " +
+        "f AS (SELECT day, v, count(*) OVER w AS hist, " +
+        "round(avg(v) OVER w, 4) AS f FROM daily " +
+        "WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)) " +
+        "SELECT count(*) AS n_evals, " +
+        "round(avg(abs(v - f)), 4) AS mae, " +
+        "round(avg(abs(v - f) / v), 4) AS mape " +
+        "FROM f WHERE hist = 7"),
     "q_changepoint" ->
       ("WITH daily AS (SELECT CAST(ts AS DATE) AS day, round(sum(value), 2) AS v " +
         "FROM events GROUP BY 1), " +

@@ -552,6 +552,38 @@ object TextAnalysis {
         .limit(20)
     }),
 
+    // Zipf-law fit — least-squares slope of ln(freq) over ln(rank) for
+    // the top-100 terms, the one-number sanity check that a corpus has a
+    // natural-language frequency profile (slope ≈ −1) rather than
+    // template spam. Scale shape: term counts are one map-side-combined
+    // aggregate, the top-100 cut is a TakeOrdered heap with a
+    // deterministic (freq, term) tie-break, and the regression runs over
+    // the BOUNDED 100-row frame in a single closed-form aggregate.
+    "q_zipf_fit" -> ((s, d) => {
+      val top = Tables.documents(s, d)
+        .select(explode(expr(words)).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("c"))
+        .orderBy(desc("c"), asc("t")).limit(100)
+      val rw = Window.orderBy(desc("c"), asc("t"))
+      top.withColumn("r", row_number().over(rw))
+        .select(log(col("r").cast("double")).as("x"),
+          log(col("c").cast("double")).as("y"))
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .withColumn("sl", (col("n") * col("sxy") - col("sx") * col("sy"))
+          / (col("n") * col("sxx") - col("sx") * col("sx")))
+        .select(col("n").as("n_terms"),
+          round(col("sl"), 4).as("slope"),
+          round((col("sy") - col("sl") * col("sx")) / col("n"), 4)
+            .as("intercept"),
+          round(pow(col("n") * col("sxy") - col("sx") * col("sy"), 2)
+            / ((col("n") * col("sxx") - col("sx") * col("sx"))
+              * (col("n") * col("syy") - col("sy") * col("sy"))), 4)
+            .as("r2"))
+    }),
+
     // BPE tokenizer TRAINING — the full iterative merge loop, not just one
     // round of pair counts (q_bpe_pairs): 5 greedy merges, each picking
     // the corpus-wide most frequent adjacent symbol pair (ties to the
@@ -778,6 +810,19 @@ object TextAnalysis {
         "round(ln(n * 1.0 * c_ab / (ca.c * cb.c)), 4) AS pmi " +
         "FROM pc JOIN uc ca ON pc.t1 = ca.t JOIN uc cb ON pc.t2 = cb.t, tot " +
         "ORDER BY pmi DESC, c_ab DESC, t1, t2 LIMIT 20"),
+    "q_zipf_fit" ->
+      (s"WITH tc AS (SELECT t, count(*) AS c FROM " +
+        s"(SELECT unnest($duckWords) AS t FROM documents) GROUP BY t " +
+        "ORDER BY c DESC, t LIMIT 100), " +
+        "xy AS (SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, t) AS DOUBLE)) AS x, " +
+        "ln(CAST(c AS DOUBLE)) AS y FROM tc), " +
+        "a AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy, " +
+        "sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy FROM xy), " +
+        "sl AS (SELECT *, (n * sxy - sx * sy) / (n * sxx - sx * sx) AS s FROM a) " +
+        "SELECT n AS n_terms, round(s, 4) AS slope, " +
+        "round((sy - s * sx) / n, 4) AS intercept, " +
+        "round(pow(n * sxy - sx * sy, 2) " +
+        "/ ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r2 FROM sl"),
     "q_bpe_apply" ->
       (bpeChain + ", " +
         "tk AS (SELECT c, " +

@@ -77,7 +77,9 @@ class InvarianceSpec extends SparkSpec {
     "q_recommend",        // exact micro-Jaccard integer scores
     "q_bpe_apply",        // memoized merges + exact count-weighted totals
     "q_skyline",          // exact-integer dominance staircase
-    "q_triangles")        // exact-integer wedge-close census
+    "q_triangles",        // exact-integer wedge-close census
+    "q_zipf_fit",         // bounded top-100 regression under 4dp round
+    "q_backtest_sma")     // bounded daily walk-forward, 4dp errors
 
   test("results are invariant under shuffle-partition counts 3/13/32") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")

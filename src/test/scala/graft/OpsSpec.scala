@@ -1097,6 +1097,20 @@ class OpsSpec extends SparkSpec {
       assert(t == n * (n - 1) * (n - 2) / 6)
   }
 
+  test("zipf_fit: regression sane; backtest_sma: errors non-negative") {
+    val z = q("q_zipf_fit").collect().head
+    assert(z.getAs[Long]("n_terms") >= 2)
+    assert(z.getAs[Double]("slope") <= 0.0,
+      "rank-frequency slope can never be positive")
+    val r2 = z.getAs[Double]("r2")
+    assert(r2 >= 0.0 && r2 <= 1.0)
+    val b = q("q_backtest_sma").collect().head
+    val nDays = Tables.events(spark, sf)
+      .select(col("ts").cast("date")).distinct().count()
+    assert(b.getAs[Long]("n_evals") == math.max(nDays - 7, 0))
+    assert(b.getAs[Double]("mae") >= 0.0 && b.getAs[Double]("mape") >= 0.0)
+  }
+
   test("retention: offset-0 is the cohort ceiling for every later week") {
     val rows = q("q_retention").collect()
     assert(rows.nonEmpty)

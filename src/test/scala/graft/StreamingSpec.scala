@@ -402,6 +402,42 @@ class StreamingSpec extends SparkSpec {
       "incremental transition counts must equal the batch markov matrix")
   }
 
+  test("streaming drift monitor: incremental bin counts == batch q_drift inputs") {
+    // The PSI drift gate run as a continuous monitor: documents arrive as
+    // a stream, the (source, bin, snapshot) histogram aggregates
+    // incrementally (complete mode), and the final bins must equal the
+    // batch q_drift aggregation — binning and hash-snapshot assignment
+    // are row-local, so streaming parity is exact, and PSI computed from
+    // equal bins is equal by construction.
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val schema = Tables.documents(spark, sf).schema
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("is_ref",
+        expr("substring(md5(CAST(doc_id AS STRING)), 1, 1) < '8'"))
+      .groupBy(col("source"), floor(col("n_chars") / 400).as("bin"))
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("ref_n"),
+        sum(when(col("is_ref"), 0L).otherwise(1L)).as("cur_n"))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("drift_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("drift_out")
+      .orderBy("source", "bin").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val batch = Tables.documents(spark, sf)
+      .withColumn("is_ref",
+        expr("substring(md5(CAST(doc_id AS STRING)), 1, 1) < '8'"))
+      .groupBy(col("source"), floor(col("n_chars") / 400).as("bin"))
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("ref_n"),
+        sum(when(col("is_ref"), 0L).otherwise(1L)).as("cur_n"))
+      .orderBy("source", "bin").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(streamed.nonEmpty && streamed.sameElements(batch))
+  }
+
   test("streaming as-of join: stream-static backward as-of == batch q_join_asof") {
     // As-of-at-ingest: purchases ARRIVE as a stream, the click history is
     // static. Backward as-of is per-left-row against the static right
