@@ -239,10 +239,77 @@ object Joins {
         .select(col("event_id"), col("user_id"),
           when(col("in_tol"), col("asof_click")).as("click_id"))
         .orderBy("event_id")
+    }),
+
+    // Interval OVERLAP join — which user pairs were active at the same
+    // time (co-presence over 30-min-gap sessions). The naive encoding is
+    // a θ-join on two inequalities (a CartesianProduct at any scale);
+    // the scale form is the standard interval-decomposition: each session
+    // explodes into the HOUR buckets it touches (bounded by its own
+    // duration), candidate pairs form only inside co-occupied buckets via
+    // a plain equi-join, multi-bucket duplicates collapse distinct-first,
+    // and the exact overlap predicate + micros arithmetic run on the
+    // surviving candidates only. All integers — engine-identical. Skew
+    // lever: a "whole fleet online" hour concentrates pairs in one
+    // bucket; sub-bucket salting or a bucket cap (Dedup.oversizedBuckets
+    // pattern) bounds it.
+    "q_join_overlap" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val usc = (c: org.apache.spark.sql.Column) =>
+        unix_micros(c.cast("timestamp"))
+      val prev = lag(col("ts"), 1).over(w)
+      val isStart = when(prev.isNull ||
+        usc(col("ts")) - usc(prev) > 1800000000L, 1L).otherwise(0L)
+      val sessions = Tables.events(s, d)
+        .withColumn("is_start", isStart)
+        .withColumn("sid", sum("is_start").over(run))
+        .groupBy(col("user_id").as("u"), col("sid"))
+        .agg(usc(min("ts")).as("st"), usc(max("ts")).as("en"))
+      val buck = sessions
+        .select(col("u"), col("sid"), col("st"), col("en"),
+          explode(expr("sequence(st div 3600000000, en div 3600000000)"))
+            .as("bk"))
+      val pairs = buck
+        .select(col("bk"), col("u").as("ua"), col("sid").as("sa"),
+          col("st").as("sta"), col("en").as("ena"))
+        .join(buck.select(col("bk"), col("u").as("ub"), col("sid").as("sb"),
+          col("st").as("stb"), col("en").as("enb")), Seq("bk"))
+        .filter(col("ua") < col("ub")
+          && col("sta") <= col("enb") && col("stb") <= col("ena"))
+        .select("ua", "sa", "sta", "ena", "ub", "sb", "stb", "enb")
+        .distinct()
+      pairs
+        .select(col("ua"), col("ub"),
+          (least(col("ena"), col("enb"))
+            - greatest(col("sta"), col("stb"))).as("ov_us"))
+        .groupBy("ua", "ub")
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("sum(ov_us) div 1000000").as("overlap_secs"))
+        .orderBy(desc("overlap_secs"), desc("n_pairs"), asc("ua"), asc("ub"))
+        .limit(20)
     })
   )
 
   val oracle: Map[String, String] = Map(
+    // the oracle IS the naive θ-join — small data makes it feasible, and
+    // hash parity proves the bucket decomposition loses no pair
+    "q_join_overlap" ->
+      ("WITH o AS (SELECT user_id, ts, event_id, " +
+        "CASE WHEN lag(ts) OVER w IS NULL OR " +
+        "epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS is_start " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "s AS (SELECT *, sum(is_start) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM o), " +
+        "sess AS (SELECT user_id AS u, sid, epoch_us(min(ts)) AS st, " +
+        "epoch_us(max(ts)) AS en FROM s GROUP BY 1, 2), " +
+        "p AS (SELECT a.u AS ua, b.u AS ub, " +
+        "least(a.en, b.en) - greatest(a.st, b.st) AS ov " +
+        "FROM sess a JOIN sess b ON a.u < b.u AND a.st <= b.en AND b.st <= a.en) " +
+        "SELECT ua, ub, count(*) AS n_pairs, " +
+        "CAST(sum(ov) // 1000000 AS BIGINT) AS overlap_secs " +
+        "FROM p GROUP BY 1, 2 " +
+        "ORDER BY overlap_secs DESC, n_pairs DESC, ua, ub LIMIT 20"),
     "q_join_inner" ->
       ("SELECT o_orderkey, c_name, o_totalprice FROM orders " +
         "JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey"),

@@ -1111,6 +1111,22 @@ class OpsSpec extends SparkSpec {
     assert(b.getAs[Double]("mae") >= 0.0 && b.getAs[Double]("mape") >= 0.0)
   }
 
+  test("join_overlap: canonical pairs with positive, bounded overlap") {
+    val rows = q("q_join_overlap").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    // total observed span bounds any pair's overlap
+    val span = Tables.events(spark, sf)
+      .agg((max(unix_micros(col("ts").cast("timestamp")))
+        - min(unix_micros(col("ts").cast("timestamp")))) / 1000000L)
+      .head.getAs[Any](0).toString.toDouble
+    for (r <- rows) {
+      assert(r.getAs[Long]("ua") < r.getAs[Long]("ub"))
+      assert(r.getAs[Long]("n_pairs") >= 1)
+      val ov = r.getAs[Long]("overlap_secs")
+      assert(ov >= 0 && ov <= span * r.getAs[Long]("n_pairs"))
+    }
+  }
+
   test("retention: offset-0 is the cohort ceiling for every later week") {
     val rows = q("q_retention").collect()
     assert(rows.nonEmpty)

@@ -379,6 +379,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_join_overlap: interval θ-join decomposes to a bucket equi-join") {
+    val p = plan("q_join_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the overlap join must never degenerate to all-pairs:\n$p")
+    assert(p.contains("Generate"), "sessions must explode into hour buckets")
+  }
+
   test("sweep: no CartesianProduct anywhere; BNLJ only where justified") {
     val withBnlj = scala.collection.mutable.Set.empty[String]
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
