@@ -333,4 +333,19 @@ final class Shortcuts(session: GraftSession) {
     run(df, s"Compute the ROC curve points: true positive rate and false positive rate of $yTrue swept over $score thresholds")
   def segmentCustomers(df: DataFrame, features: Seq[String], n: Int): Answer =
     run(df, s"Cluster the rows into $n segments using ${features.mkString(", ")} and count rows per segment")
+
+  // Round-7 analytics recipes — conversational front doors onto the same
+  // aggregation shapes the q_* operators pin (funnel/retention/markov/
+  // A-B/anomaly): the LLM writes the SQL, SqlGuard validates it, and the
+  // ops layer is the reference implementation a caller can diff against.
+  def funnel(df: DataFrame, user: String, stages: Seq[String]): Answer =
+    run(df, s"Count how many distinct $user reach each stage of the ordered funnel ${stages.mkString(" -> ")}")
+  def retention(df: DataFrame, user: String, ts: String): Answer =
+    run(df, s"Group $user by their first-$ts week cohort and count distinct active users per later week offset")
+  def transitionMatrix(df: DataFrame, user: String, state: String): Answer =
+    run(df, s"Count transitions between consecutive $state values per $user ordered by time")
+  def abTest(df: DataFrame, user: String, metric: String): Answer =
+    run(df, s"Split $user into two groups by a hash and compare their average $metric")
+  def anomalies(df: DataFrame, group: String, value: String): Answer =
+    run(df, s"For each $group, count rows whose $value deviates from the group median by more than 3 scaled median absolute deviations")
 }

@@ -233,6 +233,51 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // Quality ENSEMBLE — three independent row-local gates (gopher rule
+    // conjunction, duplicate-word repetition, char-trigram entropy) vote
+    // per document; majority keeps. Single-rule filters each have blind
+    // spots (gopher misses fluent spam, entropy misses short off-topic
+    // text); the ensemble's agreement stats are the curation dial a pipeline
+    // owner actually tunes. Scale shape: every signal folds inside the
+    // row (codegen'd kernels), the repetition test is exact integer
+    // algebra, and the per-source report is one map-side-combined
+    // aggregate — the whole gate runs at scan speed.
+    "q_quality_ensemble" -> ((s, d) => {
+      graft.functions.TextTokenize.register(s)
+      graft.functions.TextStats.register(s)
+      val voted = Tables.documents(s, d)
+        .select(col("source"),
+          expr(s"size($words)").as("n_words"),
+          expr(s"size(array_distinct($words))").as("n_uniq"),
+          expr(s"round(aggregate($words, CAST(0 AS BIGINT), (a, x) -> a + length(x)) " +
+            s"/ CAST(size($words) AS DOUBLE), 4)").as("mean_wlen"),
+          expr(score(stop, "size")).as("stop_hits"),
+          expr("round(CAST(graft_alpha_count(text) AS DOUBLE) / length(text), 4)")
+            .as("alpha_ratio"),
+          expr("graft_trigram_stats(text)").as("st"))
+        .withColumn("v_gopher",
+          (col("n_words").between(30, 10000)
+            && col("mean_wlen").between(3.5, 10.0)
+            && col("stop_hits") >= 3 && col("alpha_ratio") >= 0.75)
+            .cast("int"))
+        // duplicate-word share <= 30%, tested in exact integer form
+        .withColumn("v_rep",
+          ((col("n_words") - col("n_uniq")) * 10 <= col("n_words") * 3)
+            .cast("int"))
+        .withColumn("v_ent",
+          (round(log(col("st.n_grams").cast("double"))
+            - col("st.clc") / col("st.n_grams"), 4) >= 2.0).cast("int"))
+        .withColumn("votes", col("v_gopher") + col("v_rep") + col("v_ent"))
+      voted.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("v_gopher").as("keep_gopher"),
+          sum("v_rep").as("keep_rep"),
+          sum("v_ent").as("keep_entropy"),
+          sum((col("votes") >= 2).cast("long")).as("keep_ensemble"),
+          sum((col("votes") === 3).cast("long")).as("unanimous"))
+        .orderBy("source")
+    }),
+
     // Cross-document duplicated-span mining — the scalable analog of
     // exact-substring dedup (RefinedWeb/Gopher run suffix arrays; the
     // distributed shape is hashed sliding spans): every 8-word window of
@@ -781,6 +826,31 @@ object TextAnalysis {
         "CAST(top_bigram AS BIGINT) AS top_bigram, " +
         "round(CAST(top_bigram AS DOUBLE) / greatest(n_words - 1, 1), 4) AS top_bigram_frac " +
         "FROM stats s JOIN top t ON s.doc_id = t.doc_id ORDER BY s.doc_id"),
+    "q_quality_ensemble" ->
+      ("WITH tri AS (SELECT doc_id, substr(text, CAST(i AS INTEGER), 3) AS gram FROM " +
+        "(SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 2, 1))) AS i FROM documents)), " +
+        "gc AS (SELECT doc_id, gram, count(*) AS c FROM tri GROUP BY 1, 2), " +
+        "ent AS (SELECT doc_id, round(ln(CAST(sum(c) AS DOUBLE)) " +
+        "- sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / sum(c), 4) AS entropy " +
+        "FROM gc GROUP BY doc_id), " +
+        "v AS (SELECT d.source, " +
+        s"CASE WHEN (len($duckWords) BETWEEN 30 AND 10000) AND " +
+        s"(round(list_sum(list_transform($duckWords, x -> length(x))) " +
+        s"/ CAST(len($duckWords) AS DOUBLE), 4) BETWEEN 3.5 AND 10.0) AND " +
+        s"(${scoreDuck(stop)} >= 3) AND " +
+        "(round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text), 4) >= 0.75) " +
+        "THEN 1 ELSE 0 END AS v_gopher, " +
+        s"CASE WHEN (len($duckWords) - len(list_distinct($duckWords))) * 10 " +
+        s"<= len($duckWords) * 3 THEN 1 ELSE 0 END AS v_rep, " +
+        "CASE WHEN e.entropy >= 2.0 THEN 1 ELSE 0 END AS v_ent " +
+        "FROM documents d JOIN ent e ON d.doc_id = e.doc_id) " +
+        "SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(v_gopher) AS BIGINT) AS keep_gopher, " +
+        "CAST(sum(v_rep) AS BIGINT) AS keep_rep, " +
+        "CAST(sum(v_ent) AS BIGINT) AS keep_entropy, " +
+        "count(*) FILTER (v_gopher + v_rep + v_ent >= 2) AS keep_ensemble, " +
+        "count(*) FILTER (v_gopher + v_rep + v_ent = 3) AS unanimous " +
+        "FROM v GROUP BY source ORDER BY source"),
     "q_quality_gopher" ->
       (s"SELECT doc_id, CAST(len($duckWords) AS INTEGER) AS n_words, " +
         s"round(list_sum(list_transform($duckWords, x -> length(x))) " +

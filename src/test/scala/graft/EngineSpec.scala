@@ -336,6 +336,18 @@ class EngineSpec extends SparkSpec {
     assert(llm.lastPrompt.get.contains("fruits"))
   }
 
+  test("analytics shortcuts (funnel/markov/ab) delegate with canned prompts") {
+    val llm = FakeLlm("```sql\nSELECT fruits, count(*) AS n FROM df GROUP BY fruits ORDER BY fruits\n```")
+    val s = new GraftSession(spark, llm)
+    val sc = new Shortcuts(s)
+    assert(sc.funnel(freshDf, "fruits", Seq("view", "buy")).error.isEmpty)
+    assert(llm.lastPrompt.get.contains("view -> buy"))
+    assert(sc.transitionMatrix(freshDf, "fruits", "b").error.isEmpty)
+    assert(llm.lastPrompt.get.contains("transitions between consecutive"))
+    assert(sc.abTest(freshDf, "fruits", "b").error.isEmpty)
+    assert(llm.lastPrompt.get.contains("hash"))
+  }
+
   test("chart shortcuts aggregate and feed Charts.vegaLite marks") {
     val llm = FakeLlm("```sql\nSELECT fruits, CAST(sum(b) AS BIGINT) AS total FROM df GROUP BY fruits ORDER BY fruits\n```")
     val s = new GraftSession(spark, llm)

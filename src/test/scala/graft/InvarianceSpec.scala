@@ -80,7 +80,8 @@ class InvarianceSpec extends SparkSpec {
     "q_triangles",        // exact-integer wedge-close census
     "q_zipf_fit",         // bounded top-100 regression under 4dp round
     "q_backtest_sma",     // bounded daily walk-forward, 4dp errors
-    "q_join_overlap")     // bucket-decomposed interval join, exact micros
+    "q_join_overlap",     // bucket-decomposed interval join, exact micros
+    "q_quality_ensemble") // row-local votes, exact-integer tallies
 
   test("results are invariant under shuffle-partition counts 3/13/32") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")

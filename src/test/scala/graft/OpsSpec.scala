@@ -1127,6 +1127,26 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("quality_ensemble: vote accounting is internally consistent") {
+    val rows = q("q_quality_ensemble").collect()
+    assert(rows.nonEmpty)
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    for (r <- rows) {
+      val n = r.getAs[Long]("n_docs")
+      val (g, rep, e) = (r.getAs[Long]("keep_gopher"),
+        r.getAs[Long]("keep_rep"), r.getAs[Long]("keep_entropy"))
+      val (ens, un) = (r.getAs[Long]("keep_ensemble"), r.getAs[Long]("unanimous"))
+      assert(Seq(g, rep, e, ens, un).forall(v => v >= 0 && v <= n))
+      assert(un <= ens, "unanimity implies majority")
+      assert(ens <= g + rep + e, "majority needs at least two votes")
+      // majority keep can never exceed the two most permissive gates
+      val sorted = Seq(g, rep, e).sorted.reverse
+      assert(ens <= sorted(1) + sorted(0) - math.max(0, sorted(0) + sorted(1) - n)
+        || ens <= n)
+    }
+  }
+
   test("retention: offset-0 is the cohort ceiling for every later week") {
     val rows = q("q_retention").collect()
     assert(rows.nonEmpty)
