@@ -63,6 +63,45 @@ object Aggregates {
           expr("round(CAST(sum(pq) AS DOUBLE), 2)").as("sum_qty"))
         .orderBy("l_returnflag")),
 
+    // Incremental rollup maintenance — the materialized-view update path:
+    // when batch B lands, its delta rollup MERGES into yesterday's rollup
+    // (union + re-aggregate of two ROLLUP-sized tables) instead of
+    // re-scanning history. Verified by construction: the corpus hash-splits
+    // into "history" and "delta", both maintenance paths (full recompute
+    // vs merge) run in ONE query, and the emitted verdict counts
+    // mismatching groups — decimal-exact sums make the comparison
+    // bit-exact, so `match` must be 1. Scale shape: history is touched
+    // once to build its rollup; the merge itself costs O(|groups|), never
+    // O(|history rows|) — the whole point at 100 TB.
+    "q_incremental_rollup" -> ((s, d) => {
+      val li = Tables.events(s, d)
+        .select(col("event_type"), col("ts").cast("date").as("day"),
+          col("value"),
+          expr("substring(md5(CAST(event_id AS STRING)), 1, 1) < 'd'")
+            .as("is_hist"))
+      def roll(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("event_type", "day")
+          .agg(count(lit(1)).as("n"),
+            expr("sum(CAST(value AS DECIMAL(18,2)))").as("v"))
+      val full = roll(li)
+      val merged = roll(li.filter(col("is_hist")))
+        .unionByName(roll(li.filter(!col("is_hist"))))
+        .groupBy("event_type", "day")
+        .agg(sum("n").as("n"), sum("v").as("v"))
+      val joined = full
+        .select(col("event_type"), col("day"),
+          col("n").as("fn"), col("v").as("fv"))
+        .join(merged.select(col("event_type"), col("day"),
+          col("n").as("mn"), col("v").as("mv")),
+          Seq("event_type", "day"), "full")
+      joined.agg(
+        count(lit(1)).as("n_groups"),
+        sum(when(col("fn") === col("mn") && col("fv") === col("mv"), 0L)
+          .otherwise(1L)).as("n_mismatch"))
+        .select(col("n_groups"), col("n_mismatch"),
+          (col("n_mismatch") === 0).cast("int").as("match"))
+    }),
+
     // Grouping-set lattices (ROLLUP/CUBE): subtotal levels computed in ONE
     // pass — Spark's Expand operator fans each input row out to its
     // grouping sets BEFORE the partial aggregate, so map-side combine
@@ -306,6 +345,24 @@ object Aggregates {
         "count(*) AS count_order " +
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' " +
         "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+    "q_incremental_rollup" ->
+      ("WITH li AS (SELECT event_type, CAST(ts AS DATE) AS day, value, " +
+        "substr(md5(CAST(event_id AS VARCHAR)), 1, 1) < 'd' AS is_hist FROM events), " +
+        "full_r AS (SELECT event_type, day, count(*) AS n, " +
+        "sum(CAST(value AS DECIMAL(18,2))) AS v FROM li GROUP BY 1, 2), " +
+        "hist AS (SELECT event_type, day, count(*) AS n, " +
+        "sum(CAST(value AS DECIMAL(18,2))) AS v FROM li WHERE is_hist GROUP BY 1, 2), " +
+        "delta AS (SELECT event_type, day, count(*) AS n, " +
+        "sum(CAST(value AS DECIMAL(18,2))) AS v FROM li WHERE NOT is_hist GROUP BY 1, 2), " +
+        "merged AS (SELECT event_type, day, sum(n) AS n, sum(v) AS v FROM " +
+        "(SELECT * FROM hist UNION ALL SELECT * FROM delta) GROUP BY 1, 2), " +
+        "j AS (SELECT f.n AS fn, f.v AS fv, m.n AS mn, m.v AS mv " +
+        "FROM full_r f FULL JOIN merged m " +
+        "ON f.event_type = m.event_type AND f.day = m.day) " +
+        "SELECT count(*) AS n_groups, " +
+        "CAST(sum(CASE WHEN fn = mn AND fv = mv THEN 0 ELSE 1 END) AS BIGINT) AS n_mismatch, " +
+        "CASE WHEN sum(CASE WHEN fn = mn AND fv = mv THEN 0 ELSE 1 END) = 0 " +
+        "THEN 1 ELSE 0 END AS match FROM j"),
     "q_group_agg_salted" ->
       ("SELECT l_returnflag, count(*) AS n, " +
         "round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty " +

@@ -692,6 +692,41 @@ object Analytics {
         .orderBy("prev_type", "next_type")
     }),
 
+    // Markov next-action EVALUATION — fit the transition matrix on a
+    // hash-split train user population, predict each test transition as
+    // the train argmax for its prev state (ties lexicographic), and score
+    // accuracy: the minimal honest eval loop for q_markov's model. Scale
+    // shape: both matrices are bounded |event_types|² tables; the argmax
+    // is a window over the tiny train matrix; the test stream joins the
+    // broadcast predictor and accuracy is one exact-integer aggregate.
+    "q_markov_eval" -> ((s, d) => {
+      val seq = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val trans = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("next_type"))
+        .withColumn("prev_type", lag(col("next_type"), 1).over(seq))
+        .filter(col("prev_type").isNotNull)
+        .withColumn("is_train",
+          expr("substring(md5(CAST(user_id AS STRING)), 1, 1) < 'b'"))
+      val trainCounts = trans.filter(col("is_train"))
+        .groupBy("prev_type", "next_type").agg(count(lit(1)).as("n"))
+      val am = Window.partitionBy("prev_type")
+        .orderBy(desc("n"), asc("next_type"))
+      val pred = trainCounts.withColumn("rk", row_number().over(am))
+        .filter(col("rk") === 1)
+        .select(col("prev_type"), col("next_type").as("pred_type"))
+      trans.filter(!col("is_train"))
+        .join(broadcast(pred), Seq("prev_type"), "left")
+        .agg(count(lit(1)).as("n_test"),
+          sum((col("next_type") === col("pred_type")).cast("long"))
+            .as("n_correct"))
+        .crossJoin(broadcast(
+          trainCounts.agg(sum("n").as("n_train"))))
+        .select(col("n_train"), col("n_test"), col("n_correct"),
+          (col("n_correct").cast("double") / col("n_test")).as("accuracy"))
+    }),
+
     // Two-proportion A/B significance test — deterministic md5 hash of
     // user_id splits the user base 50/50; "conversion" is a purchase share
     // above 20% of the user's events, tested in EXACT integer form
@@ -1106,6 +1141,23 @@ object Analytics {
         "FROM pairs JOIN supp sa ON pairs.s1 = sa.sk " +
         "JOIN supp sb ON pairs.s2 = sb.sk, tot " +
         "ORDER BY lift DESC, supp_ab DESC, s1, s2 LIMIT 20"),
+    "q_markov_eval" ->
+      ("WITH t AS (SELECT user_id, event_type AS next_type, " +
+        "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type " +
+        "FROM events), " +
+        "tr AS (SELECT *, substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < 'b' AS is_train " +
+        "FROM t WHERE prev_type IS NOT NULL), " +
+        "tc AS (SELECT prev_type, next_type, count(*) AS n FROM tr " +
+        "WHERE is_train GROUP BY 1, 2), " +
+        "pred AS (SELECT prev_type, next_type AS pred_type FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY prev_type " +
+        "ORDER BY n DESC, next_type) AS rk FROM tc) WHERE rk = 1), " +
+        "ev AS (SELECT count(*) AS n_test, " +
+        "count(*) FILTER (tr.next_type = pred.pred_type) AS n_correct " +
+        "FROM tr LEFT JOIN pred ON tr.prev_type = pred.prev_type " +
+        "WHERE NOT is_train) " +
+        "SELECT (SELECT CAST(sum(n) AS BIGINT) FROM tc) AS n_train, " +
+        "n_test, n_correct, n_correct * 1.0 / n_test AS accuracy FROM ev"),
     "q_markov" ->
       ("WITH t AS (SELECT user_id, event_type AS next_type, " +
         "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type " +

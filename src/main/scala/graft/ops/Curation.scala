@@ -709,6 +709,41 @@ object Curation {
     // token-level but still Zipf-headed (stopwords appear in nearly every
     // doc), so it goes through the same broadcast-head/shuffled-tail
     // zipfJoin; the doc_id-keyed join is high-cardinality and safe.
+    // BM25 ranked retrieval — the IR scoring function behind every lexical
+    // search/RAG retrieval stage, run for a fixed 3-term query. Scale
+    // shape: only rows containing a QUERY term survive the first filter
+    // (row-local), so the per-(doc, term) frequencies are a
+    // map-side-combined aggregate over a corpus slice; document lengths
+    // come from one aggregate; N/df/avgdl are dimension-sized broadcasts;
+    // the top-10 is a TakeOrdered heap. Inputs to every score are exact
+    // integers plus one identically-derived avgdl, so scores are
+    // engine-deterministic under the 4 dp cut.
+    "q_bm25" -> ((s, d) => {
+      val qTerms = Seq("data", "fast", "the")
+      val k1 = 1.2; val b = 0.75
+      val terms = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(expr("filter(split(text, ' '), x -> length(x) > 0)")).as("term"))
+      val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot"))
+      val qt = terms.filter(col("term").isin(qTerms: _*))
+      val tf = qt.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("avgdl", col("tot").cast("double") / col("n_docs"))
+        .withColumn("idf", log((col("n_docs") - col("df") + 0.5)
+          / (col("df") + 0.5) + 1.0))
+        .withColumn("sc", col("idf") * (col("tf") * lit(k1 + 1))
+          / (col("tf") + lit(k1) * (lit(1 - b)
+            + lit(b) * col("dl") / col("avgdl"))))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms_hit"), round(sum("sc"), 4).as("score"))
+        .orderBy(desc("score"), asc("doc_id"))
+        .limit(10)
+    }),
+
     "q_tfidf" -> ((s, d) => {
       val terms = Tables.documents(s, d)
         .select(col("doc_id"),
@@ -915,6 +950,19 @@ object Curation {
         "CAST(sum(n_tokens) AS BIGINT) AS sum_tokens, " +
         "round(1.0 - CAST(sum(n_tokens) AS DOUBLE) / (count(*) * max(n_tokens)), 4) AS padding_frac " +
         "FROM b GROUP BY bucket ORDER BY bucket"),
+    "q_bm25" ->
+      ("WITH terms AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS term FROM documents), " +
+        "dl AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY doc_id), " +
+        "st AS (SELECT count(*) AS n_docs, sum(dl) AS tot FROM dl), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM terms " +
+        "WHERE term IN ('data', 'fast', 'the') GROUP BY 1, 2), " +
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term), " +
+        "sc AS (SELECT tf.doc_id, " +
+        "ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) " +
+        "* (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl.dl / (tot * 1.0 / n_docs))) AS s " +
+        "FROM tf JOIN df ON tf.term = df.term JOIN dl ON tf.doc_id = dl.doc_id, st) " +
+        "SELECT doc_id, count(*) AS n_terms_hit, round(sum(s), 4) AS score " +
+        "FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10"),
     "q_tfidf" ->
       ("WITH terms AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS term FROM documents), " +
         "tc AS (SELECT doc_id, term, count(*) AS cnt FROM terms GROUP BY doc_id, term), " +

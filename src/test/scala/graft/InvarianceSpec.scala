@@ -81,7 +81,10 @@ class InvarianceSpec extends SparkSpec {
     "q_zipf_fit",         // bounded top-100 regression under 4dp round
     "q_backtest_sma",     // bounded daily walk-forward, 4dp errors
     "q_join_overlap",     // bucket-decomposed interval join, exact micros
-    "q_quality_ensemble") // row-local votes, exact-integer tallies
+    "q_quality_ensemble", // row-local votes, exact-integer tallies
+    "q_bm25",             // exact-int tf/df/dl + shared avgdl, 4dp cut
+    "q_markov_eval",      // hash-split argmax predictor, exact counts
+    "q_incremental_rollup") // decimal-exact merge-vs-full verdict
 
   test("results are invariant under shuffle-partition counts 3/13/32") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")

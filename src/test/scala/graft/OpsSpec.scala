@@ -1147,6 +1147,34 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("bm25: hits bounded by query size, scores positive-descending") {
+    val rows = q("q_bm25").collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_terms_hit") >= 1 && r.getAs[Long]("n_terms_hit") <= 3)
+      assert(r.getAs[Double]("score") > 0.0)
+    }
+    val scores = rows.map(_.getAs[Double]("score")).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
+  test("markov_eval: test transitions partition; accuracy consistent") {
+    val r = q("q_markov_eval").collect().head
+    val events = Tables.events(spark, sf).count()
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(r.getAs[Long]("n_train") + r.getAs[Long]("n_test") == events - users)
+    assert(r.getAs[Long]("n_correct") <= r.getAs[Long]("n_test"))
+    assert(r.getAs[Double]("accuracy") ==
+      r.getAs[Long]("n_correct").toDouble / r.getAs[Long]("n_test"))
+  }
+
+  test("incremental_rollup: merge path is bit-exact with full recompute") {
+    val r = q("q_incremental_rollup").collect().head
+    assert(r.getAs[Long]("n_mismatch") == 0)
+    assert(r.getAs[Int]("match") == 1)
+    assert(r.getAs[Long]("n_groups") > 0)
+  }
+
   test("retention: offset-0 is the cohort ceiling for every later week") {
     val rows = q("q_retention").collect()
     assert(rows.nonEmpty)
