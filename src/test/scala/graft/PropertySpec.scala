@@ -122,6 +122,43 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("interval bucket-decomposition finds exactly the θ-join's overlap pairs") {
+    import spark.implicits._
+    // random owner intervals; the q_join_overlap decomposition (explode to
+    // width-10 buckets → equi-join → distinct → exact predicate) must
+    // produce the SAME pair set as the naive two-inequality join, for any
+    // interval layout — including touching endpoints and spans crossing
+    // many buckets
+    val ivGen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 100L), Gen.choose(0L, 35L)))
+    forAll(ivGen) { raw =>
+      val ivs = raw.zipWithIndex
+        .map { case ((u, st, len), i) => (u, i.toLong, st, st + len) }
+        .toDF("u", "sid", "st", "en")
+      val buck = ivs.select(col("u"), col("sid"), col("st"), col("en"),
+        explode(expr("sequence(st div 10, en div 10)")).as("bk"))
+      val decomposed = buck
+        .select(col("bk"), col("u").as("ua"), col("sid").as("sa"),
+          col("st").as("sta"), col("en").as("ena"))
+        .join(buck.select(col("bk"), col("u").as("ub"), col("sid").as("sb"),
+          col("st").as("stb"), col("en").as("enb")), Seq("bk"))
+        .filter(col("ua") < col("ub")
+          && col("sta") <= col("enb") && col("stb") <= col("ena"))
+        .select("sa", "sb").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val naive = ivs.select(col("u").as("ua"), col("sid").as("sa"),
+          col("st").as("sta"), col("en").as("ena"))
+        .join(ivs.select(col("u").as("ub"), col("sid").as("sb"),
+          col("st").as("stb"), col("en").as("enb")),
+          col("ua") < col("ub")
+            && col("sta") <= col("enb") && col("stb") <= col("ena"))
+        .select("sa", "sb")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(decomposed == naive,
+        s"missing=${naive -- decomposed} extra=${decomposed -- naive}")
+    }
+  }
+
   test("dot_f is symmetric and Cauchy-Schwarz-bounded on random float vectors") {
     import spark.implicits._
     graft.functions.FloatDotProduct.register(spark)
