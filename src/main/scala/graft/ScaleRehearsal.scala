@@ -114,8 +114,26 @@ object ScaleRehearsal {
       .repartition(cpus.toInt)
       .write.mode("overwrite").parquet(s"$bigDir/embeddings.parquet")
 
+    // events: mult× replicas on DISJOINT user/id spaces, each time-shifted
+    // by 35 days. Per-user structure (gaps, sessions, funnels) is
+    // preserved inside every replica, so user-partitioned analytics
+    // should scale ~linearly; the time shift keeps co-presence pairs from
+    // exploding quadratically across replicas (a genuine property of
+    // "everyone online at once", not of the operators).
+    val evBase = Tables.events(spark, sfDir)
+    (0 until mult).map { k =>
+      evBase.select(
+        (col("event_id") + lit(k * 100000000L)).as("event_id"),
+        (col("ts") + expr(s"INTERVAL ${k * 35} DAYS")).as("ts"),
+        (col("user_id") + lit(k * 10000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$bigDir/events.parquet")
+
     def clearResidue(): Unit = {
       ops.Dedup.clearCaches()
+      ops.TextAnalysis.clearCaches() // memoized BPE merges must re-train
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
@@ -253,6 +271,27 @@ object ScaleRehearsal {
       // measured)
       "bpe_train" -> { d: String =>
         SparkEntry.queries("q_bpe_train")(spark, d).count(): Unit
+      },
+      // event-analytics family over the replicated event stream: all
+      // user-partitioned (disjoint replica users), so the one user_id
+      // shuffle should scale ~linearly with rows
+      "evt_funnel" -> { d: String =>
+        SparkEntry.queries("q_funnel")(spark, d)
+          .queryExecution.toRdd.count(): Unit
+      },
+      "evt_markov" -> { d: String =>
+        SparkEntry.queries("q_markov")(spark, d)
+          .queryExecution.toRdd.count(): Unit
+      },
+      "evt_survival" -> { d: String =>
+        SparkEntry.queries("q_survival_km")(spark, d)
+          .queryExecution.toRdd.count(): Unit
+      },
+      // interval overlap: time-shifted replicas keep concurrency constant,
+      // so the bucket join should track rows, not rows²
+      "evt_overlap" -> { d: String =>
+        SparkEntry.queries("q_join_overlap")(spark, d)
+          .queryExecution.toRdd.count(): Unit
       })
 
     def time(fn: String => Unit, dir: String): Double =
