@@ -260,6 +260,42 @@ object Analytics {
         .orderBy("cohort_week", "week_offset")
     }),
 
+    // Cohort lifetime value — q_retention's revenue twin: per signup-week
+    // cohort, CUMULATIVE purchase revenue per member through each week
+    // offset (the LTV curve payback decisions read). Scale shape: events
+    // collapse to (user, week) revenue map-side in integer CENTS (exact),
+    // one equi-join onto the bounded cohort table, a (cohort, offset)
+    // aggregate, and the cumulative window runs over the BOUNDED
+    // cohort×offset grid; the per-member normalization is one final
+    // division of exact integers.
+    "q_cohort_ltv" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val cohort = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("t0"))
+        .select(col("user_id"), date_trunc("week", col("t0")).as("cohort"))
+      val cohortSize = cohort.groupBy("cohort")
+        .agg(count(lit(1)).as("n_members"))
+      val weekly = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      val grid = weekly.join(cohort, "user_id")
+        .filter(col("wk") >= col("cohort"))
+        .groupBy(col("cohort"),
+          (datediff(col("wk"), col("cohort")) / 7).cast("int")
+            .as("week_offset"))
+        .agg(sum("cents").as("cents"))
+      val cum = Window.partitionBy("cohort").orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid
+        .withColumn("cum_cents", sum("cents").over(cum))
+        .join(broadcast(cohortSize), "cohort")
+        .select(col("cohort").cast("date").as("cohort_week"),
+          col("week_offset"), col("n_members"),
+          (col("cum_cents").cast("double") / (col("n_members") * 100))
+            .as("ltv_per_member"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
     // Distribution drift between two corpus snapshots — the
     // training-data-observability gate that catches a silently shifting
     // ingest mix before it reaches a training run. Two deterministic
@@ -954,6 +990,26 @@ object Analytics {
         "FROM (SELECT c.cohort, x.wk FROM activity x JOIN cohort c USING (user_id) " +
         "WHERE x.wk >= c.cohort) a " +
         "GROUP BY cohort_week, week_offset ORDER BY cohort_week, week_offset"),
+    "q_cohort_ltv" ->
+      ("WITH cohort AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort " +
+        "FROM events WHERE event_type = 'signup' GROUP BY user_id), " +
+        "cs AS (SELECT cohort, count(*) AS n_members FROM cohort GROUP BY cohort), " +
+        "weekly AS (SELECT user_id, date_trunc('week', ts) AS wk, " +
+        "sum(CAST(round(value * 100) AS BIGINT)) AS cents " +
+        "FROM events WHERE event_type = 'purchase' GROUP BY 1, 2), " +
+        "grid AS (SELECT c.cohort, " +
+        "CAST(date_diff('day', c.cohort, w.wk) // 7 AS INTEGER) AS week_offset, " +
+        "sum(cents) AS cents FROM weekly w JOIN cohort c USING (user_id) " +
+        "WHERE w.wk >= c.cohort GROUP BY 1, 2), " +
+        "cum AS (SELECT cohort, week_offset, " +
+        "sum(cents) OVER (PARTITION BY cohort ORDER BY week_offset " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents " +
+        "FROM grid) " +
+        "SELECT CAST(cum.cohort AS DATE) AS cohort_week, week_offset, " +
+        "CAST(n_members AS BIGINT) AS n_members, " +
+        "cum_cents / (n_members * 100.0) AS ltv_per_member " +
+        "FROM cum JOIN cs ON cum.cohort = cs.cohort " +
+        "ORDER BY cohort_week, week_offset"),
     "q_drift" ->
       ("WITH bins AS (SELECT source, CAST(floor(n_chars / 400.0) AS BIGINT) AS bin, " +
         "count(*) FILTER (WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8') AS ref_n, " +

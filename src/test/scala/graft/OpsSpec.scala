@@ -1175,6 +1175,18 @@ class OpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_groups") > 0)
   }
 
+  test("cohort_ltv: per-member value is cumulative and non-decreasing") {
+    val rows = q("q_cohort_ltv").collect()
+    assert(rows.nonEmpty)
+    for ((_, rs) <- rows.groupBy(_.getAs[java.sql.Date]("cohort_week"))) {
+      val ordered = rs.sortBy(_.getAs[Int]("week_offset"))
+      val ltvs = ordered.map(_.getAs[Double]("ltv_per_member")).toSeq
+      assert(ltvs == ltvs.sorted, "cumulative LTV can never decrease")
+      assert(ltvs.forall(_ >= 0.0))
+      assert(ordered.map(_.getAs[Long]("n_members")).distinct.length == 1)
+    }
+  }
+
   test("retention: offset-0 is the cohort ceiling for every later week") {
     val rows = q("q_retention").collect()
     assert(rows.nonEmpty)
