@@ -234,6 +234,46 @@ object Analytics {
         .orderBy("stage")
     }),
 
+    // Funnel stage LATENCY — how long conversions take, not just whether
+    // they happen: the view→click and click→purchase transition-time
+    // distributions under q_funnel's exact qualification windows. Scale
+    // shape: the same ONE user_id shuffle as q_funnel feeds both lookback
+    // windows; latencies are exact integer seconds computed row-locally;
+    // the output is a 2-row percentile summary (exact percentiles on the
+    // integer latencies — interpolation on identical integers is
+    // engine-identical under the 4 dp round).
+    "q_funnel_time" -> ((s, d) => {
+      val look = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val h6 = expr("INTERVAL 6 HOURS")
+      val e = Tables.events(s, d)
+        .withColumn("last_view",
+          max(when(col("event_type") === "view", col("ts"))).over(look))
+        .withColumn("good_click",
+          when(col("event_type") === "click"
+            && col("ts") <= col("last_view") + h6, col("ts")))
+        .withColumn("last_click", max(col("good_click")).over(look))
+      val clickLat = e.filter(col("good_click").isNotNull)
+        .select(lit("view_to_click").as("stage"),
+          expr("(unix_micros(CAST(good_click AS TIMESTAMP)) - " +
+            "unix_micros(CAST(last_view AS TIMESTAMP))) div 1000000")
+            .as("lat"))
+      val purchLat = e.filter(col("event_type") === "purchase"
+          && col("ts") <= col("last_click") + h6)
+        .select(lit("click_to_purchase").as("stage"),
+          expr("(unix_micros(CAST(ts AS TIMESTAMP)) - " +
+            "unix_micros(CAST(last_click AS TIMESTAMP))) div 1000000")
+            .as("lat"))
+      clickLat.unionByName(purchLat)
+        .groupBy("stage")
+        .agg(count(lit(1)).as("n"),
+          round(expr("percentile(lat, 0.5)"), 4).as("p50_secs"),
+          round(expr("percentile(lat, 0.9)"), 4).as("p90_secs"),
+          max("lat").as("max_secs"))
+        .orderBy("stage")
+    }),
+
     // Cohort retention — the other event-analytics staple beside the
     // funnel: users grouped by signup week, counted once per
     // subsequent-activity week offset. Scale shape: the cohort table is
@@ -980,6 +1020,27 @@ object Analytics {
         "WHEN event_type = 'view' THEN 1 ELSE 0 END) AS stage " +
         "FROM o3 GROUP BY user_id) " +
         "SELECT stage, count(*) AS n_users FROM u GROUP BY stage ORDER BY stage"),
+    "q_funnel_time" ->
+      ("WITH o AS (SELECT user_id, event_id, event_type, ts, " +
+        "max(CASE WHEN event_type = 'view' THEN ts END) OVER w AS last_view " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), " +
+        "o2 AS (SELECT *, CASE WHEN event_type = 'click' " +
+        "AND ts <= last_view + INTERVAL 6 HOUR THEN ts END AS good_click FROM o), " +
+        "o3 AS (SELECT *, max(good_click) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) " +
+        "AS last_click FROM o2), " +
+        "lats AS (SELECT 'view_to_click' AS stage, " +
+        "(epoch_us(good_click) - epoch_us(last_view)) // 1000000 AS lat " +
+        "FROM o2 WHERE good_click IS NOT NULL " +
+        "UNION ALL SELECT 'click_to_purchase', " +
+        "(epoch_us(ts) - epoch_us(last_click)) // 1000000 " +
+        "FROM o3 WHERE event_type = 'purchase' AND ts <= last_click + INTERVAL 6 HOUR) " +
+        "SELECT stage, count(*) AS n, " +
+        "round(quantile_cont(lat, 0.5), 4) AS p50_secs, " +
+        "round(quantile_cont(lat, 0.9), 4) AS p90_secs, " +
+        "CAST(max(lat) AS BIGINT) AS max_secs " +
+        "FROM lats GROUP BY stage ORDER BY stage"),
     "q_retention" ->
       ("WITH cohort AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort " +
         "FROM events WHERE event_type = 'signup' GROUP BY user_id), " +

@@ -1187,6 +1187,19 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("funnel_time: latencies respect the 6-hour qualification window") {
+    val rows = q("q_funnel_time").collect()
+    assert(rows.map(_.getAs[String]("stage")).toSet ==
+      Set("view_to_click", "click_to_purchase"))
+    for (r <- rows) {
+      assert(r.getAs[Long]("n") >= 1)
+      val (p50, p90, mx) = (r.getAs[Double]("p50_secs"),
+        r.getAs[Double]("p90_secs"), r.getAs[Long]("max_secs"))
+      assert(p50 >= 0 && p50 <= p90 && p90 <= mx)
+      assert(mx <= 6 * 3600, "qualified transitions fit the 6h window")
+    }
+  }
+
   test("retention: offset-0 is the cohort ceiling for every later week") {
     val rows = q("q_retention").collect()
     assert(rows.nonEmpty)
