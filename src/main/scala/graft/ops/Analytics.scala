@@ -745,6 +745,26 @@ object Analytics {
         .limit(20)
     }),
 
+    // Seasonality profile — per-event-type hour-of-day activity shape,
+    // with each hour's share and its ratio to the uniform baseline
+    // (ratio > 1 = peak hour): the daily-rhythm read that schedules batch
+    // windows and staffs on-call. Scale shape: ONE map-side-combined
+    // (type, hour) aggregate over the corpus; shares and ratios are
+    // single divisions of exact integers over the bounded 24×|types|
+    // grid, so the profile is engine-identical with no rounding needed.
+    "q_seasonality" -> ((s, d) => {
+      val byHour = Tables.events(s, d)
+        .groupBy(col("event_type"), hour(col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"))
+      val wType = Window.partitionBy("event_type")
+      byHour
+        .withColumn("tot", sum("n").over(wType))
+        .select(col("event_type"), col("hr"), col("n"),
+          (col("n").cast("double") / col("tot")).as("share"),
+          (col("n") * 24).cast("double")./(col("tot")).as("vs_uniform"))
+        .orderBy("event_type", "hr")
+    }),
+
     // Per-user behavioral Markov chain — the event-type transition matrix
     // (prev → next counts and row-normalized probabilities), the model
     // behind next-action prediction and session simulators. Scale shape:
@@ -1275,6 +1295,13 @@ object Analytics {
         "WHERE NOT is_train) " +
         "SELECT (SELECT CAST(sum(n) AS BIGINT) FROM tc) AS n_train, " +
         "n_test, n_correct, n_correct * 1.0 / n_test AS accuracy FROM ev"),
+    "q_seasonality" ->
+      ("WITH h AS (SELECT event_type, CAST(hour(ts) AS INTEGER) AS hr, " +
+        "count(*) AS n FROM events GROUP BY 1, 2), " +
+        "t AS (SELECT *, sum(n) OVER (PARTITION BY event_type) AS tot FROM h) " +
+        "SELECT event_type, hr, n, n * 1.0 / tot AS share, " +
+        "(n * 24) * 1.0 / tot AS vs_uniform " +
+        "FROM t ORDER BY event_type, hr"),
     "q_markov" ->
       ("WITH t AS (SELECT user_id, event_type AS next_type, " +
         "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type " +

@@ -86,7 +86,8 @@ class InvarianceSpec extends SparkSpec {
     "q_markov_eval",      // hash-split argmax predictor, exact counts
     "q_incremental_rollup", // decimal-exact merge-vs-full verdict
     "q_cohort_ltv",       // integer-cents cumulative grid
-    "q_funnel_time")      // integer-seconds latencies, exact percentiles
+    "q_funnel_time",      // integer-seconds latencies, exact percentiles
+    "q_seasonality")      // bounded hour grid, single exact divisions
 
   test("results are invariant under shuffle-partition counts 3/13/32") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")

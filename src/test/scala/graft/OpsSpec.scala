@@ -1200,6 +1200,22 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("seasonality: per-type shares sum to 1; uniform ratio averages 1") {
+    val rows = q("q_seasonality").collect()
+    assert(rows.nonEmpty)
+    for ((_, rs) <- rows.groupBy(_.getAs[String]("event_type"))) {
+      val shares = rs.map(_.getAs[Double]("share"))
+      assert(math.abs(shares.sum - 1.0) < 1e-9)
+      assert(rs.forall(r => r.getAs[Int]("hr") >= 0 && r.getAs[Int]("hr") <= 23))
+      // Σ n·24/tot over hours = 24·Σshare = 24 ⇒ mean ratio 1 when all
+      // 24 hours are present
+      if (rs.length == 24) {
+        val mean = rs.map(_.getAs[Double]("vs_uniform")).sum / 24
+        assert(math.abs(mean - 1.0) < 1e-9)
+      }
+    }
+  }
+
   test("retention: offset-0 is the cohort ceiling for every later week") {
     val rows = q("q_retention").collect()
     assert(rows.nonEmpty)
