@@ -532,9 +532,13 @@ object Analytics {
       // a hair from an integer and round() is unambiguous in every
       // engine; the revenue row term is then pure integer multiplication
       // (units of 1e-4 dollars) — no half-cent rounding ever happens
+      // per-row term fits a long (~1e9) but a 100 TB supplier's SUM may
+      // not: accumulate in DECIMAL(38,0) (oracle: DuckDB's HUGEINT sum) so
+      // the total is exact at any scale; revenue is the one final /1e4
       val rev = li.groupBy(col("l_suppkey").as("sk"))
-        .agg(sum(round(col("l_extendedprice") * 100).cast("long")
+        .agg(sum((round(col("l_extendedprice") * 100).cast("long")
           * (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          .cast("decimal(38,0)"))
           .as("rev_units"))
       val reach = li.select(col("l_suppkey").as("sk"), col("o_custkey"))
         .distinct()
@@ -592,7 +596,9 @@ object Analytics {
     // harness uses. Scale shape: after the daily collapse everything runs
     // on the bounded day table; the forecast window sums exactly 7
     // rounded values in frame order, so both engines walk identical
-    // numbers.
+    // numbers. MAPE's denominator is nullif-guarded: a day whose rounded
+    // sum is exactly 0 contributes NULL in BOTH engines (and is skipped by
+    // avg) instead of Spark-NULL-vs-DuckDB-inf divergence.
     "q_backtest_sma" -> ((s, d) => {
       val daily = Tables.events(s, d)
         .groupBy(col("ts").cast("date").as("day"))
@@ -604,7 +610,8 @@ object Analytics {
         .filter(col("hist") === 7)
         .agg(count(lit(1)).as("n_evals"),
           round(avg(abs(col("v") - col("f"))), 4).as("mae"),
-          round(avg(abs(col("v") - col("f")) / col("v")), 4).as("mape"))
+          round(avg(abs(col("v") - col("f")) / nullif(col("v"), lit(0.0))),
+            4).as("mape"))
     }),
 
     // Change-point detection — the single largest level shift in the
@@ -654,16 +661,24 @@ object Analytics {
       val cum = Window.partitionBy("segment").orderBy("bin")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val seg = Window.partitionBy("segment")
+      // Lorenz term in DECIMAL(38,0) (oracle: HUGEINT): at 100 TB cum_s is
+      // total-segment cents (~1e18) and n_i millions, so the old LONG
+      // product exceeds 2^63 and Spark would wrap silently. 128-bit exact
+      // integers on both sides, one cast to double at the end; the
+      // denominator is a per-factor double product (each factor < 2^63,
+      // double rounding identical in both engines).
       bins
         .withColumn("cum_s", sum("s_i").over(cum))
         .withColumn("nn", sum("n_i").over(seg))
         .withColumn("ss", sum("s_i").over(seg))
-        .withColumn("term", col("n_i") * (lit(2) * col("cum_s") - col("s_i")))
+        .withColumn("term", col("n_i").cast("decimal(38,0)")
+          * (lit(2) * col("cum_s").cast("decimal(38,0)") - col("s_i")))
         .groupBy("segment")
         .agg(max("nn").as("n_users"),
           round(max("ss") / lit(100.0), 2).as("total_spend"),
           round(lit(1.0) - sum("term").cast("double")
-            / (max("nn") * max("ss")).cast("double"), 4).as("gini"))
+            / (max("nn").cast("double") * max("ss").cast("double")), 4)
+            .as("gini"))
         .orderBy("segment")
     }),
 
@@ -812,15 +827,19 @@ object Analytics {
       val pred = trainCounts.withColumn("rk", row_number().over(am))
         .filter(col("rk") === 1)
         .select(col("prev_type"), col("next_type").as("pred_type"))
+      // coalesce: zero matching test transitions must read 0 (like the
+      // oracle's count FILTER), not the NULL a sum over no true rows
+      // yields; nullif guards accuracy when the test split is empty.
       trans.filter(!col("is_train"))
         .join(broadcast(pred), Seq("prev_type"), "left")
         .agg(count(lit(1)).as("n_test"),
-          sum((col("next_type") === col("pred_type")).cast("long"))
-            .as("n_correct"))
+          coalesce(sum((col("next_type") === col("pred_type")).cast("long")),
+            lit(0L)).as("n_correct"))
         .crossJoin(broadcast(
           trainCounts.agg(sum("n").as("n_train"))))
         .select(col("n_train"), col("n_test"), col("n_correct"),
-          (col("n_correct").cast("double") / col("n_test")).as("accuracy"))
+          (col("n_correct").cast("double") / nullif(col("n_test"), lit(0L)))
+            .as("accuracy"))
     }),
 
     // Two-proportion A/B significance test — deterministic md5 hash of
@@ -1181,7 +1200,7 @@ object Analytics {
         "CAST(round(l_extendedprice * 100) AS BIGINT) " +
         "* (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rc " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), " +
-        "rev AS (SELECT sk, CAST(sum(rc) AS BIGINT) AS rev_units " +
+        "rev AS (SELECT sk, sum(rc) AS rev_units " + // HUGEINT: exact at any scale
         "FROM li GROUP BY sk), " +
         "reach AS (SELECT sk, count(*) AS n_custs FROM " +
         "(SELECT DISTINCT sk, o_custkey FROM li) GROUP BY sk), " +
@@ -1213,7 +1232,7 @@ object Analytics {
         "WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)) " +
         "SELECT count(*) AS n_evals, " +
         "round(avg(abs(v - f)), 4) AS mae, " +
-        "round(avg(abs(v - f) / v), 4) AS mape " +
+        "round(avg(abs(v - f) / nullif(v, 0)), 4) AS mape " +
         "FROM f WHERE hist = 7"),
     "q_changepoint" ->
       ("WITH daily AS (SELECT CAST(ts AS DATE) AS day, round(sum(value), 2) AS v " +
@@ -1239,7 +1258,7 @@ object Analytics {
         "sum(s_i) OVER (PARTITION BY segment) AS ss FROM bins) " +
         "SELECT segment, CAST(max(nn) AS BIGINT) AS n_users, " +
         "round(max(ss) / 100.0, 2) AS total_spend, " +
-        "round(1.0 - CAST(sum(n_i * (2 * cum_s - s_i)) AS DOUBLE) " +
+        "round(1.0 - CAST(sum(CAST(n_i AS HUGEINT) * (2 * CAST(cum_s AS HUGEINT) - s_i)) AS DOUBLE) " +
         "/ (CAST(max(nn) AS DOUBLE) * CAST(max(ss) AS DOUBLE)), 4) AS gini " +
         "FROM l GROUP BY segment ORDER BY segment"),
     "q_rfm" ->
@@ -1294,7 +1313,7 @@ object Analytics {
         "FROM tr LEFT JOIN pred ON tr.prev_type = pred.prev_type " +
         "WHERE NOT is_train) " +
         "SELECT (SELECT CAST(sum(n) AS BIGINT) FROM tc) AS n_train, " +
-        "n_test, n_correct, n_correct * 1.0 / n_test AS accuracy FROM ev"),
+        "n_test, n_correct, n_correct * 1.0 / nullif(n_test, 0) AS accuracy FROM ev"),
     "q_seasonality" ->
       ("WITH h AS (SELECT event_type, CAST(hour(ts) AS INTEGER) AS hr, " +
         "count(*) AS n FROM events GROUP BY 1, 2), " +

@@ -50,12 +50,17 @@ object Graph {
       val withDeg = edges.join(deg, "src")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       var ranks = deg.select(col("src").as("node"), lit(SCALE).as("pr"))
+      // damping intermediate in DECIMAL(38,0) (oracle: DuckDB HUGEINT):
+      // 85·Σcontrib can pass 2^63 once a hub's in-mass nears total mass at
+      // ~1e10+ nodes; IntegralDivide on the decimal lands back in long
+      // (safe while n·SCALE < 2^63, i.e. ~9e11 nodes — document, not wrap).
       for (_ <- 1 to 3) {
         ranks = withDeg.join(ranks, col("node") === col("src"))
           .select(col("dst"), expr("pr div deg").as("contrib"))
           .groupBy("dst")
           .agg((lit(15 * SCALE / 100) +
-            expr("(85 * sum(contrib)) div 100")).as("pr"))
+            expr("(85 * sum(cast(contrib as decimal(38,0)))) div 100"))
+            .as("pr"))
           .select(col("dst").as("node"), col("pr"))
       }
       ranks.orderBy(desc("pr"), asc("node")).limit(50)
