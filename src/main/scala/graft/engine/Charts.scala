@@ -18,6 +18,11 @@ object Charts {
   case object Line extends Kind("line")
   case object Point extends Kind("point")
   case object Area extends Kind("area")
+  /** Pie slice — encoded as theta (angle) + color, per Vega-Lite's arc
+    * idiom, instead of x/y. */
+  case object Arc extends Kind("arc")
+  /** Heatmap cell — nominal x/y + a quantitative color field. */
+  case object Rect extends Kind("rect")
 
   private def jsonVal(v: Any): String = v match {
     case null => "null"
@@ -40,28 +45,37 @@ object Charts {
     }
 
   /** Build a Vega-Lite v5 spec with inline data from an aggregated frame.
-    * `maxRows` guards against accidentally inlining an unaggregated table. */
+    * `maxRows` guards against accidentally inlining an unaggregated table.
+    * `color` adds a third encoded field (heatmap cells, grouped series);
+    * Arc re-targets (x, y) to (color, theta) — the pie idiom. */
   def vegaLite(df: DataFrame, kind: Kind, x: String, y: String,
-      maxRows: Int = 5000): String = {
+      maxRows: Int = 5000, color: Option[String] = None): String = {
     // df.col resolves names directly (no expression parsing), so column
     // names containing quotes/spaces reach the escaper instead of erroring.
-    val rows = df.select(df.col(x), df.col(y)).limit(maxRows + 1).collect()
+    val fields = (Seq(x, y) ++ color).distinct
+    val rows = df.select(fields.map(df.col): _*).limit(maxRows + 1).collect()
     require(rows.length <= maxRows,
       s"chart data exceeds $maxRows rows — aggregate before plotting")
     // Column names pass through the same escaping as cell values — a quote
     // or backslash in a name must not break the JSON or inject spec keys.
-    val (xKey, yKey) = (jsonVal(x), jsonVal(y))
     val values = rows.map { r =>
-      s"""{$xKey: ${jsonVal(r.get(0))}, $yKey: ${jsonVal(r.get(1))}}"""
+      fields.zipWithIndex
+        .map { case (f, i) => s"${jsonVal(f)}: ${jsonVal(r.get(i))}" }
+        .mkString("{", ", ", "}")
     }.mkString("[", ",", "]")
+    def enc(f: String) = s"""{"field": ${jsonVal(f)}, "type": "${fieldType(df, f)}"}"""
+    val encoding = kind match {
+      case Arc =>
+        s""""theta": ${enc(y)}, "color": ${enc(x)}"""
+      case _ =>
+        val base = s""""x": ${enc(x)}, "y": ${enc(y)}"""
+        color.fold(base)(c => s"""$base, "color": ${enc(c)}""")
+    }
     s"""{
        |  "$$schema": "https://vega.github.io/schema/vega-lite/v5.json",
        |  "mark": "${kind.mark}",
        |  "data": {"values": $values},
-       |  "encoding": {
-       |    "x": {"field": $xKey, "type": "${fieldType(df, x)}"},
-       |    "y": {"field": $yKey, "type": "${fieldType(df, y)}"}
-       |  }
+       |  "encoding": {$encoding}
        |}""".stripMargin
   }
 }

@@ -46,7 +46,14 @@ final case class GraftConfig(
     // the env-leak denylist still applies on top. Pass None to opt out
     // (any function the parser accepts), or a custom set to narrow/extend.
     functionAllowlist: Option[Set[String]] = Some(SqlGuard.defaultFunctionAllowlist),
-    customPrompts: Map[String, (String, Seq[Prompts.TableCtx]) => String] = Map.empty)
+    customPrompts: Map[String, (String, Seq[Prompts.TableCtx]) => String] = Map.empty,
+    // automatic chart-artifact capture (reference save_charts /
+    // add_save_chart, helpers/save_chart.py:52-116): every chart-shaped
+    // answer writes its Vega-Lite spec to {chartDir}/{promptId}.json and
+    // records the path on the Answer — the JVM analog of the reference's
+    // one-PNG-per-prompt_id export tree (save_chart.py:79, :106-107)
+    saveCharts: Boolean = false,
+    chartDir: String = "graft_charts")
 
 /** The answer envelope: rendered text plus the raw result and telemetry.
   * `attempts` is the correction-loop trail — empty when the first
@@ -56,7 +63,10 @@ final case class Answer(
     df: Option[DataFrame],
     sql: Option[String],
     error: Option[GraftError],
-    attempts: Seq[Attempt] = Nil)
+    attempts: Seq[Attempt] = Nil,
+    /** Path of the Vega-Lite spec captured for this answer — set only when
+      * config.saveCharts is on and the ask was chart-shaped. */
+    chartPath: Option[String] = None)
 
 /** The conversational engine — SURVEY.md §2.1 `run`/`run_code` mapping:
   * the reference's cache → head/shape → prompt → codegen → sanitize →
@@ -173,6 +183,13 @@ final class GraftSession(
             lastAttempts)
       }
     } catch {
+      // a response with no extractable fence/SQL is its own failure mode
+      // (reference NoCodeFoundError, helpers/exceptions.py) — surface the
+      // typed error, not a generic BadSql
+      case e: GraftSession.NoSqlInResponse =>
+        lastError = Some(e.getMessage)
+        Answer(envelope(e.getMessage), None, lastSqlExecuted,
+          Some(NoSqlFound(e.getMessage)), lastAttempts)
       case e: Exception =>
         lastError = Some(e.getMessage)
         Answer(envelope(e.getMessage), None, lastSqlExecuted,
@@ -191,7 +208,7 @@ final class GraftSession(
     lastPrompt = Some(prompt)
     val sql = SqlExtractor.extract(llm.predict(prompt))
     if (sql.isEmpty)
-      throw new IllegalArgumentException("No SQL found in LLM response")
+      throw new GraftSession.NoSqlInResponse("No SQL found in LLM response")
     lastSqlGenerated = Some(sql)
     sql
   }
@@ -271,6 +288,48 @@ final class GraftSession(
   def clearCache(): Unit = { cache.clear(); persistCache() }
   def cacheSize: Int = cache.size
 
+  /** Chart-aware ask: the normal ask-loop plus, when config.saveCharts is
+    * on, a per-answer Vega-Lite artifact at {chartDir}/{promptId}.json —
+    * parity with the reference's add_save_chart rewrite that saves one PNG
+    * per prompt_id under its exports/charts tree (helpers/save_chart.py:79,
+    * :106-107). The Shortcuts plot* recipes route here, which is exactly
+    * the set of asks the reference's plt.show()-detection fires on.
+    *
+    * (x, y) are the caller's requested fields; the generated SQL may have
+    * aliased them, so missing names fall back to the answer frame's first
+    * two columns — the reference likewise saves whatever the generated
+    * code actually plotted. Capture failures degrade to an uncaptured
+    * answer (the ask itself already succeeded); the failure is logged. */
+  def askChart(df: DataFrame, question: String, kind: Charts.Kind,
+      x: String, y: String, color: Option[String] = None): Answer = {
+    val a = ask(df, question)
+    if (!config.saveCharts || a.df.isEmpty) a
+    else {
+      val out = a.df.get
+      val cols = out.columns
+      def resolve(want: String, fallback: Int) =
+        if (cols.contains(want)) want else cols(math.min(fallback, cols.length - 1))
+      // a rect (heatmap) without a color field is blank — default to the
+      // third output column (the aggregated measure) when the requested
+      // name didn't survive the generated SQL's aliasing
+      val colorField = color.filter(cols.contains).orElse(
+        if (kind == Charts.Rect && cols.length >= 3) Some(cols(2)) else None)
+      try {
+        val spec = Charts.vegaLite(out, kind, resolve(x, 0), resolve(y, 1),
+          color = colorField)
+        val dir = java.nio.file.Paths.get(config.chartDir)
+        java.nio.file.Files.createDirectories(dir)
+        val path = dir.resolve(s"${lastPromptId.getOrElse(processId)}.json")
+        java.nio.file.Files.write(path, spec.getBytes("UTF-8"))
+        log(s"Chart saved to: $path")
+        a.copy(chartPath = Some(path.toString))
+      } catch { case e: Exception =>
+        log(s"chart capture failed: ${String.valueOf(e.getMessage)}")
+        a
+      }
+    }
+  }
+
   /** Guarded SQL passthrough: run caller-supplied SQL through the same
     * SqlGuard sandbox as LLM-generated SQL, against the given tables. For
     * callers who want the safety rails without the LLM round-trip. */
@@ -289,6 +348,14 @@ final class GraftSession(
   }
 }
 
+object GraftSession {
+  /** Thrown when the LLM response has no extractable SQL at the INITIAL
+    * generation (inside the correction loop an empty extraction feeds the
+    * trail instead); mapped to the typed NoSqlFound error in askNamed. */
+  private[engine] final class NoSqlInResponse(msg: String)
+    extends RuntimeException(msg)
+}
+
 /** Canned-prompt shortcut recipes — SURVEY.md §2.2
   * (/root/reference/helpers/shortcuts.py). Pure prompt templating over
   * ask(), exactly like the reference (each method builds an English prompt
@@ -304,11 +371,16 @@ final class Shortcuts(session: GraftSession) {
   def generateFeatures(df: DataFrame): Answer =
     run(df, "Generate new derived feature columns from the existing columns")
   def plotHistogram(df: DataFrame, column: String): Answer =
-    run(df, s"Bucket the column $column into fixed-width bins and count rows per bin")
+    session.askChart(df,
+      s"Bucket the column $column into fixed-width bins and count rows per bin",
+      Charts.Bar, column, "n")
   def plotCorrelationHeatmap(df: DataFrame): Answer =
-    run(df, "Compute the correlation between every pair of numeric columns")
+    session.askChart(df,
+      "Compute the correlation between every pair of numeric columns",
+      Charts.Rect, "col1", "col2")
   def plotConfusionMatrix(df: DataFrame, truth: String, pred: String): Answer =
-    run(df, s"Count rows by ($truth, $pred) pairs")
+    session.askChart(df, s"Count rows by ($truth, $pred) pairs",
+      Charts.Rect, truth, pred)
   def boxplot(df: DataFrame, column: String, by: String): Answer =
     run(df, s"Compute min, 25th/50th/75th percentile and max of $column grouped by $by")
   def rollingMean(df: DataFrame, column: String, window: Int): Answer =
@@ -319,18 +391,24 @@ final class Shortcuts(session: GraftSession) {
     run(df, s"Calculate the rolling standard deviation of $column over a trailing window of $window rows")
 
   // Chart shortcuts (shortcuts.py:82-241): the reference renders matplotlib;
-  // here each returns the aggregated frame — feed it to Charts.vegaLite
-  // with the matching mark for the renderable artifact.
+  // here each returns the aggregated frame and, with config.saveCharts on,
+  // auto-captures the matching-mark Vega-Lite spec per answer (askChart).
   def plotPieChart(df: DataFrame, labels: String, values: String): Answer =
-    run(df, s"Sum $values per $labels so each row is one pie slice")
+    session.askChart(df, s"Sum $values per $labels so each row is one pie slice",
+      Charts.Arc, labels, values)
   def plotBarChart(df: DataFrame, x: String, y: String): Answer =
-    run(df, s"Aggregate $y per $x for a bar chart, ordered by $x")
+    session.askChart(df, s"Aggregate $y per $x for a bar chart, ordered by $x",
+      Charts.Bar, x, y)
   def plotLineChart(df: DataFrame, x: String, y: String): Answer =
-    run(df, s"Return $x and $y ordered by $x for a line chart")
+    session.askChart(df, s"Return $x and $y ordered by $x for a line chart",
+      Charts.Line, x, y)
   def plotScatterChart(df: DataFrame, x: String, y: String): Answer =
-    run(df, s"Return the $x and $y columns as points for a scatter chart")
+    session.askChart(df, s"Return the $x and $y columns as points for a scatter chart",
+      Charts.Point, x, y)
   def plotRocCurve(df: DataFrame, yTrue: String, score: String): Answer =
-    run(df, s"Compute the ROC curve points: true positive rate and false positive rate of $yTrue swept over $score thresholds")
+    session.askChart(df,
+      s"Compute the ROC curve points: true positive rate and false positive rate of $yTrue swept over $score thresholds",
+      Charts.Line, "fpr", "tpr")
   def segmentCustomers(df: DataFrame, features: Seq[String], n: Int): Answer =
     run(df, s"Cluster the rows into $n segments using ${features.mkString(", ")} and count rows per segment")
 

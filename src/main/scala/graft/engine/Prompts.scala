@@ -127,7 +127,8 @@ object SqlExtractor {
 
   def extract(response: String): String = {
     var code = response
-    if (code.contains("```")) {
+    val fenced = code.contains("```")
+    if (fenced) {
       val parts = code.split("```", -1)
       // take the first fenced block's body (mirror _extract_code's
       // "separate code from the rest" behavior)
@@ -139,6 +140,14 @@ object SqlExtractor {
         code = code.substring(tag.length)
       else if (code == tag) code = ""
     }
-    code.replace("`", "").trim
+    code = code.replace("`", "").trim
+    // Unfenced fallback is gated on a statement-starter shape (the
+    // reference's _is_python_code ast gate, llm/base.py:92-93): a prose
+    // apology without a fence must surface as "no SQL found", not be fed
+    // to the parser as if it were a query. Fenced content passes through
+    // untouched — even DDL, which SqlGuard then rejects onto the trail.
+    val looksLikeSql =
+      code.nonEmpty && "(?is)^(select|with|values|table|\\().*".r.matches(code)
+    if (fenced || looksLikeSql) code else ""
   }
 }

@@ -358,6 +358,95 @@ class EngineSpec extends SparkSpec {
     assert(spec.contains("\"banana\"") && spec.contains("\"mark\": \"bar\""))
   }
 
+  test("saveCharts: plotBarChart leaves exactly one parseable spec per ask " +
+      "whose inline data equals the answer frame") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_charts")
+    try {
+      val llm = FakeLlm("```sql\nSELECT fruits, CAST(sum(b) AS BIGINT) AS total FROM df GROUP BY fruits ORDER BY fruits\n```")
+      val s = new GraftSession(spark, llm,
+        GraftConfig(saveCharts = true, chartDir = dir.toString))
+      val ans = new Shortcuts(s).plotBarChart(freshDf, "fruits", "total")
+      assert(ans.error.isEmpty, ans.text)
+      val files = java.nio.file.Files.list(dir).toArray.map(_.toString)
+      assert(files.length == 1, s"expected exactly one spec file: ${files.toSeq}")
+      assert(ans.chartPath.contains(files(0)))
+      assert(files(0).endsWith(s"${s.lastPromptId.get}.json"))
+      val tree = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(files(0))))
+      assert(tree.path("mark").asText() == "bar")
+      // inline data == the answer frame, row for row
+      val vals = tree.path("data").path("values")
+      val rows = ans.df.get.collect()
+      assert(vals.size() == rows.length)
+      rows.zipWithIndex.foreach { case (r, i) =>
+        assert(vals.get(i).path("fruits").asText() == r.getString(0))
+        assert(vals.get(i).path("total").asLong() == r.getLong(1))
+      }
+    } finally {
+      java.nio.file.Files.list(dir).forEach(java.nio.file.Files.delete(_))
+      java.nio.file.Files.delete(dir)
+    }
+  }
+
+  test("saveCharts off: no artifact, no chartPath") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_charts_off")
+    try {
+      val llm = FakeLlm("```sql\nSELECT fruits, CAST(sum(b) AS BIGINT) AS total FROM df GROUP BY fruits\n```")
+      val s = new GraftSession(spark, llm, GraftConfig(chartDir = dir.toString))
+      val ans = new Shortcuts(s).plotBarChart(freshDf, "fruits", "total")
+      assert(ans.error.isEmpty && ans.chartPath.isEmpty)
+      assert(java.nio.file.Files.list(dir).count() == 0)
+    } finally java.nio.file.Files.delete(dir)
+  }
+
+  test("saveCharts: pie capture uses the arc mark with theta/color encoding; " +
+      "aliased columns fall back to the frame's own") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_charts_pie")
+    try {
+      // LLM aliased the requested (fruits, b) to (f, s): capture must fall
+      // back to the answer frame's actual columns, like the reference saves
+      // whatever the generated code plotted
+      val llm = FakeLlm("```sql\nSELECT fruits AS f, CAST(sum(b) AS BIGINT) AS s FROM df GROUP BY fruits ORDER BY f\n```")
+      val ses = new GraftSession(spark, llm,
+        GraftConfig(saveCharts = true, chartDir = dir.toString))
+      val ans = new Shortcuts(ses).plotPieChart(freshDf, "fruits", "b")
+      assert(ans.error.isEmpty && ans.chartPath.isDefined, ans.text)
+      val tree = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(ans.chartPath.get)))
+      assert(tree.path("mark").asText() == "arc")
+      assert(tree.path("encoding").path("theta").path("field").asText() == "s")
+      assert(tree.path("encoding").path("color").path("field").asText() == "f")
+    } finally {
+      java.nio.file.Files.list(dir).forEach(java.nio.file.Files.delete(_))
+      java.nio.file.Files.delete(dir)
+    }
+  }
+
+  test("no fence in the LLM response surfaces the typed NoSqlFound error") {
+    val llm = FakeLlm("I could not write a query for that, sorry.")
+    val ans = new GraftSession(spark, llm).ask(freshDf, "?")
+    assert(ans.error.exists(_.isInstanceOf[NoSqlFound]), ans.error.toString)
+    assert(ans.text.startsWith("Unfortunately"))
+    assert(ans.df.isEmpty && ans.sql.isEmpty)
+  }
+
+  test("DDL fence: SqlGuard Rejected lands on the attempt trail, " +
+      "correction loop heals on the next draft") {
+    val llm = FakeLlm(
+      "```sql\nDROP TABLE df\n```",
+      "```sql\nSELECT count(*) AS n FROM df\n```")
+    val s = new GraftSession(spark, llm)
+    val ans = s.ask(freshDf, "how many rows?")
+    assert(ans.error.isEmpty, ans.text)
+    assert(ans.text == "5")
+    assert(ans.attempts.length == 1)
+    assert(ans.attempts.head.sql.contains("DROP TABLE"))
+    assert(ans.attempts.head.error.nonEmpty, "the Rejected reason rides the trail")
+    // the correction prompt carried the rejection back to the LLM
+    assert(llm.allPrompts(1).contains("DROP TABLE"))
+  }
+
   test("Charts.vegaLite inlines aggregated data with typed encodings") {
     val agg = freshDf.groupBy("fruits").count()
     val spec = Charts.vegaLite(agg, Charts.Bar, "fruits", "count")
@@ -449,6 +538,20 @@ class EngineSpec extends SparkSpec {
         ex.getResponseBody.write(resp); ex.close()
       }
     })
+    val limitedCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+    server.createContext("/limited/chat/completions", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val resp =
+          if (limitedCalls.incrementAndGet() == 1) {
+            val b = """{"error":"rate limited"}""".getBytes("UTF-8")
+            ex.sendResponseHeaders(429, b.length); b
+          } else {
+            val ok = """{"choices":[{"message":{"content":"recovered"}}]}""".getBytes("UTF-8")
+            ex.sendResponseHeaders(200, ok.length); ok
+          }
+        ex.getResponseBody.write(resp); ex.close()
+      }
+    })
     server.start()
     try {
       val base = s"http://127.0.0.1:${server.getAddress.getPort}"
@@ -465,6 +568,11 @@ class EngineSpec extends SparkSpec {
       // transient 503 heals on retry
       assert(new HttpLlm(url = s"$base/flaky", backoffMs = 1).predict("hi") == "pong")
       assert(flakyCalls.get() == 2)
+      // rate-limit 429 then 200: the backoff loop (LlmClient.predict)
+      // retries instead of surfacing the 429
+      assert(new HttpLlm(url = s"$base/limited", backoffMs = 1)
+        .predict("hi") == "recovered")
+      assert(limitedCalls.get() == 2)
     } finally server.stop(0)
   }
 
