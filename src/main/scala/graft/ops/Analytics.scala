@@ -50,8 +50,10 @@ object Analytics {
     // that fit one task, NEVER the scale path. The primary API at scale is
     // q_roc_binned below (bounded bin table, distributed aggregation);
     // totals join in via a 1-row broadcast, not a second global window.
+    // SmallFrame.require makes the contract machine-checked: an oversized
+    // input is refused with a pointer at the twin, never silently stalled.
     "q_roc" -> ((s, d) => {
-      val e = Tables.events(s, d)
+      val e = SmallFrame.require(Tables.events(s, d), "q_roc", "q_roc_binned")
       val isP = when(col("event_type") === "purchase", 1).otherwise(0)
       val w = Window.orderBy(desc("value"), asc("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -145,6 +147,10 @@ object Analytics {
     // is a 4-way conjunction, deliberately NOT linearly separable — the
     // floors pin "learned real signal", not perfection).
     "q_quality_classifier" -> ((s, d) => {
+      // machine-checked small-frame contract on the corpus input: the
+      // exact Mann-Whitney rank window below is single-partition
+      SmallFrame.require(Tables.documents(s, d),
+        "q_quality_classifier", "q_quality_classifier_binned")
       val (labeled, scoredRaw) = qualityScored(s, d)
       // Held-out AUC as the exact Mann-Whitney rank statistic with
       // average ranks for ties; the rank window runs over the full

@@ -26,7 +26,16 @@ object Reshape {
     * Still two passes, but both subtrees share the identical sort exchange
     * (ReusedExchange), every stage stays in whole-stage codegen, and the
     * index is LongType — no 2^31 wrap at the >2B-row scale this exists for. */
-  private[ops] def withGlobalIndex(df: DataFrame, name: String): DataFrame = {
+  private[graft] def withGlobalIndex(df: DataFrame, name: String): DataFrame = {
+    // Machine-checked precondition (r7 ADVICE): the (partition, local-row)
+    // encoding below is only a TOTAL order if the input was globally
+    // sorted (orderBy → range partitioning). A caller passing an unsorted
+    // frame would get arbitrary partition-order indexes silently — refuse
+    // instead. The check walks ordering-preserving wrappers to find the
+    // global Sort in the analyzed plan; no job runs.
+    require(hasGlobalSort(df.queryExecution.analyzed),
+      "withGlobalIndex requires a globally sorted input (call .orderBy " +
+        "first): the index encodes (range partition, local row) order")
     val localMask = (1L << 33) - 1
     val mid = df.withColumn("_mid", monotonically_increasing_id())
       .withColumn("_pid", shiftright(col("_mid"), 33))
@@ -39,6 +48,22 @@ object Reshape {
       .withColumn(name,
         col("_off") + col("_mid").bitwiseAND(lit(localMask)) + lit(1L))
       .drop("_pid", "_mid", "_off")
+  }
+
+  /** True iff the plan's data order is pinned by a global Sort, looking
+    * through the wrappers that preserve row order (projections, aliases,
+    * limits). */
+  private def hasGlobalSort(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    plan match {
+      case s: Sort => s.global
+      case p: Project => hasGlobalSort(p.child)
+      case a: SubqueryAlias => hasGlobalSort(a.child)
+      case l: GlobalLimit => hasGlobalSort(l.child)
+      case l: LocalLimit => hasGlobalSort(l.child)
+      case _ => false
+    }
   }
 
   val queries: Map[String, Q] = Map(

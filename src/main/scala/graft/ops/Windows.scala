@@ -115,7 +115,8 @@ object Windows {
     // use this one only when exact rank ties matter and the frame is small.
     "q_qcut" -> ((s, d) => {
       val byPrice = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-      Tables.orders(s, d)
+      // machine-checked small-frame contract: refuse oversized inputs
+      SmallFrame.require(Tables.orders(s, d), "q_qcut", "q_qcut_cutpoints")
         .select(col("o_orderkey"), ntile(4).over(byPrice).as("quartile"))
         .orderBy("o_orderkey")
     }),

@@ -5,7 +5,7 @@ import java.nio.channels.Channels
 import scala.jdk.CollectionConverters._
 
 import org.apache.arrow.memory.RootAllocator
-import org.apache.arrow.vector.{BigIntVector, BitVector, Float4Vector, Float8Vector, IntVector, VarCharVector, VectorSchemaRoot}
+import org.apache.arrow.vector.{BigIntVector, BitVector, DateDayVector, DecimalVector, Float4Vector, Float8Vector, IntVector, TimeStampMicroTZVector, TimeStampMicroVector, VarCharVector, VectorSchemaRoot}
 import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowFileWriter, SeekableReadChannel}
 import org.apache.arrow.vector.types.FloatingPointPrecision
 import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
@@ -26,7 +26,9 @@ import org.apache.spark.sql.types._
   * can read these files and this reader accepts polars-written ones —
   * that is the interchange the reference's users actually exercise.
   *
-  * Scalar schemas only (long/int/double/float/string/boolean, nullable).
+  * Scalar schemas only (long/int/double/float/string/boolean plus the
+  * logical types date32[day], timestamp[us] tz-naive/UTC ⇔
+  * TimestampNTZ/Timestamp, decimal128 ⇔ DecimalType; all nullable).
   * `binaryFile` caps one file at 2 GB — size write-side partitions
   * accordingly.
   */
@@ -35,6 +37,7 @@ object ArrowIO {
   val BatchRows = 4096
 
   private def arrowField(f: StructField): Field = {
+    import org.apache.arrow.vector.types.{DateUnit, TimeUnit}
     val t: ArrowType = f.dataType match {
       case LongType    => new ArrowType.Int(64, true)
       case IntegerType => new ArrowType.Int(32, true)
@@ -42,6 +45,13 @@ object ArrowIO {
       case FloatType   => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
       case StringType  => new ArrowType.Utf8()
       case BooleanType => new ArrowType.Bool()
+      // logical types, pinned to the representations pyarrow/polars emit by
+      // default: date32[day], timestamp[us] (tz-naive ⇔ TimestampNTZ,
+      // tz=UTC ⇔ Spark's session-TZ instant type), decimal128(p, s)
+      case DateType         => new ArrowType.Date(DateUnit.DAY)
+      case TimestampNTZType => new ArrowType.Timestamp(TimeUnit.MICROSECOND, null)
+      case TimestampType    => new ArrowType.Timestamp(TimeUnit.MICROSECOND, "UTC")
+      case d: DecimalType   => new ArrowType.Decimal(d.precision, d.scale, 128)
       case other => throw new IllegalArgumentException(
         s"ArrowIO supports scalar columns only, got: $other")
     }
@@ -49,6 +59,7 @@ object ArrowIO {
   }
 
   private def structField(f: Field): StructField = {
+    import org.apache.arrow.vector.types.{DateUnit, TimeUnit}
     val dt = f.getType match {
       case i: ArrowType.Int if i.getBitWidth == 64 => LongType
       case i: ArrowType.Int if i.getBitWidth == 32 => IntegerType
@@ -58,11 +69,33 @@ object ArrowIO {
           if fp.getPrecision == FloatingPointPrecision.SINGLE => FloatType
       case _: ArrowType.Utf8 => StringType
       case _: ArrowType.Bool => BooleanType
+      case d: ArrowType.Date if d.getUnit == DateUnit.DAY => DateType
+      case t: ArrowType.Timestamp if t.getUnit == TimeUnit.MICROSECOND =>
+        if (t.getTimezone == null) TimestampNTZType else TimestampType
+      case d: ArrowType.Decimal => DecimalType(d.getPrecision, d.getScale)
       case other => throw new IllegalArgumentException(
         s"ArrowIO cannot map Arrow type $other")
     }
     StructField(f.getName, dt, f.isNullable)
   }
+
+  /** java.sql.Timestamp (an instant) → microseconds since epoch; exact for
+    * pre-1970 instants too (getTime already folds the sub-second millis). */
+  private def tsToMicros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+  private def microsToTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  private def ldtToMicros(v: java.time.LocalDateTime): Long =
+    v.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + v.getNano / 1000L
+
+  private def microsToLdt(us: Long): java.time.LocalDateTime =
+    java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(us, 1000000L),
+      (Math.floorMod(us, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
 
   private def setValue(root: VectorSchemaRoot, c: Int, i: Int, v: Any): Unit =
     root.getVector(c) match {
@@ -74,6 +107,16 @@ object ArrowIO {
       case vec: VarCharVector =>
         vec.setSafe(i, v.asInstanceOf[String]
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      case vec: DateDayVector =>
+        vec.setSafe(i, v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toInt)
+      case vec: TimeStampMicroTZVector =>
+        vec.setSafe(i, tsToMicros(v.asInstanceOf[java.sql.Timestamp]))
+      case vec: TimeStampMicroVector =>
+        vec.setSafe(i, ldtToMicros(v.asInstanceOf[java.time.LocalDateTime]))
+      case vec: DecimalVector =>
+        // scale was fixed by the schema; setScale is exact (same scale or
+        // zero-padding), never a silent rounding
+        vec.setSafe(i, v.asInstanceOf[java.math.BigDecimal].setScale(vec.getScale))
       case other => throw new IllegalArgumentException(
         s"unsupported vector ${other.getClass}")
     }
@@ -89,6 +132,11 @@ object ArrowIO {
       case v: BitVector     => v.get(i) == 1
       case v: VarCharVector =>
         new String(v.get(i), java.nio.charset.StandardCharsets.UTF_8)
+      case v: DateDayVector =>
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(v.get(i).toLong))
+      case v: TimeStampMicroTZVector => microsToTs(v.get(i))
+      case v: TimeStampMicroVector   => microsToLdt(v.get(i))
+      case v: DecimalVector          => v.getObject(i)
       case other => throw new IllegalArgumentException(
         s"unsupported vector ${other.getClass}")
     }

@@ -18,20 +18,38 @@ import org.apache.spark.sql.types._
   * (pipeline/Media.scala): scheduling, pruning, and everything downstream
   * of the decode stays declarative.
   *
-  * Scalar schemas only (long/int/double/float/string/boolean, nullable) —
-  * the training-pipeline interchange subset. `binaryFile` caps one
-  * container at 2 GB; write-side files are one-per-partition, so size
-  * them with the upstream partitioning.
+  * Scalar schemas only (long/int/double/float/string/boolean plus the
+  * spec logical types date, timestamp-micros, local-timestamp-micros and
+  * bytes/decimal(p, s); all nullable) — the training-pipeline interchange
+  * subset. `binaryFile` caps one container at 2 GB; write-side files are
+  * one-per-partition, so size them with the upstream partitioning.
   */
 object AvroIO {
 
-  private def avroType(dt: DataType): Schema.Type = dt match {
-    case LongType    => Schema.Type.LONG
-    case IntegerType => Schema.Type.INT
-    case DoubleType  => Schema.Type.DOUBLE
-    case FloatType   => Schema.Type.FLOAT
-    case StringType  => Schema.Type.STRING
-    case BooleanType => Schema.Type.BOOLEAN
+  /** One column's Avro schema, logical types per the Avro spec: date =
+    * int/date, timestamp ⇔ long/timestamp-micros (instant) or
+    * long/local-timestamp-micros (NTZ), decimal = bytes/decimal(p, s) —
+    * the annotations every Avro implementation (fastavro, avro-python,
+    * spark-avro) resolves to the same logical values. */
+  private def avroBase(dt: DataType): Schema = dt match {
+    case LongType    => Schema.create(Schema.Type.LONG)
+    case IntegerType => Schema.create(Schema.Type.INT)
+    case DoubleType  => Schema.create(Schema.Type.DOUBLE)
+    case FloatType   => Schema.create(Schema.Type.FLOAT)
+    case StringType  => Schema.create(Schema.Type.STRING)
+    case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+    case DateType =>
+      org.apache.avro.LogicalTypes.date()
+        .addToSchema(Schema.create(Schema.Type.INT))
+    case TimestampType =>
+      org.apache.avro.LogicalTypes.timestampMicros()
+        .addToSchema(Schema.create(Schema.Type.LONG))
+    case TimestampNTZType =>
+      org.apache.avro.LogicalTypes.localTimestampMicros()
+        .addToSchema(Schema.create(Schema.Type.LONG))
+    case d: DecimalType =>
+      org.apache.avro.LogicalTypes.decimal(d.precision, d.scale)
+        .addToSchema(Schema.create(Schema.Type.BYTES))
     case other => throw new IllegalArgumentException(
       s"AvroIO supports scalar columns only, got: $other")
   }
@@ -41,7 +59,7 @@ object AvroIO {
   def avroSchemaFor(st: StructType, name: String = "graft_record"): Schema = {
     val fields = new java.util.ArrayList[Schema.Field]()
     st.fields.foreach { f =>
-      val base = Schema.create(avroType(f.dataType))
+      val base = avroBase(f.dataType)
       val s =
         if (f.nullable)
           Schema.createUnion(Schema.create(Schema.Type.NULL), base)
@@ -54,6 +72,7 @@ object AvroIO {
   }
 
   private def structFor(schema: Schema): StructType = {
+    import org.apache.avro.LogicalTypes
     def unwrap(s: Schema): (Schema, Boolean) =
       if (s.getType == Schema.Type.UNION) {
         val nonNull = s.getTypes.stream()
@@ -63,18 +82,68 @@ object AvroIO {
     StructType(scala.jdk.CollectionConverters.ListHasAsScala(schema.getFields)
       .asScala.map { f =>
         val (s, nullable) = unwrap(f.schema())
-        val dt = s.getType match {
-          case Schema.Type.LONG    => LongType
-          case Schema.Type.INT     => IntegerType
-          case Schema.Type.DOUBLE  => DoubleType
-          case Schema.Type.FLOAT   => FloatType
-          case Schema.Type.STRING  => StringType
-          case Schema.Type.BOOLEAN => BooleanType
-          case other => throw new IllegalArgumentException(
+        val dt = (s.getType, s.getLogicalType) match {
+          case (_, _: LogicalTypes.Date)                 => DateType
+          case (_, _: LogicalTypes.TimestampMicros)      => TimestampType
+          case (_, _: LogicalTypes.LocalTimestampMicros) => TimestampNTZType
+          case (_, d: LogicalTypes.Decimal) =>
+            DecimalType(d.getPrecision, d.getScale)
+          case (Schema.Type.LONG, _)    => LongType
+          case (Schema.Type.INT, _)     => IntegerType
+          case (Schema.Type.DOUBLE, _)  => DoubleType
+          case (Schema.Type.FLOAT, _)   => FloatType
+          case (Schema.Type.STRING, _)  => StringType
+          case (Schema.Type.BOOLEAN, _) => BooleanType
+          case (other, _) => throw new IllegalArgumentException(
             s"AvroIO cannot map Avro type $other")
         }
         StructField(f.name(), dt, nullable)
       }.toSeq)
+  }
+
+  /** External Row value → Avro-encodable value for one column. */
+  private def toAvro(dt: DataType): Any => Any = dt match {
+    case DateType => v =>
+      v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toInt
+    case TimestampType => v => {
+      val t = v.asInstanceOf[java.sql.Timestamp]
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    }
+    case TimestampNTZType => v => {
+      val l = v.asInstanceOf[java.time.LocalDateTime]
+      l.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + l.getNano / 1000L
+    }
+    case d: DecimalType => v =>
+      // big-endian unscaled two's complement at the declared scale — the
+      // Avro decimal wire format
+      java.nio.ByteBuffer.wrap(v.asInstanceOf[java.math.BigDecimal]
+        .setScale(d.scale).unscaledValue().toByteArray)
+    case _ => identity
+  }
+
+  /** Avro-decoded value → external Row value for one column. */
+  private def fromAvro(dt: DataType): Any => Any = dt match {
+    case DateType => v =>
+      java.sql.Date.valueOf(
+        java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong))
+    case TimestampType => v => {
+      val us = v.asInstanceOf[Long]
+      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+    case TimestampNTZType => v => {
+      val us = v.asInstanceOf[Long]
+      java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(us, 1000000L),
+        (Math.floorMod(us, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
+    }
+    case d: DecimalType => v => {
+      val buf = v.asInstanceOf[java.nio.ByteBuffer]
+      val bytes = new Array[Byte](buf.remaining())
+      buf.duplicate().get(bytes)
+      new java.math.BigDecimal(new java.math.BigInteger(bytes), d.scale)
+    }
+    case _ => identity
   }
 
   /** Write `df` as Avro object-container files, one per partition
@@ -84,6 +153,7 @@ object AvroIO {
     // ship the schema as its canonical JSON — cheap and version-stable
     val schemaJson = avroSchemaFor(st).toString
     val names = st.fieldNames
+    val convs = st.fields.map(f => toAvro(f.dataType))
     val p0 = new org.apache.hadoop.fs.Path(path)
     val fs0 = p0.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
     fs0.delete(p0, true)
@@ -104,7 +174,7 @@ object AvroIO {
           val rec = new GenericData.Record(schema)
           var i = 0
           while (i < names.length) {
-            rec.put(names(i), if (r.isNullAt(i)) null else r.get(i))
+            rec.put(names(i), if (r.isNullAt(i)) null else convs(i)(r.get(i)))
             i += 1
           }
           w.append(rec)
@@ -131,6 +201,7 @@ object AvroIO {
       new GenericDatumReader[GenericRecord]())
     val st = try structFor(headReader.getSchema) finally headReader.close()
     val n = st.length
+    val convs = st.fields.map(f => fromAvro(f.dataType))
     files.mapPartitions { it =>
       it.flatMap { bytes =>
         val rd = new DataFileReader[GenericRecord](
@@ -150,7 +221,7 @@ object AvroIO {
               vals(i) = rec.get(i) match {
                 case null => null
                 case u: org.apache.avro.util.Utf8 => u.toString
-                case v => v
+                case v => convs(i)(v)
               }
               i += 1
             }

@@ -1236,6 +1236,25 @@ class OpsSpec extends SparkSpec {
     assert(r.getAs[Int]("content_match") == 1)
   }
 
+  test("small-frame exact variants refuse oversized inputs; scale twins accept") {
+    // with the guard threshold squeezed to 1 byte, every exact variant must
+    // refuse and point at its registered twin — and the twin must still run
+    spark.conf.set(ops.SmallFrame.ConfKey, "1")
+    try {
+      for ((exact, twin) <- Seq(
+          "q_roc" -> "q_roc_binned",
+          "q_qcut" -> "q_qcut_cutpoints",
+          "q_quality_classifier" -> "q_quality_classifier_binned")) {
+        val e = intercept[IllegalArgumentException] { q(exact) }
+        assert(e.getMessage.contains(twin), s"$exact must name its twin: ${e.getMessage}")
+        assert(e.getMessage.contains(ops.SmallFrame.ConfKey))
+        assert(q(twin).limit(1).collect().nonEmpty, s"twin $twin must accept")
+      }
+    } finally spark.conf.unset(ops.SmallFrame.ConfKey)
+    // at the default 1 GiB threshold the sf0.001 frames fit: exact runs
+    assert(q("q_qcut").limit(1).collect().nonEmpty)
+  }
+
   test("embedding centroids cover every (label, dim) cell with all vectors") {
     val rows = q("q_embed_centroids").collect()
     val labels = Tables.embeddings(spark, sf)

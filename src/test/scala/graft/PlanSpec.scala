@@ -405,6 +405,26 @@ class PlanSpec extends SparkSpec {
         s"actual BNLJ set: ${withBnlj.toSeq.sorted}")
   }
 
+  test("withGlobalIndex refuses an unsorted input and keeps a total order " +
+      "on a sorted one") {
+    import org.apache.spark.sql.functions._
+    val base = Tables.customer(spark, sf).select("c_custkey", "c_name")
+    // unsorted frame: the (partition, local-row) encoding would be
+    // arbitrary partition order — must fail loudly, not index silently
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Reshape.withGlobalIndex(base, "idx")
+    }
+    assert(e.getMessage.contains("orderBy"), e.getMessage)
+    // sorted (with an ordering-preserving projection on top): accepted,
+    // and the index is exactly 1..n in sort order
+    val idx = graft.ops.Reshape
+      .withGlobalIndex(base.orderBy("c_custkey").select("c_custkey", "c_name"), "idx")
+      .orderBy("idx").collect()
+    assert(idx.map(_.getAs[Long]("idx")).toSeq == (1L to idx.length).toSeq)
+    val keys = idx.map(_.getAs[Long]("c_custkey")).toSeq
+    assert(keys == keys.sorted, "index order must follow the sort order")
+  }
+
   test("q_scan_parquet/q_project: no shuffle except the output sort") {
     for (n <- Seq("q_scan_parquet", "q_project")) {
       val p = plan(n)
