@@ -22,6 +22,13 @@ trait LlmClient {
   * this is the config-only JVM equivalent: POST {url}/chat/completions with
   * a single user message, return choices[0].message.content.
   *
+  * This one client also covers the reference's LOCAL-inference branch
+  * (LlamaCpp, __init__.py:183-188 — dead code there, SURVEY §7.5.4):
+  * llama.cpp's `llama-server`, vLLM, and Ollama all expose this same
+  * /chat/completions surface, so "local model" is a URL, not a backend
+  * class. SageMaker-style signed endpoints would be a second
+  * implementation of the 1-method LlmClient trait.
+  *
   * Config resolves from constructor args, then GRAFT_LLM_URL /
   * GRAFT_LLM_MODEL / GRAFT_LLM_KEY env vars. Never exercised against a live
   * endpoint in CI (zero-egress sandbox) — EngineSpec round-trips it through
