@@ -81,7 +81,10 @@ final case class Answer(
 final class GraftSession(
     val spark: SparkSession,
     val llm: LlmClient,
-    val config: GraftConfig = GraftConfig()) {
+    val config: GraftConfig = GraftConfig(),
+    // when present, this session is a withConfig view sharing the parent's
+    // cache (and skipping the file load — the parent already did it)
+    sharedCache: Option[scala.collection.concurrent.TrieMap[String, String]] = None) {
 
   /** Cache keyed on question + schema fingerprint + view names — fixing the
     * reference's prompt-text-only keying that returns stale code after a
@@ -91,9 +94,10 @@ final class GraftSession(
   // TrieMap: askNamed writes while persistCache iterates — a plain mutable
   // map could throw ConcurrentModificationException / persist a torn
   // snapshot under concurrent asks on one session (r2 ADVICE)
-  private val cache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val cache = sharedCache.getOrElse(
+    scala.collection.concurrent.TrieMap.empty[String, String])
   locally {
-    for (p <- config.cachePath) {
+    if (sharedCache.isEmpty) for (p <- config.cachePath) {
       val f = java.nio.file.Paths.get(p)
       if (java.nio.file.Files.exists(f) && java.nio.file.Files.size(f) > 0) {
         val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -102,6 +106,21 @@ final class GraftSession(
       }
     }
   }
+
+  /** Per-call config override, the reference's run(...,
+    * is_conversational_answer=, show_code=, anonymize_df=,
+    * use_error_correction_framework=) parameter surface
+    * (polarsai/__init__.py:214-236): a lightweight session view with the
+    * modified config that SHARES this session's SQL cache (and its
+    * write-through file), so overriding rendering/retry behavior never
+    * re-generates SQL already paid for. Telemetry fields (lastPromptId,
+    * logs…) are per-view.
+    *
+    *   session.withConfig(_.copy(conversational = true)).ask(df, q)
+    *   session.withConfig(_.copy(maxRetries = 0)).ask(df, q)  // no correction loop
+    */
+  def withConfig(f: GraftConfig => GraftConfig): GraftSession =
+    new GraftSession(spark, llm, f(config), Some(cache))
 
   private def persistCache(): Unit = for (p <- config.cachePath) synchronized {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()

@@ -207,9 +207,12 @@ object Curation {
     // small-input widening: at test SF the corpus is a single parquet
     // split, which would serialize the md5 pass onto one core; at
     // production scale the scan is already wide and this branch is a
-    // no-op (the repartition never enters the plan)
+    // no-op (the repartition never enters the plan). The width probe is
+    // the file count (driver-side listing Spark has already cached for
+    // the scan) — NOT docs.rdd.getNumPartitions, which materializes the
+    // whole RDD lineage per call (r7 verdict watch-item)
     val par = s.sparkContext.defaultParallelism
-    val wide = if (docs.rdd.getNumPartitions < par) words.repartition(par)
+    val wide = if (docs.inputFiles.length < par) words.repartition(par)
                else words
     val grams = wide.select(col("doc_id"), col("lang"), explode_outer(expr(
       "concat(w, CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1), " +

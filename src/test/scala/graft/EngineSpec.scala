@@ -605,6 +605,22 @@ class EngineSpec extends SparkSpec {
     } finally java.nio.file.Files.deleteIfExists(tmp)
   }
 
+  test("withConfig: per-call overrides share the parent's SQL cache") {
+    val llm = FakeLlm("```sql\nSELECT CAST(sum(a) AS BIGINT) AS s FROM df\n```")
+    val s = new GraftSession(spark, llm)
+    assert(s.ask(freshDf, "sum of a?").text == "15")
+    assert(llm.callCount == 1)
+    // the conversational view reuses the cached SQL (no new generation
+    // call) and only pays the one rephrase call
+    val conv = s.withConfig(_.copy(conversational = true))
+    val ans = conv.ask(freshDf, "sum of a?")
+    assert(llm.callCount == 2, "cached SQL: only the rephrase round-trip")
+    assert(ans.error.isEmpty)
+    // retries can be disabled per call without touching the parent config
+    assert(s.withConfig(_.copy(maxRetries = 0)).config.maxRetries == 0)
+    assert(s.config.maxRetries == 3)
+  }
+
   test("SqlExtractor handles fences, tags and bare SQL") {
     assert(SqlExtractor.extract("```sql\nSELECT 1\n```") == "SELECT 1")
     assert(SqlExtractor.extract("```\nSELECT 1\n```") == "SELECT 1")

@@ -176,4 +176,55 @@ class PropertySpec extends SparkSpec {
       assert(bad == 0)
     }
   }
+
+  test("Avro/Arrow typed IO round-trips random decimal/date/timestamp rows") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("amount", DecimalType(12, 2)),
+      StructField("day", DateType),
+      StructField("at_utc", TimestampType),
+      StructField("at_local", TimestampNTZType)))
+    // generator bounds: decimal within 12-digit precision at scale 2;
+    // dates/timestamps within ±50 years of epoch at micro precision
+    val cell: Gen[(Option[Long], Option[Int], Option[Long])] = Gen.zip(
+      Gen.option(Gen.choose(-9999999999L, 9999999999L)),
+      Gen.option(Gen.choose(-18250, 18250)),
+      Gen.option(Gen.choose(-1577880000000000L, 1577880000000000L)))
+    val rowsGen = Gen.nonEmptyListOf(cell)
+    forAll(rowsGen, n = 3) { cells =>
+      val rows = cells.zipWithIndex.map { case ((dec, day, us), i) =>
+        Row(i.toLong,
+          dec.map(u => new java.math.BigDecimal(
+            java.math.BigInteger.valueOf(u), 2)).orNull,
+          day.map(d => java.sql.Date.valueOf(
+            java.time.LocalDate.ofEpochDay(d.toLong))).orNull,
+          us.map { u =>
+            val t = new java.sql.Timestamp(Math.floorDiv(u, 1000000L) * 1000L)
+            t.setNanos((Math.floorMod(u, 1000000L) * 1000L).toInt)
+            t
+          }.orNull,
+          us.map(u => java.time.LocalDateTime.ofEpochSecond(
+            Math.floorDiv(u, 1000000L),
+            (Math.floorMod(u, 1000000L) * 1000L).toInt,
+            java.time.ZoneOffset.UTC)).orNull)
+      }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2), schema)
+      for ((fmt, w, r) <- Seq(
+          ("avro", graft.sources.AvroIO.write _, graft.sources.AvroIO.read _),
+          ("arrow", graft.sources.ArrowIO.write _, graft.sources.ArrowIO.read _))) {
+        val path = java.nio.file.Files
+          .createTempDirectory(s"graft_prop_$fmt").toString
+        w(df, path)
+        val back = r(spark, path)
+        assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+          schema.fields.map(f => (f.name, f.dataType)).toSeq, s"$fmt schema")
+        assert(back.orderBy("id").collect().toSeq ==
+          df.orderBy("id").collect().toSeq, s"$fmt values")
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+      }
+    }
+  }
 }
