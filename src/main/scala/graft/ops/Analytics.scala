@@ -950,10 +950,18 @@ object Analytics {
       .withColumn("features",
         array_to_vector(array(col("f_words"), col("f_wlen"),
           col("f_stop"), col("f_alpha"))))
-    val model = new LogisticRegression().setMaxIter(100)
-      .setFeaturesCol("features").setLabelCol("label").fit(train)
-    val w = model.coefficients.toArray
-    val margin = lit(model.intercept) + lit(w(0)) * col("f_words") +
+    // LR cannot fit on zero training rows (empty corpus after pruning) —
+    // a zero model scores margin 0 everywhere and the verdict aggregates
+    // degrade to NULL floors over an empty held-out set, keeping the
+    // query total
+    val (b0, w) =
+      if (train.isEmpty) (0.0, Array(0.0, 0.0, 0.0, 0.0))
+      else {
+        val model = new LogisticRegression().setMaxIter(100)
+          .setFeaturesCol("features").setLabelCol("label").fit(train)
+        (model.intercept, model.coefficients.toArray)
+      }
+    val margin = lit(b0) + lit(w(0)) * col("f_words") +
       lit(w(1)) * col("f_wlen") + lit(w(2)) * col("f_stop") +
       lit(w(3)) * col("f_alpha")
     (labeled, labeled.filter(!col("is_train")).withColumn("margin", margin))

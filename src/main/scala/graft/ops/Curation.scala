@@ -382,8 +382,15 @@ object Curation {
       val evalSet = sh.filter(col("doc_id") < 20).select("shingle").distinct()
       val train = sh.filter(col("doc_id") >= 20)
       val fpp = 0.01
-      val bloom = evalSet.select(xxhash64(col("shingle")).as("h"))
-        .stat.bloomFilter("h", 100000L, fpp)
+      // stat.bloomFilter's aggregate returns a null buffer on zero input
+      // rows and NPEs deserializing it — guard with a limit-1 probe and
+      // substitute an empty filter (matches nothing, the correct
+      // semantics for an empty eval set)
+      val bloom =
+        if (evalSet.isEmpty)
+          org.apache.spark.util.sketch.BloomFilter.create(100000L, fpp)
+        else evalSet.select(xxhash64(col("shingle")).as("h"))
+          .stat.bloomFilter("h", 100000L, fpp)
       val bc = s.sparkContext.broadcast(
         graft.functions.BloomFunctions.serialize(bloom))
       val fname = "graft_bloom_" +

@@ -94,7 +94,17 @@ object Layout {
       Tables.lineitem(s, d)
         .select("l_orderkey", "l_quantity", "l_returnflag")
         .write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
-      val pruned = s.read.parquet(path).filter(col("l_returnflag") === "R")
+      // a zero-row frame leaves no partition directories (only _SUCCESS),
+      // and a partition-less parquet read cannot infer a schema — detect
+      // via a driver-side listing and substitute the written schema
+      val p0 = new org.apache.hadoop.fs.Path(path)
+      val fs = p0.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val hasParts = fs.listStatus(p0).exists(_.isDirectory)
+      val readBack =
+        if (hasParts) s.read.parquet(path)
+        else s.range(0).select(lit(0L).as("l_orderkey"),
+          lit(0d).as("l_quantity"), lit("").as("l_returnflag"))
+      val pruned = readBack.filter(col("l_returnflag") === "R")
       val planStr = pruned.queryExecution.executedPlan.toString
       val hasPruning = planStr.contains("PartitionFilters: [") &&
         planStr.contains("l_returnflag")

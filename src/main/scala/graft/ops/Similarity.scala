@@ -340,10 +340,15 @@ object Similarity {
         val feats = n.withColumn("features",
           org.apache.spark.ml.functions.array_to_vector(
             expr("transform(embedding, x -> CAST(CAST(x AS DOUBLE) / nrm AS FLOAT))")))
-        val model = new KMeans().setK(16).setSeed(42L)
-          .setFeaturesCol("features").fit(feats)
-        model.clusterCenters.toSeq.zipWithIndex
-          .map { case (v, i) => (i.toLong, v.toArray.map(_.toFloat)) }
+        // KMeans cannot fit on zero rows; an empty corpus has no cells
+        // (and the query correctly returns no neighbors)
+        if (feats.isEmpty) Seq.empty
+        else {
+          val model = new KMeans().setK(16).setSeed(42L)
+            .setFeaturesCol("features").fit(feats)
+          model.clusterCenters.toSeq.zipWithIndex
+            .map { case (v, i) => (i.toLong, v.toArray.map(_.toFloat)) }
+        }
       })
       import s.implicits._
       val kcents = centers.toDF("cid", "ec")
@@ -396,7 +401,10 @@ object Similarity {
         .select(col("n_truth"),
           (col("live_cells") >= 12 && col("n_assigned") === col("n_corpus"))
             .cast("int").as("fit_sane"),
-          (col("h2").cast("double") / col("n_truth") >= 0.25)
+          // guarded: 0/0 is an ANSI error on an empty corpus; recall over
+          // an empty truth set is vacuously passing
+          (when(col("n_truth") > 0, col("h2").cast("double") / col("n_truth"))
+            .otherwise(1d) >= 0.25)
             .cast("int").as("probe2_recall_floor"),
           (col("h2") >= col("h1")).cast("int").as("probe2_never_loses"))
         .localCheckpoint(true)
@@ -517,7 +525,11 @@ object Similarity {
           .crossJoin(truth.join(pred, Seq("q", "b"))
             .agg(count(lit(1)).as("n_hits")))
           .select(lit(name).as("variant"), col("n_truth"), col("n_hits"),
-            round(col("n_hits").cast("double") / col("n_truth"), 4).as("recall"))
+            // guarded: 0/0 is an ANSI error, and recall over an empty
+            // truth set is undefined anyway — report NULL
+            when(col("n_truth") > 0,
+              round(col("n_hits").cast("double") / col("n_truth"), 4))
+              .as("recall"))
       val out = recallRow("ivf1", ivf1)
         .unionByName(recallRow("ivf2", ivf2))
         .unionByName(recallRow("lsh", lsh))
@@ -549,6 +561,16 @@ object Similarity {
         .withColumn("features",
           array_to_vector(expr("transform(embedding, x -> CAST(x AS DOUBLE))")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // the covariance pass cannot fit on zero rows — on an empty corpus
+      // every invariant is vacuously true; emit the verdict row directly
+      // (one limit-1 job; negligible next to the fit it guards)
+      if (feats.isEmpty) {
+        feats.unpersist(blocking = false)
+        s.range(1).select(lit(0L).as("n_vecs"), lit(8).as("k"),
+          lit(1).as("orth_ok"), lit(1).as("var_monotone"),
+          lit(1).as("var_bounded"), lit(1).as("proj_bounded"),
+          lit(1).as("capture_monotone"))
+      } else {
       val model = new PCA().setK(8).setInputCol("features").setOutputCol("pc")
         .fit(feats)
       val pcm = model.pc
@@ -580,6 +602,7 @@ object Similarity {
         .localCheckpoint(true)
       feats.unpersist(blocking = false)
       out
+      }
     }),
 
     // Product-quantization ANN (Jégou et al., "Product Quantization for
@@ -839,16 +862,16 @@ object Similarity {
         "nt AS (SELECT count(*) AS n_truth FROM btr) " +
         "SELECT 'ivf1' AS variant, nt.n_truth, " +
         "(SELECT count(*) FROM btr t JOIN v1 USING (q, b)) AS n_hits, " +
-        "round(CAST((SELECT count(*) FROM btr t JOIN v1 USING (q, b)) AS DOUBLE) / nt.n_truth, 4) AS recall FROM nt " +
+        "round(CAST((SELECT count(*) FROM btr t JOIN v1 USING (q, b)) AS DOUBLE) / nullif(nt.n_truth, 0), 4) AS recall FROM nt " +
         "UNION ALL SELECT 'ivf2', nt.n_truth, " +
         "(SELECT count(*) FROM btr t JOIN v2 USING (q, b)), " +
-        "round(CAST((SELECT count(*) FROM btr t JOIN v2 USING (q, b)) AS DOUBLE) / nt.n_truth, 4) FROM nt " +
+        "round(CAST((SELECT count(*) FROM btr t JOIN v2 USING (q, b)) AS DOUBLE) / nullif(nt.n_truth, 0), 4) FROM nt " +
         "UNION ALL SELECT 'lsh', nt.n_truth, " +
         "(SELECT count(*) FROM btr t JOIN v3 USING (q, b)), " +
-        "round(CAST((SELECT count(*) FROM btr t JOIN v3 USING (q, b)) AS DOUBLE) / nt.n_truth, 4) FROM nt " +
+        "round(CAST((SELECT count(*) FROM btr t JOIN v3 USING (q, b)) AS DOUBLE) / nullif(nt.n_truth, 0), 4) FROM nt " +
         "UNION ALL SELECT 'pq', nt.n_truth, " +
         "(SELECT count(*) FROM btr t JOIN v4 USING (q, b)), " +
-        "round(CAST((SELECT count(*) FROM btr t JOIN v4 USING (q, b)) AS DOUBLE) / nt.n_truth, 4) FROM nt " +
+        "round(CAST((SELECT count(*) FROM btr t JOIN v4 USING (q, b)) AS DOUBLE) / nullif(nt.n_truth, 0), 4) FROM nt " +
         "ORDER BY variant"
     },
     "q_embed_pca" ->

@@ -57,7 +57,15 @@ object Sources {
       val path = scratch("orders_json")
       Tables.orders(s, d).select("o_orderstatus", "o_totalprice")
         .write.mode("overwrite").json(path)
-      summarize(s.read.json(path))
+      val r = s.read.json(path)
+      // a zero-row frame writes no JSON data files, so schema inference
+      // returns zero columns — substitute the written schema (total on
+      // empty, like the parquet round-trip)
+      summarize(
+        if (r.columns.isEmpty)
+          s.range(0).select(lit("").as("o_orderstatus"),
+            lit(0d).as("o_totalprice"))
+        else r)
     }),
 
     // write_parquet → read-back round-trip (the sink path of the t1/t2
@@ -253,8 +261,16 @@ object Sources {
       val feats = new VectorAssembler()
         .setInputCols(Array("c_acctbal")).setOutputCol("features")
         .transform(Tables.customer(s, d))
-      val model = new KMeans().setK(3).setSeed(42L).setFeaturesCol("features")
-      model.fit(feats).transform(feats)
+      // KMeans cannot fit on zero rows — an empty customer table has zero
+      // clusters and zero points (total, and the invariant agg still runs)
+      val assigned =
+        if (feats.isEmpty) feats.withColumn("prediction", lit(0))
+        else {
+          val model = new KMeans().setK(3).setSeed(42L)
+            .setFeaturesCol("features")
+          model.fit(feats).transform(feats)
+        }
+      assigned
         .agg(countDistinct(col("prediction")).as("n_clusters"),
           count(lit(1)).as("n_points"))
     })

@@ -710,8 +710,11 @@ object TextAnalysis {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       var vocab: org.apache.spark.sql.DataFrame = wc
       val merges = Seq.newBuilder[(Int, String, String, String, Long)]
-      for (i <- 1 to 5) {
-        val top = vocab
+      // stop early when no mergeable pair remains (empty corpus, or every
+      // word fused to a single symbol) — the greedy pick is total
+      var exhausted = false
+      for (i <- 1 to 5 if !exhausted) {
+        val topOpt = vocab
           .select(col("c"),
             expr("filter(split(seq, '\\\\|'), x -> length(x) > 0)").as("sy"))
           .filter(size(col("sy")) >= 2)
@@ -721,13 +724,17 @@ object TextAnalysis {
             .as("pair"))
           .groupBy("pair").agg(sum("c").as("freq"))
           .orderBy(desc("freq"), asc("pair")).limit(1)
-          .collect()(0)
-        val pair = top.getString(0)
-        val Array(l, r) = pair.split("\\|", 2)
-        merges += ((i, l, r, l + r, top.getLong(1)))
-        val from = lit("|" + pair + "|"); val to = lit("|" + l + r + "|")
-        vocab = vocab.withColumn("seq",
-          replace(replace(replace(col("seq"), from, to), from, to), from, to))
+          .collect().headOption
+        topOpt match {
+          case None => exhausted = true
+          case Some(top) =>
+            val pair = top.getString(0)
+            val Array(l, r) = pair.split("\\|", 2)
+            merges += ((i, l, r, l + r, top.getLong(1)))
+            val from = lit("|" + pair + "|"); val to = lit("|" + l + r + "|")
+            vocab = vocab.withColumn("seq",
+              replace(replace(replace(col("seq"), from, to), from, to), from, to))
+        }
       }
       wc.unpersist(blocking = false)
       merges.result()

@@ -251,8 +251,12 @@ object Windows {
       val sxy = s6(xm * col("y"))
       val den = (n * sxx - sx * sx) * (n * syy - sy * sy)
       base.select(col("event_id"), n.as("n_pairs"),
+          // + 0 squashes IEEE negative zero: round() of a tiny negative
+          // correlation yields -0.0 in one engine and 0.0 in the other
+          // (observed at sf0.1 row 13538); -0.0 + 0 == +0.0 in both
           when(n >= 3 && den > 0,
-            round((n * sxy - sx * sy) / sqrt(den), 4)).as("auto_corr"))
+            round((n * sxy - sx * sy) / sqrt(den), 4) + lit(0d))
+            .as("auto_corr"))
         .orderBy("event_id")
     }),
 
@@ -479,7 +483,7 @@ object Windows {
         "SELECT event_id, n AS n_pairs, " +
         "CASE WHEN n >= 3 AND (n * sxx - sx * sx) * (n * syy - sy * sy) > 0 " +
         "THEN round((n * sxy - sx * sy) / " +
-        "sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) END AS auto_corr " +
+        "sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) + 0 END AS auto_corr " +
         "FROM m ORDER BY event_id"),
     "q_rolling_ewm" ->
       ("WITH h AS (SELECT event_id, list(value) OVER (PARTITION BY user_id " +

@@ -184,6 +184,19 @@ object ArrowIO {
         Iterator(total)
       }
     }.count(): Unit
+    // A fully-empty frame writes no part files (tasks skip empty
+    // partitions), which would make the directory unreadable — emit one
+    // schema-only IPC file (zero record batches) from the driver so the
+    // round-trip stays total, matching parquet's behavior.
+    if (!fs0.listStatus(p0).exists(_.getPath.getName.endsWith(".arrow"))) {
+      val schema = new ArrowSchema(st.fields.map(arrowField).toSeq.asJava)
+      val out = fs0.create(new org.apache.hadoop.fs.Path(
+        s"$path/part-empty.arrow"), true)
+      val allocator = new RootAllocator(Long.MaxValue)
+      val root = VectorSchemaRoot.create(schema, allocator)
+      val w = new ArrowFileWriter(root, null, Channels.newChannel(out))
+      w.start(); w.end(); w.close(); root.close(); allocator.close()
+    }
   }
 
   /** Read a directory of Arrow IPC files as a DataFrame: `binaryFile`

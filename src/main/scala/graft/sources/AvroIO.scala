@@ -184,6 +184,17 @@ object AvroIO {
         Iterator(n)
       }
     }.count(): Unit
+    // A fully-empty frame writes no part files (tasks skip empty
+    // partitions) — emit one schema-only container (header, no blocks)
+    // from the driver so the round-trip stays total, like parquet.
+    if (!fs0.listStatus(p0).exists(_.getPath.getName.endsWith(".avro"))) {
+      val schema = new Schema.Parser().parse(schemaJson)
+      val out = fs0.create(new org.apache.hadoop.fs.Path(
+        s"$path/part-empty.avro"), true)
+      val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, out)
+      w.close()
+    }
   }
 
   /** Read a directory of Avro container files as a DataFrame: `binaryFile`

@@ -168,6 +168,15 @@ object ExcelIO {
         finally out.close()
       }
     }.count(): Unit
+    // A fully-empty frame writes no part files (tasks skip empty
+    // partitions) — emit one header-only workbook from the driver so the
+    // round-trip stays total, like parquet.
+    if (!fs0.listStatus(p0).exists(_.getPath.getName.endsWith(".xlsx"))) {
+      val out = fs0.create(new org.apache.hadoop.fs.Path(
+        s"$path/part-empty.xlsx"), true)
+      try writeWorkbook(out, header, Iterator.empty)
+      finally out.close()
+    }
   }
 
   // ----------------------------------------------------------------- read

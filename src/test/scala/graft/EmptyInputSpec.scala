@@ -1,0 +1,47 @@
+package graft
+
+import java.nio.file.Files
+
+/** Zero-row robustness sweep: every registered query must PLAN and RUN
+  * against a corpus where every table has its real schema but no rows.
+  *
+  * Why this matters at 100 TB: partition pruning, a tight filter, or an
+  * upstream incremental run routinely hands an operator an empty frame —
+  * a pipeline stage that throws on empty input (driver-side `.head` on an
+  * empty stats frame, `collect()(0)`, schema inference over zero rows,
+  * min/max Nones) turns a no-op day into a paged on-call. The reference
+  * inherits empty-safety from Polars (every verb is total on empty
+  * frames); this pins the same contract onto all 200+ registered queries
+  * at once. Result rows are NOT asserted (empty in → usually empty out;
+  * calibration queries may still emit their verdict row) — only that the
+  * query is total: no exception, and the result can be materialized.
+  */
+class EmptyInputSpec extends SparkSpec {
+
+  private lazy val emptySf: String = {
+    val dir = Files.createTempDirectory("graft_empty_sf").toString
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    tables.foreach { t =>
+      spark.read.parquet(s"$sf/$t.parquet").limit(0)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  test("every registered query is total on a zero-row corpus") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try { fn(spark, emptySf).collect(); None }
+        catch {
+          case e: Throwable =>
+            Some(s"$name: ${e.getClass.getSimpleName}: " +
+              Option(e.getMessage).getOrElse("").linesIterator
+                .take(1).mkString)
+        }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} queries throw on empty input:\n" +
+        failures.mkString("\n"))
+  }
+}
