@@ -969,6 +969,9 @@ object Analytics {
         expr("substring(md5(CAST(doc_id AS STRING)), 1, 1) < 'c'"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val train = labeled.filter(col("is_train"))
+      // null text yields null features/label, which the LR fit refuses
+      // (NOT_NULL_ASSERT on the label) — unlabelable rows can't train
+      .na.drop(Seq("f_words", "f_wlen", "f_stop", "f_alpha", "label"))
       .withColumn("features",
         array_to_vector(array(col("f_words"), col("f_wlen"),
           col("f_stop"), col("f_alpha"))))

@@ -337,7 +337,11 @@ object Similarity {
       // (session, sfDir) and pay only the q_ann_ivf-floor search cost on
       // every later call.
       val centers = centroidCache.getOrElseUpdate((s, d), {
-        val feats = n.withColumn("features",
+        val feats = n
+          // null embeddings carry no geometry (array_to_vector NPEs) —
+          // they can be neither centroids nor assigned, drop from the fit
+          .filter(col("embedding").isNotNull)
+          .withColumn("features",
           org.apache.spark.ml.functions.array_to_vector(
             expr("transform(embedding, x -> CAST(CAST(x AS DOUBLE) / nrm AS FLOAT))")))
         // KMeans cannot fit on zero rows, and k above the point count
@@ -571,6 +575,9 @@ object Similarity {
       import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
       val feats = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"))
+        // null embeddings carry no geometry (and array_to_vector NPEs on
+        // them) — drop before the fit, like every distance path does
+        .filter(col("embedding").isNotNull)
         .withColumn("features",
           array_to_vector(expr("transform(embedding, x -> CAST(x AS DOUBLE))")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

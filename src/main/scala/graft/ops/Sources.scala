@@ -260,6 +260,9 @@ object Sources {
       import org.apache.spark.ml.feature.VectorAssembler
       val feats = new VectorAssembler()
         .setInputCols(Array("c_acctbal")).setOutputCol("features")
+        // a null balance cannot be clustered; default handleInvalid
+        // "error" would abort the whole fit on one dirty row
+        .setHandleInvalid("skip")
         .transform(Tables.customer(s, d))
       // KMeans cannot fit on zero rows — an empty customer table has zero
       // clusters and zero points (total, and the invariant agg still runs)

@@ -275,10 +275,13 @@ object Windows {
       Tables.events(s, d)
         .select(col("event_id"), collect_list("value").over(f).as("l"))
         .select(col("event_id"), size(col("l")).as("n_hist"),
-          round(expr(
+          // guarded: collect_list drops nulls, so an all-null history is
+          // EMPTY — and sequence(1, 0) is the DESCENDING [1, 0], whose
+          // element_at(l, 1) on an empty list is an error, not a no-op
+          when(size(col("l")) > 0, round(expr(
             "aggregate(sequence(1, size(l)), 0D, " +
               "(a, i) -> a + element_at(l, i) * power(0.5D, size(l) - i))")
-            / (lit(2.0) - pow(lit(0.5), size(col("l")) - 1)), 4).as("ewm"))
+            / (lit(2.0) - pow(lit(0.5), size(col("l")) - 1)), 4)).as("ewm"))
         .orderBy("event_id")
     }),
 

@@ -129,23 +129,38 @@ case class AsOfJoinExec(
       lIter.map { lRow =>
         val lk = lkB.eval(lRow)
         val lt = ltB.eval(lRow)
+        // a null key or time has no as-of position (and the interpreted
+        // orderings below are not null-tolerant) — such left rows emit
+        // no-match, such right rows are consumed but never candidates.
+        // Matches Polars join_asof: null never matches anything.
+        if (lk == null || lt == null) {
+          project(joined(lRow, nullRight))
+        } else {
         // consume the right side up to this left row's boundary
         var advancing = true
         while (advancing && buffered.hasNext) {
           val rRow = buffered.head
           val rk = rkB.eval(rRow)
-          val keyCmp = keyOrd.compare(rk, lk)
-          val consume =
-            if (keyCmp != 0) keyCmp < 0
-            else {
-              val tsCmp = tsOrd.compare(rtB.eval(rRow), lt)
-              if (consumeEqualTs) tsCmp <= 0 else tsCmp < 0
+          if (rk == null) { buffered.next() } // nulls sort first: skip
+          else {
+            val rt = rtB.eval(rRow)
+            val keyCmp = keyOrd.compare(rk, lk)
+            if (keyCmp == 0 && rt == null) {
+              buffered.next() // null ts sorts first in the group: skip
+            } else {
+              val consume =
+                if (keyCmp != 0) keyCmp < 0
+                else {
+                  val tsCmp = tsOrd.compare(rt, lt)
+                  if (consumeEqualTs) tsCmp <= 0 else tsCmp < 0
+                }
+              if (consume) {
+                lastKey = rk
+                lastRow = rRow.copy()
+                buffered.next()
+              } else advancing = false
             }
-          if (consume) {
-            lastKey = rk
-            lastRow = rRow.copy()
-            buffered.next()
-          } else advancing = false
+          }
         }
         val back =
           if (lastRow != null && keyOrd.compare(lastKey, lk) == 0) lastRow else null
@@ -169,6 +184,7 @@ case class AsOfJoinExec(
           math.abs(toLong(lt) - toLong(rtB.eval(chosen))) <= t
         }
         project(joined(lRow, if (withinTol) chosen else nullRight))
+        }
       }
     }
   }

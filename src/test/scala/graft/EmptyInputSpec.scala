@@ -67,4 +67,29 @@ class EmptyInputSpec extends SparkSpec {
   test("every registered query is total on a one-row corpus") {
     sweep(oneRowSf, "single-row")
   }
+
+  /** A corpus with ~1/3 of every column nulled (deterministically, by
+    * value hash): the reference's Polars backbone is total on nulls in
+    * any column, and dirty production data delivers them — null text
+    * into tokenizers, null keys into joins and groupings, null values
+    * into the hand-rolled Arrow/Avro/Excel writers. */
+  private lazy val nullSf: String = {
+    import org.apache.spark.sql.functions.{col, hash, pmod, lit, when}
+    val dir = Files.createTempDirectory("graft_null_sf").toString
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    tables.foreach { t =>
+      val df = spark.read.parquet(s"$sf/$t.parquet")
+      val nulled = df.select(df.schema.fields.map { f =>
+        when(pmod(hash(col(f.name)), lit(3)) === 0,
+          lit(null).cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+      }.toIndexedSeq: _*)
+      nulled.coalesce(1).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  test("every registered query is total on a null-riddled corpus") {
+    sweep(nullSf, "null-injected")
+  }
 }
