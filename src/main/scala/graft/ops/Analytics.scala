@@ -957,10 +957,14 @@ object Analytics {
     val stops = "('the', 'a', 'of', 'and', 'to')"
     val labeled = Tables.documents(s, d).select(col("doc_id"),
         expr(s"CAST(size($words) AS DOUBLE)").as("f_words"),
-        expr(s"round(aggregate($words, CAST(0 AS BIGINT), (a, x) -> a + length(x)) " +
-          s"/ CAST(size($words) AS DOUBLE), 4)").as("f_wlen"),
+        // coalesce(.../nullif, 0): a zero-word / zero-char doc has
+        // well-defined worst-quality features (0.0) rather than an ANSI
+        // divide-by-zero — the fit and the margin stay defined on dirty
+        // corpora, and real corpora are unchanged (denominators > 0)
+        expr(s"coalesce(round(aggregate($words, CAST(0 AS BIGINT), (a, x) -> a + length(x)) " +
+          s"/ CAST(nullif(size($words), 0) AS DOUBLE), 4), 0.0)").as("f_wlen"),
         expr(s"CAST(size(filter($words, w -> w IN $stops)) AS DOUBLE)").as("f_stop"),
-        expr("round(CAST(graft_alpha_count(text) AS DOUBLE) / length(text), 4)")
+        expr("coalesce(round(CAST(graft_alpha_count(text) AS DOUBLE) / nullif(length(text), 0), 4), 0.0)")
           .as("f_alpha"))
       .withColumn("label",
         (col("f_words").between(30, 10000) && col("f_wlen").between(3.5, 10.0) &&

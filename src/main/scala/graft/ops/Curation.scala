@@ -657,8 +657,10 @@ object Curation {
       val base = docs.groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(expr("graft_token_count(text)")).as("total_tokens"),
+          // nullif: zero-char docs contribute no alpha-ratio sample (avg
+          // skips NULL) instead of throwing the ANSI divide-by-zero
           round(avg(expr(
-            "CAST(graft_alpha_count(text) AS DOUBLE) / length(text)")), 4)
+            "CAST(graft_alpha_count(text) AS DOUBLE) / nullif(length(text), 0)")), 4)
             .as("avg_alpha"))
       val langs = docs.select("source", "lang").distinct()
         .groupBy("source").agg(count(lit(1)).as("n_langs"))
@@ -706,8 +708,10 @@ object Curation {
           sum("n_tokens").as("sum_tokens"))
         .select(col("bucket"), col("n_docs"), col("max_tokens"),
           col("sum_tokens"),
+          // nullif: an all-empty-text bucket has max_tokens 0 — padding is
+          // undefined (NULL), not an ANSI divide-by-zero
           round(lit(1.0) - col("sum_tokens").cast("double") /
-            (col("n_docs") * col("max_tokens")), 4).as("padding_frac"))
+            nullif(col("n_docs") * col("max_tokens"), lit(0)), 4).as("padding_frac"))
         .orderBy("bucket")
     }),
 
@@ -935,7 +939,7 @@ object Curation {
     "q_corpus_report" ->
       ("WITH base AS (SELECT source, count(*) AS n_docs, " +
         "CAST(sum(len(list_filter(str_split_regex(text, '[^a-zA-Z0-9]+'), x -> length(x) > 0))) AS BIGINT) AS total_tokens, " +
-        "round(avg(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text)), 4) AS avg_alpha " +
+        "round(avg(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / nullif(length(text), 0)), 4) AS avg_alpha " +
         "FROM documents GROUP BY source), " +
         "langs AS (SELECT source, count(*) AS n_langs FROM " +
         "(SELECT DISTINCT source, lang FROM documents) GROUP BY source), " +
@@ -958,7 +962,7 @@ object Curation {
         "UNION ALL SELECT doc_id, n_tokens, 0 AS bucket FROM toks) " +
         "SELECT bucket, count(*) AS n_docs, CAST(max(n_tokens) AS INTEGER) AS max_tokens, " +
         "CAST(sum(n_tokens) AS BIGINT) AS sum_tokens, " +
-        "round(1.0 - CAST(sum(n_tokens) AS DOUBLE) / (count(*) * max(n_tokens)), 4) AS padding_frac " +
+        "round(1.0 - CAST(sum(n_tokens) AS DOUBLE) / nullif(count(*) * max(n_tokens), 0), 4) AS padding_frac " +
         "FROM b GROUP BY bucket ORDER BY bucket"),
     "q_bm25" ->
       ("WITH terms AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS term FROM documents), " +

@@ -555,8 +555,10 @@ object Dedup {
         .join(corpus.select(col("doc_id").as("b"), col("text").as("tb")), "b")
         .select(col("a"), col("b"),
           levenshtein(col("ta"), col("tb")).as("edit_dist"),
+          // the lit(1) floor: two empty texts are distance 0 of length 0 —
+          // rel_dist 0.0 (identical), not an ANSI divide-by-zero
           round(levenshtein(col("ta"), col("tb")).cast("double") /
-            greatest(length(col("ta")), length(col("tb"))), 4).as("rel_dist"))
+            greatest(length(col("ta")), length(col("tb")), lit(1)), 4).as("rel_dist"))
         .withColumn("near_dup", col("rel_dist") <= 0.2)
         .orderBy("a", "b")
     }),
@@ -1091,9 +1093,9 @@ object Dedup {
       (s"$duckChain SELECT p.a, p.b, " +
         "CAST(levenshtein(ca.text, cb.text) AS INTEGER) AS edit_dist, " +
         "round(CAST(levenshtein(ca.text, cb.text) AS DOUBLE) / " +
-        "greatest(length(ca.text), length(cb.text)), 4) AS rel_dist, " +
+        "greatest(length(ca.text), length(cb.text), 1), 4) AS rel_dist, " +
         "round(CAST(levenshtein(ca.text, cb.text) AS DOUBLE) / " +
-        "greatest(length(ca.text), length(cb.text)), 4) <= 0.2 AS near_dup " +
+        "greatest(length(ca.text), length(cb.text), 1), 4) <= 0.2 AS near_dup " +
         "FROM pairs p JOIN corpus ca ON ca.doc_id = p.a " +
         "JOIN corpus cb ON cb.doc_id = p.b ORDER BY a, b"),
     "q_dedup_ngram" ->

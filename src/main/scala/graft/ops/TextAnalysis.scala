@@ -141,11 +141,14 @@ object TextAnalysis {
         .select(col("doc_id"),
           length(col("text")).as("n_chars"),
           expr(s"size($words)").as("n_words"),
-          expr(s"round(CAST(length(text) AS DOUBLE) / size($words), 4)")
+          // nullif guards: zero-word / zero-char docs (dirty ingests) make
+          // the per-word and per-char ratios undefined — NULL, not an ANSI
+          // divide-by-zero (real corpora are unchanged: denominators > 0)
+          expr(s"round(CAST(length(text) AS DOUBLE) / nullif(size($words), 0), 4)")
             .as("avg_word_len"),
-          expr(s"round(CAST(${score(stop, "size")} AS DOUBLE) / size($words), 4)")
+          expr(s"round(CAST(${score(stop, "size")} AS DOUBLE) / nullif(size($words), 0), 4)")
             .as("stopword_ratio"),
-          expr("round(CAST(graft_alpha_count(text) AS DOUBLE) / length(text), 4)")
+          expr("round(CAST(graft_alpha_count(text) AS DOUBLE) / nullif(length(text), 0), 4)")
             .as("alpha_ratio"))
         .orderBy("doc_id")
     }),
@@ -200,7 +203,8 @@ object TextAnalysis {
           size(array_distinct(col("w"))).as("n_uniq_words"),
           expr("graft_top_bigram_count(w)").as("top_bigram"))
         .select(col("doc_id"), col("n_words"),
-          round(lit(1.0) - col("n_uniq_words").cast("double") / col("n_words"), 4)
+          round(lit(1.0) - col("n_uniq_words").cast("double") /
+            nullif(col("n_words"), lit(0)), 4)
             .as("dup_word_frac"),
           col("top_bigram"),
           round(col("top_bigram").cast("double") /
@@ -219,10 +223,12 @@ object TextAnalysis {
       Tables.documents(s, d)
         .select(col("doc_id"),
           expr(s"size($words)").as("n_words"),
+          // nullif: zero-word / zero-char docs yield NULL signals (and a
+          // false keep via the words_ok conjunct), not an ANSI error
           expr(s"round(aggregate($words, CAST(0 AS BIGINT), (a, x) -> a + length(x)) " +
-            s"/ CAST(size($words) AS DOUBLE), 4)").as("mean_wlen"),
+            s"/ CAST(nullif(size($words), 0) AS DOUBLE), 4)").as("mean_wlen"),
           expr(score(stop, "size")).as("stop_hits"),
-          expr("round(CAST(graft_alpha_count(text) AS DOUBLE) / length(text), 4)")
+          expr("round(CAST(graft_alpha_count(text) AS DOUBLE) / nullif(length(text), 0), 4)")
             .as("alpha_ratio"))
         .withColumn("words_ok", col("n_words").between(30, 10000))
         .withColumn("mean_len_ok", col("mean_wlen").between(3.5, 10.0))
@@ -249,10 +255,12 @@ object TextAnalysis {
         .select(col("source"),
           expr(s"size($words)").as("n_words"),
           expr(s"size(array_distinct($words))").as("n_uniq"),
+          // nullif: a zero-word / zero-char doc votes false on the gopher
+          // gate (NULL signal, false conjunction) instead of throwing
           expr(s"round(aggregate($words, CAST(0 AS BIGINT), (a, x) -> a + length(x)) " +
-            s"/ CAST(size($words) AS DOUBLE), 4)").as("mean_wlen"),
+            s"/ CAST(nullif(size($words), 0) AS DOUBLE), 4)").as("mean_wlen"),
           expr(score(stop, "size")).as("stop_hits"),
-          expr("round(CAST(graft_alpha_count(text) AS DOUBLE) / length(text), 4)")
+          expr("round(CAST(graft_alpha_count(text) AS DOUBLE) / nullif(length(text), 0), 4)")
             .as("alpha_ratio"),
           expr("graft_trigram_stats(text)").as("st"))
         .withColumn("v_gopher",
@@ -803,9 +811,9 @@ object TextAnalysis {
     "q_quality_score" ->
       (s"SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars, " +
         s"CAST(len($duckWords) AS INTEGER) AS n_words, " +
-        s"round(CAST(length(text) AS DOUBLE) / len($duckWords), 4) AS avg_word_len, " +
-        s"round(CAST(${scoreDuck(stop)} AS DOUBLE) / len($duckWords), 4) AS stopword_ratio, " +
-        "round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text), 4) AS alpha_ratio " +
+        s"round(CAST(length(text) AS DOUBLE) / nullif(len($duckWords), 0), 4) AS avg_word_len, " +
+        s"round(CAST(${scoreDuck(stop)} AS DOUBLE) / nullif(len($duckWords), 0), 4) AS stopword_ratio, " +
+        "round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / nullif(length(text), 0), 4) AS alpha_ratio " +
         "FROM documents ORDER BY doc_id"),
     "q_lang_id" ->
       ("WITH scored AS (SELECT doc_id, lang, " +
@@ -829,7 +837,7 @@ object TextAnalysis {
         "gc AS (SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY doc_id, gram), " +
         "top AS (SELECT doc_id, max(c) AS top_bigram FROM gc GROUP BY doc_id) " +
         "SELECT s.doc_id, s.n_words, " +
-        "round(1.0 - CAST(n_uniq_words AS DOUBLE) / n_words, 4) AS dup_word_frac, " +
+        "round(1.0 - CAST(n_uniq_words AS DOUBLE) / nullif(n_words, 0), 4) AS dup_word_frac, " +
         "CAST(top_bigram AS BIGINT) AS top_bigram, " +
         "round(CAST(top_bigram AS DOUBLE) / greatest(n_words - 1, 1), 4) AS top_bigram_frac " +
         "FROM stats s JOIN top t ON s.doc_id = t.doc_id ORDER BY s.doc_id"),
@@ -843,9 +851,9 @@ object TextAnalysis {
         "v AS (SELECT d.source, " +
         s"CASE WHEN (len($duckWords) BETWEEN 30 AND 10000) AND " +
         s"(round(list_sum(list_transform($duckWords, x -> length(x))) " +
-        s"/ CAST(len($duckWords) AS DOUBLE), 4) BETWEEN 3.5 AND 10.0) AND " +
+        s"/ CAST(nullif(len($duckWords), 0) AS DOUBLE), 4) BETWEEN 3.5 AND 10.0) AND " +
         s"(${scoreDuck(stop)} >= 3) AND " +
-        "(round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text), 4) >= 0.75) " +
+        "(round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / nullif(length(text), 0), 4) >= 0.75) " +
         "THEN 1 ELSE 0 END AS v_gopher, " +
         s"CASE WHEN (len($duckWords) - len(list_distinct($duckWords))) * 10 " +
         s"<= len($duckWords) * 3 THEN 1 ELSE 0 END AS v_rep, " +
@@ -861,19 +869,19 @@ object TextAnalysis {
     "q_quality_gopher" ->
       (s"SELECT doc_id, CAST(len($duckWords) AS INTEGER) AS n_words, " +
         s"round(list_sum(list_transform($duckWords, x -> length(x))) " +
-        s"/ CAST(len($duckWords) AS DOUBLE), 4) AS mean_wlen, " +
+        s"/ CAST(nullif(len($duckWords), 0) AS DOUBLE), 4) AS mean_wlen, " +
         s"CAST(${scoreDuck(stop)} AS INTEGER) AS stop_hits, " +
-        "round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text), 4) AS alpha_ratio, " +
+        "round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / nullif(length(text), 0), 4) AS alpha_ratio, " +
         s"len($duckWords) BETWEEN 30 AND 10000 AS words_ok, " +
         s"round(list_sum(list_transform($duckWords, x -> length(x))) " +
-        s"/ CAST(len($duckWords) AS DOUBLE), 4) BETWEEN 3.5 AND 10.0 AS mean_len_ok, " +
+        s"/ CAST(nullif(len($duckWords), 0) AS DOUBLE), 4) BETWEEN 3.5 AND 10.0 AS mean_len_ok, " +
         s"${scoreDuck(stop)} >= 3 AS stop_ok, " +
-        "round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text), 4) >= 0.75 AS alpha_ok, " +
+        "round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / nullif(length(text), 0), 4) >= 0.75 AS alpha_ok, " +
         s"(len($duckWords) BETWEEN 30 AND 10000) AND " +
         s"(round(list_sum(list_transform($duckWords, x -> length(x))) " +
-        s"/ CAST(len($duckWords) AS DOUBLE), 4) BETWEEN 3.5 AND 10.0) AND " +
+        s"/ CAST(nullif(len($duckWords), 0) AS DOUBLE), 4) BETWEEN 3.5 AND 10.0) AND " +
         s"(${scoreDuck(stop)} >= 3) AND " +
-        "(round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text), 4) >= 0.75) AS keep " +
+        "(round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / nullif(length(text), 0), 4) >= 0.75) AS keep " +
         "FROM documents ORDER BY doc_id"),
     "q_cooccur_pmi" ->
       (s"WITH dw AS (SELECT $duckWords AS w FROM documents), " +

@@ -92,4 +92,32 @@ class EmptyInputSpec extends SparkSpec {
   test("every registered query is total on a null-riddled corpus") {
     sweep(nullSf, "null-injected")
   }
+
+  /** A corpus where ~1/3 of documents have EMPTY text (and string columns
+    * elsewhere are blanked the same way): the single most common dirty
+    * row in an LLM ingest — present (non-null) but contentless. Exercises
+    * the size(words) = 0 paths: per-word averages, ratio features,
+    * shingle windows, tokenizers. */
+  private lazy val emptyStrSf: String = {
+    import org.apache.spark.sql.functions.{col, hash, pmod, lit, when}
+    import org.apache.spark.sql.types.StringType
+    val dir = Files.createTempDirectory("graft_estr_sf").toString
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    tables.foreach { t =>
+      val df = spark.read.parquet(s"$sf/$t.parquet")
+      val blanked = df.select(df.schema.fields.map { f =>
+        if (f.dataType == StringType)
+          when(pmod(hash(col(f.name)), lit(3)) === 0, lit(""))
+            .otherwise(col(f.name)).as(f.name)
+        else col(f.name)
+      }.toIndexedSeq: _*)
+      blanked.coalesce(1).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  test("every registered query is total on an empty-string corpus") {
+    sweep(emptyStrSf, "empty-string")
+  }
 }
