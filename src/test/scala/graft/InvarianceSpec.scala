@@ -105,4 +105,42 @@ class InvarianceSpec extends SparkSpec {
       }
     } finally spark.conf.set("spark.sql.shuffle.partitions", original)
   }
+
+  /** Third determinism axis (after shuffle-partition count and input file
+    * layout): Adaptive Query Execution re-plans at stage boundaries —
+    * coalescing post-shuffle partitions, flipping sort-merge joins to
+    * broadcast, splitting skewed partitions. All of that changes merge
+    * order and join physicalization at runtime, which is exactly what a
+    * production cluster does per-run as data volumes drift. The answer
+    * must not. Covers the join/aggregate-heavy qids where AQE has the
+    * most replanning freedom. */
+  private val aqeQids = Seq(
+    "q_group_agg",         // partial+final decimal merge
+    "q_group_agg_salted",  // two-level salted aggregate (AQE may coalesce the salt stage)
+    "q_join_skew_salted",  // manual salt under AQE's own skew handling
+    "q_join_inner",        // SMJ <-> BHJ flip candidate
+    "q_join_asof_native",  // custom exec must survive AQE wrapping
+    "q_dedup_minhash",     // banding joins + bucket caps
+    "q_split_leakage",     // banding -> verify -> CC chain (iterative joins)
+    "q_recommend",         // multi-stage CF: pair joins + windows
+    "q_tfidf",             // two-level aggregates + rank window
+    "q_dsir",              // explode -> aggregate -> broadcast LLR
+    "q_pagerank",          // iterative BSP joins
+    "q_incremental_rollup") // merge-vs-full decimal verdict
+
+  test("results are invariant under AQE on/off") {
+    val original = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      for (qid <- aqeQids) {
+        val runs = Seq("false", "true").map { on =>
+          spark.conf.set("spark.sql.adaptive.enabled", on)
+          ops.Dedup.clearCaches()
+          ops.TextAnalysis.clearCaches()
+          SparkEntry.queries(qid)(spark, sf).collect().map(_.toString).toSeq
+        }
+        assert(runs(0) == runs(1), s"$qid changes results when AQE toggles")
+        assert(runs(0).nonEmpty, s"$qid returned no rows")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", original)
+  }
 }
