@@ -82,6 +82,58 @@ object TextStatKernels {
     }
     max
   }
+
+  /** 16-bit simhash over the word multiset of `w`, md5 computed ONCE per
+    * DISTINCT word (Zipf: distinct ≪ occurrences) with each digest nibble
+    * j contributing sign ±multiplicity to bit j. Exactly equal — integer
+    * sums — to the relational form
+    * `aggregate(transform(w, x -> md5(x)), 0, (acc, h) ->
+    *   acc + IF(substr(h, j+1, 1) <= '7', 1, -1))` per bit j, because hex
+    * digit ≤ '7' ⟺ nibble value ≤ 7, and summing ±1 per occurrence equals
+    * summing ±count per distinct word. Returns the 16-char '0'/'1'
+    * signature (bit j = '1' iff the sum is > 0), matching
+    * `concat(IF(b_j > 0, '1', '0') ...)`. A null element contributes −1 to
+    * every bit (IF(null ≤ '7', 1, -1) = -1), though the split+filter call
+    * sites can't produce one. Replaces 16 interpreted higher-order folds
+    * (plus an md5 and a substr allocation per occurrence) with one
+    * codegen'd pass — the simhash signature stage is the dominant cost of
+    * the dedup_simhash family. */
+  def simhash16(w: ArrayData): UTF8String = {
+    val n = w.numElements()
+    val counts = new java.util.HashMap[UTF8String, Long]()
+    var nulls = 0L
+    var i = 0
+    while (i < n) {
+      val s = w.getUTF8String(i)
+      if (s == null) nulls += 1
+      else counts.merge(s, 1L, (a, b) => a + b)
+      i += 1
+    }
+    val bits = new Array[Long](16)
+    if (nulls > 0) {
+      var j = 0
+      while (j < 16) { bits(j) -= nulls; j += 1 }
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val digest = md.digest(e.getKey.getBytes) // digest() resets md
+      val c = e.getValue
+      var j = 0
+      while (j < 16) {
+        val nib =
+          if ((j & 1) == 0) (digest(j >> 1) >> 4) & 0xf
+          else digest(j >> 1) & 0xf
+        if (nib <= 7) bits(j) += c else bits(j) -= c
+        j += 1
+      }
+    }
+    val out = new Array[Byte](16)
+    var j = 0
+    while (j < 16) { out(j) = if (bits(j) > 0) '1' else '0'; j += 1 }
+    UTF8String.fromBytes(out)
+  }
 }
 
 /** `graft_trigram_stats(text)` →
@@ -123,13 +175,33 @@ case class GraftTopBigramCount(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** `graft_simhash16(words)` — 16-char '0'/'1' simhash signature. */
+case class GraftSimhash16(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an ARRAY<STRING> argument, got ${other.simpleString}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_simhash16"
+  override def nullSafeEval(w: Any): Any =
+    TextStatKernels.simhash16(w.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextStatKernels.simhash16($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object TextStats {
-  /** Register both kernels on the session (idempotent). */
+  /** Register the kernels on the session (idempotent). */
   def register(spark: SparkSession): Unit = {
     val r = spark.sessionState.functionRegistry
     r.createOrReplaceTempFunction(
       "graft_trigram_stats", exprs => GraftTrigramStats(exprs.head), "built-in")
     r.createOrReplaceTempFunction(
       "graft_top_bigram_count", exprs => GraftTopBigramCount(exprs.head), "built-in")
+    r.createOrReplaceTempFunction(
+      "graft_simhash16", exprs => GraftSimhash16(exprs.head), "built-in")
   }
 }

@@ -397,6 +397,10 @@ object Dedup {
     * md5s per word (hashing dominated the simhash signature pass). */
   private def simhashBitSum(j: Int, dialect: String): String = dialect match {
     case "spark" =>
+      // retained as the executable spec of TextStatKernels.simhash16 (the
+      // Spark side now runs that one-pass codegen'd kernel instead of 16
+      // interpreted folds; the kernel's ±count-per-distinct-word sum is
+      // integer-exact equal to this per-occurrence fold)
       s"aggregate(hs, 0, " +
         s"(acc, h) -> acc + IF(substr(h, ${j + 1}, 1) <= '7', 1, -1))"
     case _ =>
@@ -411,18 +415,18 @@ object Dedup {
 
   private def simhashSigs(s: SparkSession, d: String): DataFrame =
     simhashCache.getOrElseUpdate((s, d), {
-      val bitSums = (0 until 16).map(j =>
-        expr(simhashBitSum(j, "spark")).as(s"b$j"))
-      val withBits = textCorpus(s, d)
+      graft.functions.TextStats.register(s)
+      // one codegen'd row-local pass: md5 ONCE per distinct word, ±count
+      // per digest nibble (TextStatKernels.simhash16 — integer-exact equal
+      // to the oracle's per-occurrence 16-fold relational form, which is
+      // also what simhashBitSum documents). The coalesce preserves the
+      // relational form's null-text behavior: every bit sum NULL → every
+      // bit '0'.
+      textCorpus(s, d)
         .select(col("doc_id"),
-          // split once, hash each word ONCE — the 16 bit folds below only
-          // read nibbles of the precomputed hashes
-          expr("transform(filter(split(text, ' '), x -> length(x) > 0), w -> md5(w))")
-            .as("hs"))
-        .select(col("doc_id") +: bitSums: _*)
-      val sim = concat((0 until 16).map(j =>
-        when(col(s"b$j") > 0, "1").otherwise("0")): _*)
-      withBits.select(col("doc_id"), sim.as("simhash"))
+          coalesce(
+            expr("graft_simhash16(filter(split(text, ' '), x -> length(x) > 0))"),
+            lit("0000000000000000")).as("simhash"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 

@@ -157,6 +157,35 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_simhash16 equals the relational 16-fold form on edge-case texts") {
+    graft.functions.TextStats.register(spark)
+    // edge cases: empty, single word, heavy repetition (the ±count vs ±1
+    // collapse), multibyte UTF-8 (md5 must hash utf-8 bytes), long mixed
+    // text, and a corpus sample
+    val texts = Seq("", "word", "a a a a a b", "naïve café 中文 emoji 🦀 ok",
+      "the quick brown fox jumps over the lazy dog the end") ++
+      Tables.documents(spark, sf).limit(20)
+        .collect().map(_.getAs[String]("text")).toSeq
+    import spark.implicits._
+    val df = texts.toDF("text")
+      .selectExpr("filter(split(text, ' '), x -> length(x) > 0) AS w")
+      .selectExpr("transform(w, x -> md5(x)) AS hs", "w")
+    val relational = df.selectExpr(
+      "concat(" + (0 until 16).map(j =>
+        s"IF(aggregate(hs, 0, (acc, h) -> acc + IF(substr(h, ${j + 1}, 1) <= '7', 1, -1)) > 0, '1', '0')")
+        .mkString(", ") + ") AS sim").collect().map(_.getString(0))
+    val kernel = df.selectExpr("graft_simhash16(w) AS sim")
+      .collect().map(_.getString(0))
+    assert(relational.sameElements(kernel))
+    // and the kernel must agree with itself under interpreted evaluation
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interpreted = df.selectExpr("graft_simhash16(w) AS sim")
+        .collect().map(_.getString(0))
+      assert(kernel.sameElements(interpreted))
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
   test("dot_f survives both codegen and interpreted evaluation") {
     FloatDotProduct.register(spark)
     val df = Tables.embeddings(spark, sf).limit(10)
