@@ -134,6 +134,67 @@ object TextStatKernels {
     while (j < 16) { out(j) = if (bits(j) > 0) '1' else '0'; j += 1 }
     UTF8String.fromBytes(out)
   }
+
+  private val hexDigits = "0123456789abcdef".getBytes
+
+  /** 8-slot MinHash signature over the 3-word shingles of `w`, md5 computed
+    * ONCE per DISTINCT shingle. Exactly equal — string for string — to the
+    * relational form
+    * `min(substring(md5(shingle), 4k+1, 4))` over
+    * `explode(transform(sequence(1, greatest(size(w) - 2, 1)),
+    *   i -> concat_ws(' ', try_element_at(w, i), try_element_at(w, i+1),
+    *                       try_element_at(w, i+2))))`
+    * because (a) min over the shingle MULTISET equals min over the distinct
+    * set, (b) each 4-hex-digit slice of the lowercase digest compares
+    * lexically exactly as its 16-bit value compares numerically
+    * ('0'<'9'<'a'<'f' matches nibble order), and (c) the tail windows
+    * degrade identically: an out-of-range `try_element_at` is NULL and
+    * `concat_ws` skips NULLs, which is precisely what the null-padded
+    * `UTF8String.concatWs` call below does (an empty `w` still yields one
+    * window — the empty shingle — matching `greatest(…, 1)`).
+    *
+    * Replaces the banding paths' explode → (distinct) → groupBy-min chain —
+    * a shuffle of roughly 3× the corpus bytes whose keys never leave their
+    * document — with one codegen'd scan: the dominant cost of every
+    * MinHash-banding query becomes the md5 pass itself. */
+  def minhash8(w: ArrayData): GenericInternalRow = {
+    val n = w.numElements()
+    val nWindows = math.max(n - 2, 1)
+    val seen = new java.util.HashSet[UTF8String]()
+    val mins = new Array[Int](8)
+    java.util.Arrays.fill(mins, Int.MaxValue)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < nWindows) {
+      val a = if (i < n) w.getUTF8String(i) else null
+      val b = if (i + 1 < n) w.getUTF8String(i + 1) else null
+      val c = if (i + 2 < n) w.getUTF8String(i + 2) else null
+      val g = UTF8String.concatWs(space, a, b, c) // skips nulls, like concat_ws
+      if (seen.add(g)) {
+        val digest = md.digest(g.getBytes) // digest() resets md
+        var k = 0
+        while (k < 8) {
+          val v = ((digest(2 * k) & 0xff) << 8) | (digest(2 * k + 1) & 0xff)
+          if (v < mins(k)) mins(k) = v
+          k += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Any](8)
+    var k = 0
+    while (k < 8) {
+      val v = mins(k)
+      val hex = new Array[Byte](4)
+      hex(0) = hexDigits((v >> 12) & 0xf)
+      hex(1) = hexDigits((v >> 8) & 0xf)
+      hex(2) = hexDigits((v >> 4) & 0xf)
+      hex(3) = hexDigits(v & 0xf)
+      out(k) = UTF8String.fromBytes(hex)
+      k += 1
+    }
+    new GenericInternalRow(out)
+  }
 }
 
 /** `graft_trigram_stats(text)` →
@@ -193,6 +254,26 @@ case class GraftSimhash16(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** `graft_minhash8(words)` →
+  * struct(s0 .. s7 STRING) — the 8-slot MinHash signature. */
+case class GraftMinhash8(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an ARRAY<STRING> argument, got ${other.simpleString}")
+  }
+  override def dataType: DataType = StructType(
+    (0 to 7).map(k => StructField(s"s$k", StringType, nullable = false)))
+  override def prettyName: String = "graft_minhash8"
+  override def nullSafeEval(w: Any): Any =
+    TextStatKernels.minhash8(w.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextStatKernels.minhash8($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object TextStats {
   /** Register the kernels on the session (idempotent). */
   def register(spark: SparkSession): Unit = {
@@ -203,5 +284,7 @@ object TextStats {
       "graft_top_bigram_count", exprs => GraftTopBigramCount(exprs.head), "built-in")
     r.createOrReplaceTempFunction(
       "graft_simhash16", exprs => GraftSimhash16(exprs.head), "built-in")
+    r.createOrReplaceTempFunction(
+      "graft_minhash8", exprs => GraftMinhash8(exprs.head), "built-in")
   }
 }

@@ -95,21 +95,32 @@ object Dedup {
       "(SELECT doc_id, string_split(text, ' ') AS w, " +
       "unnest(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1))) AS i FROM corpus))"
 
-  /** 8-permutation MinHash signature per doc. The 8 hash functions are the
-    * 4-hex-digit slices of ONE md5 per shingle — for distinct shingles each
-    * slice is an independent uniform 16-bit hash, which is all banding
-    * needs, at 1/8th the hashing cost of 8 salted md5s. */
-  private def signatures(sh: DataFrame): DataFrame = {
-    val aggs = (0 to 7).map(k =>
-      min(expr(s"substring(h, ${4 * k + 1}, 4)")).as(s"s$k"))
-    sh.withColumn("h", md5(col("shingle")))
-      .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-  }
-
+  // 8-permutation MinHash signature per doc. The 8 hash functions are the
+  // 4-hex-digit slices of ONE md5 per shingle — for distinct shingles each
+  // slice is an independent uniform 16-bit hash, which is all banding
+  // needs, at 1/8th the hashing cost of 8 salted md5s. The Spark side runs
+  // the row-local kernel [[signaturesOf]]; this relational form stays as
+  // the oracle (and FunctionsSpec pins the kernel to it).
   private val duckSig =
     "sig AS (SELECT doc_id, " +
       (0 to 7).map(k => s"min(substr(md5(shingle), ${4 * k + 1}, 4)) AS s$k").mkString(", ") +
       " FROM sh GROUP BY doc_id)"
+
+  /** The 8-slot MinHash signature computed row-locally in one codegen'd
+    * pass (TextStatKernels.minhash8 — string-exact equal to the relational
+    * explode → min(md5-slice) form `duckSig`, which stays as the oracle).
+    * Use this
+    * whenever the caller has the (doc_id, text) corpus in hand: it removes
+    * the shingle explode AND the signature aggregate's shuffle, so the
+    * banding chain starts from a plain scan. The null-text filter mirrors
+    * the relational form, where `explode(null)` drops the row. */
+  private[ops] def signaturesOf(corpus: DataFrame): DataFrame = {
+    graft.functions.TextStats.register(corpus.sparkSession)
+    corpus.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        expr("graft_minhash8(split(text, ' '))").as("sig"))
+      .select(col("doc_id"), col("sig.*"))
+  }
 
   /** 4 bands × 2 rows: band bucket key = md5 of the two row signatures.
     * One explode pass, not a 4-way self-union — a union of selects would
@@ -126,9 +137,10 @@ object Dedup {
       s"SELECT doc_id, $b AS band, md5(s${2 * b} || s${2 * b + 1}) AS bkey FROM sig")
       .mkString(" UNION ALL ") + ")"
 
-  /** Full shingle→signature→band chain over any (doc_id, text) corpus. */
+  /** Full signature→band chain over any (doc_id, text) corpus — one
+    * row-local kernel scan, no shingle explode, no aggregate. */
   private def bandsOf(corpus: DataFrame): DataFrame =
-    bands(signatures(shinglesOf(corpus).distinct()))
+    bands(signaturesOf(corpus))
 
   /** Hot-bucket cap for LSH pair expansion. "Buckets stay tiny" holds for
     * organic text but NOT for mass-duplicated boilerplate — the #1
@@ -185,18 +197,13 @@ object Dedup {
       .select(col("p.a").as("a"), col("p.b").as("b")).distinct()
   }
 
-  /** Exact Jaccard over banding candidates only: intersection counts come
+  /** Exact Jaccard over banding candidates only, with a caller-supplied
+    * signature frame (from [[signaturesOf]]): intersection counts come
     * from the candidate←shingle equi-joins (never an all-pairs product),
     * sizes from a per-doc aggregate. Returns (a, b, jaccard) UNROUNDED and
     * UNFILTERED — callers apply their own threshold/rounding semantics.
     * `sh` must be a distinct (doc_id, shingle) set; pass it persisted when
-    * the caller consumes it more than once. */
-  private def jaccardPairs(sh: DataFrame,
-      maxBucket: Int = defaultMaxBucket,
-      obs: Option[org.apache.spark.sql.Observation] = None): DataFrame =
-    jaccardPairsFrom(sh, signatures(sh), maxBucket, obs)
-
-  /** [[jaccardPairs]] with a caller-supplied signature frame — pass the
+    * the caller consumes it more than once. Pass the
     * SAME (possibly persisted) signatures when the caller also consumes
     * them elsewhere, so the shingle→signature aggregate is evaluated once
     * per run instead of once per consumer. */
@@ -250,7 +257,9 @@ object Dedup {
     val corpus = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
     val sh = shinglesOf(corpus).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val verified = jaccardPairs(sh, maxBucket, obs)
+    // signatures from the row-local kernel (scan); `sh` is built only for
+    // the exact-Jaccard verification joins
+    val verified = jaccardPairsFrom(sh, signaturesOf(corpus), maxBucket, obs)
       .filter(col("jaccard") >= threshold).select("a", "b")
     // the component loop materializes eagerly, so `sh` can be released
     // as soon as the drop list derives from the checkpoint-backed labels
@@ -280,7 +289,7 @@ object Dedup {
     val corpus = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
     val sh = shinglesOf(corpus).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val verified = jaccardPairs(sh, maxBucket, obs)
+    val verified = jaccardPairsFrom(sh, signaturesOf(corpus), maxBucket, obs)
       .filter(col("jaccard") >= threshold).select("a", "b")
     val comps = connectedComponents(verified, checkpointDir)
     // keep = per-cluster argmax(quality, ties lowest id); docs outside any
@@ -331,10 +340,10 @@ object Dedup {
     val corpus = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
     val sh = shinglesOf(corpus).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // the signature aggregate feeds BOTH the verified-pair chain and the
-    // oversized-bucket star edges — persist it so the dominant shuffle
-    // runs once (same rule as q_minhash_sim)
-    val sig = signatures(sh)
+    // the signature frame feeds BOTH the verified-pair chain and the
+    // oversized-bucket star edges; with the row-local kernel it is a plain
+    // scan, persisted so the md5 pass runs once across both consumers
+    val sig = signaturesOf(corpus)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bb = bands(sig)
     val verified = jaccardPairsFrom(sh, sig, maxBucket, obs)
@@ -369,10 +378,10 @@ object Dedup {
 
   private def minhashPairs(s: SparkSession, d: String): DataFrame =
     pairsCache.getOrElseUpdate((s, d),
-      // signatures aggregate the RAW shingle stream: one map-side-combined
-      // shuffle of 8 mins per doc instead of distinct's full-width shuffle
-      // followed by a second aggregation
-      candidatePairs(bands(signatures(shingleStream(s, d))))
+      // signatures come from the row-local minhash8 kernel: the whole
+      // candidate chain up to the band groupBy is a single scan — no
+      // shingle explode, no signature aggregate shuffle
+      candidatePairs(bands(signaturesOf(textCorpus(s, d))))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Mirrors [[candidatePairs]] INCLUDING the `defaultMaxBucket` cap: both
@@ -539,7 +548,7 @@ object Dedup {
     // one explode+distinct serves the entire query instead of a second
     // raw explode just for signatures.
     "q_dedup_ngram" -> ((s, d) =>
-      jaccardPairs(shingles(s, d))
+      jaccardPairsFrom(shingles(s, d), signaturesOf(textCorpus(s, d)))
         .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
         .orderBy("a", "b")),
@@ -577,13 +586,12 @@ object Dedup {
     // bucket-capped candidate set, never n².
     "q_minhash_sim" -> ((s, d) => {
       val sh = shingles(s, d)
-      // the signature aggregate is consumed THREE times here (banding plus
-      // both sides of the estimator join) — persist it once and thread the
-      // same frame everywhere (the repo's persisted-intermediate rule:
-      // re-evaluating an expensive subtree per consumer multiplies its
-      // dominant shuffle); the tiny result is checkpointed eagerly so the
-      // persist can be released before returning
-      val sig = signatures(sh)
+      // the signature frame is consumed THREE times here (banding plus
+      // both sides of the estimator join) — with the row-local kernel it
+      // is a scan, persisted so the md5 pass runs once across consumers;
+      // the tiny result is checkpointed eagerly so the persist can be
+      // released before returning
+      val sig = signaturesOf(textCorpus(s, d))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sigA = sig.select(col("doc_id").as("a") +:
         (0 to 7).map(k => col(s"s$k").as(s"a$k")): _*)
@@ -731,7 +739,7 @@ object Dedup {
     // computed once (persisted signature subtree, as q_minhash_sim).
     "q_minhash_calibration" -> ((s, d) => {
       val sh = shingles(s, d)
-      val sig = signatures(sh)
+      val sig = signaturesOf(textCorpus(s, d))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sigA = sig.select(col("doc_id").as("a") +:
         (0 to 7).map(k => col(s"s$k").as(s"a$k")): _*)
@@ -795,9 +803,11 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val csh = shinglesOf(corpus).distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val bb = bands(signatures(bsh))
+      // bands from the row-local kernel scan; bsh/csh stay persisted for
+      // the size + intersection joins below only
+      val bb = bands(signaturesOf(novel))
         .select(col("doc_id").as("bid"), col("band"), col("bkey"))
-      val cb = bands(signatures(csh))
+      val cb = bands(signaturesOf(corpus))
         .select(col("doc_id").as("cid"), col("band"), col("bkey"))
       // cross-set candidates are a plain equi-join on the band key — no
       // in-bucket pair expansion exists here, so no bucket cap is needed:
@@ -886,7 +896,7 @@ object Dedup {
     // driver loop is control flow only (one convergence count per round) —
     // the data never leaves the cluster.
     "q_dedup_clusters" -> ((s, d) => {
-      val p = jaccardPairs(shingles(s, d))
+      val p = jaccardPairsFrom(shingles(s, d), signaturesOf(textCorpus(s, d)))
         .filter(col("jaccard") >= 0.5).select("a", "b")
       val comps = connectedComponents(p)
       // materialize the (tiny) rollup eagerly so the loop's working state
@@ -909,7 +919,7 @@ object Dedup {
     // drop count (singletons are identity keeps).
     "q_dedup_keep_best" -> ((s, d) => {
       graft.functions.TextTokenize.register(s)
-      val p = jaccardPairs(shingles(s, d))
+      val p = jaccardPairsFrom(shingles(s, d), signaturesOf(textCorpus(s, d)))
         .filter(col("jaccard") >= 0.5).select("a", "b")
       val comps = connectedComponents(p)
       val labeled = textCorpus(s, d)
@@ -947,7 +957,7 @@ object Dedup {
         val h = substring(md5(c.cast("string")), 1, 1)
         when(h < "c", "train").when(h < "e", "val").otherwise("test")
       }
-      val p = jaccardPairs(shingles(s, d))
+      val p = jaccardPairsFrom(shingles(s, d), signaturesOf(textCorpus(s, d)))
         .filter(col("jaccard") >= 0.5).select("a", "b")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val comps = connectedComponents(p)
@@ -1003,7 +1013,7 @@ object Dedup {
       // Jaccard verifier (identical subtrees → exchange reuse), since min
       // over distinct shingles equals min over the raw stream
       val sh = shinglesOf(exact).distinct()
-      val dropIds = jaccardPairs(sh)
+      val dropIds = jaccardPairsFrom(sh, signaturesOf(exact))
         .filter(col("jaccard") >= 0.5)
         .select(col("b").as("doc_id")).distinct()
       exact.join(dropIds, Seq("doc_id"), "left_anti")

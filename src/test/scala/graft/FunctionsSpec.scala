@@ -186,6 +186,46 @@ class FunctionsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
 
+  test("graft_minhash8 equals the relational min-of-md5-slice form on edge-case texts") {
+    graft.functions.TextStats.register(spark)
+    // edge cases: empty (one empty shingle), 1- and 2-word tails (concat_ws
+    // null-skip windows), heavy shingle repetition (min over multiset vs
+    // set), multibyte UTF-8, and a corpus sample
+    val texts = Seq("", "word", "two words", "a a a a a b",
+      "naïve café 中文 emoji 🦀 ok",
+      "the quick brown fox jumps over the lazy dog the end") ++
+      Tables.documents(spark, sf).limit(20)
+        .collect().map(_.getAs[String]("text")).toSeq
+    import spark.implicits._
+    val df = texts.toDF("text")
+      .selectExpr("split(text, ' ') AS w")
+    val relational = df
+      .selectExpr("explode(transform(sequence(1, greatest(size(w) - 2, 1)), " +
+        "i -> concat_ws(' ', try_element_at(w, i), try_element_at(w, i + 1), " +
+        "try_element_at(w, i + 2)))) AS shingle", "w")
+      .groupBy("w")
+      .agg(expr("concat_ws('|', " + (0 to 7).map(k =>
+        s"min(substring(md5(shingle), ${4 * k + 1}, 4))").mkString(", ") + ") AS sig"))
+    val kernel = df
+      .selectExpr("w", "graft_minhash8(w) AS s")
+      .selectExpr("w", "concat_ws('|', " +
+        (0 to 7).map(k => s"s.s$k").mkString(", ") + ") AS sig")
+    val joined = relational.as("r")
+      .join(kernel.as("k"), col("r.w") === col("k.w"))
+      .select(col("r.sig").as("rs"), col("k.sig").as("ks")).collect()
+    assert(joined.length == texts.distinct.length)
+    joined.foreach(r => assert(r.getString(0) == r.getString(1)))
+    // and the kernel must agree with itself under interpreted evaluation
+    val codegen = df.selectExpr("graft_minhash8(w).s0 AS s0")
+      .collect().map(_.getString(0))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interpreted = df.selectExpr("graft_minhash8(w).s0 AS s0")
+        .collect().map(_.getString(0))
+      assert(interpreted.sameElements(codegen))
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
   test("dot_f survives both codegen and interpreted evaluation") {
     FloatDotProduct.register(spark)
     val df = Tables.embeddings(spark, sf).limit(10)
