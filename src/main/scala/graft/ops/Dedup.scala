@@ -72,7 +72,10 @@ object Dedup {
     * is idempotent over duplicates, so the distinct's full-width shuffle is
     * pure waste there. */
   private[ops] def shinglesOf(corpus: DataFrame): DataFrame =
-    corpus
+    // fan the explode across cores when the source plans fewer tasks than
+    // slots: the shingle blow-up (~3× corpus bytes) and its md5s otherwise
+    // run on the scan's task count — one, for single-row-group testdata
+    FanOut(corpus, col("doc_id"))
       // split once per row — inside the lambda it would re-split per
       // shingle element
       .select(col("doc_id"), split(col("text"), " ").as("w"))
@@ -116,7 +119,9 @@ object Dedup {
     * the relational form, where `explode(null)` drops the row. */
   private[ops] def signaturesOf(corpus: DataFrame): DataFrame = {
     graft.functions.TextStats.register(corpus.sparkSession)
-    corpus.filter(col("text").isNotNull)
+    // the md5 pass is the stage's whole cost — fan it across cores when
+    // the source plans fewer tasks than slots (no-op at scale)
+    FanOut(corpus.filter(col("text").isNotNull), col("doc_id"))
       .select(col("doc_id"),
         expr("graft_minhash8(split(text, ' '))").as("sig"))
       .select(col("doc_id"), col("sig.*"))
@@ -431,7 +436,7 @@ object Dedup {
       // also what simhashBitSum documents). The coalesce preserves the
       // relational form's null-text behavior: every bit sum NULL → every
       // bit '0'.
-      textCorpus(s, d)
+      FanOut(textCorpus(s, d), col("doc_id"))
         .select(col("doc_id"),
           coalesce(
             expr("graft_simhash16(filter(split(text, ' '), x -> length(x) > 0))"),

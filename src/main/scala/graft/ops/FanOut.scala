@@ -1,0 +1,31 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Spread a compute-bound row-local stage across the session's cores when
+  * the upstream scan plans fewer tasks than the session has slots.
+  *
+  * Why this exists: per-row kernels (md5-per-shingle signatures, simhash
+  * folds) moved the dedup family's dominant cost out of shuffles and into
+  * the scan stage itself — and a scan stage has exactly as many tasks as
+  * the source has splits. The small-SF testdata ships one row group per
+  * file, so without this the whole md5 pass runs on ONE core of 32. At
+  * production scale the condition is false by construction — a 100 TB
+  * input plans thousands of splits, `planned >= slots`, and this is a
+  * no-op (adding a repartition there would be a catastrophic full-data
+  * shuffle for nothing). Hash-partitioning on a caller-named key keeps the
+  * exchange deterministic (round-robin would insert a per-partition sort
+  * for retry safety).
+  *
+  * Cost note: the gate reads the planned partition count off the frame's
+  * RDD lineage, which triggers file listing once per call — callers that
+  * construct the same corpus repeatedly should memoize the fanned frame
+  * (see Dedup.textCorpus).
+  */
+object FanOut {
+  def apply(df: DataFrame, key: Column): DataFrame = {
+    val slots = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= slots) df
+    else df.repartition(slots, key)
+  }
+}
