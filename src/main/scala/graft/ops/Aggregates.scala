@@ -207,6 +207,10 @@ object Aggregates {
     // ≤ 5% with rsd=0.01 ⇒ ~5σ margin), and the oracle asserts the verdict
     // is 1: a drifting sketch turns this row red instead of unverifiable.
     "q_approx_distinct" -> ((s, d) =>
+      // deliberately NOT fanned out: HLL/distinct partials are cheap
+      // enough that a raw-row exchange costs more than it buys (measured
+      // 3.0s -> 8.3s with a fan-out) — the partial aggregates ARE the
+      // data reduction here
       Tables.lineitem(s, d)
         .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx"),
           countDistinct(col("l_partkey")).as("exact_parts"))

@@ -26,7 +26,8 @@ object Analytics {
 
     // boxplot: five-number summary per group (exact percentiles).
     "q_boxplot_stats" -> ((s, d) =>
-      Tables.lineitem(s, d)
+      // see q_winsorize: exact-percentile partials want > 1 scan task
+      FanOut(Tables.lineitem(s, d), col("l_orderkey"))
         .groupBy("l_returnflag")
         .agg(min(col("l_extendedprice")).as("lo"),
           round(expr("percentile(l_extendedprice, 0.25)"), 4).as("q1"),
@@ -521,7 +522,9 @@ object Analytics {
     // clip boundary is engine-identical); clipping is row-local; the
     // per-group report is one map-side-combined aggregate.
     "q_winsorize" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
+      // exact-percentile partials build per-task value-count maps — fan the
+      // scan so they don't all fold on the scan's (often single) task
+      val li = FanOut(Tables.lineitem(s, d), col("l_orderkey"))
         .select(col("l_returnflag").as("grp"), col("l_extendedprice").as("x"))
       val cuts = li.agg(
         round(expr("percentile(x, 0.01)"), 6).as("lo"),

@@ -23,9 +23,18 @@ import org.apache.spark.sql.{Column, DataFrame}
   * (see Dedup.textCorpus).
   */
 object FanOut {
+  /** `spark.graft.fanout=false` disables the fan-out everywhere — used by
+    * plan tests to assert the at-scale plan shape (many-splits inputs make
+    * the gate a no-op, so conf-off and at-scale plans are identical). */
+  val ConfKey = "spark.graft.fanout"
+
   def apply(df: DataFrame, key: Column): DataFrame = {
-    val slots = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= slots) df
-    else df.repartition(slots, key)
+    val s = df.sparkSession
+    if (!s.conf.getOption(ConfKey).forall(_.toBoolean)) df
+    else {
+      val slots = s.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions >= slots) df
+      else df.repartition(slots, key)
+    }
   }
 }

@@ -84,7 +84,10 @@ object ScalarFuncs {
     // greatest (clip)/sin/cos. Sort key is total over the generating columns
     // (lineitem has duplicate (orderkey, linenumber) rows).
     "q_math_funcs" -> ((s, d) =>
-      Tables.lineitem(s, d)
+      // 9 round()s per row go through BigDecimal — fan the scan so the
+      // projection (evaluated twice: range sample + sort map side) does
+      // not fold on a single scan task
+      FanOut(Tables.lineitem(s, d), col("l_orderkey"))
         .select(col("l_orderkey"), col("l_linenumber"),
           round(abs(col("l_extendedprice") * -1), 2).as("abs_price"),
           round(sqrt(col("l_extendedprice")), 6).as("sqrt_price"),

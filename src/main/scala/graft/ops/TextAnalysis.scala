@@ -174,7 +174,8 @@ object TextAnalysis {
     // document fingerprinting: min-hash over rolling 4-char shingles
     // (winnowing-style rolling fingerprint, SURVEY-mandated).
     "q_fingerprint" -> ((s, d) =>
-      Tables.documents(s, d)
+      // ~length(text) md5s per row: fan the scan when it plans < slots tasks
+      FanOut(Tables.documents(s, d), col("doc_id"))
         .select(col("doc_id"),
           expr("greatest(length(text) - 3, 1)").as("n_shingles"),
           expr("array_min(transform(sequence(1, greatest(length(text) - 3, 1)), i -> md5(substring(text, i, 4))))")
@@ -196,7 +197,7 @@ object TextAnalysis {
     // scan, zero shuffles (output sort aside).
     "q_repetition" -> ((s, d) => {
       graft.functions.TextStats.register(s)
-      Tables.documents(s, d)
+      FanOut(Tables.documents(s, d), col("doc_id"))
         .select(col("doc_id"), expr(words).as("w"))
         .select(col("doc_id"),
           size(col("w")).as("n_words"),
@@ -251,7 +252,7 @@ object TextAnalysis {
     "q_quality_ensemble" -> ((s, d) => {
       graft.functions.TextTokenize.register(s)
       graft.functions.TextStats.register(s)
-      val voted = Tables.documents(s, d)
+      val voted = FanOut(Tables.documents(s, d), col("doc_id"))
         .select(col("source"),
           expr(s"size($words)").as("n_words"),
           expr(s"size(array_distinct($words))").as("n_uniq"),
@@ -539,7 +540,9 @@ object TextAnalysis {
     // their document. This form is a pure scan, zero shuffles.
     "q_ngram_entropy" -> ((s, d) => {
       graft.functions.TextStats.register(s)
-      Tables.documents(s, d)
+      // the per-doc trigram fold is the whole cost — fan it when the scan
+      // plans < slots tasks (no-op at scale, see FanOut)
+      FanOut(Tables.documents(s, d), col("doc_id"))
         .select(col("doc_id"), expr("graft_trigram_stats(text)").as("st"))
         .select(col("doc_id"),
           col("st.n_grams").as("n_grams"),

@@ -181,17 +181,30 @@ class PlanSpec extends SparkSpec {
     assert(countOccurrences(plan("q_pii_redact"), "Exchange hashpartitioning") == 0)
   }
 
-  test("q_ngram_entropy: per-doc trigram stats fold in the row — zero hash exchanges") {
+  /** Build the plan with FanOut disabled — identical to the at-scale plan,
+    * where a many-splits input makes the fan-out gate a no-op. */
+  private def planAtScale(name: String): String = {
+    spark.conf.set(ops.FanOut.ConfKey, "false")
+    try plan(name) finally spark.conf.unset(ops.FanOut.ConfKey)
+  }
+
+  test("q_ngram_entropy: per-doc trigram stats fold in the row — zero hash exchanges at scale") {
     // the relational form shuffled one row per CHARACTER of the corpus;
-    // the graft_trigram_stats kernel makes the whole query a scan
-    val p = plan("q_ngram_entropy")
+    // the graft_trigram_stats kernel makes the whole query a scan. The
+    // only exchange the local plan may add is the small-input fan-out,
+    // which is a no-op at scale — assert the scale shape with it off.
+    val p = planAtScale("q_ngram_entropy")
     assert(countOccurrences(p, "Exchange hashpartitioning") == 0,
       "trigram entropy must not shuffle gram rows")
     assert(p.contains("graft_trigram_stats"), "kernel must be in the plan")
+    // and locally the kernel pass must NOT fold on the scan's task count
+    assert(countOccurrences(plan("q_ngram_entropy"),
+      "Exchange hashpartitioning(doc_id") == 1,
+      "single-split local input should fan the kernel pass across cores")
   }
 
-  test("q_repetition: per-doc bigram max folds in the row — zero hash exchanges") {
-    val p = plan("q_repetition")
+  test("q_repetition: per-doc bigram max folds in the row — zero hash exchanges at scale") {
+    val p = planAtScale("q_repetition")
     assert(countOccurrences(p, "Exchange hashpartitioning") == 0,
       "top-bigram must not shuffle gram rows")
     assert(p.contains("graft_top_bigram_count"), "kernel must be in the plan")
