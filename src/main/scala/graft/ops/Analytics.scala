@@ -24,17 +24,27 @@ object Analytics {
         .agg(count(lit(1)).as("n"))
         .orderBy("bucket")),
 
-    // boxplot: five-number summary per group (exact percentiles).
-    "q_boxplot_stats" -> ((s, d) =>
-      // see q_winsorize: exact-percentile partials want > 1 scan task
-      FanOut(Tables.lineitem(s, d), col("l_orderkey"))
-        .groupBy("l_returnflag")
+    // boxplot: five-number summary per group. Exact quartiles via the
+    // distributed-sort path (Quantiles.exactCont) — over a continuous
+    // double, the `percentile` aggregate's value-count map is the size of
+    // the group and merges on one reducer; the sort path is parallel and
+    // bounded at any scale. Left join keeps all-null groups total, as the
+    // aggregate form did.
+    "q_boxplot_stats" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val qs = Quantiles.exactCont(li, col("l_extendedprice"),
+        Seq("l_returnflag"),
+        Seq(("q1", 0.25), ("med", 0.5), ("q3", 0.75)))
+      li.groupBy("l_returnflag")
         .agg(min(col("l_extendedprice")).as("lo"),
-          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("q1"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("med"),
-          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("q3"),
           max(col("l_extendedprice")).as("hi"))
-        .orderBy("l_returnflag")),
+        .join(broadcast(qs), Seq("l_returnflag"), "left")
+        .select(col("l_returnflag"), col("lo"),
+          round(col("q1"), 4).as("q1"),
+          round(col("med"), 4).as("med"),
+          round(col("q3"), 4).as("q3"), col("hi"))
+        .orderBy("l_returnflag")
+    }),
 
     // plot_confusion_matrix: counts by (truth, pred) pair.
     "q_confusion" -> ((s, d) =>
@@ -526,9 +536,12 @@ object Analytics {
       // scan so they don't all fold on the scan's (often single) task
       val li = FanOut(Tables.lineitem(s, d), col("l_orderkey"))
         .select(col("l_returnflag").as("grp"), col("l_extendedprice").as("x"))
-      val cuts = li.agg(
-        round(expr("percentile(x, 0.01)"), 6).as("lo"),
-        round(expr("percentile(x, 0.99)"), 6).as("hi"))
+      // global p01/p99 via the distributed-sort quantile path (see
+      // q_boxplot_stats) — the aggregate form merged a ~|data|-entry
+      // value-count map on a single reducer
+      val cuts = Quantiles.exactCont(li, col("x"), Seq.empty,
+          Seq(("lo", 0.01), ("hi", 0.99)))
+        .select(round(col("lo"), 6).as("lo"), round(col("hi"), 6).as("hi"))
       li.crossJoin(broadcast(cuts))
         .withColumn("xc", greatest(least(col("x"), col("hi")), col("lo")))
         .groupBy("grp")

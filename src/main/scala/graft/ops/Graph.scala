@@ -16,15 +16,24 @@ object Graph {
 
   private val SCALE = 10000000L // ranks carried as fixed-point 1e-7 units
 
+  /** Distinct (customer, supplier) co-purchase pairs — the shared edge
+    * list of the whole graph family. The lineitem side fans out first
+    * (gated, no-op at scale) so the broadcast join and the distinct's
+    * partial aggregate parallelize instead of folding on the scan's task
+    * count. */
+  private def custSuppPairs(s: SparkSession, d: String) =
+    Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      .join(FanOut(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+          col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+      .distinct()
+
   /** The purchase graph: one undirected edge per DISTINCT
     * (customer, supplier) pair that shares an order line, run as two
     * directed edges. Node ids are 'c<custkey>' / 's<suppkey>'. */
   private def purchaseEdges(s: SparkSession, d: String) = {
-    val e0 = Tables.orders(s, d).select("o_orderkey", "o_custkey")
-      .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
-        col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
-      .distinct()
+    val e0 = custSuppPairs(s, d)
     e0.select(concat(lit("c"), col("c")).as("src"),
         concat(lit("s"), col("sk")).as("dst"))
       .union(e0.select(concat(lit("s"), col("sk")).as("src"),
@@ -90,11 +99,7 @@ object Graph {
     // Scores are sums of exact micro-Jaccard INTEGERS divided once at the
     // end, so values and rank order are engine-deterministic.
     "q_recommend" -> ((s, d) => {
-      val e0 = Tables.orders(s, d).select("o_orderkey", "o_custkey")
-        .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
-        .distinct()
+      val e0 = custSuppPairs(s, d)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val deg = e0.groupBy("sk").agg(count(lit(1)).as("deg"))
       val half = e0.select(col("c"), col("sk").as("s1"))
@@ -154,11 +159,7 @@ object Graph {
       val wh = new java.io.File(new java.io.File(sys.props("java.io.tmpdir")),
         s"graft_rec_idx_$tag").getAbsolutePath
       val idxTbl = s"graft_rec_sims_$tag"
-      val e0 = Tables.orders(s, d).select("o_orderkey", "o_custkey")
-        .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
-        .distinct()
+      val e0 = custSuppPairs(s, d)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val deg = e0.groupBy("sk").agg(count(lit(1)).as("deg"))
       val half = e0.select(col("c"), col("sk").as("s1"))
@@ -220,11 +221,7 @@ object Graph {
     // the canonical a<b<c wedge-close join — the MapReduce triangle
     // algorithm — touches ≤ 25 wedges per node. Exact integers.
     "q_triangles" -> ((s, d) => {
-      val e0 = Tables.orders(s, d).select("o_orderkey", "o_custkey")
-        .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
-        .distinct()
+      val e0 = custSuppPairs(s, d)
       val pairs = e0.select(col("c"), col("sk").as("s1"))
         .join(e0.select(col("c"), col("sk").as("s2")), Seq("c"))
         .filter(col("s1") < col("s2"))
@@ -259,11 +256,7 @@ object Graph {
     // degrees broadcast back onto the bounded pair table; Jaccard is
     // exact-integer set algebra over distinct counts, rounded 6 dp.
     "q_copurchase_sim" -> ((s, d) => {
-      val e0 = Tables.orders(s, d).select("o_orderkey", "o_custkey")
-        .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
-        .distinct()
+      val e0 = custSuppPairs(s, d)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val deg = e0.groupBy("sk").agg(count(lit(1)).as("deg"))
       val pairs = e0.select(col("c"), col("sk").as("s1"))

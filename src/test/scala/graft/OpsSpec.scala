@@ -1255,6 +1255,41 @@ class OpsSpec extends SparkSpec {
     assert(q("q_qcut").limit(1).collect().nonEmpty)
   }
 
+  test("Quantiles.exactCont matches the percentile aggregate on edge cases") {
+    import spark.implicits._
+    val ps = Seq(("q1", 0.25), ("med", 0.5), ("q3", 0.75))
+    // grouped: corpus sample (ties galore in l_quantity), every group
+    val li = Tables.lineitem(spark, sf)
+    val sortPath = ops.Quantiles.exactCont(li, col("l_quantity"),
+        Seq("l_returnflag"), ps)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val aggPath = li.groupBy("l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.25)").as("q1"),
+        expr("percentile(l_quantity, 0.5)").as("med"),
+        expr("percentile(l_quantity, 0.75)").as("q3"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(sortPath.keySet == aggPath.keySet)
+    for ((k, (a1, a2, a3)) <- aggPath; (b1, b2, b3) = sortPath(k)) {
+      assert(math.abs(a1 - b1) < 1e-9 && math.abs(a2 - b2) < 1e-9 &&
+        math.abs(a3 - b3) < 1e-9, s"group $k: $aggPath vs $sortPath")
+    }
+    // degenerate shapes: n=1 group, nulls skipped, all-null group absent,
+    // empty input -> one NULL row in the global form
+    val tiny = Seq(("a", Some(5.0)), ("b", Some(1.0)), ("b", None),
+      ("b", Some(3.0)), ("c", None)).toDF("g", "v")
+    val t = ops.Quantiles.exactCont(tiny, col("v"), Seq("g"),
+        Seq(("med", 0.5))).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(t == Map("a" -> 5.0, "b" -> 2.0), s"got $t") // c: all null, absent
+    val empty = ops.Quantiles.exactCont(
+      tiny.filter(lit(false)), col("v"), Seq.empty, Seq(("med", 0.5)))
+      .collect()
+    assert(empty.length == 1 && empty.head.isNullAt(0),
+      "global form stays total on empty input")
+  }
+
   test("embedding centroids cover every (label, dim) cell with all vectors") {
     val rows = q("q_embed_centroids").collect()
     val labels = Tables.embeddings(spark, sf)
