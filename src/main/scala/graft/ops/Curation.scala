@@ -371,7 +371,7 @@ object Curation {
     // verdicts are data-dependent computations, not assumptions — a broken
     // hash contract or a drifting bloom implementation turns this row red.
     "q_contamination_bloom" -> ((s, d) => {
-      val sh = Tables.documents(s, d)
+      val sh = FanOut(Tables.documents(s, d), col("doc_id"))
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .select(col("doc_id"),
           expr("explode(transform(sequence(1, greatest(size(w) - 2, 1)), " +
@@ -462,6 +462,10 @@ object Curation {
     // instead of routing the corpus through one task, and the vocabulary
     // size joins as a 1-row broadcast.
     "q_bigram_lm" -> ((s, d) => {
+      // deliberately NOT fanned out: all four consumers immediately
+      // partial-aggregate, so their groupBys ARE the data reduction and a
+      // raw-doc exchange per consumer costs more than the parallel explode
+      // buys (measured 2.1s -> 3.9s fanned)
       val toks = Tables.documents(s, d).select(col("doc_id"),
         expr("filter(split(text, ' '), x -> length(x) > 0)").as("l"))
       val big = toks.filter(size(col("l")) >= 2).select(col("doc_id"),

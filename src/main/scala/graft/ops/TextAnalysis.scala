@@ -337,7 +337,10 @@ object TextAnalysis {
     // the doc's own span count — both windows and the island aggregate
     // share ONE doc_id shuffle, nothing global.
     "q_span_merge" -> ((s, d) => {
-      val spans = Tables.documents(s, d)
+      // fan the span explode (8-word windows per position) off the scan's
+      // task count; the doc_id fan-out partitioning is the SAME
+      // distribution the island windows need, so they ride it for free
+      val spans = FanOut(Tables.documents(s, d), col("doc_id"))
         .select(col("doc_id"), expr(words).as("w"))
         .filter(size(col("w")) >= 8)
         .select(col("doc_id"), posexplode(expr(

@@ -370,12 +370,16 @@ class PlanSpec extends SparkSpec {
       s"one user_id shuffle only:\n$pa")
   }
 
-  test("q_span_merge: both island windows ride one doc_id shuffle") {
-    val p = plan("q_span_merge")
+  test("q_span_merge: both island windows ride one doc_id shuffle at scale") {
+    val p = planAtScale("q_span_merge")
     assert(countOccurrences(p, "Exchange hashpartitioning(doc_id") == 1,
       s"prev-end + island windows and the island aggregate must share a " +
         s"single doc_id exchange:\n$p")
     assert(countOccurrences(p, "Window") == 2)
+    // locally the span explode also gets the small-input fan-out (one
+    // extra doc_id exchange), which the at-scale gate removes
+    assert(countOccurrences(plan("q_span_merge"),
+      "Exchange hashpartitioning(doc_id") <= 2)
   }
 
   test("q_pagerank: bounded top-k head, no windows, BSP join-agg iterations") {
