@@ -28,12 +28,25 @@ object FanOut {
     * the gate a no-op, so conf-off and at-scale plans are identical). */
   val ConfKey = "spark.graft.fanout"
 
+  /** Upper bound (bytes, plan-estimated) on inputs worth fanning. The
+    * fan-out pays one full extra pass over the data; it only wins while
+    * that pass is trivially cheap next to single-task compute. Past this
+    * size, file coalescing may still plan fewer tasks than slots, but the
+    * residual under-parallelism is bounded by maxPartitionBytes-sized
+    * tasks — measured at 60× (~600 MB, 5 planned tasks) the shuffle costs
+    * as much as the extra cores buy. */
+  val MaxBytesKey = "spark.graft.fanout.maxBytes"
+  val DefaultMaxBytes: Long = 256L << 20
+
   def apply(df: DataFrame, key: Column): DataFrame = {
     val s = df.sparkSession
     if (!s.conf.getOption(ConfKey).forall(_.toBoolean)) df
     else {
+      val maxBytes = s.conf.getOption(MaxBytesKey)
+        .map(_.toLong).getOrElse(DefaultMaxBytes)
       val slots = s.sparkContext.defaultParallelism
-      if (df.rdd.getNumPartitions >= slots) df
+      if (df.queryExecution.optimizedPlan.stats.sizeInBytes > maxBytes) df
+      else if (df.rdd.getNumPartitions >= slots) df
       else df.repartition(slots, key)
     }
   }
