@@ -30,13 +30,14 @@ object FanOut {
 
   /** Upper bound (bytes, plan-estimated) on inputs worth fanning. The
     * fan-out pays one full extra pass over the data; it only wins while
-    * that pass is trivially cheap next to single-task compute. Past this
-    * size, file coalescing may still plan fewer tasks than slots, but the
-    * residual under-parallelism is bounded by maxPartitionBytes-sized
-    * tasks — measured at 60× (~600 MB, 5 planned tasks) the shuffle costs
-    * as much as the extra cores buy. */
+    * that pass is trivially cheap next to single-task compute. The
+    * estimate for a file scan is COMPRESSED bytes and text decompresses
+    * ~10×, so the default is deliberately conservative: a 60× rehearsal
+    * corpus (~50 MB compressed, ~400 MB row bytes) measured 20-30% SLOWER
+    * fanned — its downstream shuffles already dominate and the extra pass
+    * is pure cost — while the small-SF bench inputs (≤ ~11 MB) all win. */
   val MaxBytesKey = "spark.graft.fanout.maxBytes"
-  val DefaultMaxBytes: Long = 256L << 20
+  val DefaultMaxBytes: Long = 32L << 20
 
   def apply(df: DataFrame, key: Column): DataFrame = {
     val s = df.sparkSession

@@ -56,7 +56,15 @@ object Graph {
     "q_pagerank" -> ((s, d) => {
       val edges = purchaseEdges(s, d)
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      // repartition BY src before persisting: the degree join broadcasts
+      // (deg is dimension-sized), so without this the cached edge list
+      // carries scan partitioning and every iteration re-shuffles it —
+      // the explicit hash partitioning survives the cache
+      // (InMemoryTableScan preserves outputPartitioning), so iterations
+      // shuffle only the small (node, rank) table, which is the actual
+      // "edges never move" contract claimed above
       val withDeg = edges.join(deg, "src")
+        .repartition(col("src"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       var ranks = deg.select(col("src").as("node"), lit(SCALE).as("pr"))
       // damping intermediate in DECIMAL(38,0) (oracle: DuckDB HUGEINT):
