@@ -234,6 +234,19 @@ object ScaleRehearsal {
           Tables.embeddings(spark, d), "vec_id", "embedding")
           .count(): Unit
       },
+      // SemDeDup under auto-k (k ≈ √n): assignment n·k + within-cluster
+      // verification n·(n/k) makes the method Θ(n^1.5) — expect a ratio
+      // near mult^1.5/mult (≈7.7 at 60×), NOT linear. Published next to
+      // embed_dedup_auto deliberately: same near-dup goal, linear LSH vs
+      // exact-within-cluster semantic clusters — the rehearsal measures
+      // the price of the quality-motivated method so the choice between
+      // semDedup and embeddingNearDup at 100 TB is a measured trade, not
+      // a guess.
+      "semdedup" -> { d: String =>
+        ops.Similarity.semDedup(
+          Tables.embeddings(spark, d), "vec_id", "embedding")
+          .count(): Unit
+      },
       // CCNet-style duplicated-block strip: inventory aggregate + one
       // per-occurrence equi-join — NO pair expansion, so the planted
       // 600-member family costs 600 joined rows, not 600² pairs

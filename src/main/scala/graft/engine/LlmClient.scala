@@ -105,6 +105,69 @@ final class HttpLlm(
   }
 }
 
+/** Local-subprocess backend: pipes the prompt to a CLI binary's stdin and
+  * returns its stdout — the serverless analog of the reference's LlamaCpp
+  * branch (/root/reference/polarsai/__init__.py:183-188, dead code there),
+  * for hosts that run `llama-cli` / a wrapper script directly instead of a
+  * /chat/completions server (which HttpLlm already covers).
+  *
+  * One process per predict() call: completions are stateless in the ask
+  * loop, and process spawn cost (~ms) is noise next to model inference.
+  * The prompt travels on stdin, never argv — argv leaks into `ps` output
+  * and has platform length limits; stdin has neither problem.
+  */
+final class ProcessLlm(
+    command: Seq[String],
+    timeoutSec: Long = 300,
+    extraEnv: Map[String, String] = Map.empty) extends LlmClient {
+
+  require(command.nonEmpty, "ProcessLlm needs a command to run")
+
+  override def name: String = s"ProcessLlm(${command.head})"
+
+  override def predict(prompt: String): String = {
+    val pb = new ProcessBuilder(command: _*)
+    extraEnv.foreach { case (k, v) => pb.environment().put(k, v) }
+    val proc = pb.start()
+    // Drain stdout/stderr on separate threads BEFORE waitFor: a model that
+    // writes more than the ~64 KiB pipe buffer would otherwise deadlock
+    // against our un-read pipe while we wait for it to exit.
+    val out = readerThread(proc.getInputStream)
+    val err = readerThread(proc.getErrorStream)
+    try {
+      proc.getOutputStream.write(prompt.getBytes("UTF-8"))
+      proc.getOutputStream.close()
+    } catch {
+      // A command that exits without reading stdin (or fails to launch its
+      // model) closes the pipe early; the exit-code check below gives the
+      // better diagnostic, so don't fail on the broken pipe itself.
+      case _: java.io.IOException => ()
+    }
+    val finished = proc.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+    if (!finished) {
+      proc.destroyForcibly()
+      throw new RuntimeException(
+        s"ProcessLlm timed out after ${timeoutSec}s: ${command.head}")
+    }
+    val stdout = out.get()
+    if (proc.exitValue() != 0)
+      throw new RuntimeException(
+        s"ProcessLlm exit ${proc.exitValue()} from ${command.head}: " +
+          err.get().take(500))
+    stdout
+  }
+
+  private def readerThread(
+      in: java.io.InputStream): java.util.concurrent.Future[String] = {
+    val task = new java.util.concurrent.FutureTask[String](() =>
+      new String(in.readAllBytes(), "UTF-8"))
+    val t = new Thread(task, "graft-processllm-reader")
+    t.setDaemon(true)
+    t.start()
+    task
+  }
+}
+
 /** Deterministic stub: replays `responses` in order (sticking on the last
   * one), records every prompt — the test seam for the whole engine.
   * Mirrors FakeLLM semantics (llm/deprecated/fake.py:9-24). */

@@ -1063,6 +1063,120 @@ object Dedup {
         .localCheckpoint(true)
       org.apache.spark.sql.graftshim.GraftDataset.freeLocalCheckpoint(comps)
       out
+    }),
+
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the corpus
+    // with learned k-means centroids, then prune within-cluster cosine
+    // near-duplicates — the third embedding-dedup strategy next to
+    // multi-probe LSH (q_dedup_embedding) and exact-hash. Scale shape:
+    // the fit runs on the RAW table and is memoized driver-side
+    // (Similarity.fittedCentroids, shared with q_ann_ivf_kmeans — the
+    // published practice fits on a sample); assignment is a broadcast
+    // argmin (one narrow shuffle); pair formation is WITHIN clusters only
+    // (k scales ∝ n/occupancy at 100 TB, keeping per-cluster quadratic
+    // verification constant — same knob as the LSH auto-width). Keep
+    // policy = keep-min-id: a vector is dropped iff a smaller-id vector
+    // ≥ τ cosine shares its cluster, which makes the kept set provably
+    // τ-clean within every cluster.
+    //
+    // k-means assignments aren't reproducible in SQL, so like
+    // q_ann_ivf_kmeans this is a SELF-VERDICT query: the oracle pins the
+    // exactly-predictable facts — corpus size; the ×2-scaled family
+    // (+100000) has cosine EXACTLY 1 with its source and identical
+    // rounded csim to every centroid (scaling by 2 is exact in IEEE
+    // binary fp and cancels in the cosine), so each scaled copy provably
+    // lands in its source's cluster and MUST be dropped — plus verdicts:
+    // kept/dropped partition the corpus, the kept set has no ≥ τ
+    // within-cluster pair (recomputed from the kept frame, catching any
+    // drop-set derivation bug), and recall on the perturbed family
+    // (+200000 — these CAN legitimately straddle a centroid boundary)
+    // clears a 0.7 floor.
+    "q_semdedup" -> ((s, d) => {
+      val tau = 0.95
+      val corpus = embCorpus(s, d).filter(col("embedding").isNotNull)
+      val n = corpus.withColumn("nrm",
+        expr("sqrt(dot_f(embedding, embedding))"))
+      val raw = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          expr("sqrt(dot_f(embedding, embedding))").as("nrm"))
+      val kcents = Similarity.fittedCentroidFrame(s, d, raw)
+      val assigned = Similarity.ivfAssign(n, kcents, "vec_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def sides(df: DataFrame, tag: String) = df.select(
+        col("cid"), col("vec_id").as(tag), col("embedding").as(s"e$tag"),
+        col("nrm").as(s"n$tag"))
+      val dropped = sides(assigned, "a")
+        .join(sides(assigned, "b"), Seq("cid"))
+        .filter(col("a") < col("b"))
+        .filter(expr("dot_f(ea, eb)") / (col("na") * col("nb")) >= tau)
+        .select(col("b").as("vec_id")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val kept = assigned.join(dropped, Seq("vec_id"), "left_anti")
+      // independent recompute over the KEPT frame only — not the pair set
+      // the drop decision came from
+      val keptDirty = sides(kept, "a").join(sides(kept, "b"), Seq("cid"))
+        .filter(col("a") < col("b"))
+        .filter(expr("dot_f(ea, eb)") / (col("na") * col("nb")) >= tau)
+        .agg(count(lit(1)).as("n_dirty"))
+      val counts = assigned.agg(
+        count(lit(1)).as("n_corpus"),
+        sum((col("vec_id") >= 100000 && col("vec_id") < 200000).cast("long"))
+          .as("n_scaled"),
+        sum((col("vec_id") >= 200000).cast("long")).as("n_perturbed"))
+      val dropStats = assigned.join(dropped, Seq("vec_id")).agg(
+        count(lit(1)).as("n_dropped"),
+        sum((col("vec_id") >= 100000 && col("vec_id") < 200000).cast("long"))
+          .as("n_scaled_dropped"),
+        sum((col("vec_id") >= 200000).cast("long")).as("n_perturbed_dropped"))
+      val keptCount = kept.agg(count(lit(1)).as("n_kept"))
+      val out = counts.crossJoin(dropStats).crossJoin(keptCount)
+        .crossJoin(keptDirty)
+        .select(col("n_corpus"),
+          coalesce(col("n_scaled"), lit(0L)).as("n_scaled"),
+          coalesce(col("n_scaled_dropped"), lit(0L)).as("n_scaled_dropped"),
+          (col("n_kept") + col("n_dropped") === col("n_corpus"))
+            .cast("int").as("partition_ok"),
+          (col("n_dirty") === 0).cast("int").as("kept_clean"),
+          // vacuously passing on a corpus with no perturbed family
+          (when(coalesce(col("n_perturbed"), lit(0L)) > 0,
+            col("n_perturbed_dropped").cast("double") / col("n_perturbed"))
+            .otherwise(1d) >= 0.7).cast("int").as("perturbed_recall_floor"))
+        .localCheckpoint(true)
+      dropped.unpersist(blocking = false)
+      assigned.unpersist(blocking = false)
+      out
+    }),
+
+    // Which sources duplicate each other — the crawl-triage view a
+    // curation run reads before choosing dedup ORDER (dedup the pair with
+    // the biggest overlap first): MinHash-banded candidates, exact
+    // shingle-Jaccard verification at 0.5, each verified pair mapped to
+    // its unordered (source, source) cell. Everything upstream is the
+    // memoized shingle/signature machinery shared with q_dedup_ngram;
+    // the add-on is two broadcast-sized dimension joins and one narrow
+    // aggregate. max_jaccard (not avg) keeps cross-engine float parity
+    // order-free.
+    "q_dedup_cross_source" -> ((s, d) => {
+      val verified = jaccardPairsFrom(shingles(s, d),
+          signaturesOf(textCorpus(s, d)))
+        .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+      val doc = Tables.documents(s, d)
+      // coalesce: a NULL source would otherwise group/sort differently
+      // across engines (Spark NULLS FIRST vs DuckDB NULLS LAST)
+      val srcmap = doc.select(col("doc_id"),
+          coalesce(col("source"), lit("unknown")).as("source"))
+        .unionByName(doc.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            lit("mutated").as("source")))
+      verified
+        .join(srcmap.select(col("doc_id").as("a"), col("source").as("sa")), "a")
+        .join(srcmap.select(col("doc_id").as("b"), col("source").as("sb")), "b")
+        .groupBy(least(col("sa"), col("sb")).as("src_lo"),
+          greatest(col("sa"), col("sb")).as("src_hi"))
+        .agg(count(lit(1)).as("n_pairs"),
+          max(col("jaccard")).as("max_jaccard"))
+        .orderBy("src_lo", "src_hi")
     })
   )
 
@@ -1073,7 +1187,12 @@ object Dedup {
     * the multi-probe signature equi-join; exact cosine (codegen'd dot_f)
     * within buckets only. Shared by the pair query and the semantic
     * clustering query. */
-  private def embeddingPairs(s: SparkSession, d: String): DataFrame = {
+  /** The planted embedding corpus (vec_id, embedding): the embeddings
+    * table plus the two near-dup families — ×2 scalings (+100000,
+    * cosine-exactly-1 with their source) and hyperplane-0 reflections
+    * (+200000, cos ≥ 0.99 with their source). Shared by the LSH pair
+    * queries and q_semdedup. */
+  private def embCorpus(s: SparkSession, d: String): DataFrame = {
     graft.functions.FloatDotProduct.register(s)
     val e = Tables.embeddings(s, d)
     val scaled = e.filter(col("vec_id") % 10 === 0)
@@ -1085,9 +1204,12 @@ object Dedup {
         expr("zip_with(embedding, " + Similarity.planeLit(0, "spark") +
           ", (x, h) -> CAST(CAST(x AS DOUBLE) - d0 * 1.05 / 64 * h AS FLOAT))")
           .as("embedding"))
-    val corpus = e.select(col("vec_id"), col("embedding"))
+    e.select(col("vec_id"), col("embedding"))
       .unionByName(scaled).unionByName(perturbed)
-    val n = corpus.select(col("vec_id"), col("embedding"),
+  }
+
+  private def embeddingPairs(s: SparkSession, d: String): DataFrame = {
+    val n = embCorpus(s, d).select(col("vec_id"), col("embedding"),
       expr("sqrt(dot_f(embedding, embedding))").as("nrm"),
       expr(Similarity.sigExpr("spark")).as("sig"))
     val left = n.select(col("vec_id").as("a"), col("embedding").as("ea"),
@@ -1108,6 +1230,35 @@ object Dedup {
         "GROUP BY md5(text) ORDER BY doc_id"),
     "q_dedup_minhash" ->
       (s"$duckChain SELECT a, b FROM pairs ORDER BY a, b"),
+    // Self-verdict oracle (k-means isn't SQL-reproducible — see the Spark
+    // side's rationale): pins corpus size, the provably-droppable scaled
+    // family (every ×2 copy shares its source's cluster and must fall to
+    // the keep-min policy), and the three verdict booleans.
+    "q_semdedup" ->
+      (s"WITH $duckEmbCorpus " +
+        "SELECT (SELECT count(*) FROM corpus0 WHERE embedding IS NOT NULL) AS n_corpus, " +
+        "(SELECT count(*) FROM embeddings WHERE embedding IS NOT NULL AND vec_id % 10 = 0) AS n_scaled, " +
+        "(SELECT count(*) FROM embeddings WHERE embedding IS NOT NULL AND vec_id % 10 = 0) AS n_scaled_dropped, " +
+        "1 AS partition_ok, 1 AS kept_clean, 1 AS perturbed_recall_floor"),
+    "q_dedup_cross_source" ->
+      (s"$duckChain, " +
+        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+        "inter AS (SELECT p.a, p.b, count(*) AS ni FROM pairs p " +
+        "JOIN sh sa ON sa.doc_id = p.a " +
+        "JOIN sh sb ON sb.doc_id = p.b AND sb.shingle = sa.shingle " +
+        "GROUP BY p.a, p.b), " +
+        "jac AS (SELECT i.a, i.b, round(CAST(ni AS DOUBLE) / (za.n + zb.n - ni), 4) AS jaccard " +
+        "FROM inter i JOIN sizes za ON za.doc_id = i.a JOIN sizes zb ON zb.doc_id = i.b " +
+        "WHERE round(CAST(ni AS DOUBLE) / (za.n + zb.n - ni), 4) >= 0.5), " +
+        "srcmap AS (SELECT doc_id, coalesce(source, 'unknown') AS source FROM documents " +
+        "UNION ALL SELECT doc_id + 100000 AS doc_id, 'mutated' AS source " +
+        "FROM documents WHERE doc_id % 10 = 0) " +
+        "SELECT least(sa.source, sb.source) AS src_lo, " +
+        "greatest(sa.source, sb.source) AS src_hi, " +
+        "count(*) AS n_pairs, max(j.jaccard) AS max_jaccard " +
+        "FROM jac j JOIN srcmap sa ON sa.doc_id = j.a " +
+        "JOIN srcmap sb ON sb.doc_id = j.b " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
     "q_dedup_editdist" ->
       (s"$duckChain SELECT p.a, p.b, " +
         "CAST(levenshtein(ca.text, cb.text) AS INTEGER) AS edit_dist, " +
@@ -1399,7 +1550,8 @@ object Dedup {
   )
 
   /** DuckDB mirror of [[embeddingPairs]], ending in a `vp(a, b, cos)` CTE. */
-  private lazy val duckEmbedChain =
+  /** DuckDB mirror of [[embCorpus]] (pert0 + corpus0 CTEs). */
+  private lazy val duckEmbCorpus =
     "pert0 AS (SELECT vec_id, embedding, " +
       s"${Similarity.dotPlane(0, "duck")} AS d0 " +
       "FROM embeddings WHERE vec_id % 10 = 5), " +
@@ -1409,7 +1561,10 @@ object Dedup {
       "SELECT vec_id + 200000 AS vec_id, " +
       s"list_transform(list_zip(embedding, ${Similarity.planeLit(0, "duck")}), " +
       "p -> CAST(CAST(p[1] AS DOUBLE) - d0 * 1.05 / 64 * p[2] AS FLOAT)) AS embedding " +
-      "FROM pert0), " +
+      "FROM pert0)"
+
+  private lazy val duckEmbedChain =
+    s"$duckEmbCorpus, " +
       "n AS (SELECT vec_id, embedding, " +
       "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm, " +
       s"${Similarity.sigExpr("duck")} AS sig FROM corpus0), " +

@@ -129,7 +129,7 @@ object Similarity {
     * argmin as a map-side-combined min(struct) aggregate (-csim sorts
     * descending, cid breaks ties ascending): no sort, no window, one
     * narrow shuffle keyed by vector id. */
-  private def ivfAssign(df: DataFrame, cents: DataFrame,
+  private[ops] def ivfAssign(df: DataFrame, cents: DataFrame,
       idCol: String): DataFrame =
     df.crossJoin(broadcast(cents))
       .withColumn("csim",
@@ -139,6 +139,62 @@ object Similarity {
         col("embedding"), col("nrm"))).as("m"))
       .select(col(idCol), col("m.embedding").as("embedding"),
         col("m.nrm").as("nrm"), col("m.cid").as("cid"))
+
+  /** Learned coarse centroids, shared by q_ann_ivf_kmeans and q_semdedup.
+    * The fit dominates its first caller (~3 s at sf0.1) and is
+    * deterministic (fixed seed, same corpus), so long-lived sessions
+    * memoize the k driver-side center arrays per (session, sfDir) — every
+    * later caller pays only a LocalTableScan to rebuild the 16-row frame.
+    * `nrm` is expected on `n` (the [[normed]] shape). SemDeDup-style
+    * consumers fitting on the RAW table while assigning a derived corpus
+    * is the published practice (fit on a sample, assign everything). */
+  private[ops] def fittedCentroids(s: SparkSession, d: String,
+      n: DataFrame): Seq[(Long, Array[Float])] =
+    centroidCache.getOrElseUpdate((s, d), fitCentroidsOn(n, 16))
+
+  /** The k-means fit core: `n` in the [[normed]] (embedding, nrm) shape.
+    * Spherical fit (vectors pre-divided by their norm) with a fixed seed. */
+  private def fitCentroidsOn(n: DataFrame, k: Int): Seq[(Long, Array[Float])] = {
+    import org.apache.spark.ml.clustering.KMeans
+    val feats = n
+      // null embeddings carry no geometry (array_to_vector NPEs) —
+      // they can be neither centroids nor assigned, drop from the fit
+      .filter(col("embedding").isNotNull)
+      .withColumn("features",
+        org.apache.spark.ml.functions.array_to_vector(
+          expr("transform(embedding, x -> CAST(CAST(x AS DOUBLE) / nrm AS FLOAT))")))
+    // KMeans cannot fit on zero rows, and k above the point count
+    // breaks the k-means|| init — cap k at the corpus size (a count
+    // over the persisted normed frame, paid once per memo fill; k
+    // stays 16 on any graded corpus). An empty corpus has no cells
+    // (and the query correctly returns no neighbors).
+    val nPts = feats.limit(k).count()
+    if (nPts == 0) Seq.empty
+    else if (nPts == 1) {
+      // spark.ml KMeans refuses k < 2; a 1-point corpus is its own
+      // (single) centroid
+      feats.select("features").collect().toSeq.zipWithIndex.map {
+        case (r, i) => (i.toLong,
+          r.getAs[org.apache.spark.ml.linalg.Vector](0)
+            .toArray.map(_.toFloat))
+      }
+    }
+    else {
+      val model = new KMeans().setK(math.min(nPts, k.toLong).toInt)
+        .setSeed(42L).setFeaturesCol("features").fit(feats)
+      model.clusterCenters.toSeq.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.toArray.map(_.toFloat)) }
+    }
+  }
+
+  /** [[fittedCentroids]] as the (cid, ec, nc) frame ivfAssign consumes. */
+  private[ops] def fittedCentroidFrame(s: SparkSession, d: String,
+      n: DataFrame): DataFrame = {
+    import s.implicits._
+    fittedCentroids(s, d, n).toDF("cid", "ec")
+      .withColumn("nc", expr("sqrt(dot_f(ec, ec))"))
+      .filter(col("nc") > 0)
+  }
 
   /** Auto-width rule: bits = max(8, floor(log2(n / 2))), capped at 24 —
     * expected bucket occupancy n/2^bits stays in [2, 4) at any corpus
@@ -186,6 +242,57 @@ object Similarity {
       .withColumn("cos", expr("dot_f(ea, eb)") / (col("na") * col("nb")))
       .filter(col("cos") >= minCos)
       .select(col("a"), col("b"), col("cos")).distinct()
+  }
+
+  /** PUBLIC API — SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
+    * k-means-cluster the corpus, prune within-cluster cosine
+    * near-duplicates under a keep-min-id policy, return the KEPT rows of
+    * `df` (rows with a null vector carry no geometry and are always
+    * kept). `idCol` must be a unique numeric key.
+    *
+    * `k` is the corpus-size knob. `k <= 0` (the default) derives
+    * k = max(16, ceil(sqrt(n/2))) from one count(*): total work =
+    * assignment (n·k dots) + within-cluster verification (n·(n/k) dots)
+    * is minimized at k ≈ √n, which is the method's TRUE complexity —
+    * Θ(n^1.5) total. That is the honest cost of exact within-cluster
+    * pairwise cosine; when a corpus needs strictly linear dedup, use
+    * [[embeddingNearDup]] (constant-occupancy LSH) instead — the
+    * rehearsal publishes both so the choice is measured, not guessed.
+    * The fit itself runs on a deterministic hash-sample of ≤ 128·k
+    * vectors (the published fit-on-a-sample practice), so fit cost never
+    * scales with the full corpus. */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 0, tau: Double = 0.95): DataFrame = {
+    val s = df.sparkSession
+    graft.functions.FloatDotProduct.register(s)
+    import s.implicits._
+    val n = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("__vid"),
+        col(vecCol).as("embedding"))
+      .withColumn("nrm", expr("sqrt(dot_f(embedding, embedding))"))
+    val total = n.count()
+    val kk = if (k > 0) k
+      else math.max(16, math.ceil(math.sqrt(total / 2.0)).toInt)
+    // deterministic fit sample: hash-mod on the id keeps the sample
+    // stable across partitionings/layouts (never rand()); stride 1 = fit
+    // on everything when the corpus is already ≤ 128·k
+    val stride = math.max(1L, total / (128L * kk))
+    val fitSet =
+      if (stride == 1L) n
+      else n.filter(pmod(xxhash64(col("__vid")), lit(stride)) === 0L)
+    val centers = fitCentroidsOn(fitSet, kk)
+    val cents = centers.toDF("cid", "ec")
+      .withColumn("nc", expr("sqrt(dot_f(ec, ec))"))
+      .filter(col("nc") > 0)
+    val assigned = ivfAssign(n, cents, "__vid")
+    def side(tag: String) = assigned.select(col("cid"),
+      col("__vid").as(tag), col("embedding").as(s"e$tag"),
+      col("nrm").as(s"n$tag"))
+    val dropped = side("a").join(side("b"), Seq("cid"))
+      .filter(col("a") < col("b"))
+      .filter(expr("dot_f(ea, eb)") / (col("na") * col("nb")) >= tau)
+      .select(col("b").as("__drop")).distinct()
+    df.join(dropped, col(idCol).cast("long") === col("__drop"), "left_anti")
   }
 
   val queries: Map[String, Q] = Map(
@@ -329,48 +436,9 @@ object Similarity {
     // floor with ~1.7x margin, and probing 2 cells never loses recall
     // vs 1 — rather than a kmeans-beats-fixed claim this data falsifies.
     "q_ann_ivf_kmeans" -> ((s, d) => {
-      import org.apache.spark.ml.clustering.KMeans
       val n = normed(s, d)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // The fit dominates the query (~3 of its 3.6 s) and is deterministic
-      // (fixed seed, same corpus), so long-lived sessions memoize it per
-      // (session, sfDir) and pay only the q_ann_ivf-floor search cost on
-      // every later call.
-      val centers = centroidCache.getOrElseUpdate((s, d), {
-        val feats = n
-          // null embeddings carry no geometry (array_to_vector NPEs) —
-          // they can be neither centroids nor assigned, drop from the fit
-          .filter(col("embedding").isNotNull)
-          .withColumn("features",
-          org.apache.spark.ml.functions.array_to_vector(
-            expr("transform(embedding, x -> CAST(CAST(x AS DOUBLE) / nrm AS FLOAT))")))
-        // KMeans cannot fit on zero rows, and k above the point count
-        // breaks the k-means|| init — cap k at the corpus size (a count
-        // over the persisted normed frame, paid once per memo fill; k
-        // stays 16 on any graded corpus). An empty corpus has no cells
-        // (and the query correctly returns no neighbors).
-        val nPts = feats.limit(16).count()
-        if (nPts == 0) Seq.empty
-        else if (nPts == 1) {
-          // spark.ml KMeans refuses k < 2; a 1-point corpus is its own
-          // (single) centroid
-          feats.select("features").collect().toSeq.zipWithIndex.map {
-            case (r, i) => (i.toLong,
-              r.getAs[org.apache.spark.ml.linalg.Vector](0)
-                .toArray.map(_.toFloat))
-          }
-        }
-        else {
-          val model = new KMeans().setK(math.min(16L, nPts).toInt)
-            .setSeed(42L).setFeaturesCol("features").fit(feats)
-          model.clusterCenters.toSeq.zipWithIndex
-            .map { case (v, i) => (i.toLong, v.toArray.map(_.toFloat)) }
-        }
-      })
-      import s.implicits._
-      val kcents = centers.toDF("cid", "ec")
-        .withColumn("nc", expr("sqrt(dot_f(ec, ec))"))
-        .filter(col("nc") > 0)
+      val kcents = fittedCentroidFrame(s, d, n)
       val qFilter = col("vec_id") < 30
       val corpus = ivfAssign(n, kcents, "vec_id")
         .select(col("vec_id").as("b"), col("embedding").as("eb"),

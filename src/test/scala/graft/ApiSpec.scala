@@ -81,6 +81,34 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("semDedup drops planted near-dups keep-min, keeps nulls and originals") {
+    // 64 well-separated base vectors (one per axis, scaled by id so norms
+    // differ) + ×2 copies of every 4th id at id+1000 + one null-vector
+    // row. Copies share their source's cluster under ANY clustering
+    // (identical direction ⇒ identical centroid scores), so keep-min must
+    // drop exactly the +1000 family.
+    val base = (0 until 64).map { i =>
+      val v = Array.fill(64)(0.01f); v(i) = 1f + i
+      (i.toLong, v)
+    }
+    val copies = base.filter(_._1 % 4 == 0)
+      .map { case (id, v) => (id + 1000L, v.map(x => x * 2f)) }
+    val rows = (base ++ copies).toDF("id", "vec")
+      .unionByName(Seq((5000L, null.asInstanceOf[Array[Float]]))
+        .toDF("id", "vec"))
+    val kept = ops.Similarity.semDedup(rows, "id", "vec", k = 8)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert((0 until 64).forall(i => kept(i.toLong)),
+      "every base vector survives (it is the min id of its family)")
+    assert(copies.forall { case (id, _) => !kept(id) },
+      s"every ×2 copy is dropped; kept=${kept.filter(_ >= 1000L)}")
+    assert(kept(5000L), "null-vector rows carry no geometry and are kept")
+    // auto-k path: same semantics without the knob
+    val keptAuto = ops.Similarity.semDedup(rows, "id", "vec")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(keptAuto == kept, "auto-k agrees with explicit k on this corpus")
+  }
+
   test("autoBits keeps bucket occupancy constant as the corpus grows") {
     import ops.Similarity.autoBits
     assert(autoBits(0L) == 8 && autoBits(550L) == 8,

@@ -621,6 +621,52 @@ class EngineSpec extends SparkSpec {
     assert(s.config.maxRetries == 3)
   }
 
+  test("ProcessLlm pipes the prompt to a local command and runs the ask loop") {
+    // Stub "model": records its stdin (proof the prompt travelled over the
+    // pipe, not argv) and answers with a fenced SQL completion.
+    val dir = java.nio.file.Files.createTempDirectory("graft_pllm")
+    val seen = dir.resolve("seen_prompt.txt")
+    val script = dir.resolve("model.sh")
+    java.nio.file.Files.write(script,
+      s"""#!/bin/sh
+         |cat > $seen
+         |printf '%s\\n' '```sql' 'SELECT CAST(sum(a) AS BIGINT) AS s FROM df' '```'
+         |""".stripMargin.getBytes("UTF-8"))
+    script.toFile.setExecutable(true)
+    val llm = new ProcessLlm(Seq(script.toString), timeoutSec = 30)
+    assert(llm.name == s"ProcessLlm($script)")
+    val ans = new GraftSession(spark, llm).ask(freshDf, "what is the sum of a?")
+    assert(ans.error.isEmpty, ans.text)
+    assert(ans.text == "15")
+    val prompt = new String(java.nio.file.Files.readAllBytes(seen), "UTF-8")
+    assert(prompt.contains("what is the sum of a?") && prompt.contains("Table `df`"))
+  }
+
+  test("ProcessLlm error envelope: exit code, timeout, big-output no-deadlock") {
+    // Non-zero exit carries the command's stderr in the exception.
+    val boom = intercept[RuntimeException] {
+      new ProcessLlm(Seq("/bin/sh", "-c", "echo model blew up >&2; exit 3"))
+        .predict("hi")
+    }
+    assert(boom.getMessage.contains("exit 3") &&
+      boom.getMessage.contains("model blew up"))
+    // A hung command is killed at the deadline, not waited on forever.
+    val slow = intercept[RuntimeException] {
+      new ProcessLlm(Seq("/bin/sh", "-c", "sleep 60"), timeoutSec = 1).predict("hi")
+    }
+    assert(slow.getMessage.contains("timed out"))
+    // Output beyond the OS pipe buffer (~64 KiB) must not deadlock: the
+    // reader threads drain stdout concurrently with waitFor.
+    val big = new ProcessLlm(
+      Seq("/bin/sh", "-c", "cat > /dev/null; head -c 200000 /dev/zero | tr '\\0' x"),
+      timeoutSec = 30).predict("hi")
+    assert(big.length == 200000 && big.forall(_ == 'x'))
+    // extraEnv reaches the child (model path / n_ctx style knobs).
+    val env = new ProcessLlm(Seq("/bin/sh", "-c", "cat > /dev/null; echo $GRAFT_MODEL"),
+      extraEnv = Map("GRAFT_MODEL" -> "tiny.gguf")).predict("hi")
+    assert(env.trim == "tiny.gguf")
+  }
+
   test("SqlExtractor handles fences, tags and bare SQL") {
     assert(SqlExtractor.extract("```sql\nSELECT 1\n```") == "SELECT 1")
     assert(SqlExtractor.extract("```\nSELECT 1\n```") == "SELECT 1")

@@ -124,6 +124,32 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.8, s"minhash recall $recall over ${planted.size} planted pairs")
   }
 
+  test("semdedup: scaled family fully dropped, kept set τ-clean") {
+    val r = q("q_semdedup").collect().head
+    val nScaled = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 10 === 0 && col("embedding").isNotNull).count()
+    assert(r.getAs[Long]("n_scaled") == nScaled)
+    // every ×2 copy shares its source's cluster (cosine-identical
+    // centroid scores) and must fall to the keep-min policy
+    assert(r.getAs[Long]("n_scaled_dropped") == nScaled)
+    assert(r.getAs[Int]("partition_ok") == 1)
+    assert(r.getAs[Int]("kept_clean") == 1)
+    assert(r.getAs[Int]("perturbed_recall_floor") == 1)
+  }
+
+  test("dedup_cross_source: mutated copies surface as cross-source dup cells") {
+    val rows = q("q_dedup_cross_source").collect()
+    // every mutated doc (first word replaced) near-dups its source doc, so
+    // ('mutated', srcX) cells must exist and carry high max_jaccard
+    val mutatedCells = rows.filter(r =>
+      r.getAs[String]("src_lo") == "mutated" || r.getAs[String]("src_hi") == "mutated")
+    assert(mutatedCells.nonEmpty, "no mutated-source dup cells found")
+    assert(mutatedCells.forall(_.getAs[Double]("max_jaccard") >= 0.5))
+    // the matrix is in unordered-cell form: src_lo <= src_hi everywhere
+    assert(rows.forall(r =>
+      r.getAs[String]("src_lo") <= r.getAs[String]("src_hi")))
+  }
+
   test("dedup_embedding: all scaled dups, some reflected dups, no false pairs") {
     val found = q("q_dedup_embedding").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -309,7 +309,8 @@ class PlanSpec extends SparkSpec {
     "q_markov_eval" -> "1-row train-mass aggregate broadcast"
     // q_contamination_bloom's 1-row verdict joins are invisible to the
     // sweep: the query localCheckpoints its single-row output eagerly, as
-    // do q_embed_pca / q_quality_classifier(_binned) / q_ann_ivf_kmeans
+    // do q_embed_pca / q_quality_classifier(_binned) / q_ann_ivf_kmeans /
+    // q_semdedup
   )
 
   test("q_cdc_apply: latest-wins is one partial+final aggregate — no window, no self-join") {
@@ -403,6 +404,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"the overlap join must never degenerate to all-pairs:\n$p")
     assert(p.contains("Generate"), "sessions must explode into hour buckets")
+  }
+
+  test("q_dedup_cross_source: banding chain + equi source joins, no pair blowup") {
+    val p = plan("q_dedup_cross_source")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the source matrix must ride the banding candidates, never all-pairs:\n$p")
   }
 
   test("sweep: no CartesianProduct anywhere; BNLJ only where justified") {
