@@ -1177,6 +1177,58 @@ object Dedup {
         .agg(count(lit(1)).as("n_pairs"),
           max(col("jaccard")).as("max_jaccard"))
         .orderBy("src_lo", "src_hi")
+    }),
+
+    // Dedup method comparison report — the rollout-decision table: what
+    // would each strategy (exact hash, MinHash+Jaccard@0.5, SimHash
+    // Hamming≤1) remove from THIS corpus, in docs and token mass? All
+    // three ride their existing memoized machinery (hash groups; banding
+    // candidates + verification; 17-probe signature join), so the report
+    // costs three drop-set joins and three 1-row aggregates on top.
+    // Uniform keep-min policy: a doc is dropped iff a smaller-id
+    // near-dup witnesses it (for exact: iff it isn't its hash group's
+    // minimum). drop_bp = basis points as exact integer division — a
+    // rounded double ratio here would sit on the Spark-HALF_UP vs
+    // DuckDB-HALF_EVEN knife edge for unlucky counts.
+    // The table is itself the argument for width scaling: at sf0.01 it
+    // reads exact 0bp / minhash@0.5 1345bp / simhash-16-bit-H≤1 8218bp —
+    // 16 bits over ~550 docs birthday-collides into over-merge, exactly
+    // the occupancy blow-up autoBits prevents on the embedding path.
+    "q_dedup_report" -> ((s, d) => {
+      graft.functions.TextTokenize.register(s)
+      val tokc = textCorpus(s, d)
+        .withColumn("tok", expr("graft_token_count(text)"))
+      val total = tokc.agg(count(lit(1)).as("n_docs"))
+      val keepIds = textCorpus(s, d)
+        .groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      val exactDropped = tokc.join(keepIds, Seq("doc_id"), "left_anti")
+      val nearIds = jaccardPairsFrom(shingles(s, d),
+          signaturesOf(textCorpus(s, d)))
+        .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("b").as("doc_id")).distinct()
+      val sigs = simhashSigs(s, d)
+      val shIds = sigs.select(col("doc_id").as("a"),
+          explode(expr(Similarity.probesExpr("simhash", "spark", 16)))
+            .as("simhash"))
+        .join(sigs.select(col("doc_id").as("b"), col("simhash")),
+          Seq("simhash"))
+        .filter(col("a") < col("b"))
+        .select(col("b").as("doc_id")).distinct()
+      def methodRow(name: String, dropped: DataFrame) =
+        dropped.agg(count(lit(1)).as("docs_dropped"),
+            coalesce(sum("tok"), lit(0L)).as("tokens_dropped"))
+          .withColumn("method", lit(name))
+      val rows = methodRow("exact", exactDropped)
+        .unionByName(methodRow("minhash", tokc.join(nearIds, Seq("doc_id"))))
+        .unionByName(methodRow("simhash", tokc.join(shIds, Seq("doc_id"))))
+      rows.crossJoin(broadcast(total))
+        .select(col("method"), col("docs_dropped"), col("tokens_dropped"),
+          when(col("n_docs") > 0,
+            expr("docs_dropped * 10000 DIV n_docs")).otherwise(lit(0L))
+            .as("drop_bp"))
+        .orderBy("method")
     })
   )
 
@@ -1259,6 +1311,33 @@ object Dedup {
         "FROM jac j JOIN srcmap sa ON sa.doc_id = j.a " +
         "JOIN srcmap sb ON sb.doc_id = j.b " +
         "GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q_dedup_report" ->
+      (s"$duckChain, $duckSimhashChain, " +
+        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+        "inter AS (SELECT p.a, p.b, count(*) AS ni FROM pairs p " +
+        "JOIN sh sa ON sa.doc_id = p.a " +
+        "JOIN sh sb ON sb.doc_id = p.b AND sb.shingle = sa.shingle " +
+        "GROUP BY p.a, p.b), " +
+        "neardrop AS (SELECT DISTINCT i.b AS doc_id FROM inter i " +
+        "JOIN sizes za ON za.doc_id = i.a JOIN sizes zb ON zb.doc_id = i.b " +
+        "WHERE round(CAST(ni AS DOUBLE) / (za.n + zb.n - ni), 4) >= 0.5), " +
+        "shdrop AS (SELECT DISTINCT s2.doc_id FROM probed p " +
+        "JOIN sigs s2 ON p.psig = s2.simhash AND p.doc_id < s2.doc_id), " +
+        "tokc AS (SELECT doc_id, CAST(len(list_filter(" +
+        "str_split_regex(text, '[^a-zA-Z0-9]+'), x -> length(x) > 0)) AS BIGINT) AS tok " +
+        "FROM corpus), " +
+        "total AS (SELECT count(*) AS n_docs FROM corpus), " +
+        "m AS (SELECT 'exact' AS method, count(*) AS docs_dropped, " +
+        "CAST(coalesce(sum(tok), 0) AS BIGINT) AS tokens_dropped FROM tokc " +
+        "WHERE doc_id NOT IN (SELECT min(doc_id) FROM corpus GROUP BY md5(text)) " +
+        "UNION ALL SELECT 'minhash', count(*), CAST(coalesce(sum(tok), 0) AS BIGINT) " +
+        "FROM tokc WHERE doc_id IN (SELECT doc_id FROM neardrop) " +
+        "UNION ALL SELECT 'simhash', count(*), CAST(coalesce(sum(tok), 0) AS BIGINT) " +
+        "FROM tokc WHERE doc_id IN (SELECT doc_id FROM shdrop)) " +
+        "SELECT m.method, m.docs_dropped, m.tokens_dropped, " +
+        "CASE WHEN t.n_docs > 0 THEN m.docs_dropped * 10000 // t.n_docs " +
+        "ELSE CAST(0 AS BIGINT) END AS drop_bp " +
+        "FROM m, total t ORDER BY method"),
     "q_dedup_editdist" ->
       (s"$duckChain SELECT p.a, p.b, " +
         "CAST(levenshtein(ca.text, cb.text) AS INTEGER) AS edit_dist, " +
@@ -1398,15 +1477,7 @@ object Dedup {
         (0 until 16).map(j => s"CASE WHEN b$j > 0 THEN '1' ELSE '0' END").mkString(" || ") +
         ") AS n_bucket FROM bits ORDER BY doc_id"),
     "q_dedup_simhash_pairs" ->
-      (s"WITH $duckCorpus, hw AS (SELECT doc_id, " +
-        "list_transform(list_filter(string_split(text, ' '), x -> length(x) > 0), w -> md5(w)) AS hs " +
-        "FROM corpus), bits AS (SELECT doc_id, " +
-        (0 until 16).map(j => s"${simhashBitSum(j, "duck")} AS b$j").mkString(", ") +
-        " FROM hw), sigs AS (SELECT doc_id, " +
-        (0 until 16).map(j => s"CASE WHEN b$j > 0 THEN '1' ELSE '0' END").mkString(" || ") +
-        " AS simhash FROM bits), " +
-        "probed AS (SELECT doc_id, simhash AS sa, " +
-        s"unnest(${Similarity.probesExpr("simhash", "duck", 16)}) AS psig FROM sigs) " +
+      (s"WITH $duckCorpus, $duckSimhashChain " +
         "SELECT p.doc_id AS a, s2.doc_id AS b, " +
         "CAST(list_sum(list_transform(generate_series(1, 16), i -> " +
         "CASE WHEN substr(p.sa, CAST(i AS INTEGER), 1) = substr(s2.simhash, CAST(i AS INTEGER), 1) THEN 0 ELSE 1 END)) AS INTEGER) AS hamming " +
@@ -1550,6 +1621,20 @@ object Dedup {
   )
 
   /** DuckDB mirror of [[embeddingPairs]], ending in a `vp(a, b, cos)` CTE. */
+  /** DuckDB mirror of the simhash signature + Hamming≤1 probe chain
+    * (hw/bits/sigs/probed CTEs over `corpus`) — shared by the pair query
+    * and the method-comparison report. */
+  private lazy val duckSimhashChain =
+    "hw AS (SELECT doc_id, " +
+      "list_transform(list_filter(string_split(text, ' '), x -> length(x) > 0), w -> md5(w)) AS hs " +
+      "FROM corpus), bits AS (SELECT doc_id, " +
+      (0 until 16).map(j => s"${simhashBitSum(j, "duck")} AS b$j").mkString(", ") +
+      " FROM hw), sigs AS (SELECT doc_id, " +
+      (0 until 16).map(j => s"CASE WHEN b$j > 0 THEN '1' ELSE '0' END").mkString(" || ") +
+      " AS simhash FROM bits), " +
+      "probed AS (SELECT doc_id, simhash AS sa, " +
+      s"unnest(${Similarity.probesExpr("simhash", "duck", 16)}) AS psig FROM sigs)"
+
   /** DuckDB mirror of [[embCorpus]] (pert0 + corpus0 CTEs). */
   private lazy val duckEmbCorpus =
     "pert0 AS (SELECT vec_id, embedding, " +

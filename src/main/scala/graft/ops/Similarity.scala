@@ -153,8 +153,10 @@ object Similarity {
     centroidCache.getOrElseUpdate((s, d), fitCentroidsOn(n, 16))
 
   /** The k-means fit core: `n` in the [[normed]] (embedding, nrm) shape.
-    * Spherical fit (vectors pre-divided by their norm) with a fixed seed. */
-  private def fitCentroidsOn(n: DataFrame, k: Int): Seq[(Long, Array[Float])] = {
+    * Spherical fit (vectors pre-divided by their norm) with a fixed seed.
+    * private[graft]: the streaming SemDeDup path fits offline through
+    * this and ships the centers into its tasks. */
+  private[graft] def fitCentroidsOn(n: DataFrame, k: Int): Seq[(Long, Array[Float])] = {
     import org.apache.spark.ml.clustering.KMeans
     val feats = n
       // null embeddings carry no geometry (array_to_vector NPEs) —

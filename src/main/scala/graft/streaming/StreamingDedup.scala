@@ -208,4 +208,119 @@ object StreamingDedup {
     embeddingPairs(
       withProbeKeys(vecs, idCol, vecCol, bits).as[ProbedVec], minCos)
   }
+
+  // ---------------------------------------------------------------------
+  // Streaming SemDeDup — the online face of ops.Similarity.semDedup:
+  // cluster against LEARNED centroids fit offline (on a historic corpus
+  // or sample — the batch fit-on-a-sample practice, taken to its ingest
+  // conclusion), keep-first-arrival within each cluster.
+  // ---------------------------------------------------------------------
+
+  /** Per-arrival admission verdict: `kept` = admitted to the corpus;
+    * dropped rows carry the minimum-id kept member that witnessed them
+    * (`witness`, with its cosine); kept rows carry witness = -1. Vectors
+    * with no geometry (null / zero-norm) land in cluster -1 and are
+    * always kept, mirroring the batch API. */
+  case class SemVerdict(vec_id: Long, cid: Long, kept: Boolean,
+    witness: Long, cos: Double)
+
+  private[graft] case class SemVec(cid: Long, vec_id: Long,
+    embedding: Seq[Float], nrm: Double)
+
+  private[graft] case class SemClusterState(
+    members: List[(Long, Seq[Float], Double)])
+
+  /** Row-local nearest-centroid assignment — k·d flops inside one typed
+    * map, so it is a stateless projection (append-mode-legal; the batch
+    * path's broadcast-argmin AGGREGATE is not). Mirrors
+    * [[graft.ops.Similarity.ivfAssign]] exactly: cosine rounded to 6 dp
+    * (HALF_UP, like Spark's round), ties to the lowest centroid id —
+    * identical vectors land in identical clusters on both paths. */
+  def assignClusters(vecs: DataFrame, centers: Seq[(Long, Array[Float])],
+      idCol: String = "vec_id", vecCol: String = "embedding"): Dataset[SemVec] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val cents = centers.map { case (cid, v) =>
+        (cid, v.toSeq, math.sqrt(dotSeq(v.toSeq, v.toSeq)))
+      }.filter(_._3 > 0).sortBy(_._1)
+    vecs.select(col(idCol).cast("long").as("_1"),
+        col(vecCol).cast("array<float>").as("_2"))
+      .as[(Long, Seq[Float])]
+      .map { case (id, emb) =>
+        val nrm = if (emb == null) 0.0 else math.sqrt(dotSeq(emb, emb))
+        if (nrm == 0 || cents.isEmpty) SemVec(-1L, id, emb, nrm)
+        else {
+          var bestCid = -1L; var bestCsim = Double.NegativeInfinity
+          for ((cid, c, nc) <- cents) {
+            val csim = BigDecimal(dotSeq(emb, c) / (nrm * nc))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            if (csim > bestCsim) { bestCsim = csim; bestCid = cid }
+          }
+          SemVec(bestCid, id, emb, nrm)
+        }
+      }
+  }
+
+  /** Stateful keep-first-arrival admission. Group = one centroid cell;
+    * state = the cell's KEPT members (id, embedding, norm), capped at
+    * `maxKept` (a cell at cap admits further arrivals without storing
+    * them — ingestion never blocks, the cap only bounds state and
+    * comparisons, same stance as the text path's hot-bucket cap). Every
+    * vector belongs to exactly one group, so each arrival gets exactly
+    * one verdict. Within a batch, rows process in ascending vec_id — on
+    * an id-ordered stream with no near-dup chains this reproduces the
+    * batch keep-min result exactly (chains differ by design: batch
+    * keep-min drops a doc witnessed by an already-dropped doc, an online
+    * admitter cannot). */
+  def semVerdicts(assigned: Dataset[SemVec], tau: Double = 0.95,
+      maxKept: Int = graft.ops.Dedup.defaultMaxBucket): Dataset[SemVerdict] = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    assigned.groupByKey(_.cid)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (cid: Long, rows: Iterator[SemVec],
+         state: GroupState[SemClusterState]) =>
+          if (cid == -1L)
+            rows.map(r => SemVerdict(r.vec_id, -1L, kept = true, -1L, 0.0))
+              .toList.iterator
+          else {
+            val old = state.getOption.map(_.members).getOrElse(Nil)
+            var fresh = List.empty[(Long, Seq[Float], Double)]
+            val out = List.newBuilder[SemVerdict]
+            for (r <- rows.toSeq.sortBy(_.vec_id)) {
+              // min-id qualifying witness for a deterministic verdict
+              val hit = (old ++ fresh).iterator
+                .map { case (mid, memb, mnrm) =>
+                  (mid, dotSeq(r.embedding, memb) / (r.nrm * mnrm))
+                }
+                .filter(_._2 >= tau)
+                .foldLeft(Option.empty[(Long, Double)]) {
+                  case (best, cand) =>
+                    if (best.forall(_._1 > cand._1)) Some(cand) else best
+                }
+              hit match {
+                case Some((wid, cos)) =>
+                  out += SemVerdict(r.vec_id, cid, kept = false, wid,
+                    BigDecimal(cos).setScale(6,
+                      BigDecimal.RoundingMode.HALF_UP).toDouble)
+                case None =>
+                  if (old.size + fresh.size < maxKept)
+                    fresh = fresh :+ ((r.vec_id, r.embedding, r.nrm))
+                  out += SemVerdict(r.vec_id, cid, kept = true, -1L, 0.0)
+              }
+            }
+            if (fresh.nonEmpty) state.update(SemClusterState(old ++ fresh))
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Convenience composition: vectors stream in, admission verdicts
+    * stream out. `centers` comes from an offline fit
+    * ([[graft.ops.Similarity.fitCentroidsOn]] on a historic corpus) —
+    * learned once, broadcast into the tasks as a few KB of closure. */
+  def semDedupStream(vecs: DataFrame, centers: Seq[(Long, Array[Float])],
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      tau: Double = 0.95): Dataset[SemVerdict] =
+    semVerdicts(assignClusters(vecs, centers, idCol, vecCol), tau)
 }

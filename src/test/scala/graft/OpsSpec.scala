@@ -150,6 +150,24 @@ class OpsSpec extends SparkSpec {
       r.getAs[String]("src_lo") <= r.getAs[String]("src_hi")))
   }
 
+  test("dedup_report: one row per method, planted near-dups measured") {
+    val rows = q("q_dedup_report").collect()
+    assert(rows.map(_.getAs[String]("method")).toSeq ==
+      Seq("exact", "minhash", "simhash"), "fixed method order")
+    val byM = rows.map(r => r.getAs[String]("method") -> r).toMap
+    // the mutated corpus plants only NEAR-dups (first word replaced), so
+    // exact-hash finds nothing while minhash@0.5 must catch some
+    assert(byM("exact").getAs[Long]("docs_dropped") == 0L)
+    assert(byM("minhash").getAs[Long]("docs_dropped") >= 1L)
+    // token mass and rate move with the doc counts
+    rows.foreach { r =>
+      val d = r.getAs[Long]("docs_dropped")
+      assert(r.getAs[Long]("tokens_dropped") >= d,
+        "every dropped doc carries at least one token in this corpus")
+      assert(r.getAs[Long]("drop_bp") >= 0L && r.getAs[Long]("drop_bp") <= 10000L)
+    }
+  }
+
   test("dedup_embedding: all scaled dups, some reflected dups, no false pairs") {
     val found = q("q_dedup_embedding").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

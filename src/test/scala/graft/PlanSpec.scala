@@ -306,7 +306,8 @@ class PlanSpec extends SparkSpec {
     "q_changepoint" -> "1-row series-total aggregate broadcast",
     "q_triangles" -> "three 1-row census aggregates cross-joined",
     "q_bm25" -> "1-row corpus-stats aggregate broadcast",
-    "q_markov_eval" -> "1-row train-mass aggregate broadcast"
+    "q_markov_eval" -> "1-row train-mass aggregate broadcast",
+    "q_dedup_report" -> "three 1-row method aggregates × 1-row corpus total"
     // q_contamination_bloom's 1-row verdict joins are invisible to the
     // sweep: the query localCheckpoints its single-row output eagerly, as
     // do q_embed_pca / q_quality_classifier(_binned) / q_ann_ivf_kmeans /

@@ -650,6 +650,70 @@ class StreamingSpec extends SparkSpec {
       "late scaled copies must pair with their batch-1 originals via state")
   }
 
+  test("streaming semdedup: offline-fit centroids admit batch-1, drop batch-2 copies") {
+    // online SemDeDup (StreamingDedup.semDedupStream): centroids are fit
+    // OFFLINE on the historic corpus (the batch fit-on-a-sample practice),
+    // then the stream admits keep-first-arrival per cluster. Batch 2
+    // brings ×2-scaled copies of batch-1 vectors — cosine-identical
+    // centroid scores land them in their source's cluster, so they can
+    // only be refused if the cluster state carries batch-1 members across
+    // the microbatch boundary.
+    import graft.streaming.StreamingDedup
+    graft.functions.FloatDotProduct.register(spark)
+    val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val late = e.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        expr("transform(embedding, x -> CAST(x * 2 AS FLOAT))").as("embedding"))
+    val centers = ops.Similarity.fitCentroidsOn(
+      e.withColumn("nrm", expr("sqrt(dot_f(embedding, embedding))")), 16)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_semdd_stream")
+    def stage(part: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_sd_$name")
+      part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dst = dir.resolve(s"$name.parquet")
+      java.nio.file.Files.copy(f, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    stage(e, "0_base", 1000000L)
+    stage(late, "1_late", 2000000L)
+
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val verdicts = StreamingDedup.semDedupStream(stream, centers)
+    val q = verdicts.toDF().writeStream.outputMode("append")
+      .format("memory").queryName("semdd_out").start()
+    try {
+      q.processAllAvailable()
+      assert(q.recentProgress.map(_.batchId).distinct.length >= 2,
+        "split input must actually produce multiple microbatches")
+    } finally q.stop()
+
+    val out = spark.table("semdd_out").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Boolean]("kept"), r.getAs[Long]("witness")))).toMap
+    val baseIds = e.select("vec_id").collect().map(_.getLong(0)).toSet
+    val copyIds = late.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(out.size == baseIds.size + copyIds.size,
+      "exactly one admission verdict per arriving vector")
+    // batch 1: isotropic random vectors carry no 0.95-cosine organic
+    // near-dups, so every base vector is admitted
+    assert(baseIds.forall(out(_)._1), "all batch-1 vectors admitted")
+    // batch 2: every ×2 copy refused, witnessed by its batch-1 source —
+    // state crossed the microbatch boundary
+    copyIds.foreach { id =>
+      assert(!out(id)._1, s"copy $id must be refused")
+      assert(out(id)._2 == id - 100000L,
+        s"copy $id must be witnessed by its source, got ${out(id)._2}")
+    }
+  }
+
   test("streaming shard sink: foreachBatch AvroIO shards reassemble the corpus") {
     // training-shards-at-ingest: documents arrive as a stream and every
     // microbatch lands as Avro container shards (graft.sources.AvroIO,
