@@ -16,6 +16,45 @@ import graft.Tables.Q
 object Analytics {
 
   val queries: Map[String, Q] = Map(
+    // Expectation-suite validation report — the data-quality gate an
+    // ingest pipeline runs before anything downstream reads the table.
+    // Scale shape: ALL row-local checks ride ONE scan (conditional sums
+    // fused into a single map-side-combined aggregate, unpivoted with
+    // stack), uniqueness is one groupBy-count aggregate, referential
+    // integrity one anti-join count — 100 TB costs three passes total,
+    // not one per check. The testdata's real (l_orderkey, l_linenumber)
+    // duplicates make pk_unique FAIL by design: the report proves
+    // detection, not just green checkmarks. NULL foreign keys count as
+    // fk violations on both engines (a null key can't reference a row).
+    "q_validate" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val rowChecks = li.agg(
+          coalesce(sum((col("l_quantity").isNotNull &&
+            (col("l_quantity") < 1 || col("l_quantity") > 50)).cast("long")),
+            lit(0L)).as("qv"),
+          coalesce(sum((col("l_discount").isNotNull &&
+            (col("l_discount") < 0 || col("l_discount") > 0.1)).cast("long")),
+            lit(0L)).as("dv"),
+          coalesce(sum((col("l_extendedprice").isNotNull &&
+            col("l_extendedprice") <= 0).cast("long")), lit(0L)).as("pv"),
+          coalesce(sum(col("l_shipdate").isNull.cast("long")), lit(0L)).as("sv"))
+        .select(expr("stack(4, 'discount_range', dv, 'price_positive', pv, " +
+          "'quantity_range', qv, 'shipdate_not_null', sv) " +
+          "AS (check_name, n_violations)"))
+      val pkDup = li.groupBy("l_orderkey", "l_linenumber")
+        .agg(count(lit(1)).as("cnt"))
+        .agg(coalesce(sum(col("cnt") - 1), lit(0L)).as("n_violations"))
+        .select(lit("pk_unique").as("check_name"), col("n_violations"))
+      val orphans = li.select("l_orderkey")
+        .join(Tables.orders(s, d).select(col("o_orderkey").as("l_orderkey")),
+          Seq("l_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("fk_orders").as("check_name"), col("n_violations"))
+      rowChecks.unionByName(pkDup).unionByName(orphans)
+        .withColumn("pass", (col("n_violations") === 0).cast("int"))
+        .orderBy("check_name")
+    }),
+
     // plot_histogram: fixed-width binning + counts.
     "q_histogram" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -1037,6 +1076,24 @@ object Analytics {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_validate" ->
+      ("WITH rc AS (SELECT " +
+        "CAST(count(*) FILTER (WHERE l_quantity IS NOT NULL AND (l_quantity < 1 OR l_quantity > 50)) AS BIGINT) AS qv, " +
+        "CAST(count(*) FILTER (WHERE l_discount IS NOT NULL AND (l_discount < 0 OR l_discount > 0.1)) AS BIGINT) AS dv, " +
+        "CAST(count(*) FILTER (WHERE l_extendedprice IS NOT NULL AND l_extendedprice <= 0) AS BIGINT) AS pv, " +
+        "CAST(count(*) FILTER (WHERE l_shipdate IS NULL) AS BIGINT) AS sv " +
+        "FROM lineitem), " +
+        "m AS (SELECT 'discount_range' AS check_name, dv AS n_violations FROM rc " +
+        "UNION ALL SELECT 'price_positive', pv FROM rc " +
+        "UNION ALL SELECT 'quantity_range', qv FROM rc " +
+        "UNION ALL SELECT 'shipdate_not_null', sv FROM rc " +
+        "UNION ALL SELECT 'pk_unique', CAST(coalesce((SELECT sum(cnt - 1) FROM " +
+        "(SELECT count(*) AS cnt FROM lineitem GROUP BY l_orderkey, l_linenumber)), 0) AS BIGINT) " +
+        "UNION ALL SELECT 'fk_orders', (SELECT count(*) FROM lineitem l " +
+        "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))) " +
+        "SELECT check_name, n_violations, " +
+        "CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INTEGER) AS pass " +
+        "FROM m ORDER BY check_name"),
     "q_quality_classifier" ->
       ("SELECT count(*) AS n_docs, " +
         "count(*) FILTER (WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c') AS n_train, " +

@@ -150,6 +150,23 @@ class OpsSpec extends SparkSpec {
       r.getAs[String]("src_lo") <= r.getAs[String]("src_hi")))
   }
 
+  test("validate: six checks, real pk duplicates caught, clean checks pass") {
+    val rows = q("q_validate").collect()
+    assert(rows.map(_.getAs[String]("check_name")).toSeq ==
+      Seq("discount_range", "fk_orders", "pk_unique", "price_positive",
+        "quantity_range", "shipdate_not_null"))
+    val byC = rows.map(r => r.getAs[String]("check_name") -> r).toMap
+    // the driver testdata carries genuine (l_orderkey, l_linenumber)
+    // duplicates — the suite must FAIL that check, not rubber-stamp it
+    assert(byC("pk_unique").getAs[Long]("n_violations") > 0L)
+    assert(byC("pk_unique").getAs[Int]("pass") == 0)
+    for (c <- Seq("discount_range", "fk_orders", "price_positive",
+        "quantity_range", "shipdate_not_null")) {
+      assert(byC(c).getAs[Long]("n_violations") == 0L, s"$c should be clean")
+      assert(byC(c).getAs[Int]("pass") == 1)
+    }
+  }
+
   test("dedup_report: one row per method, planted near-dups measured") {
     val rows = q("q_dedup_report").collect()
     assert(rows.map(_.getAs[String]("method")).toSeq ==
