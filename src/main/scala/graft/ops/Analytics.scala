@@ -15,6 +15,35 @@ import graft.Tables.Q
   */
 object Analytics {
 
+  /** PUBLIC API — declarative expectation suite on any frame: each check
+    * is (name, violation-predicate Column); the whole suite fuses into
+    * ONE conditional-sum aggregate over one scan, regardless of check
+    * count, then unpivots via stack. Returns (check_name, n_violations,
+    * pass) sorted by name. Predicates should be explicitly null-aware
+    * (a NULL predicate row counts as no violation — cast semantics). */
+  def validateExpectations(df: org.apache.spark.sql.DataFrame,
+      checks: Seq[(String, org.apache.spark.sql.Column)]): org.apache.spark.sql.DataFrame =
+    expectationCounts(df, checks)
+      .withColumn("pass", (col("n_violations") === 0).cast("int"))
+      .orderBy("check_name")
+
+  /** The fused (check_name, n_violations) core — shared by the public
+    * API and q_validate (which unions non-row-local checks in before
+    * adding the pass flag). */
+  private[ops] def expectationCounts(df: org.apache.spark.sql.DataFrame,
+      checks: Seq[(String, org.apache.spark.sql.Column)]): org.apache.spark.sql.DataFrame = {
+    require(checks.nonEmpty, "validateExpectations needs at least one check")
+    val aggs = checks.zipWithIndex.map { case ((_, cond), i) =>
+      coalesce(sum(cond.cast("long")), lit(0L)).as(s"v$i")
+    }
+    val stackArgs = checks.zipWithIndex
+      .map { case ((n, _), i) => s"'${n.replace("'", "''")}', v$i" }
+      .mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${checks.size}, $stackArgs) " +
+        "AS (check_name, n_violations)"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Expectation-suite validation report — the data-quality gate an
     // ingest pipeline runs before anything downstream reads the table.
@@ -28,19 +57,14 @@ object Analytics {
     // fk violations on both engines (a null key can't reference a row).
     "q_validate" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
-      val rowChecks = li.agg(
-          coalesce(sum((col("l_quantity").isNotNull &&
-            (col("l_quantity") < 1 || col("l_quantity") > 50)).cast("long")),
-            lit(0L)).as("qv"),
-          coalesce(sum((col("l_discount").isNotNull &&
-            (col("l_discount") < 0 || col("l_discount") > 0.1)).cast("long")),
-            lit(0L)).as("dv"),
-          coalesce(sum((col("l_extendedprice").isNotNull &&
-            col("l_extendedprice") <= 0).cast("long")), lit(0L)).as("pv"),
-          coalesce(sum(col("l_shipdate").isNull.cast("long")), lit(0L)).as("sv"))
-        .select(expr("stack(4, 'discount_range', dv, 'price_positive', pv, " +
-          "'quantity_range', qv, 'shipdate_not_null', sv) " +
-          "AS (check_name, n_violations)"))
+      val rowChecks = expectationCounts(li, Seq(
+        "discount_range" -> (col("l_discount").isNotNull &&
+          (col("l_discount") < 0 || col("l_discount") > 0.1)),
+        "price_positive" -> (col("l_extendedprice").isNotNull &&
+          col("l_extendedprice") <= 0),
+        "quantity_range" -> (col("l_quantity").isNotNull &&
+          (col("l_quantity") < 1 || col("l_quantity") > 50)),
+        "shipdate_not_null" -> col("l_shipdate").isNull))
       val pkDup = li.groupBy("l_orderkey", "l_linenumber")
         .agg(count(lit(1)).as("cnt"))
         .agg(coalesce(sum(col("cnt") - 1), lit(0L)).as("n_violations"))

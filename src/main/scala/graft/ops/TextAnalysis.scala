@@ -134,6 +134,28 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // Tokenizer fertility per language — chars-per-token is THE metric
+    // that decides tokenizer/vocab choice per language slice (a language
+    // whose fertility is 2× pays 2× the context budget for the same
+    // text). One map-side-combined aggregate at scan speed; the ratio is
+    // published in exact integer milli-units (chars·1000 DIV tokens) so
+    // parity never rides a rounded-double knife edge.
+    "q_fertility" -> ((s, d) => {
+      graft.functions.TextTokenize.register(s)
+      Tables.documents(s, d)
+        .groupBy(coalesce(col("lang"), lit("unknown")).as("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(length(col("text"))), lit(0L)).as("total_chars"),
+          coalesce(sum(expr("graft_token_count(text)")), lit(0L))
+            .as("total_tokens"))
+        .select(col("lang"), col("n_docs"), col("total_chars"),
+          col("total_tokens"),
+          when(col("total_tokens") > 0,
+            expr("total_chars * 1000 DIV total_tokens")).otherwise(lit(0L))
+            .as("cpt_milli"))
+        .orderBy("lang")
+    }),
+
     // quality scoring: length / word stats / stopword ratio / alpha ratio.
     "q_quality_score" -> ((s, d) => {
       graft.functions.TextTokenize.register(s)
@@ -809,6 +831,14 @@ object TextAnalysis {
         "FROM wc WHERE length(w) >= 2) " +
         "SELECT pair, CAST(sum(c) AS BIGINT) AS freq FROM pairs " +
         "GROUP BY pair ORDER BY freq DESC, pair ASC LIMIT 20"),
+    "q_fertility" ->
+      ("SELECT coalesce(lang, 'unknown') AS lang, count(*) AS n_docs, " +
+        "CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS total_chars, " +
+        s"CAST(coalesce(sum(len($duckToks)), 0) AS BIGINT) AS total_tokens, " +
+        s"CASE WHEN coalesce(sum(len($duckToks)), 0) > 0 " +
+        s"THEN CAST(coalesce(sum(length(text)), 0) AS BIGINT) * 1000 // CAST(sum(len($duckToks)) AS BIGINT) " +
+        "ELSE CAST(0 AS BIGINT) END AS cpt_milli " +
+        "FROM documents GROUP BY 1 ORDER BY lang"),
     "q_token_count" ->
       (s"SELECT doc_id, CAST(len($duckToks) AS INTEGER) AS n_tokens, " +
         s"CAST(len(list_distinct($duckToks)) AS INTEGER) AS n_uniq_tokens, " +

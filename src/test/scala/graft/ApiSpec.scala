@@ -81,6 +81,29 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("validateExpectations fuses arbitrary checks into one pass report") {
+    val df = Seq((1, 10.0, "a"), (2, -3.0, "b"), (3, 200.0, null),
+      (4, 5.0, "d")).toDF("id", "amount", "tag")
+    val got = ops.Analytics.validateExpectations(df, Seq(
+        "amount_nonneg" -> (col("amount").isNotNull && col("amount") < 0),
+        "amount_below_100" -> (col("amount").isNotNull && col("amount") > 100),
+        "tag_not_null" -> col("tag").isNull))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq == Seq(
+      ("amount_below_100", 1L, 0),
+      ("amount_nonneg", 1L, 0),
+      ("tag_not_null", 1L, 0)))
+    // a clean frame passes everything; empty frames are total (0, pass)
+    val clean = ops.Analytics.validateExpectations(
+        df.filter(col("id") === 1), Seq("neg" -> (col("amount") < 0)))
+      .collect().head
+    assert(clean.getLong(1) == 0L && clean.getInt(2) == 1)
+    val empty = ops.Analytics.validateExpectations(
+        df.filter(col("id") > 99), Seq("neg" -> (col("amount") < 0)))
+      .collect().head
+    assert(empty.getLong(1) == 0L && empty.getInt(2) == 1)
+  }
+
   test("semDedup drops planted near-dups keep-min, keeps nulls and originals") {
     // 64 well-separated base vectors (one per axis, scaled by id so norms
     // differ) + ×2 copies of every 4th id at id+1000 + one null-vector

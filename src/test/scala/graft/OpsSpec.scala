@@ -150,6 +150,20 @@ class OpsSpec extends SparkSpec {
       r.getAs[String]("src_lo") <= r.getAs[String]("src_hi")))
   }
 
+  test("fertility: one row per language, chars-per-token at least 1000 milli") {
+    val rows = q("q_fertility").collect()
+    val langs = Tables.documents(spark, sf)
+      .select(coalesce(col("lang"), lit("unknown"))).distinct().count()
+    assert(rows.length == langs)
+    rows.foreach { r =>
+      // a token never has more characters than its document, so fertility
+      // in milli-units is >= 1000 whenever any token exists
+      assert(r.getAs[Long]("total_tokens") > 0L)
+      assert(r.getAs[Long]("cpt_milli") >= 1000L,
+        s"${r.getAs[String]("lang")}: ${r.getAs[Long]("cpt_milli")}")
+    }
+  }
+
   test("validate: six checks, real pk duplicates caught, clean checks pass") {
     val rows = q("q_validate").collect()
     assert(rows.map(_.getAs[String]("check_name")).toSeq ==

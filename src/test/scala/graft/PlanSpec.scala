@@ -450,6 +450,18 @@ class PlanSpec extends SparkSpec {
     assert(keys == keys.sorted, "index order must follow the sort order")
   }
 
+  test("q_validate: row checks fuse into one scan; no window, no all-pairs") {
+    val p = plan("q_validate")
+    // lineitem: fused row-check aggregate + pk groupBy + fk anti-join
+    // probe; orders: fk build side — four scans for six checks, and the
+    // row-check family stays ONE scan no matter how many checks join it
+    assert(countOccurrences(p, "FileScan") == 4,
+      s"expected 4 scans (3×lineitem + 1×orders):\n$p")
+    assert(p.contains("Generate"), "stack must unpivot the fused aggregate")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q_scan_parquet/q_project: no shuffle except the output sort") {
     for (n <- Seq("q_scan_parquet", "q_project")) {
       val p = plan(n)
