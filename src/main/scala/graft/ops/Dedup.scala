@@ -1137,9 +1137,12 @@ object Dedup {
           (col("n_kept") + col("n_dropped") === col("n_corpus"))
             .cast("int").as("partition_ok"),
           (col("n_dirty") === 0).cast("int").as("kept_clean"),
-          // vacuously passing on a corpus with no perturbed family
+          // vacuously passing on a corpus with no perturbed family; the
+          // dropped-side sum is NULL (not 0) when the drop set is empty,
+          // so coalesce or the verdict itself would go NULL instead of 0
           (when(coalesce(col("n_perturbed"), lit(0L)) > 0,
-            col("n_perturbed_dropped").cast("double") / col("n_perturbed"))
+            coalesce(col("n_perturbed_dropped"), lit(0L)).cast("double")
+              / col("n_perturbed"))
             .otherwise(1d) >= 0.7).cast("int").as("perturbed_recall_floor"))
         .localCheckpoint(true)
       dropped.unpersist(blocking = false)
