@@ -129,39 +129,68 @@ final class ProcessLlm(
     val pb = new ProcessBuilder(command: _*)
     extraEnv.foreach { case (k, v) => pb.environment().put(k, v) }
     val proc = pb.start()
-    // Drain stdout/stderr on separate threads BEFORE waitFor: a model that
-    // writes more than the ~64 KiB pipe buffer would otherwise deadlock
-    // against our un-read pipe while we wait for it to exit.
-    val out = readerThread(proc.getInputStream)
-    val err = readerThread(proc.getErrorStream)
-    try {
-      proc.getOutputStream.write(prompt.getBytes("UTF-8"))
-      proc.getOutputStream.close()
-    } catch {
-      // A command that exits without reading stdin (or fails to launch its
-      // model) closes the pipe early; the exit-code check below gives the
-      // better diagnostic, so don't fail on the broken pipe itself.
-      case _: java.io.IOException => ()
-    }
+    // Drain stdout/stderr — and feed stdin — on separate threads, all
+    // BEFORE waitFor: a model that writes more than the ~64 KiB pipe
+    // buffer would deadlock against our un-read pipe, and a prompt larger
+    // than the buffer piped to a command that stalls before reading stdin
+    // would block OUR thread on write() and never reach the timed waitFor.
+    // On timeout the child is SIGKILLed via its handle; the broken pipes
+    // then unblock all three (daemon) pipe threads.
+    val out = pipeThread("stdout-reader",
+      () => new String(proc.getInputStream.readAllBytes(), "UTF-8"))
+    val err = pipeThread("stderr-reader",
+      () => new String(proc.getErrorStream.readAllBytes(), "UTF-8"))
+    pipeThread("stdin-writer", { () =>
+      try {
+        proc.getOutputStream.write(prompt.getBytes("UTF-8"))
+        proc.getOutputStream.close()
+      } catch {
+        // A command that exits without reading stdin (or fails to launch
+        // its model) closes the pipe early; the exit-code check below
+        // gives the better diagnostic, so don't fail on the broken pipe.
+        case _: java.io.IOException => ()
+      }
+      ""
+    })
     val finished = proc.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
     if (!finished) {
-      proc.destroyForcibly()
+      // SIGKILL via the HANDLE, not Process.destroyForcibly: the latter
+      // also closes stdin, whose stream monitor the write-blocked stdin
+      // thread is holding — measured, that "destroy" blocks until the
+      // child exits on its own (the full sleep in the regression test).
+      // The raw-signal path takes no lock; the dying child breaks the
+      // pipe, which is what actually unblocks the writer.
+      proc.toHandle.destroyForcibly()
       throw new RuntimeException(
         s"ProcessLlm timed out after ${timeoutSec}s: ${command.head}")
     }
-    val stdout = out.get()
+    // Bounded gets: the process exited, but a forked grandchild that
+    // inherited the pipes can hold them open past the parent's exit —
+    // without a deadline that would hang here despite the exit deadline
+    // having been met.
+    val stdout = boundedGet(out, proc)
     if (proc.exitValue() != 0)
       throw new RuntimeException(
         s"ProcessLlm exit ${proc.exitValue()} from ${command.head}: " +
-          err.get().take(500))
+          boundedGet(err, proc).take(500))
     stdout
   }
 
-  private def readerThread(
-      in: java.io.InputStream): java.util.concurrent.Future[String] = {
-    val task = new java.util.concurrent.FutureTask[String](() =>
-      new String(in.readAllBytes(), "UTF-8"))
-    val t = new Thread(task, "graft-processllm-reader")
+  private def boundedGet(f: java.util.concurrent.Future[String],
+      proc: Process): String =
+    try f.get(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+    catch {
+      case _: java.util.concurrent.TimeoutException =>
+        proc.destroyForcibly()
+        throw new RuntimeException(
+          s"ProcessLlm output pipe still open ${timeoutSec}s after exit " +
+            s"(grandchild holding stdout?): ${command.head}")
+    }
+
+  private def pipeThread(name: String,
+      body: () => String): java.util.concurrent.Future[String] = {
+    val task = new java.util.concurrent.FutureTask[String](() => body())
+    val t = new Thread(task, s"graft-processllm-$name")
     t.setDaemon(true)
     t.start()
     task

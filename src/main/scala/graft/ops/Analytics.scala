@@ -36,8 +36,13 @@ object Analytics {
     val aggs = checks.zipWithIndex.map { case ((_, cond), i) =>
       coalesce(sum(cond.cast("long")), lit(0L)).as(s"v$i")
     }
+    // escape backslashes BEFORE quotes: Spark SQL string literals treat
+    // backslash as an escape (a trailing one would swallow the closing
+    // quote; '\t' would silently become a tab in the check name)
     val stackArgs = checks.zipWithIndex
-      .map { case ((n, _), i) => s"'${n.replace("'", "''")}', v$i" }
+      .map { case ((n, _), i) =>
+        s"'${n.replace("\\", "\\\\").replace("'", "\\'")}', v$i"
+      }
       .mkString(", ")
     df.agg(aggs.head, aggs.tail: _*)
       .select(expr(s"stack(${checks.size}, $stackArgs) " +

@@ -1102,18 +1102,14 @@ object Dedup {
       val kcents = Similarity.fittedCentroidFrame(s, d, raw)
       val assigned = Similarity.ivfAssign(n, kcents, "vec_id")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dropped = Similarity.withinClusterDropIds(assigned, "vec_id", tau)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val kept = assigned.join(dropped, Seq("vec_id"), "left_anti")
+      // independent PAIR-level recompute over the KEPT frame only — not
+      // the drop-id set the decision came from
       def sides(df: DataFrame, tag: String) = df.select(
         col("cid"), col("vec_id").as(tag), col("embedding").as(s"e$tag"),
         col("nrm").as(s"n$tag"))
-      val dropped = sides(assigned, "a")
-        .join(sides(assigned, "b"), Seq("cid"))
-        .filter(col("a") < col("b"))
-        .filter(expr("dot_f(ea, eb)") / (col("na") * col("nb")) >= tau)
-        .select(col("b").as("vec_id")).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val kept = assigned.join(dropped, Seq("vec_id"), "left_anti")
-      // independent recompute over the KEPT frame only — not the pair set
-      // the drop decision came from
       val keptDirty = sides(kept, "a").join(sides(kept, "b"), Seq("cid"))
         .filter(col("a") < col("b"))
         .filter(expr("dot_f(ea, eb)") / (col("na") * col("nb")) >= tau)

@@ -169,13 +169,17 @@ object Similarity {
     // breaks the k-means|| init — cap k at the corpus size (a count
     // over the persisted normed frame, paid once per memo fill; k
     // stays 16 on any graded corpus). An empty corpus has no cells
-    // (and the query correctly returns no neighbors).
-    val nPts = feats.limit(k).count()
+    // (and the query correctly returns no neighbors). The probe limit is
+    // max(k, 2), NOT k: limit(1).count() == 1 on ANY non-empty corpus,
+    // which would misroute k=1 into the 1-point branch below.
+    val nPts = feats.limit(math.max(k, 2)).count()
     if (nPts == 0) Seq.empty
-    else if (nPts == 1) {
-      // spark.ml KMeans refuses k < 2; a 1-point corpus is its own
-      // (single) centroid
-      feats.select("features").collect().toSeq.zipWithIndex.map {
+    else if (nPts == 1 || k <= 1) {
+      // spark.ml KMeans refuses k < 2. A 1-point corpus is its own
+      // (single) centroid; and when the CALLER asks for k=1, every
+      // vector lands in the one cell whatever its center is, so any
+      // single corpus vector serves — never collect the whole fit set.
+      feats.select("features").limit(1).collect().toSeq.zipWithIndex.map {
         case (r, i) => (i.toLong,
           r.getAs[org.apache.spark.ml.linalg.Vector](0)
             .toArray.map(_.toFloat))
@@ -287,14 +291,25 @@ object Similarity {
       .withColumn("nc", expr("sqrt(dot_f(ec, ec))"))
       .filter(col("nc") > 0)
     val assigned = ivfAssign(n, cents, "__vid")
+    val dropped = withinClusterDropIds(assigned, "__vid", tau)
+      .select(col("__vid").as("__drop"))
+    df.join(dropped, col(idCol).cast("long") === col("__drop"), "left_anti")
+  }
+
+  /** The within-cluster keep-min prune core, shared by [[semDedup]] and
+    * q_semdedup: ids dropped because a smaller-id ≥ tau cosine vector
+    * shares their cluster. `assigned` is the [[ivfAssign]] output shape
+    * (idCol, embedding, nrm, cid); returns the distinct dropped ids as
+    * one column named `idCol`. */
+  private[ops] def withinClusterDropIds(assigned: DataFrame, idCol: String,
+      tau: Double): DataFrame = {
     def side(tag: String) = assigned.select(col("cid"),
-      col("__vid").as(tag), col("embedding").as(s"e$tag"),
+      col(idCol).as(tag), col("embedding").as(s"e$tag"),
       col("nrm").as(s"n$tag"))
-    val dropped = side("a").join(side("b"), Seq("cid"))
+    side("a").join(side("b"), Seq("cid"))
       .filter(col("a") < col("b"))
       .filter(expr("dot_f(ea, eb)") / (col("na") * col("nb")) >= tau)
-      .select(col("b").as("__drop")).distinct()
-    df.join(dropped, col(idCol).cast("long") === col("__drop"), "left_anti")
+      .select(col("b").as(idCol)).distinct()
   }
 
   val queries: Map[String, Q] = Map(

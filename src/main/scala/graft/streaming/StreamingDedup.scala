@@ -248,15 +248,24 @@ object StreamingDedup {
       .as[(Long, Seq[Float])]
       .map { case (id, emb) =>
         val nrm = if (emb == null) 0.0 else math.sqrt(dotSeq(emb, emb))
-        if (nrm == 0 || cents.isEmpty) SemVec(-1L, id, emb, nrm)
+        // non-finite norms (a NaN float in the vector, an overflowing
+        // dot) carry no geometry either — route to the always-keep cell
+        // rather than letting BigDecimal(NaN) throw and wedge the query
+        // on a poison row the checkpoint would replay forever
+        if (nrm == 0 || !java.lang.Double.isFinite(nrm) || cents.isEmpty)
+          SemVec(-1L, id, emb, nrm)
         else {
           var bestCid = -1L; var bestCsim = Double.NegativeInfinity
           for ((cid, c, nc) <- cents) {
-            val csim = BigDecimal(dotSeq(emb, c) / (nrm * nc))
-              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-            if (csim > bestCsim) { bestCsim = csim; bestCid = cid }
+            val raw = dotSeq(emb, c) / (nrm * nc)
+            if (java.lang.Double.isFinite(raw)) {
+              val csim = BigDecimal(raw)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+              if (csim > bestCsim) { bestCsim = csim; bestCid = cid }
+            }
           }
-          SemVec(bestCid, id, emb, nrm)
+          if (bestCid == -1L) SemVec(-1L, id, emb, nrm)
+          else SemVec(bestCid, id, emb, nrm)
         }
       }
   }

@@ -102,6 +102,13 @@ class ApiSpec extends SparkSpec {
         df.filter(col("id") > 99), Seq("neg" -> (col("amount") < 0)))
       .collect().head
     assert(empty.getLong(1) == 0L && empty.getInt(2) == 1)
+    // check names are user input spliced into stack() — quotes,
+    // backslash escapes, and trailing backslashes must survive verbatim
+    val awkward = Seq("it's", "path\\then", "dir\\")
+    val names = ops.Analytics.validateExpectations(df,
+        awkward.map(n => n -> (col("amount") < 0)))
+      .collect().map(_.getString(0)).toSet
+    assert(names == awkward.toSet, s"mangled names: $names")
   }
 
   test("semDedup drops planted near-dups keep-min, keeps nulls and originals") {
@@ -130,6 +137,30 @@ class ApiSpec extends SparkSpec {
     val keptAuto = ops.Similarity.semDedup(rows, "id", "vec")
       .select("id").collect().map(_.getLong(0)).toSet
     assert(keptAuto == kept, "auto-k agrees with explicit k on this corpus")
+    // k=1 = one global cluster (full exact pairwise dedup), NOT one
+    // centroid per row: copies must still drop, distinct axes must stay
+    val kept1 = ops.Similarity.semDedup(rows, "id", "vec", k = 1)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(copies.forall { case (id, _) => !kept1(id) },
+      "k=1 must still drop every ×2 copy (single cell holds all vectors)")
+    assert((0 until 64).forall(i => kept1(i.toLong)),
+      "k=1 must not over-drop well-separated vectors")
+  }
+
+  test("streaming assignClusters: NaN vectors route to the keep-all cell") {
+    // a poison NaN row must not throw (BigDecimal(NaN)) — it lands in
+    // cid -1 like null/zero-norm vectors, and ingestion continues
+    import graft.streaming.StreamingDedup
+    val centers = Seq((0L, Array.fill(64)(1f)), (1L, Array.fill(64)(-1f)))
+    val vecs = Seq(
+      (1L, Array.fill(64)(0.5f)),
+      (2L, Array.fill(64)(Float.NaN)),
+      (3L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding")
+    val got = StreamingDedup.assignClusters(vecs, centers)
+      .collect().map(v => v.vec_id -> v.cid).toMap
+    assert(got(1L) == 0L, "a finite vector assigns to its nearest centroid")
+    assert(got(2L) == -1L && got(3L) == -1L,
+      "NaN and null vectors both land in the always-keep cell")
   }
 
   test("autoBits keeps bucket occupancy constant as the corpus grows") {

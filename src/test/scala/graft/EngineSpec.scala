@@ -665,6 +665,24 @@ class EngineSpec extends SparkSpec {
     val env = new ProcessLlm(Seq("/bin/sh", "-c", "cat > /dev/null; echo $GRAFT_MODEL"),
       extraEnv = Map("GRAFT_MODEL" -> "tiny.gguf")).predict("hi")
     assert(env.trim == "tiny.gguf")
+    // A prompt past the ~64 KiB pipe buffer fed to a command that never
+    // reads stdin: the stdin write must not block the caller past the
+    // deadline (it rides its own thread; destroyForcibly unblocks it).
+    val bigPrompt = "x" * 200000
+    val t0 = System.nanoTime()
+    val stall = intercept[RuntimeException] {
+      new ProcessLlm(Seq("/bin/sh", "-c", "sleep 60"), timeoutSec = 2)
+        .predict(bigPrompt)
+    }
+    assert(stall.getMessage.contains("timed out"))
+    assert((System.nanoTime() - t0) / 1e9 < 30, "must fail at the deadline")
+    // A grandchild that inherits stdout keeps the pipe open after the
+    // command exits: the post-exit reads are bounded too.
+    val orphan = intercept[RuntimeException] {
+      new ProcessLlm(Seq("/bin/sh", "-c", "sleep 60 & echo hi"), timeoutSec = 2)
+        .predict("hi")
+    }
+    assert(orphan.getMessage.contains("pipe still open"))
   }
 
   test("SqlExtractor handles fences, tags and bare SQL") {
