@@ -122,12 +122,19 @@ final class GraftSession(
   def withConfig(f: GraftConfig => GraftConfig): GraftSession =
     new GraftSession(spark, llm, f(config), Some(cache))
 
-  private def persistCache(): Unit = for (p <- config.cachePath) synchronized {
+  // Locked on the SHARED cache map, not `this`: a parent session and its
+  // withConfig views are distinct objects sharing one cache + file — a
+  // `this` lock would let two views race the same tmp file (one move
+  // wins, the loser throws NoSuchFileException out of a successful ask).
+  // The tmp name is unique per write as well, so even an unrelated
+  // session pointed at the same path cannot interleave a torn file.
+  private def persistCache(): Unit = for (p <- config.cachePath) cache.synchronized {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     cache.foreach { case (k, v) => root.put(k, v) }
     val target = java.nio.file.Paths.get(p)
-    val tmp = java.nio.file.Paths.get(p + ".tmp")
+    val tmp = java.nio.file.Paths.get(
+      p + s".tmp.${ProcessHandle.current().pid()}.${Thread.currentThread().getId}")
     java.nio.file.Files.write(tmp, mapper.writeValueAsBytes(root))
     java.nio.file.Files.move(tmp, target,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,

@@ -103,11 +103,15 @@ object Analytics {
       val qs = Quantiles.exactCont(li, col("l_extendedprice"),
         Seq("l_returnflag"),
         Seq(("q1", 0.25), ("med", 0.5), ("q3", 0.75)))
-      li.groupBy("l_returnflag")
+      val mm = li.groupBy("l_returnflag")
         .agg(min(col("l_extendedprice")).as("lo"),
           max(col("l_extendedprice")).as("hi"))
-        .join(broadcast(qs), Seq("l_returnflag"), "left")
-        .select(col("l_returnflag"), col("lo"),
+      // null-SAFE join key: a NULL l_returnflag group (null-injected
+      // corpora) has real quartiles in both engines — an EqualTo join
+      // would silently null them out on the Spark side only
+      mm.join(broadcast(qs),
+          mm("l_returnflag") <=> qs("l_returnflag"), "left")
+        .select(mm("l_returnflag"), col("lo"),
           round(col("q1"), 4).as("q1"),
           round(col("med"), 4).as("med"),
           round(col("q3"), 4).as("q3"), col("hi"))
@@ -989,7 +993,11 @@ object Analytics {
                 * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 4)))
         .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
           col("rate_a"), col("rate_b"), col("z"),
-          (abs(col("z")) > 1.96).cast("int").as("significant"))
+          // z NULL (degenerate arm / unanimous pool) means NOT
+          // significant, matching the oracle's CASE falling to ELSE 0 —
+          // a bare cast would emit NULL here and 0 there
+          coalesce((abs(col("z")) > 1.96).cast("int"), lit(0))
+            .as("significant"))
     }),
 
     // Robust anomaly detection over the event stream — median/MAD

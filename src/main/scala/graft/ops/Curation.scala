@@ -204,16 +204,13 @@ object Curation {
     val docs = Tables.documents(s, d)
     val words = docs.select(col("doc_id"), col("lang"),
       expr("filter(split(text, ' '), x -> length(x) > 0)").as("w"))
-    // small-input widening: at test SF the corpus is a single parquet
-    // split, which would serialize the md5 pass onto one core; at
-    // production scale the scan is already wide and this branch is a
-    // no-op (the repartition never enters the plan). The width probe is
-    // the file count (driver-side listing Spark has already cached for
-    // the scan) — NOT docs.rdd.getNumPartitions, which materializes the
-    // whole RDD lineage per call (r7 verdict watch-item)
-    val par = s.sparkContext.defaultParallelism
-    val wide = if (docs.inputFiles.length < par) words.repartition(par)
-               else words
+    // small-input widening through the shared FanOut gate: its size
+    // estimate short-circuits FIRST, so a big corpus never materializes
+    // the RDD lineage (the r7 watch-item) — and unlike the raw
+    // inputFiles.length probe this used before, one large SPLITTABLE
+    // file (whose scan already plans many tasks) can't trigger a
+    // pointless full-corpus shuffle
+    val wide = FanOut(words, col("doc_id"))
     val grams = wide.select(col("doc_id"), col("lang"), explode_outer(expr(
       "concat(w, CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1), " +
         "i -> concat(element_at(w, i), ' ', element_at(w, i + 1))) " +

@@ -676,13 +676,21 @@ class EngineSpec extends SparkSpec {
     }
     assert(stall.getMessage.contains("timed out"))
     assert((System.nanoTime() - t0) / 1e9 < 30, "must fail at the deadline")
-    // A grandchild that inherits stdout keeps the pipe open after the
-    // command exits: the post-exit reads are bounded too.
-    val orphan = intercept[RuntimeException] {
-      new ProcessLlm(Seq("/bin/sh", "-c", "sleep 60 & echo hi"), timeoutSec = 2)
-        .predict("hi")
-    }
-    assert(orphan.getMessage.contains("pipe still open"))
+    // A grandchild that inherits stdout: the JDK reaper usually
+    // force-closes the parent's pipe at exit (fast success), but that is
+    // a race with our blocked read — when the reaper loses, boundedGet
+    // bails at the deadline. Either outcome is fine; a hang is not.
+    val t1 = System.nanoTime()
+    val orphan =
+      try new ProcessLlm(Seq("/bin/sh", "-c", "sleep 60 & echo hi"),
+        timeoutSec = 3).predict("hi")
+      catch {
+        case e: RuntimeException if e.getMessage.contains("pipe still open") =>
+          "bounded-path"
+      }
+    assert(orphan == "bounded-path" || orphan.trim == "hi")
+    assert((System.nanoTime() - t1) / 1e9 < 30,
+      "a grandchild on stdout must never hang predict()")
   }
 
   test("SqlExtractor handles fences, tags and bare SQL") {

@@ -164,6 +164,24 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("boxplot_stats: a NULL group keeps its quartiles (null-safe rejoin)") {
+    // regression: the quartile rejoin used an EqualTo key, so the NULL
+    // l_returnflag group (null-injected corpora) silently lost q1/med/q3
+    // on the Spark side while the oracle's plain GROUP BY kept them
+    val dir = java.nio.file.Files.createTempDirectory("graft_nullflag").toString
+    Tables.lineitem(spark, sf)
+      .withColumn("l_returnflag",
+        when(col("l_orderkey") % 3 === 0, lit(null: String))
+          .otherwise(col("l_returnflag")))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val rows = SparkEntry.queries("q_boxplot_stats")(spark, dir).collect()
+    val nullRow = rows.find(_.isNullAt(0))
+    assert(nullRow.isDefined, "the NULL group must appear")
+    assert(!nullRow.get.isNullAt(2) && !nullRow.get.isNullAt(3) &&
+      !nullRow.get.isNullAt(4),
+      s"NULL group must keep real quartiles, got ${nullRow.get}")
+  }
+
   test("validate: six checks, real pk duplicates caught, clean checks pass") {
     val rows = q("q_validate").collect()
     assert(rows.map(_.getAs[String]("check_name")).toSeq ==
