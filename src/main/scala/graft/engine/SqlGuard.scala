@@ -1,8 +1,8 @@
 package graft.engine
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedFunction, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.plans.logical.{Command, LogicalPlan}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedFunction, UnresolvedGenerator, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.plans.logical.{Command, LogicalPlan, WithWindowDefinition}
 
 /** Pre-execution SQL validation — SURVEY.md §2.1 `_clean_code` /
   * `_check_imports` mapping (/root/reference/polarsai/__init__.py:403-430,
@@ -164,7 +164,15 @@ object SqlGuard {
 
   def parse(spark: SparkSession, sql: String): Either[String, LogicalPlan] =
     try Right(spark.sessionState.sqlParser.parsePlan(sql))
-    catch { case e: Exception => Left(e.getMessage) }
+    catch {
+      case e: Exception => Left(e.getMessage)
+      // ANTLR recursion blows the stack on pathologically nested
+      // generated SQL (thousands of parens / OR terms) — that must be a
+      // Rejected verdict feeding the correction loop, not an Error that
+      // takes down the session (fail-closed means fail CAUGHT)
+      case _: StackOverflowError =>
+        Left("parser stack overflow: query too deeply nested")
+    }
 
   private def isWith(p: LogicalPlan): Boolean =
     p.nodeName == "UnresolvedWith" || p.nodeName == "With"
@@ -233,9 +241,23 @@ object SqlGuard {
         return Rejected(s"unknown table: $name (allowed: ${allowed.toSeq.sorted.mkString(", ")})")
     }
 
-    val fns = nodes.flatMap(_.expressions.flatMap(_.collect {
+    // Two traversal blind spots closed here (both verified live bypasses):
+    // named WINDOW definitions live in a Map[String, WindowSpecDefinition]
+    // that QueryPlan.expressions does NOT descend into — a banned function
+    // hidden in `WINDOW w AS (PARTITION BY current_user() …)` was invisible
+    // — and LATERAL VIEW generators parse to UnresolvedGenerator, not
+    // UnresolvedFunction, so they dodged both the denylist and the
+    // allowlist contract.
+    val exprRoots = nodes.flatMap { p =>
+      p.expressions ++ (p match {
+        case w: WithWindowDefinition => w.windowDefinitions.values.toSeq
+        case _ => Nil
+      })
+    }
+    val fns = exprRoots.flatMap(_.collect {
       case f: UnresolvedFunction => f.nameParts.mkString(".").toLowerCase
-    }))
+      case g: UnresolvedGenerator => g.name.unquotedString.toLowerCase
+    })
     fns.find(bannedFunctions.contains).foreach { f =>
       return Rejected(s"function not allowed: $f")
     }

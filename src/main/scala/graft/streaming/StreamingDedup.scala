@@ -18,11 +18,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Candidate detection is a [[flatMapGroupsWithState]] keyed by
   * (band, bkey): group state holds the bucket's members seen so far
-  * (doc_id + signature), capped at the batch path's 512 hot-bucket limit —
-  * a mass-duplicated boilerplate bucket stops accumulating state and
-  * stops emitting its O(k²) pair stream, exactly the batch cap's
-  * semantics. Each arriving doc emits one candidate pair per earlier
-  * member whose signature agreement clears `minEst`.
+  * (doc_id + signature), capped at the batch path's 512 hot-bucket
+  * limit — a mass-duplicated boilerplate bucket stops accumulating state
+  * and stops emitting once it reaches the cap. NOTE the cap semantics
+  * are the ONLINE approximation of the batch cap, not an exact match:
+  * batch candidatePairs drops an over-cap bucket's pairs ENTIRELY
+  * (bucket size is known up front), while an online admitter has already
+  * emitted the pairs among the first 512 members by the time the cap
+  * engages — it cannot retroactively unemit. Batch-parity claims
+  * (StreamingSpec) therefore hold on corpora whose buckets stay under
+  * the cap; past it, streaming reports a superset of the batch pairs.
+  * Each arriving doc emits one candidate pair per earlier member whose
+  * signature agreement clears `minEst`.
   *
   * At scale: state is sharded by (band, bkey) across executors, each
   * group's state is ≤ cap members × 16 bytes of signature, and the
@@ -51,8 +58,18 @@ object StreamingDedup {
     * streaming one (see StreamingSpec). */
   def withBandKeys(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val shingled = docs
-      .select(col(idCol).cast("long").as("doc_id"),
+      // mirror the batch path's null gates (Dedup.signaturesOf filters
+      // null text): a null-text doc would otherwise get the md5("")
+      // sentinel signature — every such doc pairwise-"matches" at
+      // est=1.0, a divergence from the declared batch ground truth and
+      // an artificial hot bucket. Dirty ids are expected at ingest:
+      // try_cast + the null filter keep a poison row from failing the
+      // microbatch (ANSI cast error / null primitive at deserialization)
+      // and wedging the checkpoint on replay.
+      .filter(col(textCol).isNotNull)
+      .select(expr(s"try_cast($idCol AS BIGINT)").as("doc_id"),
         split(col(textCol), " ").as("w"))
+      .filter(col("doc_id").isNotNull)
       .withColumn("hs",
         expr("transform(sequence(1, greatest(size(w) - 2, 1)), " +
           "i -> md5(concat_ws(' ', try_element_at(w, i), " +
@@ -146,9 +163,18 @@ object StreamingDedup {
   def withProbeKeys(vecs: DataFrame, idCol: String, vecCol: String,
       bits: Int): DataFrame = {
     graft.functions.FloatDotProduct.register(vecs.sparkSession)
-    vecs.select(col(idCol).cast("long").as("vec_id"),
+    // null-gate BOTH fields (the batch twin embeddingNearDup silently
+    // skips such rows): a null embedding yields nrm = null but a
+    // non-null '000…' signature, so the row would reach the typed
+    // deserializer and kill the microbatch on the primitive-Double nrm —
+    // a poison row the checkpoint replays forever. Same for null or
+    // non-numeric ids under ANSI cast.
+    vecs.filter(col(vecCol).isNotNull)
+      .select(expr(s"try_cast($idCol AS BIGINT)").as("vec_id"),
         col(vecCol).as("embedding"))
+      .filter(col("vec_id").isNotNull)
       .withColumn("nrm", expr("sqrt(dot_f(embedding, embedding))"))
+      .filter(col("nrm").isNotNull)
       .withColumn("sig", expr(graft.ops.Similarity.sigExprN("spark", bits)))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("sig"),
         explode(expr(graft.ops.Similarity.probesExpr("sig", "spark", bits)))
@@ -243,8 +269,12 @@ object StreamingDedup {
     val cents = centers.map { case (cid, v) =>
         (cid, v.toSeq, math.sqrt(dotSeq(v.toSeq, v.toSeq)))
       }.filter(_._3 > 0).sortBy(_._1)
-    vecs.select(col(idCol).cast("long").as("_1"),
+    // try_cast + null-id filter: a dirty id must not fail the microbatch
+    // (ANSI cast error / null primitive Long) — an unidentifiable row
+    // can't receive a verdict under any policy
+    vecs.select(expr(s"try_cast($idCol AS BIGINT)").as("_1"),
         col(vecCol).cast("array<float>").as("_2"))
+      .filter(col("_1").isNotNull)
       .as[(Long, Seq[Float])]
       .map { case (id, emb) =>
         val nrm = if (emb == null) 0.0 else math.sqrt(dotSeq(emb, emb))
@@ -297,8 +327,12 @@ object StreamingDedup {
             var fresh = List.empty[(Long, Seq[Float], Double)]
             val out = List.newBuilder[SemVerdict]
             for (r <- rows.toSeq.sortBy(_.vec_id)) {
-              // min-id qualifying witness for a deterministic verdict
+              // min-id qualifying witness for a deterministic verdict;
+              // mid != vec_id: a re-delivered id already in state must
+              // not be "witnessed by itself" (cos 1.0) and flip from
+              // kept to dropped — same self-guard as the pair paths
               val hit = (old ++ fresh).iterator
+                .filter(_._1 != r.vec_id)
                 .map { case (mid, memb, mnrm) =>
                   (mid, dotSeq(r.embedding, memb) / (r.nrm * mnrm))
                 }
@@ -313,7 +347,11 @@ object StreamingDedup {
                     BigDecimal(cos).setScale(6,
                       BigDecimal.RoundingMode.HALF_UP).toDouble)
                 case None =>
-                  if (old.size + fresh.size < maxKept)
+                  // re-delivery of an already-kept id re-affirms kept
+                  // without storing a duplicate state entry
+                  if (old.size + fresh.size < maxKept &&
+                      !old.exists(_._1 == r.vec_id) &&
+                      !fresh.exists(_._1 == r.vec_id))
                     fresh = fresh :+ ((r.vec_id, r.embedding, r.nrm))
                   out += SemVerdict(r.vec_id, cid, kept = true, -1L, 0.0)
               }

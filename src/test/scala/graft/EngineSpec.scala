@@ -159,6 +159,40 @@ class EngineSpec extends SparkSpec {
     assert(u.error.isDefined, "UNION branch functions must be validated")
   }
 
+  test("guard sees through named WINDOW specs and LATERAL VIEW generators") {
+    // WithWindowDefinition keeps its specs in a Map the default
+    // expression traversal skips — a banned function hidden in a WINDOW
+    // clause was a verified bypass
+    val w = new GraftSession(spark, FakeLlm(
+      "```sql\nSELECT max(a) OVER w AS m FROM df WINDOW w AS " +
+        "(PARTITION BY CASE WHEN current_user() = 'root' THEN a ELSE 0 END)\n```"),
+      GraftConfig(maxRetries = 0)).ask(freshDf, "?")
+    assert(w.error.isDefined, "banned function inside WINDOW spec must reject")
+    // LATERAL VIEW parses to UnresolvedGenerator, not UnresolvedFunction:
+    // it must count against a caller allowlist like any other call
+    val s = new GraftSession(spark, FakeLlm("unused"),
+      GraftConfig(functionAllowlist = Some(Set("count"))))
+    assert(s.runSql(Seq("t" -> freshDf),
+      "SELECT c FROM t LATERAL VIEW explode(array(1, 2)) x AS c").isLeft,
+      "generator outside the allowlist must reject")
+    val s2 = new GraftSession(spark, FakeLlm("unused"),
+      GraftConfig(functionAllowlist = Some(Set("explode", "array"))))
+    assert(s2.runSql(Seq("t" -> freshDf),
+      "SELECT c FROM t LATERAL VIEW explode(array(1, 2)) x AS c").isRight,
+      "allowlisted generator passes")
+  }
+
+  test("guard never lets a parser blow-up escape as a JVM Error") {
+    // thousands of nested parens can blow ANTLR's recursion (stack-size
+    // dependent) — whatever happens, parse() must return an Either, not
+    // let StackOverflowError escape through the ask loop
+    for (depth <- Seq(2000, 8000, 20000)) {
+      val deep = "(" * depth + "1" + ")" * depth
+      val v = SqlGuard.parse(spark, s"SELECT $deep AS x FROM df")
+      assert(v.isLeft || v.isRight) // totality: no Throwable escaped
+    }
+  }
+
   test("guard TVF allowlist: range passes, unlisted table functions fail closed") {
     val s = new GraftSession(spark, FakeLlm("unused"))
     val ok = s.runSql(Seq("t" -> freshDf), "SELECT count(*) AS n FROM range(10)")

@@ -650,6 +650,28 @@ class StreamingSpec extends SparkSpec {
       "late scaled copies must pair with their batch-1 originals via state")
   }
 
+  test("streaming ingest projections drop dirty rows instead of wedging") {
+    // poison rows (null/non-numeric id, null text, null embedding) must
+    // be filtered by the stateless projections — under ANSI casts and
+    // primitive-field encoders any of them would otherwise fail the
+    // microbatch, and the checkpoint replays the same offsets forever
+    import graft.streaming.StreamingDedup
+    import spark.implicits._
+    val docs = Seq(("1", "a b c d"), ("oops", "e f g h"), (null, "i j"),
+      ("4", null)).toDF("id", "text")
+    val bandedIds = StreamingDedup.withBandKeys(docs, "id", "text")
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(bandedIds == Set(1L),
+      s"only the clean row survives banding, got $bandedIds")
+    val vecs = Seq(("1", Array(1f, 0f)), ("nan", Array(0f, 1f)),
+      ("3", null.asInstanceOf[Array[Float]]),
+      (null.asInstanceOf[String], Array(1f, 1f))).toDF("vec_id", "embedding")
+    val probedIds = StreamingDedup.withProbeKeys(vecs, "vec_id", "embedding", 8)
+      .select("vec_id").distinct().as[Long].collect().toSet
+    assert(probedIds == Set(1L),
+      s"only the clean vector survives probing, got $probedIds")
+  }
+
   test("streaming semdedup: offline-fit centroids admit batch-1, drop batch-2 copies") {
     // online SemDeDup (StreamingDedup.semDedupStream): centroids are fit
     // OFFLINE on the historic corpus (the batch fit-on-a-sample practice),
