@@ -68,6 +68,10 @@ object ArrowIO {
       case fp: ArrowType.FloatingPoint
           if fp.getPrecision == FloatingPointPrecision.SINGLE => FloatType
       case _: ArrowType.Utf8 => StringType
+      // polars writes string columns as large_string (64-bit offsets);
+      // map it on READ so polars interchange actually works. (Utf8View,
+      // newer still, stays unmapped — narrow failure beats silent misread)
+      case _: ArrowType.LargeUtf8 => StringType
       case _: ArrowType.Bool => BooleanType
       case d: ArrowType.Date if d.getUnit == DateUnit.DAY => DateType
       case t: ArrowType.Timestamp if t.getUnit == TimeUnit.MICROSECOND =>
@@ -79,24 +83,9 @@ object ArrowIO {
     StructField(f.getName, dt, f.isNullable)
   }
 
-  /** java.sql.Timestamp (an instant) → microseconds since epoch; exact for
-    * pre-1970 instants too (getTime already folds the sub-second millis). */
-  private def tsToMicros(t: java.sql.Timestamp): Long =
-    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
-
-  private def microsToTs(us: Long): java.sql.Timestamp = {
-    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
-    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
-    t
-  }
-
-  private def ldtToMicros(v: java.time.LocalDateTime): Long =
-    v.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + v.getNano / 1000L
-
-  private def microsToLdt(us: Long): java.time.LocalDateTime =
-    java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(us, 1000000L),
-      (Math.floorMod(us, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
-
+  // datetime ↔ micros lives in TimeCodec (shared with AvroIO; accepts
+  // both the java.sql and java.time families so the writers survive
+  // spark.sql.datetime.java8API.enabled)
   private def setValue(root: VectorSchemaRoot, c: Int, i: Int, v: Any): Unit =
     root.getVector(c) match {
       case vec: BigIntVector  => vec.setSafe(i, v.asInstanceOf[Long])
@@ -108,11 +97,11 @@ object ArrowIO {
         vec.setSafe(i, v.asInstanceOf[String]
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       case vec: DateDayVector =>
-        vec.setSafe(i, v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toInt)
+        vec.setSafe(i, TimeCodec.toEpochDays(v))
       case vec: TimeStampMicroTZVector =>
-        vec.setSafe(i, tsToMicros(v.asInstanceOf[java.sql.Timestamp]))
+        vec.setSafe(i, TimeCodec.toMicros(v))
       case vec: TimeStampMicroVector =>
-        vec.setSafe(i, ldtToMicros(v.asInstanceOf[java.time.LocalDateTime]))
+        vec.setSafe(i, TimeCodec.ldtToMicros(v))
       case vec: DecimalVector =>
         // scale was fixed by the schema; setScale is exact (same scale or
         // zero-padding), never a silent rounding
@@ -121,7 +110,8 @@ object ArrowIO {
         s"unsupported vector ${other.getClass}")
     }
 
-  private def getValue(root: VectorSchemaRoot, c: Int, i: Int): Any = {
+  private def getValue(root: VectorSchemaRoot, c: Int, i: Int,
+      java8: Boolean): Any = {
     val vec = root.getVector(c)
     if (vec.isNull(i)) null
     else vec match {
@@ -132,10 +122,12 @@ object ArrowIO {
       case v: BitVector     => v.get(i) == 1
       case v: VarCharVector =>
         new String(v.get(i), java.nio.charset.StandardCharsets.UTF_8)
+      case v: org.apache.arrow.vector.LargeVarCharVector =>
+        new String(v.get(i), java.nio.charset.StandardCharsets.UTF_8)
       case v: DateDayVector =>
-        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(v.get(i).toLong))
-      case v: TimeStampMicroTZVector => microsToTs(v.get(i))
-      case v: TimeStampMicroVector   => microsToLdt(v.get(i))
+        TimeCodec.daysToDate(v.get(i), java8)
+      case v: TimeStampMicroTZVector => TimeCodec.microsToTimestamp(v.get(i), java8)
+      case v: TimeStampMicroVector   => TimeCodec.microsToLdt(v.get(i))
       case v: DecimalVector          => v.getObject(i)
       case other => throw new IllegalArgumentException(
         s"unsupported vector ${other.getClass}")
@@ -150,12 +142,18 @@ object ArrowIO {
     val fs0 = p0.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
     fs0.delete(p0, true)
     fs0.mkdirs(p0)
+    // the SESSION conf must travel into the tasks: a bare Configuration
+    // there resolves schemeless paths against the classpath default
+    // (file:///) — on a cluster that writes part files to executor-local
+    // disk while the driver lists an empty target dir (silent data loss)
+    val serConf = new org.apache.spark.sql.graftshim.SerConf(
+      df.sparkSession.sparkContext.hadoopConfiguration)
     df.rdd.mapPartitionsWithIndex { (pid, rows) =>
       if (!rows.hasNext) Iterator.empty
       else {
         val schema = new ArrowSchema(st.fields.map(arrowField).toSeq.asJava)
         val part = new org.apache.hadoop.fs.Path(s"$path/part-$pid.arrow")
-        val fs = part.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val fs = part.getFileSystem(serConf.value)
         val out = fs.create(part, true)
         val allocator = new RootAllocator(Long.MaxValue)
         val root = VectorSchemaRoot.create(schema, allocator)
@@ -218,6 +216,7 @@ object ArrowIO {
       finally { rd.close(); alloc.close() }
     }
     val n = st.length
+    val java8 = TimeCodec.java8Api(spark)
     files.mapPartitions { it =>
       it.flatMap { bytes =>
         val alloc = new RootAllocator(Long.MaxValue)
@@ -233,7 +232,7 @@ object ArrowIO {
           while (i < m) {
             val vals = new Array[Any](n)
             var c = 0
-            while (c < n) { vals(c) = getValue(root, c, i); c += 1 }
+            while (c < n) { vals(c) = getValue(root, c, i, java8); c += 1 }
             rows += Row.fromSeq(
               scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
             i += 1

@@ -59,6 +59,13 @@ object AvroIO {
   def avroSchemaFor(st: StructType, name: String = "graft_record"): Schema = {
     val fields = new java.util.ArrayList[Schema.Field]()
     st.fields.foreach { f =>
+      // Avro names must match [A-Za-z_][A-Za-z0-9_]* — fail with the
+      // offending COLUMN up front instead of Avro's bare
+      // SchemaParseException mid-write (ArrowIO/ExcelIO accept any name;
+      // this is the one format that can't)
+      require(f.name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"AvroIO: column name '${f.name}' is not a legal Avro field name " +
+          "([A-Za-z_][A-Za-z0-9_]*) — rename it before the Avro sink")
       val base = avroBase(f.dataType)
       val s =
         if (f.nullable)
@@ -88,6 +95,13 @@ object AvroIO {
           case (_, _: LogicalTypes.LocalTimestampMicros) => TimestampNTZType
           case (_, d: LogicalTypes.Decimal) =>
             DecimalType(d.getPrecision, d.getScale)
+          // an UNRECOGNIZED logical type must not silently decay to its
+          // physical type (a fastavro timestamp-millis column reading
+          // back as raw longs corrupts downstream date logic unnoticed)
+          case (_, lt) if lt != null =>
+            throw new IllegalArgumentException(
+              s"AvroIO cannot map Avro logical type $lt (field ${f.name()}) — " +
+                "convert to timestamp-micros/date/decimal or read the raw type explicitly")
           case (Schema.Type.LONG, _)    => LongType
           case (Schema.Type.INT, _)     => IntegerType
           case (Schema.Type.DOUBLE, _)  => DoubleType
@@ -103,16 +117,12 @@ object AvroIO {
 
   /** External Row value → Avro-encodable value for one column. */
   private def toAvro(dt: DataType): Any => Any = dt match {
-    case DateType => v =>
-      v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toInt
-    case TimestampType => v => {
-      val t = v.asInstanceOf[java.sql.Timestamp]
-      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
-    }
-    case TimestampNTZType => v => {
-      val l = v.asInstanceOf[java.time.LocalDateTime]
-      l.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + l.getNano / 1000L
-    }
+    // TimeCodec accepts both java.sql and java.time inputs, so the
+    // writer survives spark.sql.datetime.java8API.enabled (a hard cast
+    // to the java.sql family threw in every task under that conf)
+    case DateType => TimeCodec.toEpochDays
+    case TimestampType => TimeCodec.toMicros
+    case TimestampNTZType => TimeCodec.ldtToMicros
     case d: DecimalType => v =>
       // big-endian unscaled two's complement at the declared scale — the
       // Avro decimal wire format
@@ -121,22 +131,15 @@ object AvroIO {
     case _ => identity
   }
 
-  /** Avro-decoded value → external Row value for one column. */
-  private def fromAvro(dt: DataType): Any => Any = dt match {
+  /** Avro-decoded value → external Row value for one column (`java8`
+    * picks the java.time family the session's encoders expect). */
+  private def fromAvro(dt: DataType, java8: Boolean): Any => Any = dt match {
     case DateType => v =>
-      java.sql.Date.valueOf(
-        java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong))
-    case TimestampType => v => {
-      val us = v.asInstanceOf[Long]
-      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
-      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
-      t
-    }
-    case TimestampNTZType => v => {
-      val us = v.asInstanceOf[Long]
-      java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(us, 1000000L),
-        (Math.floorMod(us, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
-    }
+      TimeCodec.daysToDate(v.asInstanceOf[Int], java8)
+    case TimestampType => v =>
+      TimeCodec.microsToTimestamp(v.asInstanceOf[Long], java8)
+    case TimestampNTZType => v =>
+      TimeCodec.microsToLdt(v.asInstanceOf[Long])
     case d: DecimalType => v => {
       val buf = v.asInstanceOf[java.nio.ByteBuffer]
       val bytes = new Array[Byte](buf.remaining())
@@ -158,14 +161,17 @@ object AvroIO {
     val fs0 = p0.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
     fs0.delete(p0, true)
     fs0.mkdirs(p0)
+    // ship the SESSION conf into the tasks (see graftshim.SerConf): a
+    // bare task-side Configuration resolves schemeless paths against the
+    // classpath default and drops spark.hadoop.* credentials
+    val serConf = new org.apache.spark.sql.graftshim.SerConf(
+      df.sparkSession.sparkContext.hadoopConfiguration)
     df.rdd.mapPartitionsWithIndex { (pid, rows) =>
       if (!rows.hasNext) Iterator.empty
       else {
         val schema = new Schema.Parser().parse(schemaJson)
         val part = new org.apache.hadoop.fs.Path(s"$path/part-$pid.avro")
-        // task-side Configuration: loads cluster defaults from the
-        // classpath; credential-bearing confs should land there too
-        val fs = part.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val fs = part.getFileSystem(serConf.value)
         val out = fs.create(part, true)
         val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
         w.create(schema, out)
@@ -212,7 +218,8 @@ object AvroIO {
       new GenericDatumReader[GenericRecord]())
     val st = try structFor(headReader.getSchema) finally headReader.close()
     val n = st.length
-    val convs = st.fields.map(f => fromAvro(f.dataType))
+    val java8 = TimeCodec.java8Api(spark)
+    val convs = st.fields.map(f => fromAvro(f.dataType, java8))
     files.mapPartitions { it =>
       it.flatMap { bytes =>
         val rd = new DataFileReader[GenericRecord](

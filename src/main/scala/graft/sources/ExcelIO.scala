@@ -46,6 +46,14 @@ object ExcelIO {
         case '<' => sb.append("&lt;")
         case '>' => sb.append("&gt;")
         case '"' => sb.append("&quot;")
+        // XML 1.0 forbids these control characters even escaped — raw
+        // they make the workbook unparseable by our own reader AND
+        // Excel/openpyxl. SpreadsheetML's convention is _xHHHH_ (which
+        // requires escaping a literal "_x" as _x005F_x…).
+        case c if c < 0x20 && c != '\t' && c != '\n' && c != '\r' =>
+          sb.append(f"_x${c.toInt}%04X_")
+        case '_' if i + 1 < s.length && s.charAt(i + 1) == 'x' =>
+          sb.append("_x005F_")
         case c   => sb.append(c)
       }
       i += 1
@@ -131,8 +139,16 @@ object ExcelIO {
       while (c < header.length) {
         if (!r.isNullAt(c)) r.get(c) match {
           case x @ (_: Long | _: Int | _: Short | _: Byte) => numCell(c, x.toString)
-          case d: Double => numCell(c, d.toString)
-          case f: Float => numCell(c, f.toString)
+          // non-finite doubles are invalid SpreadsheetML number cells
+          // (<v>NaN</v> marks the workbook corrupt in Excel) — write them
+          // as strings; Spark's string→double cast round-trips
+          // NaN/Infinity/-Infinity exactly
+          case d: Double =>
+            if (java.lang.Double.isFinite(d)) numCell(c, d.toString)
+            else strCell(c, d.toString)
+          case f: Float =>
+            if (java.lang.Float.isFinite(f)) numCell(c, f.toString)
+            else strCell(c, f.toString)
           case bd: java.math.BigDecimal => numCell(c, bd.toPlainString)
           case b: Boolean =>
             w.write(s"""<c r="${cellRef(c)}" t="b"><v>${if (b) 1 else 0}</v></c>""")
@@ -158,11 +174,16 @@ object ExcelIO {
     val fs0 = p0.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
     fs0.delete(p0, true)
     fs0.mkdirs(p0)
+    // ship the SESSION conf into the tasks (see graftshim.SerConf): a
+    // bare task-side Configuration resolves schemeless paths against the
+    // classpath default and drops spark.hadoop.* credentials
+    val serConf = new org.apache.spark.sql.graftshim.SerConf(
+      df.sparkSession.sparkContext.hadoopConfiguration)
     df.rdd.mapPartitionsWithIndex { (pid, rows) =>
       if (!rows.hasNext) Iterator.empty
       else {
         val part = new org.apache.hadoop.fs.Path(s"$path/part-$pid.xlsx")
-        val fs = part.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val fs = part.getFileSystem(serConf.value)
         val out = fs.create(part, true)
         try Iterator(writeWorkbook(out, header, rows))
         finally out.close()
@@ -181,7 +202,11 @@ object ExcelIO {
 
   // ----------------------------------------------------------------- read
 
-  private val xif: XMLInputFactory = {
+  // a fresh factory per reader: StAX factories are not required to be
+  // thread-safe and the JDK implementation reuses internal state — a
+  // shared singleton could hand concurrent executor tasks the same
+  // reader. Factory construction is noise next to parsing a workbook.
+  private def xif: XMLInputFactory = {
     val f = XMLInputFactory.newInstance()
     // untrusted input: no DTDs, no external entities
     f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
@@ -234,6 +259,26 @@ object ExcelIO {
   }
 
   /** A1-style ref → 0-based column index ("C7" → 2); -1 when absent. */
+  /** Decode SpreadsheetML's `_xHHHH_` escapes (the writer emits them for
+    * XML-illegal control characters, and so does Excel itself) — needed
+    * for round-trip fidelity and for external workbooks. */
+  private def unescapeX(s: String): String = {
+    if (!s.contains("_x")) s
+    else {
+      val sb = new StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        if (i + 6 < s.length && s.charAt(i) == '_' && s.charAt(i + 1) == 'x' &&
+            s.charAt(i + 6) == '_' &&
+            (2 to 5).forall(k => Character.digit(s.charAt(i + k), 16) >= 0)) {
+          sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+          i += 7
+        } else { sb.append(s.charAt(i)); i += 1 }
+      }
+      sb.toString
+    }
+  }
+
   private def refToCol(ref: String): Int = {
     var i = 0; var c = 0; var seen = false
     while (i < ref.length && ref.charAt(i).isLetter) {
@@ -277,9 +322,10 @@ object ExcelIO {
             val v =
               if (raw.isEmpty && cellType != "inlineStr") null
               else cellType match {
-                case "s" => shared(raw.trim.toInt)
+                case "s" => unescapeX(shared(raw.trim.toInt))
                 case "b" => if (raw.trim == "1") "true" else "false"
-                case _ => raw // "inlineStr" | "str" | "n" | ""
+                case "inlineStr" | "str" => unescapeX(raw)
+                case _ => raw // "n" | ""
               }
             while (cells.length < cellIdx) cells += null // gap = blank cells
             if (cellIdx == cells.length) cells += v
@@ -320,7 +366,13 @@ object ExcelIO {
     val header = parseWorkbook(headBytes).buffered.headOption.getOrElse(
       throw new IllegalArgumentException(
         s"ExcelIO.read: first workbook under $path has no header row"))
-    val st = StructType(header.map(n => StructField(n, StringType, nullable = true)))
+    // blank header cells in an external workbook gap-fill to null — a
+    // null-named StructField fails analysis later; synthesize parquet's
+    // positional convention instead
+    val st = StructType(header.zipWithIndex.map { case (nm, i) =>
+      StructField(if (nm == null || nm.isEmpty) s"_c$i" else nm,
+        StringType, nullable = true)
+    })
     val n = st.length
     files.mapPartitions { it =>
       it.flatMap { bytes =>
