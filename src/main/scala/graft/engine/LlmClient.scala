@@ -152,7 +152,13 @@ final class ProcessLlm(
       }
       ""
     })
-    val finished = proc.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+    // ONE deadline for the whole call: waitFor plus every pipe-drain get
+    // shares it, so a caller-configured 300 s budget is a 300 s budget —
+    // not 2× (exit at the wire, then a fresh window per get) or 3× on the
+    // non-zero-exit path.
+    val deadlineNanos = System.nanoTime() + timeoutSec * 1000000000L
+    val finished = proc.waitFor(remainingNanos(deadlineNanos),
+      java.util.concurrent.TimeUnit.NANOSECONDS)
     if (!finished) {
       // SIGKILL via the HANDLE, not Process.destroyForcibly: the latter
       // also closes stdin, whose stream monitor the write-blocked stdin
@@ -160,7 +166,7 @@ final class ProcessLlm(
       // child exits on its own (the full sleep in the regression test).
       // The raw-signal path takes no lock; the dying child breaks the
       // pipe, which is what actually unblocks the writer.
-      proc.toHandle.destroyForcibly()
+      killTree(proc)
       throw new RuntimeException(
         s"ProcessLlm timed out after ${timeoutSec}s: ${command.head}")
     }
@@ -168,23 +174,43 @@ final class ProcessLlm(
     // inherited the pipes can hold them open past the parent's exit —
     // without a deadline that would hang here despite the exit deadline
     // having been met.
-    val stdout = boundedGet(out, proc)
+    val stdout = boundedGet(out, proc, deadlineNanos)
     if (proc.exitValue() != 0)
       throw new RuntimeException(
         s"ProcessLlm exit ${proc.exitValue()} from ${command.head}: " +
-          boundedGet(err, proc).take(500))
+          boundedGet(err, proc, deadlineNanos).take(500))
     stdout
   }
 
+  /** Nanos left before `deadlineNanos`, floored at 1 ms so a just-expired
+    * deadline still makes one non-blocking-ish attempt instead of passing
+    * a zero/negative wait (which some waits treat as "forever").
+    */
+  private def remainingNanos(deadlineNanos: Long): Long =
+    math.max(deadlineNanos - System.nanoTime(), 1000000L)
+
+  /** SIGKILL the child AND its descendants. `command` is often a wrapper
+    * script that forks the actual model process — killing only the direct
+    * child would leave the grandchild running inference (and holding
+    * memory/GPU) indefinitely. Descendants first: snapshotting them is
+    * only reliable while the parent is alive to anchor the tree.
+    */
+  private def killTree(proc: Process): Unit = {
+    proc.toHandle.descendants().forEach(h => { h.destroyForcibly(); () })
+    proc.toHandle.destroyForcibly()
+    ()
+  }
+
   private def boundedGet(f: java.util.concurrent.Future[String],
-      proc: Process): String =
-    try f.get(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+      proc: Process, deadlineNanos: Long): String =
+    try f.get(remainingNanos(deadlineNanos),
+      java.util.concurrent.TimeUnit.NANOSECONDS)
     catch {
       case _: java.util.concurrent.TimeoutException =>
-        proc.destroyForcibly()
+        killTree(proc)
         throw new RuntimeException(
-          s"ProcessLlm output pipe still open ${timeoutSec}s after exit " +
-            s"(grandchild holding stdout?): ${command.head}")
+          s"ProcessLlm output pipe still open at the ${timeoutSec}s " +
+            s"deadline (grandchild holding stdout?): ${command.head}")
     }
 
   private def pipeThread(name: String,

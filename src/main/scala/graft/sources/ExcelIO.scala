@@ -49,8 +49,12 @@ object ExcelIO {
         // XML 1.0 forbids these control characters even escaped — raw
         // they make the workbook unparseable by our own reader AND
         // Excel/openpyxl. SpreadsheetML's convention is _xHHHH_ (which
-        // requires escaping a literal "_x" as _x005F_x…).
-        case c if c < 0x20 && c != '\t' && c != '\n' && c != '\r' =>
+        // requires escaping a literal "_x" as _x005F_x…). '\r' must take
+        // this path too ('\t'/'\n' are the only literal-safe controls):
+        // XML parsers normalize CR and CRLF in content to LF, so a raw
+        // CR would silently read back mutated — Excel itself writes CR
+        // as _x000D_ for exactly this reason.
+        case c if c < 0x20 && c != '\t' && c != '\n' =>
           sb.append(f"_x${c.toInt}%04X_")
         case '_' if i + 1 < s.length && s.charAt(i + 1) == 'x' =>
           sb.append("_x005F_")

@@ -52,6 +52,14 @@ object StreamingDedup {
 
   private[graft] case class BucketState(members: List[(Long, Seq[String])])
 
+  /** Backtick-quote a caller-supplied column name before splicing it into
+    * `expr(...)` SQL: a name with a space/hyphen must not fail to parse,
+    * and a dotted name must resolve as the literal column — not silently
+    * as struct-field access (the two regressions raw splicing invites).
+    */
+  private def quoteId(name: String): String =
+    "`" + name.replace("`", "``") + "`"
+
   /** Row-local MinHash signature + band keys. Emits one row per (doc ×
     * band): (band, bkey, doc_id, sig[8]). Works identically on batch and
     * streaming frames — the batch run IS the ground truth for the
@@ -67,7 +75,7 @@ object StreamingDedup {
       // microbatch (ANSI cast error / null primitive at deserialization)
       // and wedging the checkpoint on replay.
       .filter(col(textCol).isNotNull)
-      .select(expr(s"try_cast($idCol AS BIGINT)").as("doc_id"),
+      .select(expr(s"try_cast(${quoteId(idCol)} AS BIGINT)").as("doc_id"),
         split(col(textCol), " ").as("w"))
       .filter(col("doc_id").isNotNull)
       .withColumn("hs",
@@ -90,9 +98,17 @@ object StreamingDedup {
     * [[withBandKeys]] on a streaming frame). Within a microbatch the
     * group's rows are processed in doc_id order and compared against both
     * carried state and earlier in-batch members, so the emitted pair set
-    * is independent of how the stream is chopped into batches. */
+    * is independent of how the stream is chopped into batches.
+    *
+    * `capFired`: optional accumulator bumped once per arrival that a
+    * full bucket refused to admit — the documented superset-past-cap
+    * semantics are only safe to rely on when an operator can SEE the cap
+    * engaging (a silently saturated boilerplate bucket reads exactly
+    * like a quiet one otherwise). Visible on the driver as a named
+    * accumulator in the Spark UI / `acc.value` between batches. */
   def nearDupPairs(banded: DataFrame, minEst: Double = 0.5,
-      maxBucket: Int = graft.ops.Dedup.defaultMaxBucket)
+      maxBucket: Int = graft.ops.Dedup.defaultMaxBucket,
+      capFired: Option[org.apache.spark.util.LongAccumulator] = None)
       : Dataset[CandidatePair] = {
     val spark = banded.sparkSession
     import spark.implicits._
@@ -106,8 +122,10 @@ object StreamingDedup {
           val out = List.newBuilder[CandidatePair]
           // doc_id order makes in-batch pair emission deterministic
           for (r <- rows.toSeq.sortBy(_.doc_id)) {
-            if (members.size < maxBucket &&
-                !members.exists(_._1 == r.doc_id)) {
+            if (members.exists(_._1 == r.doc_id)) {
+              // re-delivery of a known member: neither a pair source nor
+              // a cap event
+            } else if (members.size < maxBucket) {
               for ((oldId, oldSig) <- members; if oldId != r.doc_id) {
                 val agree = (0 to 7).count(k => oldSig(k) == r.sig(k))
                 val est = agree / 8.0
@@ -116,7 +134,7 @@ object StreamingDedup {
                     math.max(oldId, r.doc_id), est, key._1)
               }
               members = (r.doc_id, r.sig) :: members
-            }
+            } else capFired.foreach(_.add(1L))
           }
           state.update(BucketState(members))
           out.result().iterator
@@ -170,7 +188,7 @@ object StreamingDedup {
     // a poison row the checkpoint replays forever. Same for null or
     // non-numeric ids under ANSI cast.
     vecs.filter(col(vecCol).isNotNull)
-      .select(expr(s"try_cast($idCol AS BIGINT)").as("vec_id"),
+      .select(expr(s"try_cast(${quoteId(idCol)} AS BIGINT)").as("vec_id"),
         col(vecCol).as("embedding"))
       .filter(col("vec_id").isNotNull)
       .withColumn("nrm", expr("sqrt(dot_f(embedding, embedding))"))
@@ -194,7 +212,9 @@ object StreamingDedup {
     * group (the exact signature of the stored side), so no cross-group
     * duplicates either. */
   def embeddingPairs(probed: Dataset[ProbedVec], minCos: Double = 0.9,
-      maxBucket: Int = graft.ops.Dedup.defaultMaxBucket): Dataset[EmbPair] = {
+      maxBucket: Int = graft.ops.Dedup.defaultMaxBucket,
+      capFired: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[EmbPair] = {
     val spark = probed.sparkSession
     import spark.implicits._
     probed.groupByKey(_.gkey)
@@ -211,10 +231,16 @@ object StreamingDedup {
                 out += EmbPair(math.min(mid, r.vec_id),
                   math.max(mid, r.vec_id), cos)
             }
-            if (r.own && old.size + fresh.size < maxBucket &&
-                !old.exists(_._1 == r.vec_id) &&
-                !fresh.exists(_._1 == r.vec_id))
-              fresh = fresh :+ ((r.vec_id, r.embedding, r.nrm))
+            // cap accounting mirrors the text path: only the identity
+            // probe (the row that would STORE the vector) can fire it —
+            // look-only probes never admit, so a full bucket isn't an
+            // event for them
+            if (r.own && !old.exists(_._1 == r.vec_id) &&
+                !fresh.exists(_._1 == r.vec_id)) {
+              if (old.size + fresh.size < maxBucket)
+                fresh = fresh :+ ((r.vec_id, r.embedding, r.nrm))
+              else capFired.foreach(_.add(1L))
+            }
           }
           if (fresh.nonEmpty) state.update(EmbBucketState(old ++ fresh))
           out.result().iterator
@@ -272,7 +298,7 @@ object StreamingDedup {
     // try_cast + null-id filter: a dirty id must not fail the microbatch
     // (ANSI cast error / null primitive Long) — an unidentifiable row
     // can't receive a verdict under any policy
-    vecs.select(expr(s"try_cast($idCol AS BIGINT)").as("_1"),
+    vecs.select(expr(s"try_cast(${quoteId(idCol)} AS BIGINT)").as("_1"),
         col(vecCol).cast("array<float>").as("_2"))
       .filter(col("_1").isNotNull)
       .as[(Long, Seq[Float])]
@@ -312,7 +338,9 @@ object StreamingDedup {
     * keep-min drops a doc witnessed by an already-dropped doc, an online
     * admitter cannot). */
   def semVerdicts(assigned: Dataset[SemVec], tau: Double = 0.95,
-      maxKept: Int = graft.ops.Dedup.defaultMaxBucket): Dataset[SemVerdict] = {
+      maxKept: Int = graft.ops.Dedup.defaultMaxBucket,
+      capFired: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[SemVerdict] = {
     val spark = assigned.sparkSession
     import spark.implicits._
     assigned.groupByKey(_.cid)
@@ -349,10 +377,15 @@ object StreamingDedup {
                 case None =>
                   // re-delivery of an already-kept id re-affirms kept
                   // without storing a duplicate state entry
-                  if (old.size + fresh.size < maxKept &&
-                      !old.exists(_._1 == r.vec_id) &&
-                      !fresh.exists(_._1 == r.vec_id))
-                    fresh = fresh :+ ((r.vec_id, r.embedding, r.nrm))
+                  if (!old.exists(_._1 == r.vec_id) &&
+                      !fresh.exists(_._1 == r.vec_id)) {
+                    if (old.size + fresh.size < maxKept)
+                      fresh = fresh :+ ((r.vec_id, r.embedding, r.nrm))
+                    // kept-but-not-stored: the cell is saturated, so this
+                    // admission is invisible to future near-dup checks —
+                    // exactly the event an operator needs to see
+                    else capFired.foreach(_.add(1L))
+                  }
                   out += SemVerdict(r.vec_id, cid, kept = true, -1L, 0.0)
               }
             }

@@ -727,6 +727,54 @@ class EngineSpec extends SparkSpec {
       "a grandchild on stdout must never hang predict()")
   }
 
+  test("ProcessLlm timeout kills the whole process TREE, not just the wrapper") {
+    // The documented setup is `command` = a wrapper script that forks the
+    // actual model process. SIGKILLing only the wrapper would leave the
+    // grandchild running inference (holding memory/GPU) indefinitely —
+    // the kill must sweep descendants first.
+    val dir = java.nio.file.Files.createTempDirectory("graft_pllm_tree")
+    val pidFile = dir.resolve("grandchild.pid")
+    val t0 = System.nanoTime()
+    val boom = intercept[RuntimeException] {
+      new ProcessLlm(Seq("/bin/sh", "-c",
+        s"sleep 60 & echo $$! > $pidFile; wait"), timeoutSec = 2).predict("hi")
+    }
+    assert(boom.getMessage.contains("timed out"))
+    assert((System.nanoTime() - t0) / 1e9 < 30, "must fail at the deadline")
+    val pid = new String(java.nio.file.Files.readAllBytes(pidFile), "UTF-8").trim.toLong
+    // SIGKILL delivery is async; give it a short grace loop, then demand
+    // the grandchild is gone (it would otherwise live the full 60 s)
+    def alive: Boolean = {
+      val h = java.lang.ProcessHandle.of(pid)
+      h.isPresent && h.get.isAlive
+    }
+    val gone = (1 to 50).exists { _ =>
+      if (alive) { Thread.sleep(100); false } else true
+    }
+    assert(gone, s"grandchild $pid must be SIGKILLed with its parent")
+  }
+
+  test("ProcessLlm shares ONE deadline across waitFor and the pipe drains") {
+    // Pre-fix, a command that used most of the budget before exiting —
+    // leaving a grandchild holding stdout/stderr open — could stretch
+    // predict() to ~3× timeoutSec (full fresh window per boundedGet).
+    // Post-fix every wait gets only the REMAINING budget, so the whole
+    // call is bounded by ~timeoutSec regardless of which waits engage.
+    val t0 = System.nanoTime()
+    val r =
+      try new ProcessLlm(Seq("/bin/sh", "-c",
+        "sleep 60 & sleep 3; echo done"), timeoutSec = 4).predict("hi")
+      catch {
+        // when the JDK reaper loses the close race, the bounded path wins
+        case e: RuntimeException if e.getMessage.contains("pipe still open") =>
+          "bounded-path"
+      }
+    assert(r == "bounded-path" || r.trim == "done")
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 8,
+      s"one shared deadline must bound predict() near timeoutSec, took $secs%s")
+  }
+
   test("SqlExtractor handles fences, tags and bare SQL") {
     assert(SqlExtractor.extract("```sql\nSELECT 1\n```") == "SELECT 1")
     assert(SqlExtractor.extract("```\nSELECT 1\n```") == "SELECT 1")

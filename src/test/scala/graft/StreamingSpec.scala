@@ -276,6 +276,61 @@ class StreamingSpec extends SparkSpec {
       "mutated near-dups must pair with their batch-1 originals via state")
   }
 
+  test("hot-bucket cap fires a visible counter, not a silent drop") {
+    // A mass-duplicated boilerplate document saturates its (band, bkey)
+    // buckets; past maxBucket the bucket stops admitting (documented
+    // superset-past-cap semantics). This test proves the cap event is
+    // OBSERVABLE — an operator reading the accumulator between batches
+    // sees saturation instead of mistaking a capped bucket for a quiet
+    // one — and that emission stays bounded by the cap.
+    import graft.streaming.StreamingDedup
+    val boiler = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = (0L until 10L).map(i => (i, boiler))
+    val b1 = spark.createDataFrame(docs.take(5)).toDF("doc_id", "text")
+    val b2 = spark.createDataFrame(docs.drop(5)).toDF("doc_id", "text")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_capfired")
+    def stage(part: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_cf_$name")
+      part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dst = dir.resolve(s"$name.parquet")
+      java.nio.file.Files.copy(f, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    stage(b1, "0_first", 1000000L)
+    stage(b2, "1_more", 2000000L)
+
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val acc = spark.sparkContext.longAccumulator("graft.streaming.dedup.capFired")
+    val pairs = StreamingDedup.nearDupPairs(
+      StreamingDedup.withBandKeys(stream, "doc_id", "text"),
+      minEst = 0.5, maxBucket = 3, capFired = Some(acc))
+    val q = pairs.toDF().writeStream.outputMode("append")
+      .format("memory").queryName("capfired_out").start()
+    try {
+      q.processAllAvailable()
+      assert(q.recentProgress.map(_.batchId).distinct.length >= 2,
+        "split input must actually produce multiple microbatches")
+    } finally q.stop()
+
+    // 10 identical docs share one bkey per band (4 bands); cap 3 admits
+    // docs 0-2 and refuses 3-9 in each → exactly 4 × 7 = 28 cap events.
+    assert(acc.value == 28L,
+      s"expected 28 cap-fired events (4 bands × 7 refused docs), got ${acc.value}")
+    // and the cap bounded emission: only the 3 admitted members pair up
+    val emitted = spark.table("capfired_out")
+      .select("a", "b").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(emitted == Set((0L, 1L), (0L, 2L), (1L, 2L)),
+      s"capped bucket must emit only the admitted members' pairs, got $emitted")
+  }
+
   test("incremental sessionization: state carries open sessions across microbatches") {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import spark.implicits._
