@@ -71,9 +71,14 @@ object Bench {
       case None => SparkEntry.queries
     }
     val canaries = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // (name, preceding canary): lets a consumer exclude exactly the rows
+    // timed next to a load spike instead of distrusting the whole run
+    val canaryBefore = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       clearResidue()
-      canaries += canaryTime()
+      val c = canaryTime()
+      canaries += c
+      canaryBefore += (name -> c)
       val times = (1 to 2).map { _ =>
         clearResidue()
         val t0 = System.nanoTime()
@@ -104,13 +109,33 @@ object Bench {
     val (cMin, cMed, cMax) =
       if (cs.isEmpty) (0.0, 0.0, 0.0)
       else (cs.head, cs(cs.length / 2), cs.last)
-    val contended = if (cMin > 0 && cMed > 2 * cMin) 1 else 0
+    // Two independent contention criteria (r8 lesson: a run with 22 canary
+    // samples past 1 s — max 12.5 s — still had median ≈ 1.6×min, so the
+    // median-only flag said "clean" while 14 of the 20 worst per-query
+    // inflations sat next to a spiked canary):
+    //  - sustained load lifts the MEDIAN of the fixed workload;
+    //  - spiky load leaves the median alone but fires individual samples —
+    //    >5% of samples beyond 3×min is not a healthy box.
+    val spikedSamples = if (cMin > 0) cs.count(_ > 3 * cMin) else 0
+    val spiked =
+      if (cs.nonEmpty && spikedSamples.toDouble / cs.length > 0.05) 1 else 0
+    val contended =
+      if ((cMin > 0 && cMed > 2 * cMin) || spiked == 1) 1 else 0
     val canaryJson =
       s"""{"workload":"q_group_agg","min":${r3(cMin)},"median":${r3(cMed)},""" +
         s""""max":${r3(cMax)},"contended":$contended,""" +
+        s""""spiked_samples":$spikedSamples,""" +
         s""""series":${canaries.map(r3).mkString("[", ",", "]")}}"""
+    // canary_before: each query's immediately-preceding canary, keyed by
+    // qid — a contaminated row is mechanically excludable (bench_diff.py
+    // drops rows whose canary exceeded 3×min) without guessing from the
+    // positional series. Sits BEFORE the queries map: under the driver's
+    // last-2,000-chars truncation it is sacrificed first.
+    val cbJson = canaryBefore.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
-      s""""sf":"$sfDir","load_canary":$canaryJson,"queries":$qs}"""
+      s""""sf":"$sfDir","load_canary":$canaryJson,""" +
+      s""""canary_before":$cbJson,"queries":$qs}"""
     // Belt and braces: the full untruncated line also lands in the repo so
     // tools/bench_diff.py can always diff complete per-query maps.
     try java.nio.file.Files.writeString(

@@ -157,6 +157,33 @@ object ScaleRehearsal {
       .repartition(cpus.toInt)
       .write.mode("overwrite").parquet(s"$bigDir/events.parquet")
 
+    // lineitem/orders: mult× replicas on DISJOINT key spaces — orderkey
+    // shifted by IdStride, customer/supplier dimensions by 1e6 per
+    // replica so the dimension tables grow with the corpus (the axis the
+    // validate scan and the recommendation serving index rehearse
+    // against). Per-order structure is preserved inside every replica.
+    val DimStride = 1000000L
+    val liBase = Tables.lineitem(spark, sfDir)
+    (0 until mult).map { k =>
+      liBase.select(liBase.columns.map {
+        case "l_orderkey" => (col("l_orderkey") + lit(k * IdStride)).as("l_orderkey")
+        case "l_suppkey" => (col("l_suppkey") + lit(k * DimStride)).as("l_suppkey")
+        case c => col(c)
+      }: _*)
+    }.reduce(_ unionByName _)
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$bigDir/lineitem.parquet")
+    val ordBase = Tables.orders(spark, sfDir)
+    (0 until mult).map { k =>
+      ordBase.select(ordBase.columns.map {
+        case "o_orderkey" => (col("o_orderkey") + lit(k * IdStride)).as("o_orderkey")
+        case "o_custkey" => (col("o_custkey") + lit(k * DimStride)).as("o_custkey")
+        case c => col(c)
+      }: _*)
+    }.reduce(_ unionByName _)
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$bigDir/orders.parquet")
+
     def clearResidue(): Unit = {
       ops.Dedup.clearCaches()
       ops.TextAnalysis.clearCaches() // memoized BPE merges must re-train
@@ -164,6 +191,67 @@ object ScaleRehearsal {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }
+
+    // ---- recommendation serving-index rehearsal state (r8 task 6) ----
+    // The item-item matrix is the corpus-scale artifact; the PROBE BATCH
+    // is pinned to the 1× slice — a serving batch does not grow with the
+    // index. The batch is collected to the driver once (cache clearing
+    // between timed runs must not push a recompute into the serve
+    // timing); the index builds once per dir via the memo, so min-of-2
+    // absorbs the build into the discarded first run and times serve-only.
+    lazy val serveBatch: DataFrame = {
+      val rows = Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey").cast("long").as("c"))
+        .join(Tables.lineitem(spark, sfDir)
+            .select(col("l_orderkey"), col("l_suppkey").cast("long").as("sk")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select("c", "sk").distinct()
+        .filter(pmod(col("c"), lit(37L)) === 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      import spark.implicits._
+      rows.toDF("c", "sk")
+    }
+    lazy val serveBatchBounds: (Long, Long) = {
+      val sks = serveBatch.select("sk").collect().map(_.getLong(0))
+      (sks.min, sks.max)
+    }
+    val serveTables = scala.collection.mutable.Map.empty[String, String]
+    def serveSetup(d: String): String = serveTables.getOrElseUpdate(d, {
+      val tag = if (d == sfDir) "base" else "big"
+      val tbl = s"graft_serve_sims_$tag"
+      // same matrix build as q_recommend_probe (dimension-bounded pair
+      // formation, top-20 truncation), saved bucketed AND sorted by the
+      // probe key: bucketing kills the serve-side exchange, the in-file
+      // sort gives parquet row-group min/max the batch's key range can
+      // prune against — the two properties the flat-serve claim rests on
+      val e0 = Tables.orders(spark, d)
+        .select(col("o_orderkey"), col("o_custkey").cast("long").as("c"))
+        .join(Tables.lineitem(spark, d)
+            .select(col("l_orderkey"), col("l_suppkey").cast("long").as("sk")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select("c", "sk").distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val deg = e0.groupBy("sk").agg(count(lit(1)).as("deg"))
+      val half = e0.select(col("c"), col("sk").as("s1"))
+        .join(e0.select(col("c"), col("sk").as("s2")), Seq("c"))
+        .filter(col("s1") < col("s2"))
+        .groupBy("s1", "s2").agg(count(lit(1)).as("shared"))
+        .join(broadcast(deg.select(col("sk").as("s1"), col("deg").as("d1"))), Seq("s1"))
+        .join(broadcast(deg.select(col("sk").as("s2"), col("deg").as("d2"))), Seq("s2"))
+        .select(col("s1"), col("s2"),
+          round(col("shared") * lit(1000000L).cast("double")
+            / (col("d1") + col("d2") - col("shared"))).cast("long").as("jac"))
+      val byItem = org.apache.spark.sql.expressions.Window
+        .partitionBy("s1").orderBy(desc("jac"), asc("s2"))
+      half.union(
+          half.select(col("s2").as("s1"), col("s1").as("s2"), col("jac")))
+        .withColumn("rk", row_number().over(byItem))
+        .filter(col("rk") <= 20).drop("rk")
+        .write.mode("overwrite").bucketBy(8, "s1").sortBy("s1")
+        .option("path", s"$scratch/serve_$tag").saveAsTable(tbl)
+      e0.unpersist(blocking = false)
+      tbl
+    })
 
     // Each workload takes a corpus dir and forces a full result. The first
     // three drive the public curation APIs; the last three are the shipped
@@ -395,6 +483,44 @@ object ScaleRehearsal {
             .agg(sum("value").as("v"), sum("u_events").as("e"))
             .queryExecution.toRdd.count(): Unit
         }
+      },
+      // 64-bit banded-H≤3 simhash dedup (the Manku design shipped this
+      // round): 4-band pigeonhole equi-join + hot-bucket cap — candidate
+      // volume tracks band-bucket occupancy, so the replicated corpus
+      // (all-distinct signatures) plus the 600-member plant (one capped
+      // boilerplate bucket) must stay near-linear, never pairwise
+      "simhash64_dedup" -> { d: String =>
+        ops.Dedup.clearCaches()
+        ops.Dedup.simhashNearDupPairs(
+          Tables.documents(spark, d), "doc_id", "text")
+          .count(): Unit
+      },
+      // expectation-suite validation (q_validate): fused row checks + PK
+      // groupBy + FK anti-join = three passes over lineitem/orders
+      // regardless of check count — the "scan-speed" claim, so the ratio
+      // must track the replicated lineitem ~linearly
+      "validate" -> { d: String =>
+        SparkEntry.queries("q_validate")(spark, d)
+          .queryExecution.toRdd.count(): Unit
+      },
+      // recommendation SERVING join against the bucketed+sorted item-item
+      // index: the index grows mult× (replicated orders/lineitem with
+      // disjoint dimensions) while the probe batch stays pinned at the 1×
+      // slice. Bucketing keeps the matrix side exchange-free and the
+      // batch's key range reaches the sorted bucket files as a parquet
+      // min/max row-group filter, so serve latency must stay ~FLAT (the
+      // ratio this row exists to measure) — a serving system pays for
+      // what the batch touches, not for how big the index has grown
+      "recommend_serve" -> { d: String =>
+        val tbl = serveSetup(d)
+        val (lo, hi) = serveBatchBounds
+        spark.table(tbl)
+          .filter(col("s1").between(lo, hi))
+          .join(broadcast(serveBatch), col("sk") === col("s1"))
+          .groupBy(col("c"), col("s2"))
+          .agg(sum(col("jac").cast("decimal(38,0)")).as("score"),
+            count(lit(1)).as("n_paths"))
+          .queryExecution.toRdd.count(): Unit
       })
 
     def time(fn: String => Unit, dir: String): Double =

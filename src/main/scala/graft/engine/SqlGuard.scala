@@ -191,14 +191,37 @@ object SqlGuard {
       }
     }.getOrElse(Nil)
 
+  /** Subquery PLANS hiding inside a named WINDOW definition's spec
+    * expressions. windowDefinitions is a Map the default traversals skip
+    * twice over: QueryPlan.expressions doesn't contain the specs (the r8
+    * function-scan bypass), and collectWithSubqueries therefore never sees
+    * a subquery nested in one — so `WINDOW w AS (PARTITION BY (SELECT max(a)
+    * FROM secrets))` smuggled an UNVALIDATED plan (unknown tables, banned
+    * TVFs, banned functions) past every check. Found by SqlGuardFuzzSpec
+    * (r9); routed through allNodes like CTE bodies. */
+  private def windowDefPlans(p: LogicalPlan): Seq[LogicalPlan] = p match {
+    case w: WithWindowDefinition =>
+      w.windowDefinitions.values.toSeq.flatMap(_.collect {
+        case pe: org.apache.spark.sql.catalyst.expressions.PlanExpression[_] =>
+          pe.plan match {
+            case lp: LogicalPlan => Seq(lp)
+            case _ => Nil
+          }
+      }.flatten)
+    case _ => Nil
+  }
+
   /** All plan nodes, including subqueries AND CTE definition bodies (which
     * are innerChildren the default traversal skips — an unvalidated CTE body
-    * would be a sandbox hole). */
+    * would be a sandbox hole) AND subqueries inside named WINDOW specs
+    * (see [[windowDefPlans]]). */
   private def allNodes(plan: LogicalPlan): Seq[LogicalPlan] = {
     val direct = plan.collectWithSubqueries { case p => p }
-    direct ++ direct.filter(isWith).flatMap(cteDefs).flatMap {
-      case (_, body) => allNodes(body)
-    }
+    direct ++
+      direct.filter(isWith).flatMap(cteDefs).flatMap {
+        case (_, body) => allNodes(body)
+      } ++
+      direct.flatMap(windowDefPlans).flatMap(allNodes)
   }
 
   /** Validate a parsed plan against the registered view names.

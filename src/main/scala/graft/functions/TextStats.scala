@@ -98,7 +98,22 @@ object TextStatKernels {
     * (plus an md5 and a substr allocation per occurrence) with one
     * codegen'd pass — the simhash signature stage is the dominant cost of
     * the dedup_simhash family. */
-  def simhash16(w: ArrayData): UTF8String = {
+  def simhash16(w: ArrayData): UTF8String = simhashN(w, 16)
+
+  private val salt1 = "x1:".getBytes("UTF-8")
+
+  /** Width-generic simhash over the word multiset of `w` — the same
+    * one-md5-per-distinct-word fold as [[simhash16]] (which is exactly
+    * `simhashN(w, 16)`), reading digest nibble j for bit j. One 128-bit
+    * md5 carries 32 independent uniform nibbles, so widths up to 32 cost
+    * the SAME hashing 16 did; widths 33-64 read nibble j-32 of a second,
+    * salted digest md5("x1:" || word) — computed only when asked for.
+    * Width is the text path's quality knob (see Dedup.autoBitsSimhash):
+    * 16 fixed bits birthday-over-merge once the corpus outgrows ~2^8 docs
+    * (the r8 report measured 8218bp of false drops at sf0.01); 64 bits is
+    * the published web-scale operating point (Manku, Jain, Das Sarma,
+    * WWW'07 — 64-bit simhash, Hamming ≤ 3). */
+  def simhashN(w: ArrayData, bits: Int): UTF8String = {
     val n = w.numElements()
     val counts = new java.util.HashMap[UTF8String, Long]()
     var nulls = 0L
@@ -109,29 +124,36 @@ object TextStatKernels {
       else counts.merge(s, 1L, (a, b) => a + b)
       i += 1
     }
-    val bits = new Array[Long](16)
+    require(bits >= 1 && bits <= 64,
+      s"simhash width must be in [1, 64] (two md5s' nibble budget), got $bits")
+    val sums = new Array[Long](bits)
     if (nulls > 0) {
       var j = 0
-      while (j < 16) { bits(j) -= nulls; j += 1 }
+      while (j < bits) { sums(j) -= nulls; j += 1 }
     }
     val md = java.security.MessageDigest.getInstance("MD5")
     val it = counts.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      val digest = md.digest(e.getKey.getBytes) // digest() resets md
+      val wordBytes = e.getKey.getBytes
+      val digest = md.digest(wordBytes) // digest() resets md
+      val digest2 =
+        if (bits <= 32) null
+        else { md.update(salt1); md.digest(wordBytes) }
       val c = e.getValue
       var j = 0
-      while (j < 16) {
+      while (j < bits) {
+        val (d, k) = if (j < 32) (digest, j) else (digest2, j - 32)
         val nib =
-          if ((j & 1) == 0) (digest(j >> 1) >> 4) & 0xf
-          else digest(j >> 1) & 0xf
-        if (nib <= 7) bits(j) += c else bits(j) -= c
+          if ((k & 1) == 0) (d(k >> 1) >> 4) & 0xf
+          else d(k >> 1) & 0xf
+        if (nib <= 7) sums(j) += c else sums(j) -= c
         j += 1
       }
     }
-    val out = new Array[Byte](16)
+    val out = new Array[Byte](bits)
     var j = 0
-    while (j < 16) { out(j) = if (bits(j) > 0) '1' else '0'; j += 1 }
+    while (j < bits) { out(j) = if (sums(j) > 0) '1' else '0'; j += 1 }
     UTF8String.fromBytes(out)
   }
 
@@ -254,6 +276,31 @@ case class GraftSimhash16(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** `graft_simhash(words, bits)` — width-parameterized simhash signature
+  * ('0'/'1' string of length `bits`, bits ≤ 64). `bits` must be a foldable
+  * integer (the width is a plan-time knob derived from a corpus count, not
+  * per-row data), enforced at construction so a non-literal width fails
+  * analysis, not execution. */
+case class GraftSimhashN(child: Expression, bits: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if bits >= 1 && bits <= 64 =>
+      TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName width must be in [1, 64], got $bits")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an ARRAY<STRING> argument, got ${other.simpleString}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_simhash"
+  override def nullSafeEval(w: Any): Any =
+    TextStatKernels.simhashN(w.asInstanceOf[ArrayData], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextStatKernels.simhashN($c, $bits)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** `graft_minhash8(words)` →
   * struct(s0 .. s7 STRING) — the 8-slot MinHash signature. */
 case class GraftMinhash8(child: Expression) extends UnaryExpression {
@@ -284,6 +331,15 @@ object TextStats {
       "graft_top_bigram_count", exprs => GraftTopBigramCount(exprs.head), "built-in")
     r.createOrReplaceTempFunction(
       "graft_simhash16", exprs => GraftSimhash16(exprs.head), "built-in")
+    r.createOrReplaceTempFunction(
+      "graft_simhash", exprs => {
+        val bits = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_simhash(words, bits) needs a literal INT width, got $other")
+        }
+        GraftSimhashN(exprs.head, bits)
+      }, "built-in")
     r.createOrReplaceTempFunction(
       "graft_minhash8", exprs => GraftMinhash8(exprs.head), "built-in")
   }

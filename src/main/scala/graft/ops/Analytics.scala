@@ -427,7 +427,12 @@ object Analytics {
         .groupBy(col("cohort"),
           (datediff(col("wk"), col("cohort")) / 7).cast("int")
             .as("week_offset"))
-        .agg(sum("cents").as("cents"))
+        // decimal(38,0): the cumulative window below totals a whole
+        // cohort's lifetime revenue in CENTS — a 64-bit running sum wraps
+        // at ~9.2e16 dollars, a bound that is plausible-not-proven at
+        // 100 TB; DuckDB's sum(BIGINT) is already 128-bit (HUGEINT), so
+        // this also aligns the engines' intermediate width
+        .agg(sum(col("cents").cast("decimal(38,0)")).as("cents"))
       val cum = Window.partitionBy("cohort").orderBy("week_offset")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       grid
@@ -766,7 +771,11 @@ object Analytics {
         .agg(round(sum("o_totalprice") * 100).cast("long").as("cents"))
       val bins = spend
         .groupBy(col("segment"), floor(col("cents") / 10000000L).as("bin"))
-        .agg(count(lit(1)).as("n_i"), sum("cents").as("s_i"))
+        // s_i in decimal(38,0) from the start: the segment-total window
+        // sums below (cum_s, ss) are whole-segment revenue in cents —
+        // ~1e18 at 100 TB, one order from a silent 64-bit wrap
+        .agg(count(lit(1)).as("n_i"),
+          sum(col("cents").cast("decimal(38,0)")).as("s_i"))
       val cum = Window.partitionBy("segment").orderBy("bin")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val seg = Window.partitionBy("segment")
@@ -833,7 +842,9 @@ object Analytics {
           bucket(col("monetary"), "m").as("m_bucket"), col("monetary"))
         .groupBy("r_bucket", "f_bucket", "m_bucket")
         .agg(count(lit(1)).as("n_users"),
-          round(sum("monetary").cast("double")
+          // decimal(38,0) sum: a bucket's total cents is corpus-revenue
+          // scale (same wrap class as q_cohort_ltv's cumulative cents)
+          round(sum(col("monetary").cast("decimal(38,0)")).cast("double")
             / (count(lit(1)) * 100), 2).as("avg_monetary"))
         .orderBy("r_bucket", "f_bucket", "m_bucket")
     }),
@@ -863,8 +874,15 @@ object Analytics {
         .crossJoin(broadcast(tot))
         .select(col("s1"), col("s2"), col("supp_ab"), col("supp_a"), col("supp_b"),
           round(col("supp_ab").cast("double") / col("supp_a"), 6).as("confidence"),
-          round((col("n_orders") * col("supp_ab")).cast("double")
-            / (col("supp_a") * col("supp_b")), 6).as("lift"))
+          // both lift products in decimal(38,0): n_orders·supp_ab and
+          // supp_a·supp_b are each ~(corpus orders)² in the worst case —
+          // ~1e24 at 100 TB, far past 2^63, a REAL wrap (unlike the
+          // bounded sums above). The decimal→double cast afterwards is
+          // value-identical to the long path below 2^53
+          round((col("n_orders").cast("decimal(38,0)") * col("supp_ab"))
+              .cast("double")
+            / (col("supp_a").cast("decimal(38,0)") * col("supp_b"))
+              .cast("double"), 6).as("lift"))
         .orderBy(desc("lift"), desc("supp_ab"), asc("s1"), asc("s2"))
         .limit(20)
     }),

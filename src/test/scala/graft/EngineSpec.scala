@@ -182,6 +182,26 @@ class EngineSpec extends SparkSpec {
       "allowlisted generator passes")
   }
 
+  test("guard sees through SUBQUERIES inside named WINDOW specs " +
+      "(r9 fuzz finding)") {
+    // windowDefinitions is invisible twice over: not in
+    // QueryPlan.expressions (the r8 bypass) and therefore not in
+    // collectWithSubqueries either — so a whole subquery PLAN inside a
+    // WINDOW spec (its relations, TVFs, functions) went unvalidated.
+    // Found by SqlGuardFuzzSpec; pinned here explicitly.
+    for (smuggled <- Seq(
+        "(SELECT max(a) FROM secrets)", // unknown table
+        "(SELECT max(x) FROM sql_keywords())", // catalog TVF
+        "(SELECT current_user())")) { // banned function
+      val ans = new GraftSession(spark, FakeLlm(
+        s"```sql\nSELECT row_number() OVER w AS r FROM df WINDOW w AS " +
+          s"(PARTITION BY $smuggled ORDER BY a)\n```"),
+        GraftConfig(maxRetries = 0)).ask(freshDf, "?")
+      assert(ans.error.isDefined,
+        s"subquery smuggled through a WINDOW spec must reject: $smuggled")
+    }
+  }
+
   test("guard never lets a parser blow-up escape as a JVM Error") {
     // thousands of nested parens can blow ANTLR's recursion (stack-size
     // dependent) — whatever happens, parse() must return an Either, not

@@ -186,6 +186,86 @@ class FunctionsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
 
+  test("graft_simhash width family: prefix property, 16-bit equivalence, " +
+      "salted upper half, codegen/interpreted agreement") {
+    graft.functions.TextStats.register(spark)
+    val texts = Seq("", "word", "a a a a a b", "naïve café 中文 emoji 🦀 ok",
+      "the quick brown fox jumps over the lazy dog the end") ++
+      Tables.documents(spark, sf).limit(20)
+        .collect().map(_.getAs[String]("text")).toSeq
+    import spark.implicits._
+    val df = texts.toDF("text")
+      .selectExpr("filter(split(text, ' '), x -> length(x) > 0) AS w")
+    // graft_simhash(w, 16) IS graft_simhash16 (back-compat contract)
+    val s16 = df.selectExpr("graft_simhash16(w) AS a", "graft_simhash(w, 16) AS b")
+      .collect()
+    assert(s16.forall(r => r.getString(0) == r.getString(1)))
+    // a narrower signature is a PREFIX of a wider one (each bit is
+    // computed independently of the width) — the property the auto-width
+    // oracle leans on when it truncates the 64-bit table
+    val pre = df.selectExpr("graft_simhash(w, 20) AS a",
+      "graft_simhash(w, 32) AS b", "graft_simhash(w, 64) AS c").collect()
+    assert(pre.forall(r => r.getString(2).startsWith(r.getString(1)) &&
+      r.getString(1).startsWith(r.getString(0))))
+    assert(pre.forall(r => r.getString(0).length == 20 &&
+      r.getString(1).length == 32 && r.getString(2).length == 64))
+    // bits 33-64 come from the SALTED digest md5('x1:' || word) — the
+    // relational spec of the upper half, integer-exact
+    val upper = df
+      .selectExpr("transform(w, x -> md5(concat('x1:', x))) AS hs2", "w")
+      .selectExpr(
+        "concat(" + (0 until 32).map(j =>
+          s"IF(aggregate(hs2, 0, (acc, h) -> acc + IF(substr(h, ${j + 1}, 1) <= '7', 1, -1)) > 0, '1', '0')")
+          .mkString(", ") + ") AS up",
+        "substring(graft_simhash(w, 64), 33, 32) AS kup").collect()
+    assert(upper.forall(r => r.getString(0) == r.getString(1)))
+    // interpreted evaluation agrees with codegen
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interp = df.selectExpr("graft_simhash(w, 64) AS c").collect()
+        .map(_.getString(0))
+      assert(interp.sameElements(pre.map(_.getString(2))))
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    // the corpus-derived width rule, pinned at its anchor points
+    import graft.ops.Dedup
+    assert(Dedup.autoBitsSimhash(0) == 16 && Dedup.autoBitsSimhash(256) == 16)
+    assert(Dedup.autoBitsSimhash(257) == 18 && Dedup.autoBitsSimhash(550) == 20)
+    assert(Dedup.autoBitsSimhash(4096) == 24 && Dedup.autoBitsSimhash(66000) == 34)
+    assert(Dedup.autoBitsSimhash(1L << 40) == 64 &&
+      Dedup.autoBitsSimhash(Long.MaxValue) == 64)
+  }
+
+  test("simhashNearDupPairs: pigeonhole banding finds exactly the " +
+      "Hamming<=3 pairs a brute-force scan finds") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).limit(120)
+    val mutated = docs.filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        regexp_replace(col("text"), "^[^ ]+", "zzz").as("text"))
+    val corpus = docs.unionByName(mutated)
+    val got = graft.ops.Dedup.simhashNearDupPairs(corpus, "doc_id", "text")
+      .select("a", "b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force over the same 64-bit signatures
+    graft.functions.TextStats.register(spark)
+    val sigs = corpus.select(col("doc_id"),
+      expr("graft_simhash(filter(split(text, ' '), x -> length(x) > 0), 64)")
+        .as("sig"))
+    val brute = sigs.select(col("doc_id").as("a"), col("sig").as("sa"))
+      .crossJoin(sigs.select(col("doc_id").as("b"), col("sig").as("sb")))
+      .filter(col("a") < col("b"))
+      .withColumn("h", expr("aggregate(sequence(1, 64), 0, (acc, i) -> " +
+        "acc + IF(substring(sa, i, 1) = substring(sb, i, 1), 0, 1))"))
+      .filter(col("h") <= 3)
+      .select("a", "b", "h")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == brute,
+      s"banding must be exhaustive at H<=3: missing=${brute -- got}, " +
+        s"extra=${got -- brute}")
+    assert(got.nonEmpty, "mutated copies must produce at least one pair")
+  }
+
   test("graft_minhash8 equals the relational min-of-md5-slice form on edge-case texts") {
     graft.functions.TextStats.register(spark)
     // edge cases: empty (one empty shingle), 1- and 2-word tails (concat_ws

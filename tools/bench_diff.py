@@ -6,29 +6,62 @@ Usage: python3 tools/bench_diff.py old.json new.json [ratio_threshold]
 
 Accepts either the raw one-line {"metric":...} Bench output or a driver
 BENCH_r*.json wrapper (whose "tail" holds a suffix of that line).
+
+Contention filtering: when a file carries "canary_before" (each query's
+immediately-preceding load-canary time), queries whose canary exceeded
+3x the run's canary minimum are excluded from the comparison — those
+rows were timed next to a host-load spike and read as fake regressions
+(the r8 driver artifact: 212 s for a 1.2 s query, canary at 12.5 s).
 """
 import json
 import re
 import sys
 
+SPIKE_RATIO = 3.0
+
 
 def load(path):
+    """Returns (queries, canary_before, canary_min) — the latter two may
+    be empty/None for pre-r9 artifacts."""
     raw = open(path).read()
+    d = None
     try:
         d = json.loads(raw)
-        if "queries" in d:
-            return d["queries"]
-        raw = d.get("tail", "")
+        if "queries" not in d:
+            raw = d.get("tail", "")
+            d = None
     except json.JSONDecodeError:
-        pass
-    return {m.group(1): float(m.group(2))
-            for m in re.finditer(r'"(q_\w+)":([0-9.]+)', raw)}
+        d = None
+    if d is not None:
+        queries = d["queries"]
+        cb = d.get("canary_before", {})
+        cmin = d.get("load_canary", {}).get("min")
+    else:
+        # truncated tail: regex out whatever survived. canary_before and
+        # queries share the "qid":sec shape, so take the LAST occurrence
+        # per qid (queries prints last / closest to the kept tail).
+        queries = {m.group(1): float(m.group(2))
+                   for m in re.finditer(r'"(q_\w+)":([0-9.]+)', raw)}
+        cb, cmin = {}, None
+    return queries, cb, cmin
+
+
+def spiked_qids(cb, cmin):
+    if not cb or not cmin or cmin <= 0:
+        return set()
+    return {q for q, c in cb.items() if c > SPIKE_RATIO * cmin}
 
 
 def main():
-    old, new = load(sys.argv[1]), load(sys.argv[2])
+    old, old_cb, old_cmin = load(sys.argv[1])
+    new, new_cb, new_cmin = load(sys.argv[2])
     thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
-    common = sorted(set(old) & set(new))
+    spiked = spiked_qids(old_cb, old_cmin) | spiked_qids(new_cb, new_cmin)
+    if spiked:
+        print(f"excluded {len(spiked)} queries timed next to a canary "
+              f"spike (> {SPIKE_RATIO}x canary min): "
+              + " ".join(sorted(spiked)))
+    common = sorted((set(old) & set(new)) - spiked)
     print(f"{len(common)} common queries; overlap sum "
           f"{sum(old[q] for q in common):.1f}s -> "
           f"{sum(new[q] for q in common):.1f}s")
