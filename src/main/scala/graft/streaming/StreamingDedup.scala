@@ -150,6 +150,101 @@ object StreamingDedup {
     nearDupPairs(withBandKeys(docs, idCol, textCol), minEst)
 
   // ---------------------------------------------------------------------
+  // SimHash dedup-at-ingest — the streaming face of
+  // ops.Dedup.simhashNearDupPairs (Manku/Jain/Das Sarma WWW'07: 64-bit
+  // signature, Hamming ≤ 3 via 4-band pigeonhole). The signature is a
+  // row-local codegen'd kernel call, so it is a stateless projection —
+  // append-mode-legal — and the banding explode mirrors the batch path
+  // exactly, so the batch self-join IS the streaming ground truth.
+  // ---------------------------------------------------------------------
+
+  /** A banded simhash candidate verified within the radius: `a` < `b` by
+    * doc id, `hamming` = exact 64-bit Hamming distance, `band` = which
+    * pigeonhole band's bucket surfaced it. Unlike the flip-probe paths
+    * (where each qualifying pair matches in exactly one group), a pair
+    * within H ≤ 3 can agree on SEVERAL bands — distinct on (a, b)
+    * belongs downstream, same stance as [[CandidatePair]]. */
+  case class SimhashPair(a: Long, b: Long, hamming: Int, band: Int)
+
+  private[graft] case class SimBandedDoc(band: Int, bkey: String,
+    doc_id: Long, sig: String)
+
+  private[graft] case class SimBucketState(members: List[(Long, String)])
+
+  /** Row-local 64-bit simhash + 4-band pigeonhole keys: one row per
+    * (doc × band) — (band, bkey, doc_id, sig). Identical on batch and
+    * streaming frames. Same null/poison gates as [[withBandKeys]]. */
+  def withSimhashBandKeys(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    graft.functions.TextStats.register(docs.sparkSession)
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(expr(s"try_cast(${quoteId(idCol)} AS BIGINT)").as("doc_id"),
+        coalesce(
+          expr(s"graft_simhash(filter(split(${quoteId(textCol)}, ' '), " +
+            "x -> length(x) > 0), 64)"),
+          lit("0" * 64)).as("sig"))
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), col("sig"), explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          substring(col("sig"), b * 16 + 1, 16).as("bkey"))): _*)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bkey").as("bkey"),
+        col("doc_id"), col("sig"))
+  }
+
+  private def hamming64(a: String, b: String): Int = {
+    var h = 0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { if (a.charAt(i) != b.charAt(i)) h += 1; i += 1 }
+    h + math.abs(a.length - b.length)
+  }
+
+  /** Stateful in-bucket Hamming verification over a simhash-banded stream
+    * (the output of [[withSimhashBandKeys]] on a streaming frame). Group =
+    * one (band, bkey) bucket; state = its members (doc_id, sig), capped
+    * like every other bucket state; `capFired` surfaces saturation (see
+    * [[nearDupPairs]]). Within a microbatch rows process in ascending
+    * doc_id, so the emitted pair set is batch-chop-independent. */
+  def simhashPairs(banded: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = graft.ops.Dedup.defaultMaxBucket,
+      capFired: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[SimhashPair] = {
+    val spark = banded.sparkSession
+    import spark.implicits._
+    banded.as[SimBandedDoc]
+      .groupByKey(r => (r.band, r.bkey))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Int, String), rows: Iterator[SimBandedDoc],
+         state: GroupState[SimBucketState]) =>
+          val prev = state.getOption.map(_.members).getOrElse(Nil)
+          var members = prev
+          val out = List.newBuilder[SimhashPair]
+          for (r <- rows.toSeq.sortBy(_.doc_id)) {
+            if (members.exists(_._1 == r.doc_id)) {
+              // re-delivery: not a pair source, not a cap event
+            } else if (members.size < maxBucket) {
+              for ((oldId, oldSig) <- members; if oldId != r.doc_id) {
+                val h = hamming64(oldSig, r.sig)
+                if (h <= maxHamming)
+                  out += SimhashPair(math.min(oldId, r.doc_id),
+                    math.max(oldId, r.doc_id), h, key._1)
+              }
+              members = (r.doc_id, r.sig) :: members
+            } else capFired.foreach(_.add(1L))
+          }
+          state.update(SimBucketState(members))
+          out.result().iterator
+      }
+  }
+
+  /** Convenience composition: documents stream in, radius-verified simhash
+    * near-dup candidates stream out (distinct on (a, b) is the caller's
+    * downstream aggregation — see [[SimhashPair]]). */
+  def detectSimhash(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", maxHamming: Int = 3): Dataset[SimhashPair] =
+    simhashPairs(withSimhashBandKeys(docs, idCol, textCol), maxHamming)
+
+  // ---------------------------------------------------------------------
   // Embedding-space dedup-at-ingest — the streaming face of
   // ops.Similarity.embeddingNearDup: hyperplane LSH signature + Hamming≤1
   // multi-probe, exact cosine verified within buckets only.

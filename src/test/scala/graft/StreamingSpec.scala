@@ -276,6 +276,73 @@ class StreamingSpec extends SparkSpec {
       "mutated near-dups must pair with their batch-1 originals via state")
   }
 
+  test("streaming simhash dedup: cross-microbatch banded H<=3 pairs == " +
+      "batch self-join (Manku design at ingest)") {
+    // The 64-bit banded simhash shipped this round, at ingest: batch 2
+    // brings mutated copies of batch-1 documents; their pairs can only
+    // surface if the (band, bkey) bucket state carries batch-1
+    // signatures across the microbatch boundary. Ground truth is the
+    // batch self-join over the SAME row-local banding projection.
+    import graft.streaming.StreamingDedup
+    val raw = Tables.documents(spark, sf).select("doc_id", "text")
+    val mutated = raw.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        regexp_replace(col("text"), "^[^ ]+", "zzz").as("text"))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_simhash_stream")
+    def stage(part: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_sh_$name")
+      part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dst = dir.resolve(s"$name.parquet")
+      java.nio.file.Files.copy(f, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    stage(raw, "0_base", 1000000L)
+    stage(mutated, "1_mutated", 2000000L)
+
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val q = StreamingDedup.detectSimhash(stream).toDF()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("simhash_stream_out").start()
+    try {
+      q.processAllAvailable()
+      assert(q.recentProgress.map(_.batchId).distinct.length >= 2,
+        "split input must actually produce multiple microbatches")
+    } finally q.stop()
+
+    val streamed = spark.table("simhash_stream_out")
+      .select("a", "b", "hamming").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    // batch ground truth: same banding projection, plain self-join,
+    // distinct across bands
+    val bb = StreamingDedup.withSimhashBandKeys(
+      raw.unionByName(mutated), "doc_id", "text")
+    val x = bb.select(col("band"), col("bkey"), col("doc_id").as("a"),
+      col("sig").as("sa"))
+    val y = bb.select(col("band"), col("bkey"), col("doc_id").as("b"),
+      col("sig").as("sb"))
+    val truth = x.join(y, Seq("band", "bkey")).filter(col("a") < col("b"))
+      .withColumn("hamming", expr(
+        "aggregate(sequence(1, 64), 0, (acc, i) -> acc + " +
+          "IF(substring(sa, i, 1) = substring(sb, i, 1), 0, 1))"))
+      .filter(col("hamming") <= 3)
+      .select("a", "b", "hamming").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    assert(streamed == truth,
+      s"streaming simhash pairs must equal the batch self-join: " +
+        s"missing=${truth -- streamed}, extra=${streamed -- truth}")
+    assert(streamed.exists { case (a, b, _) => a < 100000L && b >= 100000L },
+      "mutated docs must pair with their batch-1 originals via state")
+  }
+
   test("hot-bucket cap fires a visible counter, not a silent drop") {
     // A mass-duplicated boilerplate document saturates its (band, bkey)
     // buckets; past maxBucket the bucket stops admitting (documented
