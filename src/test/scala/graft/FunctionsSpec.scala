@@ -266,6 +266,38 @@ class FunctionsSpec extends SparkSpec {
     assert(got.nonEmpty, "mutated copies must produce at least one pair")
   }
 
+  test("simhashNearDupPairs non-default widths: 32-bit/H<=1 banding is " +
+      "exhaustive; indivisible band split refuses up front") {
+    import org.apache.spark.sql.functions._
+    val corpus = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).limit(80)
+    val got = graft.ops.Dedup
+      .simhashNearDupPairs(corpus, "doc_id", "text", bits = 32, maxHamming = 1)
+      .select("a", "b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    graft.functions.TextStats.register(spark)
+    val sigs = corpus.select(col("doc_id"),
+      expr("graft_simhash(filter(split(text, ' '), x -> length(x) > 0), 32)")
+        .as("sig"))
+    val brute = sigs.select(col("doc_id").as("a"), col("sig").as("sa"))
+      .crossJoin(sigs.select(col("doc_id").as("b"), col("sig").as("sb")))
+      .filter(col("a") < col("b"))
+      .withColumn("h", expr("aggregate(sequence(1, 32), 0, (acc, i) -> " +
+        "acc + IF(substring(sa, i, 1) = substring(sb, i, 1), 0, 1))"))
+      .filter(col("h") <= 1)
+      .select("a", "b", "h")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == brute,
+      s"2-band H<=1 must be exhaustive: missing=${brute -- got}, " +
+        s"extra=${got -- brute}")
+    // bits that don't divide into maxHamming+1 bands refuse at build time
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Dedup.simhashNearDupPairs(corpus, "doc_id", "text",
+        bits = 50, maxHamming = 3)
+    }
+    assert(e.getMessage.contains("bands"))
+  }
+
   test("graft_minhash8 equals the relational min-of-md5-slice form on edge-case texts") {
     graft.functions.TextStats.register(spark)
     // edge cases: empty (one empty shingle), 1- and 2-word tails (concat_ws
