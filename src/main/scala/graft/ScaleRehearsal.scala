@@ -213,6 +213,9 @@ object ScaleRehearsal {
     }
     lazy val serveBatchBounds: (Long, Long) = {
       val sks = serveBatch.select("sk").collect().map(_.getLong(0))
+      require(sks.nonEmpty,
+        "recommend_serve needs a non-empty probe batch: no customer in " +
+          s"$sfDir satisfies c % 37 == 5 — pick a different slice")
       (sks.min, sks.max)
     }
     val serveTables = scala.collection.mutable.Map.empty[String, String]
@@ -221,9 +224,14 @@ object ScaleRehearsal {
       val tbl = s"graft_serve_sims_$tag"
       // same matrix build as q_recommend_probe (dimension-bounded pair
       // formation, top-20 truncation), saved bucketed AND sorted by the
-      // probe key: bucketing kills the serve-side exchange, the in-file
-      // sort gives parquet row-group min/max the batch's key range can
-      // prune against — the two properties the flat-serve claim rests on
+      // probe key. Honest attribution (r9 review): the measured serve
+      // query BROADCASTS the batch, so no matrix-side exchange exists for
+      // bucketing to kill THERE — the flatness comes from the in-file
+      // sort giving parquet row-group min/max the batch's key range
+      // prunes against. bucketBy is still load-bearing twice over: Spark
+      // only permits sortBy on a bucketed write, and the bucket layout is
+      // what q_recommend_probe's non-broadcast (large-batch) regime
+      // merge-joins against exchange-free.
       val e0 = Tables.orders(spark, d)
         .select(col("o_orderkey"), col("o_custkey").cast("long").as("c"))
         .join(Tables.lineitem(spark, d)

@@ -155,10 +155,27 @@ final class ProcessLlm(
     // ONE deadline for the whole call: waitFor plus every pipe-drain get
     // shares it, so a caller-configured 300 s budget is a 300 s budget —
     // not 2× (exit at the wire, then a fresh window per get) or 3× on the
-    // non-zero-exit path.
+    // non-zero-exit path. (Post-exit drains get a small fixed grace — see
+    // boundedGet — so the hard ceiling is timeoutSec + ~2 s.)
+    //
+    // The wait runs in ≤1 s slices, snapshotting the descendant set
+    // before each: ProcessHandle.descendants() is EMPTY once the child
+    // exits (orphans reparent to init), so a pipe-holding grandchild can
+    // only be killed after the parent's exit if its handle was recorded
+    // while the parent lived — the snapshot is at most one slice stale.
     val deadlineNanos = System.nanoTime() + timeoutSec * 1000000000L
-    val finished = proc.waitFor(remainingNanos(deadlineNanos),
-      java.util.concurrent.TimeUnit.NANOSECONDS)
+    var tree: java.util.List[ProcessHandle] =
+      java.util.Collections.emptyList[ProcessHandle]()
+    var finished = false
+    var expired = false
+    while (!finished && !expired) {
+      tree = proc.toHandle.descendants()
+        .collect(java.util.stream.Collectors.toList[ProcessHandle]())
+      finished = proc.waitFor(
+        math.min(remainingNanos(deadlineNanos), 1000000000L),
+        java.util.concurrent.TimeUnit.NANOSECONDS)
+      expired = System.nanoTime() >= deadlineNanos
+    }
     if (!finished) {
       // SIGKILL via the HANDLE, not Process.destroyForcibly: the latter
       // also closes stdin, whose stream monitor the write-blocked stdin
@@ -166,7 +183,7 @@ final class ProcessLlm(
       // child exits on its own (the full sleep in the regression test).
       // The raw-signal path takes no lock; the dying child breaks the
       // pipe, which is what actually unblocks the writer.
-      killTree(proc)
+      killTree(proc, tree)
       throw new RuntimeException(
         s"ProcessLlm timed out after ${timeoutSec}s: ${command.head}")
     }
@@ -174,11 +191,11 @@ final class ProcessLlm(
     // inherited the pipes can hold them open past the parent's exit —
     // without a deadline that would hang here despite the exit deadline
     // having been met.
-    val stdout = boundedGet(out, proc, deadlineNanos)
+    val stdout = boundedGet(out, proc, tree, deadlineNanos)
     if (proc.exitValue() != 0)
       throw new RuntimeException(
         s"ProcessLlm exit ${proc.exitValue()} from ${command.head}: " +
-          boundedGet(err, proc, deadlineNanos).take(500))
+          boundedGet(err, proc, tree, deadlineNanos).take(500))
     stdout
   }
 
@@ -189,25 +206,35 @@ final class ProcessLlm(
   private def remainingNanos(deadlineNanos: Long): Long =
     math.max(deadlineNanos - System.nanoTime(), 1000000L)
 
-  /** SIGKILL the child AND its descendants. `command` is often a wrapper
-    * script that forks the actual model process — killing only the direct
-    * child would leave the grandchild running inference (and holding
-    * memory/GPU) indefinitely. Descendants first: snapshotting them is
-    * only reliable while the parent is alive to anchor the tree.
-    */
-  private def killTree(proc: Process): Unit = {
+  /** SIGKILL the child AND its descendants — both the currently visible
+    * ones and the snapshot recorded while the parent lived. `command` is
+    * often a wrapper script that forks the actual model process — killing
+    * only the direct child would leave the grandchild running inference
+    * (and holding memory/GPU) indefinitely. After the parent's exit
+    * descendants() returns nothing (orphans reparent to init), so the
+    * recorded snapshot is the ONLY path to a pipe-holding orphan. */
+  private def killTree(proc: Process,
+      recorded: java.util.List[ProcessHandle]): Unit = {
     proc.toHandle.descendants().forEach(h => { h.destroyForcibly(); () })
+    recorded.forEach(h => { if (h.isAlive) { h.destroyForcibly(); () } })
     proc.toHandle.destroyForcibly()
     ()
   }
 
+  /** Post-exit drains get the REMAINING budget but never less than 1 s:
+    * a child that exits just under the deadline with complete output must
+    * not flip into a spurious "pipe still open" failure because the
+    * reader thread lost a 1 ms race — the fixed grace bounds the whole
+    * call at timeoutSec + ~2 s instead of re-arming a full window per
+    * wait (the pre-r9 ~3× stretch). */
   private def boundedGet(f: java.util.concurrent.Future[String],
-      proc: Process, deadlineNanos: Long): String =
-    try f.get(remainingNanos(deadlineNanos),
+      proc: Process, tree: java.util.List[ProcessHandle],
+      deadlineNanos: Long): String =
+    try f.get(math.max(remainingNanos(deadlineNanos), 1000000000L),
       java.util.concurrent.TimeUnit.NANOSECONDS)
     catch {
       case _: java.util.concurrent.TimeoutException =>
-        killTree(proc)
+        killTree(proc, tree)
         throw new RuntimeException(
           s"ProcessLlm output pipe still open at the ${timeoutSec}s " +
             s"deadline (grandchild holding stdout?): ${command.head}")

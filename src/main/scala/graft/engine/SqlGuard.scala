@@ -191,40 +191,21 @@ object SqlGuard {
       }
     }.getOrElse(Nil)
 
-  /** Subquery PLANS hiding inside a named WINDOW definition's spec
-    * expressions. windowDefinitions is a Map the default traversals skip
-    * twice over: QueryPlan.expressions doesn't contain the specs (the r8
-    * function-scan bypass), and collectWithSubqueries therefore never sees
-    * a subquery nested in one — so `WINDOW w AS (PARTITION BY (SELECT max(a)
-    * FROM secrets))` smuggled an UNVALIDATED plan (unknown tables, banned
-    * TVFs, banned functions) past every check. Found by SqlGuardFuzzSpec
-    * (r9); routed through allNodes like CTE bodies. */
-  private def windowDefPlans(p: LogicalPlan): Seq[LogicalPlan] = p match {
-    case w: WithWindowDefinition =>
-      w.windowDefinitions.values.toSeq.flatMap(_.collect {
-        case pe: org.apache.spark.sql.catalyst.expressions.PlanExpression[_] =>
-          pe.plan match {
-            case lp: LogicalPlan => Seq(lp)
-            case _ => Nil
-          }
-      }.flatten)
-    case _ => Nil
-  }
-
-  /** All plan nodes, including subqueries AND CTE definition bodies (which
-    * are innerChildren the default traversal skips — an unvalidated CTE body
-    * would be a sandbox hole) AND subqueries inside named WINDOW specs
-    * (see [[windowDefPlans]]). */
-  private def allNodes(plan: LogicalPlan): Seq[LogicalPlan] = {
-    val direct = plan.collectWithSubqueries { case p => p }
-    direct ++
-      direct.filter(isWith).flatMap(cteDefs).flatMap {
-        case (_, body) => allNodes(body)
-      } ++
-      direct.flatMap(windowDefPlans).flatMap(allNodes)
-  }
-
   /** Validate a parsed plan against the registered view names.
+    *
+    * The walk is SCOPE-AWARE on CTE names (r9 review finding): a name
+    * defined by `WITH x AS (...)` is a legal relation target only INSIDE
+    * that WITH's subtree — the earlier implementation collected CTE names
+    * globally, so a decoy `(WITH secrets AS (SELECT 1) SELECT ...)`
+    * anywhere in the query legalized reading a real catalog table named
+    * `secrets` from an unrelated branch. Scoping is the standard prefix
+    * rule (a definition body sees the outer scope plus the definitions
+    * BEFORE it; the main query sees them all) — an under-approximation
+    * that fails closed on anything more exotic. Subquery plans inside
+    * expressions — including expressions held by named WINDOW definitions,
+    * the Map both QueryPlan.expressions and collectWithSubqueries skip
+    * (r8 function bypass; r9 fuzz-found plan bypass) — are walked with
+    * the scope of the node that holds them.
     *
     * @param functionAllowlist when set, ONLY these function names may be
     *   called (the reference's whitelist mode); the env-leak denylist still
@@ -232,65 +213,86 @@ object SqlGuard {
     */
   def validate(plan: LogicalPlan, allowedViews: Set[String],
       functionAllowlist: Option[Set[String]] = None): Verdict = {
-    val nodes = allNodes(plan)
+    val wlLower = functionAllowlist.map(_.map(_.toLowerCase))
 
-    // Fail-closed node allowlist: Command subclasses, DDL/DML, EXECUTE
-    // IMMEDIATE, and any statement kind we have not audited all land here.
-    nodes.collectFirst {
-      case p if p.isInstanceOf[Command] =>
-        Rejected(s"command node not allowed: ${p.nodeName}")
-      case p if !allowedNodes.contains(p.nodeName) =>
-        Rejected(s"statement not allowed: ${p.nodeName}")
-    }.foreach(return _)
+    def walk(p: LogicalPlan, scope: Set[String]): Option[Rejected] = {
+      // Fail-closed node allowlist: Command subclasses, DDL/DML, EXECUTE
+      // IMMEDIATE, and any statement kind we have not audited land here.
+      if (p.isInstanceOf[Command])
+        return Some(Rejected(s"command node not allowed: ${p.nodeName}"))
+      if (!allowedNodes.contains(p.nodeName))
+        return Some(Rejected(s"statement not allowed: ${p.nodeName}"))
 
-    // Row-generating TVFs only; no metadata/catalog TVFs.
-    nodes.filter(_.nodeName == "UnresolvedTableValuedFunction").foreach { tvf =>
-      val name = tvf.productIterator.collectFirst {
-        case parts: Seq[_] if parts.forall(_.isInstanceOf[String]) =>
-          parts.mkString(".").toLowerCase
-        case s: String => s.toLowerCase
-      }.getOrElse("")
-      if (!allowedTvfs.contains(name))
-        return Rejected(s"table function not allowed: $name")
-    }
+      // Row-generating TVFs only; no metadata/catalog TVFs.
+      if (p.nodeName == "UnresolvedTableValuedFunction") {
+        val name = p.productIterator.collectFirst {
+          case parts: Seq[_] if parts.forall(_.isInstanceOf[String]) =>
+            parts.mkString(".").toLowerCase
+          case s: String => s.toLowerCase
+        }.getOrElse("")
+        if (!allowedTvfs.contains(name))
+          return Some(Rejected(s"table function not allowed: $name"))
+      }
 
-    // CTE names defined inside the query are legal relation targets.
-    val cteNames = nodes.filter(isWith).flatMap(cteDefs(_).map(_._1.toLowerCase)).toSet
+      p match {
+        case r: UnresolvedRelation =>
+          val name = r.multipartIdentifier.mkString(".").toLowerCase
+          if (!scope.contains(name))
+            return Some(Rejected(s"unknown table: $name " +
+              s"(allowed: ${scope.toSeq.sorted.mkString(", ")})"))
+        case _ => ()
+      }
 
-    val allowed = allowedViews.map(_.toLowerCase) ++ cteNames
-    nodes.collect { case r: UnresolvedRelation => r }.foreach { r =>
-      val name = r.multipartIdentifier.mkString(".").toLowerCase
-      if (!allowed.contains(name))
-        return Rejected(s"unknown table: $name (allowed: ${allowed.toSeq.sorted.mkString(", ")})")
-    }
-
-    // Two traversal blind spots closed here (both verified live bypasses):
-    // named WINDOW definitions live in a Map[String, WindowSpecDefinition]
-    // that QueryPlan.expressions does NOT descend into — a banned function
-    // hidden in `WINDOW w AS (PARTITION BY current_user() …)` was invisible
-    // — and LATERAL VIEW generators parse to UnresolvedGenerator, not
-    // UnresolvedFunction, so they dodged both the denylist and the
-    // allowlist contract.
-    val exprRoots = nodes.flatMap { p =>
-      p.expressions ++ (p match {
+      // Function scan over this node's expressions, PLUS named WINDOW
+      // definitions (invisible to QueryPlan.expressions — the r8 bypass).
+      // LATERAL VIEW generators parse to UnresolvedGenerator, not
+      // UnresolvedFunction, so both are matched.
+      val exprRoots = p.expressions ++ (p match {
         case w: WithWindowDefinition => w.windowDefinitions.values.toSeq
         case _ => Nil
       })
-    }
-    val fns = exprRoots.flatMap(_.collect {
-      case f: UnresolvedFunction => f.nameParts.mkString(".").toLowerCase
-      case g: UnresolvedGenerator => g.name.unquotedString.toLowerCase
-    })
-    fns.find(bannedFunctions.contains).foreach { f =>
-      return Rejected(s"function not allowed: $f")
-    }
-    functionAllowlist.foreach { wl =>
-      val lower = wl.map(_.toLowerCase)
-      fns.find(f => !lower.contains(f)).foreach { f =>
-        return Rejected(s"function not in allowlist: $f")
+      val fns = exprRoots.flatMap(_.collect {
+        case f: UnresolvedFunction => f.nameParts.mkString(".").toLowerCase
+        case g: UnresolvedGenerator => g.name.unquotedString.toLowerCase
+      })
+      fns.find(bannedFunctions.contains).foreach { f =>
+        return Some(Rejected(s"function not allowed: $f"))
       }
+      wlLower.foreach { wl =>
+        fns.find(f => !wl.contains(f)).foreach { f =>
+          return Some(Rejected(s"function not in allowlist: $f"))
+        }
+      }
+
+      // Subquery PLANS inside those expressions (scalar subqueries,
+      // EXISTS, IN-lists, lateral) — walked with THIS node's scope.
+      val subPlans = exprRoots.flatMap(_.collect {
+        case pe: org.apache.spark.sql.catalyst.expressions.PlanExpression[_] =>
+          pe.plan match {
+            case lp: LogicalPlan => Seq(lp)
+            case _ => Nil
+          }
+      }.flatten)
+      for (sp <- subPlans; rej <- walk(sp, scope)) return Some(rej)
+
+      // Children: a WITH extends the scope — each definition body sees
+      // the outer scope plus the definitions before it, the main query
+      // sees them all. Everything else inherits the scope unchanged.
+      if (isWith(p)) {
+        val defs = cteDefs(p)
+        var seen = scope
+        for ((n, body) <- defs) {
+          for (rej <- walk(body, seen)) return Some(rej)
+          seen = seen + n.toLowerCase
+        }
+        for (c <- p.children; rej <- walk(c, seen)) return Some(rej)
+      } else {
+        for (c <- p.children; rej <- walk(c, scope)) return Some(rej)
+      }
+      None
     }
-    Ok
+
+    walk(plan, allowedViews.map(_.toLowerCase)).getOrElse(Ok)
   }
 
   def check(spark: SparkSession, sql: String, allowedViews: Set[String],

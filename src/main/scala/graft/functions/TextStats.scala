@@ -333,6 +333,10 @@ object TextStats {
       "graft_simhash16", exprs => GraftSimhash16(exprs.head), "built-in")
     r.createOrReplaceTempFunction(
       "graft_simhash", exprs => {
+        if (exprs.length != 2)
+          throw new IllegalArgumentException(
+            s"graft_simhash(words, bits) takes exactly 2 arguments, " +
+              s"got ${exprs.length}")
         val bits = exprs(1) match {
           case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
           case other => throw new IllegalArgumentException(

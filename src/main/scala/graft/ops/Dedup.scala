@@ -519,6 +519,15 @@ object Dedup {
     val bw = bits / nBands
     val s = df.sparkSession
     graft.functions.TextStats.register(s)
+    // ONE kernel pass: the md5-per-distinct-word signature is the
+    // dominant cost, so the packed chunks travel THROUGH the banding and
+    // the capped pair expansion instead of re-joining a recomputed
+    // signature frame per pair side (the shared candidatePairs carries
+    // ids only, which would execute the kernel 3× here — r9 review).
+    // Hamming is popcount-of-xor per 32-bit chunk — scalar codegen per
+    // candidate, not a bits-step substring fold (measured 10 s → ~2 s at
+    // sf0.1 on the 64-bit qid's ~520k template-corpus candidates).
+    val nChunks = (bits + 31) / 32
     val sigs = df
       .filter(col(textCol).isNotNull)
       .select(col(idCol).cast("long").as("doc_id"),
@@ -527,31 +536,33 @@ object Dedup {
             s"x -> length(x) > 0), $bits)"),
           lit("0" * bits)).as("simhash"))
       .filter(col("doc_id").isNotNull)
-    val banded = sigs.select(col("doc_id"),
+      .withColumn("pk", array((0 until nChunks).map(c =>
+        expr(s"CAST(conv(substring(simhash, ${c * 32 + 1}, 32), 2, 10) AS BIGINT)")): _*))
+    val banded = sigs.select(col("doc_id"), col("pk"),
       explode(array((0 until nBands).map(b =>
         struct(lit(b).as("band"),
           substring(col("simhash"), b * bw + 1, bw).as("bkey"))): _*)).as("bb"))
       .select(col("bb.band").as("band"), col("bb.bkey").as("bkey"),
-        col("doc_id"))
-    // signature packed into ceil(bits/32) longs once per doc; Hamming is
-    // then popcount-of-xor per chunk — scalar codegen per candidate,
-    // not a bits-step substring fold (measured 10 s → ~2 s at sf0.1 on
-    // the 64-bit qid's ~520k template-corpus candidates)
-    val nChunks = (bits + 31) / 32
-    def packed(df: DataFrame, idAs: String, pfx: String): DataFrame =
-      (0 until nChunks).foldLeft(
-        df.select(col("doc_id").as(idAs), col("simhash"))) { (acc, c) =>
-        acc.withColumn(s"$pfx$c",
-          expr(s"CAST(conv(substring(simhash, ${c * 32 + 1}, 32), 2, 10) AS BIGINT)"))
-      }.drop("simhash")
-    val ham = (0 until nChunks).map(c =>
-      expr(s"bit_count(pa$c ^ pb$c)")).reduce(_ + _).cast("int")
-    candidatePairs(banded, maxBucket)
-      .join(packed(sigs, "a", "pa"), Seq("a"))
-      .join(packed(sigs, "b", "pb"), Seq("b"))
-      .withColumn("hamming", ham)
+        col("doc_id"), col("pk"))
+    // same hot-bucket cap semantics as candidatePairs (BETWEEN 2 AND cap)
+    val keep = banded.groupBy("band", "bkey")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz").between(2, maxBucket))
+      .select("band", "bkey")
+    banded.join(keep, Seq("band", "bkey"))
+      .groupBy("band", "bkey")
+      .agg(collect_list(struct(col("doc_id"), col("pk"))).as("ms"))
+      .select(explode(expr(
+        "filter(flatten(transform(ms, x -> transform(ms, y -> " +
+          "struct(x.doc_id AS a, y.doc_id AS b, x.pk AS pa, y.pk AS pb)))), " +
+          "p -> p.a < p.b)")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"),
+        expr("aggregate(zip_with(p.pa, p.pb, (u, v) -> bit_count(u ^ v)), " +
+          "0, (acc, h) -> acc + h)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("a"), col("b"), col("hamming"))
+      // hamming is functional in (a, b), so the cross-band dedup can ride
+      // the same distinct
+      .distinct()
   }
 
   /** Banded Hamming≤3 verified pairs over the memoized 64-bit signature

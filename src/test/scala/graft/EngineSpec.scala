@@ -202,6 +202,33 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("guard scopes CTE names: a decoy CTE cannot legalize a catalog " +
+      "table elsewhere (r9 review finding)") {
+    val s = new GraftSession(spark, FakeLlm("unused"), GraftConfig())
+    // decoy: an inner WITH defines `secrets`; the OUTER branch references
+    // the name out of scope — pre-fix the globally-collected CTE names
+    // legalized it, and at execution it would resolve against the session
+    // catalog (an unvalidated table read through the sandbox)
+    assert(s.runSql(Seq("t" -> freshDf),
+      "SELECT a FROM secrets UNION ALL SELECT a FROM " +
+        "(WITH secrets AS (SELECT 1 AS a) SELECT a FROM secrets) z").isLeft,
+      "out-of-scope CTE name must not resolve")
+    // in-scope chains still pass (each def sees the ones before it)
+    assert(s.runSql(Seq("t" -> freshDf),
+      "WITH c1 AS (SELECT a FROM t), c2 AS (SELECT a FROM c1) " +
+        "SELECT a FROM c2").isRight, "chained CTEs must stay legal")
+    // prefix scoping fails closed: a later definition is not visible
+    // to an earlier body
+    assert(s.runSql(Seq("t" -> freshDf),
+      "WITH c1 AS (SELECT a FROM c2), c2 AS (SELECT a FROM t) " +
+        "SELECT a FROM c1").isLeft, "forward CTE reference must reject")
+    // and a nested WITH's names do not leak to its parent scope
+    assert(s.runSql(Seq("t" -> freshDf),
+      "SELECT a FROM (WITH inner1 AS (SELECT a FROM t) " +
+        "SELECT a FROM inner1) z JOIN inner1 ON 1 = 1").isLeft,
+      "nested CTE name must not escape its subtree")
+  }
+
   test("guard never lets a parser blow-up escape as a JVM Error") {
     // thousands of nested parens can blow ANTLR's recursion (stack-size
     // dependent) — whatever happens, parse() must return an Either, not

@@ -271,4 +271,23 @@ class SqlGuardFuzzSpec extends SparkSpec {
       assert(v != SqlGuard.Ok, s"TVF slipped through:\n$sql")
     }
   }
+
+  test("a decoy CTE in a sibling branch NEVER legalizes an out-of-scope " +
+      "table reference (r9 scope-awareness)") {
+    // PTable plants `secrets` somewhere in a random skeleton; a sibling
+    // branch defines a CTE of the same name in its own scope. Pre-fix the
+    // guard collected CTE names globally, so the decoy legalized every
+    // such query.
+    (0 until 150).foreach { i =>
+      val poisoned = sample(query(2, PTable), 21000L + i)
+      val sql = s"SELECT out1 FROM ($poisoned) pz UNION ALL " +
+        "SELECT a FROM (WITH secrets AS (SELECT 1 AS a) " +
+        "SELECT a FROM secrets) dz"
+      val v = verdict(sql, None)
+      assert(v != SqlGuard.Ok, s"decoy CTE legalized an unknown table:\n$sql")
+    }
+    // positive control: the decoy branch alone is legal
+    assert(verdict("SELECT a FROM (WITH secrets AS (SELECT 1 AS a) " +
+      "SELECT a FROM secrets) dz", None) == SqlGuard.Ok)
+  }
 }
