@@ -32,6 +32,13 @@ object Bench {
     // blocks (spark.ml fit internals, leaked localCheckpoint generations).
     def clearResidue(): Unit = {
       ops.Dedup.clearCaches()
+      // BPE merges must re-train per timed run: the driver-side memo is
+      // invisible to the persistent-RDD sweep, and with it in place
+      // q_bpe_train timed a LocalRelation no-op (~0.03 s) instead of the
+      // 5-round training loop — a 10× regression there would never have
+      // moved the number (r9 review finding; ScaleRehearsal already
+      // cleared it for the same reason)
+      ops.TextAnalysis.clearCaches()
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))

@@ -498,7 +498,8 @@ object ScaleRehearsal {
       // (all-distinct signatures) plus the 600-member plant (one capped
       // boilerplate bucket) must stay near-linear, never pairwise
       "simhash64_dedup" -> { d: String =>
-        ops.Dedup.clearCaches()
+        // no clearCaches here: simhashNearDupPairs consults no memo, and
+        // time() already clears residue OUTSIDE the measured region
         ops.Dedup.simhashNearDupPairs(
           Tables.documents(spark, d), "doc_id", "text")
           .count(): Unit

@@ -31,17 +31,32 @@ object Dedup {
     * per-(session, sfDir) persists to a dedup run: call when the run ends
     * in a long-lived session (and between bench timings so no query rides
     * on another's cached stages). One-run-per-JVM harness processes never
-    * need it. */
-  def clearCaches(): Unit = {
-    shingleCache.values.foreach(_.unpersist(blocking = false))
-    shingleCache.clear()
-    pairsCache.values.foreach(_.unpersist(blocking = false))
-    pairsCache.clear()
-    simhashCache.values.foreach(_.unpersist(blocking = false))
-    simhashCache.clear()
-    simhash64Cache.values.foreach(_.unpersist(blocking = false))
-    simhash64Cache.clear()
-  }
+    * need it. NOTE this clears EVERY session's memos (the global sweep a
+    * bench wants); a multi-session server should use the session-scoped
+    * overload so one tenant's end-of-run doesn't unpersist another's
+    * stages mid-query.
+    *
+    * Eviction is atomic per key — remove(k) then unpersist the removed
+    * value — so a concurrent getOrElseUpdate can never have its freshly
+    * persisted frame dropped from the map WITHOUT being unpersisted (the
+    * old values-sweep-then-clear() left exactly that orphan: persisted
+    * blocks with no remaining handle). A frame inserted after its key was
+    * removed simply survives until the next clear. */
+  def clearCaches(): Unit =
+    dedupCaches.foreach(m => m.keys.foreach(k =>
+      m.remove(k).foreach(_.unpersist(blocking = false))))
+
+  /** Evict only `session`'s memo entries — the long-lived-JVM seam: the
+    * caches key by (SparkSession, dir) and nothing fires on session stop
+    * (Spark has no per-session stop event), so a server creating a
+    * session per job must call this when the job ends or the maps grow
+    * one pinned entry per (session, dir) forever. */
+  def clearCaches(session: SparkSession): Unit =
+    dedupCaches.foreach(m => m.keys.filter(_._1 eq session).foreach(k =>
+      m.remove(k).foreach(_.unpersist(blocking = false))))
+
+  private[graft] def dedupCaches = Seq(
+    shingleCache, pairsCache, simhashCache, simhash64Cache)
 
   /** documents ∪ mutated copies (first word replaced). */
   private def textCorpus(s: SparkSession, d: String): DataFrame = {

@@ -40,6 +40,11 @@ object Similarity {
     * Dedup.clearCaches). */
   def clearCaches(): Unit = centroidCache.clear()
 
+  /** Session-scoped eviction (values are driver-side centroid arrays —
+    * only the map entry pinning a stopped session needs dropping). */
+  def clearCaches(session: SparkSession): Unit =
+    centroidCache.keys.filter(_._1 eq session).foreach(centroidCache.remove)
+
   /** Deterministic ±1 hyperplane components: sign of the first hex digit of
     * md5("p:d"). Reproducible anywhere md5 exists. */
   private[ops] def plane(p: Int): IndexedSeq[Double] = (0 until Dim).map { dd =>

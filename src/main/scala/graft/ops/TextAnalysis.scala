@@ -736,6 +736,11 @@ object TextAnalysis {
     * Similarity.centroidCache pattern). */
   def clearCaches(): Unit = bpeCache.clear()
 
+  /** Session-scoped eviction (values are driver-side Seqs — no unpersist
+    * needed, only the map entry pinning the stopped session). */
+  def clearCaches(session: org.apache.spark.sql.SparkSession): Unit =
+    bpeCache.keys.filter(_._1 eq session).foreach(bpeCache.remove)
+
   /** The training loop behind q_bpe_train/q_bpe_apply, memoized per
     * (session, corpus): 5 greedy rounds, each one row-local pair explode +
     * one map-side-combined aggregate + a 1-row winning-pair collect. */

@@ -1394,4 +1394,28 @@ class OpsSpec extends SparkSpec {
     val total = Tables.embeddings(spark, sf).count()
     assert(perDim.values.forall(_ == total))
   }
+
+  test("memo caches: session-scoped eviction is surgical, global clear is " +
+      "atomic per key (r9 review)") {
+    import graft.ops.Dedup
+    Dedup.clearCaches()
+    val s2 = spark.newSession()
+    // fill the simhash memo in two sessions over the same corpus
+    SparkEntry.queries("q_dedup_simhash")(spark, sf)
+      .queryExecution.toRdd.count()
+    SparkEntry.queries("q_dedup_simhash")(s2, sf)
+      .queryExecution.toRdd.count()
+    def sessionsCached: Set[Boolean] = Dedup.dedupCaches
+      .flatMap(_.keys.map(_._1)).toSet
+      .map((s: org.apache.spark.sql.SparkSession) => s eq s2)
+    assert(sessionsCached == Set(true, false),
+      "both sessions must hold memo entries before eviction")
+    // evicting s2 must not touch the primary session's entries
+    Dedup.clearCaches(s2)
+    assert(sessionsCached == Set(false),
+      "session-scoped eviction must leave other sessions' memos intact")
+    // and the global sweep empties everything
+    Dedup.clearCaches()
+    assert(Dedup.dedupCaches.forall(_.isEmpty))
+  }
 }
