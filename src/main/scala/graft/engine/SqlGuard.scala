@@ -292,7 +292,15 @@ object SqlGuard {
       None
     }
 
-    walk(plan, allowedViews.map(_.toLowerCase)).getOrElse(Ok)
+    // Same containment stance as parse(): fail-closed means fail CAUGHT.
+    // A plan deep enough to blow the walk's stack (it recurses per node
+    // and per subquery) must surface as a Rejected verdict, not escape
+    // check() as a JVM Error.
+    try walk(plan, allowedViews.map(_.toLowerCase)).getOrElse(Ok)
+    catch {
+      case _: StackOverflowError =>
+        Rejected("query too deeply nested to validate")
+    }
   }
 
   def check(spark: SparkSession, sql: String, allowedViews: Set[String],

@@ -524,7 +524,14 @@ object Dedup {
     * H≤1 legacy path drops 8218bp of the corpus (birthday + template
     * over-merge) while 64-bit H≤3 drops 1163bp with BETTER mutated-copy
     * recall (41/50 vs 47/50 at 452 total drops) — below even MinHash@0.5's
-    * 1345bp. */
+    * 1345bp.
+    *
+    * PRECONDITION (same contract as every Dedup entry point): `idCol`
+    * values are unique. The cross-band dedup rides a `.distinct()` on the
+    * premise that `hamming` is functional in (a, b); duplicate ids with
+    * DIFFERENT texts would yield conflicting (a, b, hamming) rows that
+    * survive distinct and inflate the pair set. Run [[exactDedup]] (or a
+    * keep-first on the id) upstream if ids can repeat. */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       bits: Int = 64, maxHamming: Int = 3,
       maxBucket: Int = defaultMaxBucket): DataFrame = {

@@ -100,12 +100,22 @@ object StreamingDedup {
     * carried state and earlier in-batch members, so the emitted pair set
     * is independent of how the stream is chopped into batches.
     *
+    * AT-CAP SEMANTICS (diverge from batch BY DESIGN): batch
+    * `candidatePairs` drops an over-cap bucket ENTIRELY (`bsz BETWEEN 2
+    * AND cap` — it can see the final occupancy before pairing), while
+    * this path admits and pairs the FIRST `maxBucket` arrivals (a stream
+    * cannot retract pairs already emitted when the bucket later
+    * saturates). So on hot buckets the streamed pair set is a strict
+    * superset of the batch output; batch == streaming parity holds
+    * exactly for buckets whose total occupancy stays ≤ `maxBucket` (the
+    * StreamingSpec parity tests stay under it).
+    *
     * `capFired`: optional accumulator bumped once per arrival that a
-    * full bucket refused to admit — the documented superset-past-cap
-    * semantics are only safe to rely on when an operator can SEE the cap
-    * engaging (a silently saturated boilerplate bucket reads exactly
-    * like a quiet one otherwise). Visible on the driver as a named
-    * accumulator in the Spark UI / `acc.value` between batches. */
+    * full bucket refused to admit — the superset-past-cap semantics above
+    * are only safe to rely on when an operator can SEE the cap engaging
+    * (a silently saturated boilerplate bucket reads exactly like a quiet
+    * one otherwise). Visible on the driver as a named accumulator in the
+    * Spark UI / `acc.value` between batches. */
   def nearDupPairs(banded: DataFrame, minEst: Double = 0.5,
       maxBucket: Int = graft.ops.Dedup.defaultMaxBucket,
       capFired: Option[org.apache.spark.util.LongAccumulator] = None)
@@ -202,9 +212,12 @@ object StreamingDedup {
   /** Stateful in-bucket Hamming verification over a simhash-banded stream
     * (the output of [[withSimhashBandKeys]] on a streaming frame). Group =
     * one (band, bkey) bucket; state = its members (doc_id, sig), capped
-    * like every other bucket state; `capFired` surfaces saturation (see
-    * [[nearDupPairs]]). Within a microbatch rows process in ascending
-    * doc_id, so the emitted pair set is batch-chop-independent. */
+    * like every other bucket state; `capFired` surfaces saturation, and
+    * the at-cap semantics are the same admit-first-N superset-of-batch
+    * divergence documented on [[nearDupPairs]] (batch parity holds only
+    * for buckets whose occupancy stays ≤ `maxBucket`). Within a
+    * microbatch rows process in ascending doc_id, so the emitted pair
+    * set is batch-chop-independent. */
   def simhashPairs(banded: DataFrame, maxHamming: Int = 3,
       maxBucket: Int = graft.ops.Dedup.defaultMaxBucket,
       capFired: Option[org.apache.spark.util.LongAccumulator] = None)

@@ -238,6 +238,16 @@ class EngineSpec extends SparkSpec {
       val v = SqlGuard.parse(spark, s"SELECT $deep AS x FROM df")
       assert(v.isLeft || v.isRight) // totality: no Throwable escaped
     }
+    // and the VALIDATE walk (hand-rolled recursion per plan node and per
+    // subquery) has the same containment: a plan deep enough to survive
+    // ANTLR must come back as a verdict, never as a StackOverflowError
+    // escaping check() (r9 advice)
+    for (depth <- Seq(500, 4000)) {
+      val nested = ("SELECT a FROM (" * depth) + "SELECT a FROM df" +
+        (") t" * depth)
+      val verdict = SqlGuard.check(spark, nested, Set("df"))
+      assert(verdict != null) // totality: Ok or Rejected, nothing thrown
+    }
   }
 
   test("guard TVF allowlist: range passes, unlisted table functions fail closed") {
@@ -819,7 +829,7 @@ class EngineSpec extends SparkSpec {
     assert(r == "bounded-path" || r.trim == "done")
     val secs = (System.nanoTime() - t0) / 1e9
     assert(secs < 8,
-      s"one shared deadline must bound predict() near timeoutSec, took $secs%s")
+      f"one shared deadline must bound predict() near timeoutSec, took $secs%.1f s")
   }
 
   test("SqlExtractor handles fences, tags and bare SQL") {

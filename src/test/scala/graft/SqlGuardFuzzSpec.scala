@@ -206,9 +206,22 @@ class SqlGuardFuzzSpec extends SparkSpec {
       // INVALID_INLINE_TABLE on a mixed-type column)
     } yield s"SELECT $sel AS out1, x FROM VALUES (($e), 1) AS tab(x, y)"
 
+    // TVF ARGUMENTS (r9 verdict task 7): an allowed TVF's argument list is
+    // an expression position the relation-level TVF check does not cover —
+    // a poison could hide INSIDE `range(...)`'s args (banned function,
+    // scalar subquery over an unknown table / unlisted TVF via exprSlot's
+    // relation-poison mapping). The guard must scan functionArgs like any
+    // other expression root.
+    val tvfArgs = for {
+      hit <- slots(2)
+      e <- exprSlot(d, at(hit, 0))
+      sel <- exprSlot(d, at(hit, 1))
+    } yield s"SELECT $sel AS out1, id FROM " +
+      s"range(1, CAST(abs(coalesce(($e), 1)) AS BIGINT) + 2)"
+
     if (depth <= 0) simple
     else Gen.oneOf(simple, grouped, joined, cte, setop, lateral,
-      namedWindow, existsq, inq, scalarSub, valuesTab)
+      namedWindow, existsq, inq, scalarSub, valuesTab, tvfArgs)
   }
 
   private def verdict(sql: String,
@@ -270,6 +283,51 @@ class SqlGuardFuzzSpec extends SparkSpec {
       val v = verdict(sql, None)
       assert(v != SqlGuard.Ok, s"TVF slipped through:\n$sql")
     }
+  }
+
+  test("a poison inside an ALLOWED TVF's argument list is NEVER Ok " +
+      "(r9 task 7: functionArgs are an expression position)") {
+    // dedicated sweep pinning the tvfArgs production specifically — the
+    // mixed-grammar properties above hit it only 1/12th of the time
+    def tvfWrap(arg: String) =
+      s"SELECT id FROM range(1, CAST(abs(coalesce(($arg), 1)) AS BIGINT) + 2)"
+    bannedExprs.foreach { p =>
+      assert(verdict(tvfWrap(p), None) != SqlGuard.Ok,
+        s"banned '$p' slipped through a range() argument")
+    }
+    assert(verdict(tvfWrap("(SELECT max(a) FROM secrets)"), None)
+      != SqlGuard.Ok, "unknown table in a TVF-arg subquery slipped through")
+    assert(verdict(tvfWrap("(SELECT max(x) FROM sql_keywords())"), None)
+      != SqlGuard.Ok, "unlisted TVF in a TVF-arg subquery slipped through")
+    nonAllowlisted.foreach { p =>
+      assert(verdict(tvfWrap(p), allowMode) != SqlGuard.Ok,
+        s"non-allowlisted '$p' slipped through a range() argument")
+    }
+    // positive control: benign args keep range() legal
+    assert(verdict(tvfWrap("1 + 1"), allowMode) == SqlGuard.Ok)
+  }
+
+  test("EXECUTE IMMEDIATE and parameter markers: never Ok, never a crash") {
+    // EXECUTE IMMEDIATE smuggles arbitrary SQL behind a string literal —
+    // whatever node Spark 4 parses it to must land outside the node
+    // allowlist (fail-closed), in both modes
+    for (sql <- Seq(
+        "EXECUTE IMMEDIATE 'SELECT * FROM secrets'",
+        "EXECUTE IMMEDIATE 'SELECT 1'",
+        "EXECUTE IMMEDIATE 'SELECT a FROM df' INTO v1",
+        "EXECUTE IMMEDIATE 'SELECT ?' USING 5");
+        mode <- Seq(None, allowMode)) {
+      val v = verdict(sql, mode)
+      assert(v != SqlGuard.Ok, s"EXECUTE IMMEDIATE was Ok: $sql")
+    }
+    // parameter markers are literal placeholders (nothing can hide behind
+    // one); the walk must traverse them without crashing, and they must
+    // not legalize an out-of-scope relation next to them
+    assert(verdict("SELECT :p1 FROM df", None) != null)
+    assert(verdict("SELECT ? FROM df", None) != null)
+    assert(verdict("SELECT :p1 FROM secrets", None) != SqlGuard.Ok)
+    assert(verdict("SELECT ? AS x FROM df WHERE a IN (SELECT a FROM secrets)",
+      None) != SqlGuard.Ok)
   }
 
   test("a decoy CTE in a sibling branch NEVER legalizes an out-of-scope " +
