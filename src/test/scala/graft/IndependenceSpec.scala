@@ -85,6 +85,75 @@ class IndependenceSpec extends SparkSpec {
     assert(want.nonEmpty, "vacuous: the pair set must be non-empty")
   }
 
+  test("q_dedup_simhash64_pairs == explode-aggregate 64-bit signatures + " +
+      "brute-force O(n^2) Hamming<=3 scan (no kernel, no banding)") {
+    val want = rows(shipped("q_dedup_simhash64_pairs"))
+    // independent signature re-implementation from the documented spec:
+    // bit j of the 64-bit signature is the sign of the ±1-per-word-
+    // occurrence sum where the vote is hex nibble j of md5(word) for
+    // j < 32 and nibble j-32 of the salted md5('x1:' || word) for
+    // j >= 32, a '0'-'7' nibble voting +1. Computed here as 64 SHUFFLE
+    // aggregates over exploded word occurrences — the kernel's polar
+    // opposite (one md5 per occurrence per digest, no multiset fold).
+    val exploded = corpus
+      .filter(col("text").isNotNull) // the qid's documented null gate
+      .select(col("doc_id"),
+        explode_outer(expr("filter(split(text, ' '), x -> length(x) > 0)"))
+          .as("w"))
+    def nib(j: Int): String =
+      if (j < 32) s"substring(md5(w), ${j + 1}, 1)"
+      else s"substring(md5(concat('x1:', w)), ${j - 32 + 1}, 1)"
+    val bitSums = (0 until 64).map(j =>
+      sum(when(expr(nib(j)) <= "7", 1).otherwise(-1)).as(s"b$j"))
+    val sigs = exploded.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), concat((0 until 64).map(j =>
+        when(col(s"b$j") > 0, lit("1")).otherwise(lit("0"))): _*).as("sig"))
+    // pairs via a full cross scan; Hamming via character zip (not the
+    // shipped popcount-of-xor over packed longs)
+    val twin = sigs.select(col("doc_id").as("a"), col("sig").as("sa"))
+      .crossJoin(sigs.select(col("doc_id").as("b"), col("sig").as("sb")))
+      .filter(col("a") < col("b"))
+      .withColumn("hamming", expr(
+        "aggregate(zip_with(split(sa, ''), split(sb, ''), " +
+          "(x, y) -> IF(x = y, 0, 1)), 0, (acc, v) -> acc + v)"))
+      .filter(col("hamming") <= 3)
+      .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
+    assert(rows(twin) == want, "independent simhash64 twin diverges")
+    assert(want.nonEmpty, "vacuous: the 64-bit pair set must be non-empty")
+  }
+
+  test("autoBitsSimhash == hand-computed literal table + independent " +
+      "bit-length derivation") {
+    // literals computed BY HAND from the documented rule
+    // bits = clamp(16, 64, 2 * bitlen(n - 1)), n floored at 2:
+    val literals = Seq(
+      0L -> 16, 1L -> 16, 2L -> 16, 16L -> 16, 255L -> 16, 256L -> 16,
+      257L -> 18, 512L -> 18, 513L -> 20, 1024L -> 20, 1025L -> 22,
+      1000000L -> 40, (1L << 31) -> 62, (1L << 32) -> 64,
+      ((1L << 32) + 1) -> 64, (1L << 40) -> 64, Long.MaxValue -> 64)
+    for ((n, wantBits) <- literals)
+      assert(ops.Dedup.autoBitsSimhash(n) == wantBits,
+        s"autoBits($n) != hand literal $wantBits")
+    // dense sweep with an INDEPENDENT bit-length (binary string length,
+    // not numberOfLeadingZeros)
+    for (n <- 2L to 5000L) {
+      val twin = math.min(64, math.max(16, 2 * BigInt(n - 1).toString(2).length))
+      assert(ops.Dedup.autoBitsSimhash(n) == twin, s"autoBits($n) != $twin")
+    }
+  }
+
+  test("q_dedup_simhash_auto bits_used == independent rule over the " +
+      "hand-stated corpus count") {
+    val got = shipped("q_dedup_simhash_auto").collect().head
+    val n = corpus.count()
+    val wantBits =
+      math.min(64, math.max(16, 2 * BigInt(math.max(n, 2L) - 1).toString(2).length))
+    assert(got.getAs[Long]("n_corpus") == n, "corpus count diverges")
+    assert(got.getAs[Int]("bits_used") == wantBits,
+      s"bits_used=${got.getAs[Int]("bits_used")} != independent rule $wantBits")
+  }
+
   test("q_quality_score == explode-count twin (no graft kernels, no shared " +
       "score() helper)") {
     val want = rows(shipped("q_quality_score"))
