@@ -80,27 +80,64 @@ object Bench {
     val canaries = scala.collection.mutable.ArrayBuffer.empty[Double]
     // (name, preceding canary): lets a consumer exclude exactly the rows
     // timed next to a load spike instead of distrusting the whole run
-    val canaryBefore = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      clearResidue()
-      val c = canaryTime()
-      canaries += c
-      canaryBefore += (name -> c)
-      val times = (1 to 2).map { _ =>
+    val canaryBefore =
+      scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // Default order is alphabetical; SPARK_GRAFT_ORDER_SEED shuffles it
+    // deterministically. Per-query numbers are CONTRACTUALLY
+    // order-independent (clearResidue drops every memo/persist/cache
+    // before each timed run), and the shuffle knob is how that claim gets
+    // audited: two runs with different seeds must agree within host noise.
+    val ordered = selected.toSeq.sortBy(_._1)
+    val runOrder = sys.env.get("SPARK_GRAFT_ORDER_SEED") match {
+      case Some(seed) => new scala.util.Random(seed.toLong).shuffle(ordered)
+      case None => ordered
+    }
+    // force through toRdd, NOT count(): a count() on top lets Catalyst
+    // re-optimize with every output column pruned, and for plans
+    // ending in a row-preserving join (unique-keyed left join — e.g.
+    // q_span_merge/q_span_flag) the whole analytical subtree collapses
+    // to a bare file scan, timing an empty plan. toRdd executes the
+    // query's own physical plan, all columns included, with zero
+    // driver transfer beyond partition counts.
+    def minOf2(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Double =
+      (1 to 2).map { _ =>
         clearResidue()
         val t0 = System.nanoTime()
-        // force through toRdd, NOT count(): a count() on top lets Catalyst
-        // re-optimize with every output column pruned, and for plans
-        // ending in a row-preserving join (unique-keyed left join — e.g.
-        // q_span_merge/q_span_flag) the whole analytical subtree collapses
-        // to a bare file scan, timing an empty plan. toRdd executes the
-        // query's own physical plan, all columns included, with zero
-        // driver transfer beyond partition counts.
         try { fn(spark, sfDir).queryExecution.toRdd.count() }
         catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
+      }.min
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    for ((name, fn) <- runOrder) {
+      clearResidue()
+      val c = canaryTime()
+      canaries += c
+      canaryBefore(name) = c
+      results(name) = minOf2(fn)
+    }
+    // Self-healing (r9 verdict task): a spiked canary marks the adjacent
+    // measurement as load-contaminated; instead of only FLAGGING it for
+    // exclusion, re-run exactly those queries once and keep the min —
+    // bounded extra work (one min-of-2 per flagged row), and the retry
+    // canary replaces the row's canary_before only if it is cleaner, so a
+    // still-loaded box stays visibly contaminated rather than silently
+    // "healed". Both the r8 and r9 driver artifacts were contended; this
+    // turns such a run's numbers usable instead of merely discardable.
+    var healed = 0
+    val cMin0 = if (canaries.nonEmpty) canaries.min else 0.0
+    if (cMin0 > 0) {
+      val flagged = runOrder.filter { case (n, _) =>
+        canaryBefore(n) > 3 * cMin0 }
+      for ((name, fn) <- flagged) {
+        clearResidue()
+        val c = canaryTime()
+        canaries += c
+        if (c < canaryBefore(name)) canaryBefore(name) = c
+        val t = minOf2(fn)
+        if (t < results(name)) results(name) = t
+        healed += 1
       }
-      name -> times.min
     }
     // The driver records only the LAST 2,000 chars of this line
     // (BENCH_r06 lost the whole per-query map to the canary series that
@@ -109,9 +146,10 @@ object Bench {
     // comes LAST, values are ms-rounded, and the canary series sits early
     // in the line where truncation can only eat it first.
     def r3(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = if (results.nonEmpty) results.values.sum else 0.0
     val cs = canaries.sorted
     val (cMin, cMed, cMax) =
       if (cs.isEmpty) (0.0, 0.0, 0.0)
@@ -131,14 +169,15 @@ object Bench {
     val canaryJson =
       s"""{"workload":"q_group_agg","min":${r3(cMin)},"median":${r3(cMed)},""" +
         s""""max":${r3(cMax)},"contended":$contended,""" +
-        s""""spiked_samples":$spikedSamples,""" +
+        s""""spiked_samples":$spikedSamples,"healed":$healed,""" +
         s""""series":${canaries.map(r3).mkString("[", ",", "]")}}"""
     // canary_before: each query's immediately-preceding canary, keyed by
     // qid — a contaminated row is mechanically excludable (bench_diff.py
     // drops rows whose canary exceeded 3×min) without guessing from the
     // positional series. Sits BEFORE the queries map: under the driver's
     // last-2,000-chars truncation it is sacrificed first.
-    val cbJson = canaryBefore.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+    val cbJson = canaryBefore.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
       s""""sf":"$sfDir","load_canary":$canaryJson,""" +
