@@ -469,4 +469,42 @@ class PlanSpec extends SparkSpec {
         s"$n should only range-partition for the sort")
     }
   }
+
+  test("q_pagerank: iterations reuse the cached edge table and never " +
+      "re-shuffle it, even when broadcast is off (the 100 TB regime)") {
+    // At bench scale AQE broadcasts the small cached edge table, which
+    // hides the design property that matters at 100 TB: the edge frame is
+    // repartitioned by src ONCE (inside the persisted plan) and each BSP
+    // iteration joins against that partitioning — only the small
+    // (node, rank) table moves. Disable broadcast to surface that regime.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val df = SparkEntry.queries("q_pagerank")(spark, sf)
+      df.collect()
+      val full = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+      // the OUTER final plan is everything before the outer (unindented)
+      // "== Initial Plan ==" marker; inner cached-plan sections are
+      // indented, so the ^-anchored split keeps them
+      val finalPlan = full.split("(?m)^\\+- == Initial Plan ==")(0)
+      assert(finalPlan.contains("TakeOrderedAndProject"),
+        "top-50 must be a bounded heap, not a global sort")
+      // each of the 3 BSP iterations must read the CACHE (the edge build
+      // never re-runs)...
+      val scanIds = "InMemoryTableScan \\[src#(\\d+)".r
+        .findAllMatchIn(finalPlan).map(_.group(1)).toSet
+      assert(scanIds.size == 3,
+        s"expected 3 cache reads (one per iteration), got $scanIds")
+      // ...and the runtime plan must contain NO exchange keyed on any
+      // cache-output src attribute: the one-time repartition inside the
+      // persisted plan is the only src movement, iterations inherit it
+      // (AQE drops the statically-planned ENSURE_REQUIREMENTS exchanges
+      // once the materialized cache reports hashpartitioning(src))
+      for (id <- scanIds)
+        assert(!finalPlan.contains(s"Exchange hashpartitioning(src#$id"),
+          s"iteration re-shuffled the cached edge frame on src#$id")
+    } finally spark.conf.set(key, old)
+  }
 }
