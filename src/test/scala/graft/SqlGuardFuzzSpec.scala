@@ -219,9 +219,47 @@ class SqlGuardFuzzSpec extends SparkSpec {
     } yield s"SELECT $sel AS out1, id FROM " +
       s"range(1, CAST(abs(coalesce(($e), 1)) AS BIGINT) + 2)"
 
+    // TABLESAMPLE wraps a relation — the sampled relation (and a poison
+    // next to it) must still be walked. The sample clause only attaches to
+    // a plain table/TVF primary (an aliased derived table cannot carry
+    // it), so relation poisons go straight on the sampled name and
+    // expression poisons into the select list.
+    val sampled = poison match {
+      case PTable =>
+        Gen.const("SELECT a AS out1 FROM secrets TABLESAMPLE (50 PERCENT)")
+      case PTvf =>
+        Gen.const("SELECT x AS out1 FROM sql_keywords() TABLESAMPLE (50 PERCENT)")
+      case _ => for {
+        sel <- exprSlot(d, poison)
+        rel <- Gen.oneOf("df", "t2")
+      } yield s"SELECT $sel AS out1 FROM $rel TABLESAMPLE (50 PERCENT)"
+    }
+
+    // GROUPING SETS / ROLLUP / CUBE hold expressions in a grouping
+    // container some traversals treat specially
+    val groupingSets = for {
+      hit <- slots(3)
+      g <- exprSlot(d, at(hit, 0))
+      agg <- exprSlot(d, at(hit, 1))
+      rel <- relation(d, at(hit, 2))
+      form <- Gen.oneOf(
+        (x: String) => s"GROUPING SETS ((a), (a, ($x)))",
+        (x: String) => s"ROLLUP (a, ($x))",
+        (x: String) => s"CUBE (a, ($x))")
+    } yield s"SELECT a, sum($agg) AS s FROM $rel GROUP BY ${form(g)}"
+
+    // DISTRIBUTE BY / SORT BY are read-only shuffle directives whose
+    // expressions must still be scanned
+    val distributed = for {
+      hit <- slots(2)
+      e <- exprSlot(d, at(hit, 0))
+      sel <- exprSlot(d, at(hit, 1))
+    } yield s"SELECT $sel AS out1, a FROM df DISTRIBUTE BY ($e) SORT BY a"
+
     if (depth <= 0) simple
     else Gen.oneOf(simple, grouped, joined, cte, setop, lateral,
-      namedWindow, existsq, inq, scalarSub, valuesTab, tvfArgs)
+      namedWindow, existsq, inq, scalarSub, valuesTab, tvfArgs,
+      sampled, groupingSets, distributed)
   }
 
   private def verdict(sql: String,
