@@ -162,6 +162,13 @@ object SqlGuard {
     "current_catalog", "current_database", "current_schema",
     "current_timezone", "version")
 
+  /** The subset of [[bannedFunctions]] that Spark's literal-function
+    * fallback also resolves from a BARE single-part attribute (no parens):
+    * `SELECT current_user FROM t` leaks identity with zero
+    * UnresolvedFunction nodes in the parsed plan. */
+  private val bareLiteralFunctions =
+    Set("current_user", "user", "session_user")
+
   def parse(spark: SparkSession, sql: String): Either[String, LogicalPlan] =
     try Right(spark.sessionState.sqlParser.parsePlan(sql))
     catch {
@@ -251,6 +258,37 @@ object SqlGuard {
         case w: WithWindowDefinition => w.windowDefinitions.values.toSeq
         case _ => Nil
       })
+      // IDENTIFIER() indirection defers name resolution past parse time —
+      // `IDENTIFIER('current_user')()` carries NO UnresolvedFunction at
+      // validation time, so the name scans below never see it (fuzz-found
+      // r10 bypass; the relation form is already caught by the node
+      // allowlist as PlanWithUnresolvedIdentifier). A deferred name cannot
+      // be checked statically, so it fails closed.
+      val deferred = exprRoots.flatMap(_.collect {
+        case e if e.nodeName == "ExpressionWithUnresolvedIdentifier" => e
+      })
+      if (deferred.nonEmpty)
+        return Some(Rejected(
+          "deferred IDENTIFIER() not allowed: name not statically checkable"))
+      // Bare literal-function keywords (fuzz-found r10 bypass): analysis
+      // falls back to resolving an otherwise-unresolvable single-part
+      // attribute named current_user / user / session_user as the nullary
+      // identity function — no UnresolvedFunction exists at parse time, so
+      // the denylist scan below never fires. The guard has view NAMES but
+      // not schemas, so it cannot distinguish a real column by that name
+      // from the fallback: fail closed (a genuine column can be aliased
+      // before registration).
+      val literalLeaks = exprRoots.flatMap(_.collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            if a.nameParts.length == 1 &&
+              bareLiteralFunctions.contains(a.nameParts.head.toLowerCase) =>
+          a.nameParts.head.toLowerCase
+      })
+      literalLeaks.headOption.foreach { n =>
+        return Some(Rejected(s"bare identity keyword not allowed: $n " +
+          "(resolves to the function when no such column exists; " +
+          "alias the column if one does)"))
+      }
       val fns = exprRoots.flatMap(_.collect {
         case f: UnresolvedFunction => f.nameParts.mkString(".").toLowerCase
         case g: UnresolvedGenerator => g.name.unquotedString.toLowerCase

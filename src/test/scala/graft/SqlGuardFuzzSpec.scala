@@ -368,6 +368,44 @@ class SqlGuardFuzzSpec extends SparkSpec {
       None) != SqlGuard.Ok)
   }
 
+  test("IDENTIFIER() indirection never smuggles a relation or function " +
+      "name behind a string literal") {
+    // IDENTIFIER('x') defers name resolution past parse time — the guard
+    // validates the PARSED plan, so both the relation form
+    // (PlanWithUnresolvedIdentifier) and the function form
+    // (ExpressionWithUnresolvedIdentifier) must fail closed rather than
+    // slip past the name scans
+    for (sql <- Seq(
+        "SELECT a FROM IDENTIFIER('secrets')",
+        "SELECT a FROM IDENTIFIER('sec' || 'rets')",
+        "SELECT IDENTIFIER('current_user')() FROM df",
+        "SELECT IDENTIFIER('reflect')('java.lang.System', 'getenv', 'PATH') FROM df",
+        "SELECT IDENTIFIER(concat('current', '_user'))() FROM df",
+        "SELECT x FROM IDENTIFIER('sql_keywords')()");
+        mode <- Seq(None, allowMode)) {
+      val v = verdict(sql, mode)
+      assert(v != SqlGuard.Ok, s"IDENTIFIER indirection was Ok: $sql")
+    }
+  }
+
+  test("bare literal-function keywords never leak identity (no-paren " +
+      "current_user/session_user/user fallback)") {
+    // Spark's LiteralFunctionResolution resolves a bare, otherwise
+    // unresolvable attribute named current_user/user/session_user to the
+    // corresponding nullary function — no UnresolvedFunction node exists
+    // at parse time, so the function denylist alone never sees it
+    for (sql <- Seq(
+        "SELECT current_user FROM df",
+        "SELECT session_user FROM df",
+        "SELECT user FROM df",
+        "SELECT upper(current_user) AS u FROM df",
+        "SELECT a FROM df ORDER BY current_user");
+        mode <- Seq(None, allowMode)) {
+      val v = verdict(sql, mode)
+      assert(v != SqlGuard.Ok, s"bare literal function was Ok: $sql")
+    }
+  }
+
   test("a decoy CTE in a sibling branch NEVER legalizes an out-of-scope " +
       "table reference (r9 scope-awareness)") {
     // PTable plants `secrets` somewhere in a random skeleton; a sibling
