@@ -406,6 +406,37 @@ class SqlGuardFuzzSpec extends SparkSpec {
     }
   }
 
+  test("script transform, pipe syntax, recursive CTEs: walked or rejected, " +
+      "never a blind spot") {
+    // TRANSFORM ... USING pipes rows through an arbitrary shell command —
+    // must never validate, in any mode
+    for (sql <- Seq(
+        "SELECT TRANSFORM(a) USING '/bin/cat' FROM df",
+        "SELECT TRANSFORM(a) USING 'sh -c id' AS (x STRING) FROM df",
+        "FROM df SELECT TRANSFORM(a) USING '/bin/cat'");
+        mode <- Seq(None, allowMode)) {
+      assert(verdict(sql, mode) != SqlGuard.Ok,
+        s"script transform was Ok: $sql")
+    }
+    // SQL pipe syntax desugars to ordinary plan nodes — poisons in pipe
+    // stages must still reject, and benign pipes must still pass (if the
+    // parser accepts them at all; a parse rejection is also safe)
+    assert(verdict("FROM secrets |> WHERE a > 1 |> SELECT a", None)
+      != SqlGuard.Ok, "pipe syntax legalized an unknown table")
+    assert(verdict("FROM df |> SELECT current_user() AS u", None)
+      != SqlGuard.Ok, "pipe syntax smuggled a banned function")
+    assert(verdict(
+      "FROM df |> WHERE a IN (SELECT a FROM secrets) |> SELECT a", None)
+      != SqlGuard.Ok, "pipe-stage subquery smuggled an unknown table")
+    // recursive CTE (if parseable): whatever node it lands on must either
+    // be walked (names checked) or fall outside the allowlist — an
+    // out-of-scope relation in the recursive body must never be Ok
+    assert(verdict(
+      "WITH RECURSIVE r AS (SELECT 1 AS n UNION ALL " +
+        "SELECT n + 1 FROM secrets WHERE n < 3) SELECT n FROM r", None)
+      != SqlGuard.Ok, "recursive CTE body legalized an unknown table")
+  }
+
   test("a decoy CTE in a sibling branch NEVER legalizes an out-of-scope " +
       "table reference (r9 scope-awareness)") {
     // PTable plants `secrets` somewhere in a random skeleton; a sibling
