@@ -10,7 +10,9 @@ import graft.engine.SqlGuard
   * systematizes the hunt. A recursive generator over a small SQL grammar
   * (nested subqueries, CTEs, joins, set ops, window specs — inline and
   * named — generators, EXISTS/IN/scalar subqueries, higher-order lambdas,
-  * HAVING, inline VALUES tables) plants exactly ONE poison — a banned
+  * HAVING, inline VALUES tables, TVF arguments, TABLESAMPLE, grouping
+  * sets, DISTRIBUTE BY, PIVOT/UNPIVOT, correlated LATERAL subqueries,
+  * join hints) plants exactly ONE poison — a banned
   * function, a non-allowlisted function, an unknown table, or a
   * non-allowlisted TVF — at a random expression/relation position and
   * asserts the verdict is NEVER Ok; the same skeletons rendered benign
@@ -256,10 +258,51 @@ class SqlGuardFuzzSpec extends SparkSpec {
       sel <- exprSlot(d, at(hit, 1))
     } yield s"SELECT $sel AS out1, a FROM df DISTRIBUTE BY ($e) SORT BY a"
 
+    // PIVOT carries its aggregate expressions on a dedicated Pivot node
+    // (not a Project) — a poison inside the measure, or in the pivoted
+    // source relation, must still be walked
+    val pivoted = for {
+      hit <- slots(2)
+      agg <- exprSlot(d, at(hit, 0))
+      rel <- relation(d, at(hit, 1))
+    } yield s"SELECT * FROM (SELECT a, b FROM $rel) pvsrc " +
+      s"PIVOT (sum($agg) FOR b IN (1, 2))"
+
+    // UNPIVOT nests its id/value columns Seq[Seq[NamedExpression]]-deep in
+    // the Unpivot node — the node must stay walked (relation poisons) and
+    // expressions computed next to it scanned
+    val unpivoted = for {
+      hit <- slots(2)
+      e <- exprSlot(d, at(hit, 0))
+      rel <- relation(d, at(hit, 1))
+    } yield s"SELECT k, v FROM (SELECT a, b, ($e) AS c0 FROM $rel) upsrc " +
+      s"UNPIVOT (v FOR k IN (b, c0))"
+
+    // LATERAL (correlated derived table): the subquery plan hangs off a
+    // LateralSubquery PlanExpression on the LateralJoin node, NOT off
+    // children — exactly the holder shape the r9 subPlans fix walks
+    val lateralJoin = for {
+      hit <- slots(2)
+      sub <- query(d, at(hit, 0))
+      sel <- exprSlot(d, at(hit, 1))
+    } yield s"SELECT $sel AS out1 FROM df, LATERAL ($sub) lj"
+
+    // /*+ hints */: UnresolvedHint holds parameters as Seq[Any] (full
+    // expressions allowed at parse time) AND wraps the child plan — both
+    // positions must be walked
+    val hinted = for {
+      hit <- slots(2)
+      e <- exprSlot(d, at(hit, 0))
+      rel <- relation(d, at(hit, 1))
+      h <- Gen.oneOf("BROADCAST(df)", "MERGE(t2)", "COALESCE(2)",
+        "REPARTITION(4)")
+    } yield s"SELECT /*+ $h */ ($e) AS out1 FROM $rel"
+
     if (depth <= 0) simple
     else Gen.oneOf(simple, grouped, joined, cte, setop, lateral,
       namedWindow, existsq, inq, scalarSub, valuesTab, tvfArgs,
-      sampled, groupingSets, distributed)
+      sampled, groupingSets, distributed, pivoted, unpivoted,
+      lateralJoin, hinted)
   }
 
   private def verdict(sql: String,
@@ -435,6 +478,37 @@ class SqlGuardFuzzSpec extends SparkSpec {
       "WITH RECURSIVE r AS (SELECT 1 AS n UNION ALL " +
         "SELECT n + 1 FROM secrets WHERE n < 3) SELECT n FROM r", None)
       != SqlGuard.Ok, "recursive CTE body legalized an unknown table")
+  }
+
+  test("hint parameters and time-travel clauses: never a blind spot") {
+    // UnresolvedHint.parameters is Seq[Any] — the parser accepts full
+    // expressions there, a position outside any SELECT/WHERE clause scan.
+    // QueryPlan.expressions DOES collect them (Iterable recursion), so a
+    // poison hint parameter must reject like any other expression; a
+    // parse rejection is equally safe.
+    for (sql <- Seq(
+        "SELECT /*+ REPARTITION(4, current_user()) */ a FROM df",
+        "SELECT /*+ RANGE_JOIN(df, reflect('java.lang.System', 'getenv', 'PATH')) */ a FROM df",
+        "SELECT /*+ REPARTITION((SELECT max(a) FROM secrets)) */ a FROM df");
+        mode <- Seq(None, allowMode)) {
+      assert(verdict(sql, mode) != SqlGuard.Ok,
+        s"poison hint parameter was Ok: $sql")
+    }
+    // an unknown hint NAME on a legal query is advisory noise, not a leak
+    assert(verdict("SELECT /*+ TOTALLY_MADE_UP(df) */ a FROM df", None)
+      == SqlGuard.Ok)
+    // time travel (VERSION/TIMESTAMP AS OF) parses to RelationTimeTravel,
+    // which is outside the node allowlist — fail closed in both modes
+    // (the guard's registered views are session TEMP views; a time-travel
+    // read would bypass them into a catalog table's history)
+    for (sql <- Seq(
+        "SELECT a FROM df VERSION AS OF 1",
+        "SELECT a FROM df TIMESTAMP AS OF '2020-01-01'",
+        "SELECT a FROM secrets VERSION AS OF 1");
+        mode <- Seq(None, allowMode)) {
+      assert(verdict(sql, mode) != SqlGuard.Ok,
+        s"time-travel clause was Ok: $sql")
+    }
   }
 
   test("a decoy CTE in a sibling branch NEVER legalizes an out-of-scope " +
