@@ -589,16 +589,22 @@ object ScaleRehearsal {
     // full runs judge).
     val streamChunks = 8
     def runStreamWorkload(name: String,
-        pipeline: DataFrame => DataFrame): String = {
+        pipeline: DataFrame => DataFrame,
+        srcTag: String = "stream_src",
+        chunkSource: () => DataFrame =
+          () => Tables.documents(spark, bigDir).select("doc_id", "text"),
+        idCol: String = "doc_id"): String = {
       clearResidue()
-      val srcDir = s"$scratch/stream_src"
+      val srcDir = s"$scratch/$srcTag"
+      var schema: org.apache.spark.sql.types.StructType = null
       if (!new java.io.File(srcDir).exists()) {
-        val corpus = Tables.documents(spark, bigDir).select("doc_id", "text")
+        val corpus = chunkSource()
+        schema = corpus.schema
         // one parquet file per chunk, mtimes ascending so the file source
         // feeds them in order under maxFilesPerTrigger=1
         for (k <- 0 until streamChunks) {
           val tmp = s"$scratch/stream_tmp_$k"
-          corpus.filter(pmod(col("doc_id"), lit(streamChunks.toLong)) === k)
+          corpus.filter(pmod(col(idCol), lit(streamChunks.toLong)) === k)
             .coalesce(1).write.mode("overwrite").parquet(tmp)
           val f = new java.io.File(tmp).listFiles()
             .filter(_.getName.endsWith(".parquet")).head
@@ -609,11 +615,7 @@ object ScaleRehearsal {
           dst.setLastModified(1000000L * (k + 1))
         }
       }
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("doc_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("text",
-          org.apache.spark.sql.types.StringType)))
+      if (schema == null) schema = chunkSource().schema
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir)
       // noop sink: pair volume at mult× would swamp a memory sink
@@ -650,17 +652,33 @@ object ScaleRehearsal {
         s""""rate_last_over_first":${f"$rateRatio%.2f"},""" +
         s""""batches":$bj,"sf":"$sfDir"}"""
     }
-    // Both stateful ingest designs measured: the 64-bit banded simhash
-    // (row-local kernel + in-bucket Hamming) and the 8-slot MinHash
-    // banding (row-local kernel + in-bucket agreement estimate) — same
-    // flat-ingest-cost claim, different kernels and bucket geometry.
+    // All three stateful ingest designs measured: the 64-bit banded
+    // simhash (row-local kernel + in-bucket Hamming), the 8-slot MinHash
+    // banding (row-local kernel + in-bucket agreement estimate), and the
+    // hyperplane-LSH embedding path (row-local projection + in-bucket
+    // exact cosine) — same flat-ingest-cost claim, different kernels and
+    // bucket geometry. The embedding row carries the batch
+    // embed_dedup_wide width rule (8 + log2(mult)) EXPLICITLY: a stream
+    // cannot autoBits — there is no corpus n at plan time — so width is
+    // an ingest-deployment knob the operator must set from the expected
+    // corpus size; this row measures the design at the width that rule
+    // picks for mult×.
+    val embIngestBits =
+      8 + math.ceil(math.log(math.max(mult, 2)) / math.log(2)).toInt
     val streamJsons =
       if (onlyWl.nonEmpty && !onlyWl("streaming_simhash")) Nil
       else Seq(
         runStreamWorkload("simhash_ingest",
           st => streaming.StreamingDedup.detectSimhash(st).toDF()),
         runStreamWorkload("minhash_ingest",
-          st => streaming.StreamingDedup.detect(st).toDF()))
+          st => streaming.StreamingDedup.detect(st).toDF()),
+        runStreamWorkload("embedding_ingest",
+          st => streaming.StreamingDedup
+            .detectEmbedding(st, bits = embIngestBits).toDF(),
+          srcTag = "stream_emb_src",
+          chunkSource = () => Tables.embeddings(spark, bigDir)
+            .select("vec_id", "embedding"),
+          idCol = "vec_id"))
 
     val wl = rows.map { case (n, t1, tN, r) =>
       s""""$n":{"x1":${f"$t1%.3f"},"x$mult":${f"$tN%.3f"},"ratio":${f"$r%.2f"}}"""
