@@ -125,10 +125,18 @@ object Bench {
     // "healed". Both the r8 and r9 driver artifacts were contended; this
     // turns such a run's numbers usable instead of merely discardable.
     var healed = 0
-    val cMin0 = if (canaries.nonEmpty) canaries.min else 0.0
+    // ONE spike threshold for everything downstream: the heal-pass
+    // flagging here, the contended verdict below, and bench_diff.py's
+    // row exclusion all read 3× the MAIN-pass canary min. (Deriving the
+    // verdict or the exclusion from the post-heal series min instead —
+    // heal canaries can be lower if the box quieted — would exclude rows
+    // the heal pass never retried and retroactively flip verdicts.)
+    val mainCanaries = canaries.toVector // heal-pass samples appended after
+    val cMin0 = if (mainCanaries.nonEmpty) mainCanaries.min else 0.0
+    val spikeThreshold = 3 * cMin0
     if (cMin0 > 0) {
       val flagged = runOrder.filter { case (n, _) =>
-        canaryBefore(n) > 3 * cMin0 }
+        canaryBefore(n) > spikeThreshold }
       for ((name, fn) <- flagged) {
         clearResidue()
         val c = canaryTime()
@@ -150,7 +158,12 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val cs = canaries.sorted
+    // min/median/max read the MAIN-pass series (the samples interleaved
+    // with the measurements — the actual load signal); the published
+    // "series" keeps the heal-pass samples appended at the end for
+    // transparency (first `results.size` entries = main pass, the last
+    // `healed` = heal retries).
+    val cs = mainCanaries.sorted
     val (cMin, cMed, cMax) =
       if (cs.isEmpty) (0.0, 0.0, 0.0)
       else (cs.head, cs(cs.length / 2), cs.last)
@@ -159,17 +172,26 @@ object Bench {
     // median-only flag said "clean" while 14 of the 20 worst per-query
     // inflations sat next to a spiked canary):
     //  - sustained load lifts the MEDIAN of the fixed workload;
-    //  - spiky load leaves the median alone but fires individual samples —
-    //    >5% of samples beyond 3×min is not a healthy box.
-    val spikedSamples = if (cMin > 0) cs.count(_ > 3 * cMin) else 0
+    //  - spiky load leaves the median alone but fires individual rows.
+    // The spike count is over the POST-heal per-query canaries (a healed
+    // row's canary_before is its clean retry): rows STILL dirty after the
+    // heal pass are what a consumer must exclude, so they are what the
+    // verdict counts. A transient burst whose rows all healed reads
+    // contended:0 with healed>0; a box loaded the whole time keeps its
+    // heal canaries high too and stays contended:1.
+    val stillSpiked =
+      if (cMin0 > 0) canaryBefore.valuesIterator.count(_ > spikeThreshold)
+      else 0
     val spiked =
-      if (cs.nonEmpty && spikedSamples.toDouble / cs.length > 0.05) 1 else 0
+      if (results.nonEmpty &&
+        stillSpiked.toDouble / results.size > 0.05) 1 else 0
     val contended =
       if ((cMin > 0 && cMed > 2 * cMin) || spiked == 1) 1 else 0
     val canaryJson =
       s"""{"workload":"q_group_agg","min":${r3(cMin)},"median":${r3(cMed)},""" +
         s""""max":${r3(cMax)},"contended":$contended,""" +
-        s""""spiked_samples":$spikedSamples,"healed":$healed,""" +
+        s""""spiked_samples":$stillSpiked,"healed":$healed,""" +
+        s""""spike_threshold":${r3(spikeThreshold)},""" +
         s""""series":${canaries.map(r3).mkString("[", ",", "]")}}"""
     // canary_before: each query's immediately-preceding canary, keyed by
     // qid — a contaminated row is mechanically excludable (bench_diff.py

@@ -43,6 +43,19 @@ object ScaleRehearsal {
   private val IdStride = 100000000L // replica k ids = base + k·stride
   private val PlantBase = 9000000000L
 
+  /** The embed_dedup_wide width rule — one source for the batch workload
+    * and the streaming embedding_ingest row (a drifted copy would make
+    * the two rows measure different design points while published side
+    * by side): +1 signature bit per corpus doubling keeps expected
+    * bucket occupancy, hence the quadratic in-bucket verification,
+    * constant as the corpus grows. */
+  private def widthForMult(m: Int): Int =
+    8 + math.ceil(math.log(math.max(m, 1)) / math.log(2)).toInt
+
+  private def jsonStr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replaceAll("[\\n\\r\\t]", " ") + "\""
+
   /** Replica k of the base corpus: ids offset, every word suffixed so the
     * shingle space is disjoint from all other replicas. k = 0 is the base
     * corpus unchanged. */
@@ -124,8 +137,13 @@ object ScaleRehearsal {
     spark.sparkContext.setLogLevel("WARN")
 
     // ---- synthesize the mult× corpus into a scratch documents.parquet ----
+    // keyed by (mult, sf): the stream-source chunk dirs below are built
+    // once and reused, so a scratch keyed by mult alone would feed a
+    // different-sf run chunks from the previous corpus while labeling the
+    // output line with the new sf
+    val sfTag = new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9.]", "_")
     val scratch = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_scale_x$mult").getAbsolutePath
+      sys.props("java.io.tmpdir"), s"graft_scale_x${mult}_$sfTag").getAbsolutePath
     val bigDir = s"$scratch/corpus"
     val base = Tables.documents(spark, sfDir)
     val big = (0 until mult).map(replica(base, _)).reduce(_ unionByName _)
@@ -313,9 +331,7 @@ object ScaleRehearsal {
       // Contrast with embed_dedup above, which holds width fixed at 8
       // and measures the occupancy blow-up instead.
       "embed_dedup_wide" -> { d: String =>
-        val bits =
-          if (d == bigDir) 8 + math.ceil(math.log(mult) / math.log(2)).toInt
-          else 8
+        val bits = if (d == bigDir) widthForMult(mult) else 8
         ops.Similarity.embeddingNearDup(
           Tables.embeddings(spark, d), "vec_id", "embedding", bits)
           .count(): Unit
@@ -595,6 +611,13 @@ object ScaleRehearsal {
           () => Tables.documents(spark, bigDir).select("doc_id", "text"),
         idCol: String = "doc_id"): String = {
       clearResidue()
+      // a fresh measurement every run: a surviving checkpoint from a
+      // previous run at this scratch would resume from committed offsets,
+      // see no new files, and emit an empty-batches junk line (or, after
+      // a mid-stream kill, process only the leftover files with restored
+      // state) — the chunk files are reusable, the stream progress is not
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$scratch/stream_ckpt_$name"))
       val srcDir = s"$scratch/$srcTag"
       var schema: org.apache.spark.sql.types.StructType = null
       if (!new java.io.File(srcDir).exists()) {
@@ -658,28 +681,18 @@ object ScaleRehearsal {
     // hyperplane-LSH embedding path (row-local projection + in-bucket
     // exact cosine) — same flat-ingest-cost claim, different kernels and
     // bucket geometry. The embedding row carries the batch
-    // embed_dedup_wide width rule (8 + log2(mult)) EXPLICITLY: a stream
+    // embed_dedup_wide width rule (widthForMult) EXPLICITLY: a stream
     // cannot autoBits — there is no corpus n at plan time — so width is
     // an ingest-deployment knob the operator must set from the expected
     // corpus size; this row measures the design at the width that rule
     // picks for mult×.
-    val embIngestBits =
-      8 + math.ceil(math.log(math.max(mult, 2)) / math.log(2)).toInt
-    val streamJsons =
-      if (onlyWl.nonEmpty && !onlyWl("streaming_simhash")) Nil
-      else Seq(
-        runStreamWorkload("simhash_ingest",
-          st => streaming.StreamingDedup.detectSimhash(st).toDF()),
-        runStreamWorkload("minhash_ingest",
-          st => streaming.StreamingDedup.detect(st).toDF()),
-        runStreamWorkload("embedding_ingest",
-          st => streaming.StreamingDedup
-            .detectEmbedding(st, bits = embIngestBits).toDF(),
-          srcTag = "stream_emb_src",
-          chunkSource = () => Tables.embeddings(spark, bigDir)
-            .select("vec_id", "embedding"),
-          idCol = "vec_id"))
-
+    //
+    // The batch line prints FIRST: the streams run minutes of stateful
+    // checkpointed work, and a failure there must not discard the ~34
+    // batch timings already measured. Each stream workload is likewise
+    // fault-isolated — one failed design emits an error line, the others
+    // still report. Selectable per name (plus the legacy collective key
+    // "streaming_simhash" older invocations used).
     val wl = rows.map { case (n, t1, tN, r) =>
       s""""$n":{"x1":${f"$t1%.3f"},"x$mult":${f"$tN%.3f"},"ratio":${f"$r%.2f"}}"""
     }.mkString("{", ",", "}")
@@ -687,6 +700,32 @@ object ScaleRehearsal {
       s""""workloads":$wl,"oversized_buckets":$ovB,"oversized_docs":$ovD,""" +
       s""""cap_fired":$capFired,"plant_one_split":$onePlantSplit,""" +
       s""""sf":"$sfDir"}""")
+
+    def wantStream(n: String): Boolean =
+      onlyWl.isEmpty || onlyWl(n) || onlyWl("streaming_simhash")
+    def safeStream(n: String)(run: => String): Option[String] =
+      if (!wantStream(n)) None
+      else try Some(run) catch {
+        case e: Exception => Some(
+          s"""{"metric":"streaming_rehearsal","mult":$mult,""" +
+            s""""workload":"$n","error":${jsonStr(e.toString.take(300))},""" +
+            s""""sf":"$sfDir"}""")
+      }
+    val streamJsons = Seq(
+      safeStream("simhash_ingest")(
+        runStreamWorkload("simhash_ingest",
+          st => streaming.StreamingDedup.detectSimhash(st).toDF())),
+      safeStream("minhash_ingest")(
+        runStreamWorkload("minhash_ingest",
+          st => streaming.StreamingDedup.detect(st).toDF())),
+      safeStream("embedding_ingest")(
+        runStreamWorkload("embedding_ingest",
+          st => streaming.StreamingDedup
+            .detectEmbedding(st, bits = widthForMult(mult)).toDF(),
+          srcTag = "stream_emb_src",
+          chunkSource = () => Tables.embeddings(spark, bigDir)
+            .select("vec_id", "embedding"),
+          idCol = "vec_id"))).flatten
     streamJsons.foreach(println)
     spark.stop()
   }

@@ -258,59 +258,62 @@ object SqlGuard {
         case w: WithWindowDefinition => w.windowDefinitions.values.toSeq
         case _ => Nil
       })
-      // IDENTIFIER() indirection defers name resolution past parse time —
-      // `IDENTIFIER('current_user')()` carries NO UnresolvedFunction at
-      // validation time, so the name scans below never see it (fuzz-found
-      // r10 bypass; the relation form is already caught by the node
-      // allowlist as PlanWithUnresolvedIdentifier). A deferred name cannot
-      // be checked statically, so it fails closed.
-      val deferred = exprRoots.flatMap(_.collect {
-        case e if e.nodeName == "ExpressionWithUnresolvedIdentifier" => e
-      })
-      if (deferred.nonEmpty)
-        return Some(Rejected(
-          "deferred IDENTIFIER() not allowed: name not statically checkable"))
-      // Bare literal-function keywords (fuzz-found r10 bypass): analysis
-      // falls back to resolving an otherwise-unresolvable single-part
-      // attribute named current_user / user / session_user as the nullary
-      // identity function — no UnresolvedFunction exists at parse time, so
-      // the denylist scan below never fires. The guard has view NAMES but
-      // not schemas, so it cannot distinguish a real column by that name
-      // from the fallback: fail closed (a genuine column can be aliased
-      // before registration).
-      val literalLeaks = exprRoots.flatMap(_.collect {
-        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-            if a.nameParts.length == 1 &&
-              bareLiteralFunctions.contains(a.nameParts.head.toLowerCase) =>
-          a.nameParts.head.toLowerCase
-      })
-      literalLeaks.headOption.foreach { n =>
-        return Some(Rejected(s"bare identity keyword not allowed: $n " +
-          "(resolves to the function when no such column exists; " +
-          "alias the column if one does)"))
-      }
-      val fns = exprRoots.flatMap(_.collect {
-        case f: UnresolvedFunction => f.nameParts.mkString(".").toLowerCase
-        case g: UnresolvedGenerator => g.name.unquotedString.toLowerCase
-      })
-      fns.find(bannedFunctions.contains).foreach { f =>
-        return Some(Rejected(s"function not allowed: $f"))
-      }
-      wlLower.foreach { wl =>
-        fns.find(f => !wl.contains(f)).foreach { f =>
-          return Some(Rejected(s"function not in allowlist: $f"))
+      // ONE pre-order traversal of each expression tree serves all four
+      // scans (the checks are independent, so the first rejection in tree
+      // order wins — a multi-poison query may report a different ONE of
+      // its poisons than scan-type ordering would; the verdict is
+      // Rejected either way):
+      //  - deferred IDENTIFIER() (fuzz-found r10 bypass): the name lives
+      //    in a string literal until analysis — no UnresolvedFunction
+      //    exists to scan, and a deferred name cannot be checked
+      //    statically, so it fails closed (the relation form is already
+      //    outside the node allowlist as PlanWithUnresolvedIdentifier);
+      //  - bare literal-function keywords (fuzz-found r10 bypass):
+      //    analysis resolves an otherwise-unresolvable single-part
+      //    attribute named current_user/user/session_user as the nullary
+      //    function; the guard has view NAMES but not schemas, so it
+      //    cannot tell a real column from the fallback — fail closed;
+      //  - function/generator names against the denylist + allowlist;
+      //  - nested subquery plans (collected, walked after the scan).
+      var rejection: Option[Rejected] = None
+      val subPlans =
+        scala.collection.mutable.ListBuffer.empty[LogicalPlan]
+      def checkFnName(n: String): Unit = {
+        if (bannedFunctions.contains(n))
+          rejection = Some(Rejected(s"function not allowed: $n"))
+        else wlLower.foreach { wl =>
+          if (!wl.contains(n))
+            rejection = Some(Rejected(s"function not in allowlist: $n"))
         }
       }
-
+      exprRoots.foreach(_.foreach { e =>
+        if (rejection.isEmpty) e match {
+          case d if d.nodeName == "ExpressionWithUnresolvedIdentifier" =>
+            rejection = Some(Rejected(
+              "deferred IDENTIFIER() not allowed: name not statically checkable"))
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+              if a.nameParts.length == 1 &&
+                bareLiteralFunctions.contains(a.nameParts.head.toLowerCase) =>
+            rejection = Some(Rejected(
+              s"bare identity keyword not allowed: " +
+                s"${a.nameParts.head.toLowerCase} " +
+                "(resolves to the function when no such column exists; " +
+                "alias the column if one does)"))
+          case f: UnresolvedFunction =>
+            checkFnName(f.nameParts.mkString(".").toLowerCase)
+          case g: UnresolvedGenerator =>
+            checkFnName(g.name.unquotedString.toLowerCase)
+          case pe: org.apache.spark.sql.catalyst.expressions.PlanExpression[_] =>
+            pe.plan match {
+              case lp: LogicalPlan => subPlans += lp
+              case _ => ()
+            }
+          case _ => ()
+        }
+      })
+      rejection.foreach(r => return Some(r))
       // Subquery PLANS inside those expressions (scalar subqueries,
       // EXISTS, IN-lists, lateral) — walked with THIS node's scope.
-      val subPlans = exprRoots.flatMap(_.collect {
-        case pe: org.apache.spark.sql.catalyst.expressions.PlanExpression[_] =>
-          pe.plan match {
-            case lp: LogicalPlan => Seq(lp)
-            case _ => Nil
-          }
-      }.flatten)
       for (sp <- subPlans; rej <- walk(sp, scope)) return Some(rej)
 
       // Children: a WITH extends the scope — each definition body sees

@@ -21,8 +21,11 @@ SPIKE_RATIO = 3.0
 
 
 def load(path):
-    """Returns (queries, canary_before, canary_min) — the latter two may
-    be empty/None for pre-r9 artifacts."""
+    """Returns (queries, canary_before, spike_threshold) — the latter two
+    may be empty/None for pre-r9 artifacts. Prefers the artifact's own
+    "spike_threshold" (3x the MAIN-pass canary min — the same basis the
+    in-process heal flagging used); falls back to 3x load_canary.min for
+    older artifacts, whose series had no heal samples to skew the min."""
     raw = open(path).read()
     d = None
     try:
@@ -35,31 +38,34 @@ def load(path):
     if d is not None:
         queries = d["queries"]
         cb = d.get("canary_before", {})
-        cmin = d.get("load_canary", {}).get("min")
+        lc = d.get("load_canary", {})
+        thr = lc.get("spike_threshold")
+        if thr is None and lc.get("min"):
+            thr = SPIKE_RATIO * lc["min"]
     else:
         # truncated tail: regex out whatever survived. canary_before and
         # queries share the "qid":sec shape, so take the LAST occurrence
         # per qid (queries prints last / closest to the kept tail).
         queries = {m.group(1): float(m.group(2))
                    for m in re.finditer(r'"(q_\w+)":([0-9.]+)', raw)}
-        cb, cmin = {}, None
-    return queries, cb, cmin
+        cb, thr = {}, None
+    return queries, cb, thr
 
 
-def spiked_qids(cb, cmin):
-    if not cb or not cmin or cmin <= 0:
+def spiked_qids(cb, thr):
+    if not cb or not thr or thr <= 0:
         return set()
-    return {q for q, c in cb.items() if c > SPIKE_RATIO * cmin}
+    return {q for q, c in cb.items() if c > thr}
 
 
 def main():
-    old, old_cb, old_cmin = load(sys.argv[1])
-    new, new_cb, new_cmin = load(sys.argv[2])
+    old, old_cb, old_thr = load(sys.argv[1])
+    new, new_cb, new_thr = load(sys.argv[2])
     thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
-    spiked = spiked_qids(old_cb, old_cmin) | spiked_qids(new_cb, new_cmin)
+    spiked = spiked_qids(old_cb, old_thr) | spiked_qids(new_cb, new_thr)
     if spiked:
         print(f"excluded {len(spiked)} queries timed next to a canary "
-              f"spike (> {SPIKE_RATIO}x canary min): "
+              f"spike (> {SPIKE_RATIO}x main-pass canary min): "
               + " ".join(sorted(spiked)))
     common = sorted((set(old) & set(new)) - spiked)
     print(f"{len(common)} common queries; overlap sum "
