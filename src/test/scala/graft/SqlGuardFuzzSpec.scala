@@ -509,6 +509,17 @@ class SqlGuardFuzzSpec extends SparkSpec {
       assert(verdict(sql, mode) != SqlGuard.Ok,
         s"time-travel clause was Ok: $sql")
     }
+    // session-variable references: PINNED AS ACCEPTED (the documented
+    // residual, DESIGN.md r10). `system.session.x` is a multi-part
+    // UnresolvedAttribute the guard cannot distinguish from a struct
+    // column path; variables resolve BELOW column precedence, DECLARE is
+    // a Command (rejected), so a leak needs a host-declared variable AND
+    // a view lacking a samename column — rejecting all session.* paths
+    // would break genuine struct columns named `session`, a worse trade.
+    // This pin is intent, not oversight: flip it only with a schema-aware
+    // guard that can tell the two apart.
+    assert(verdict("SELECT system.session.x FROM df", None) == SqlGuard.Ok)
+    assert(verdict("SELECT session.x FROM df", None) == SqlGuard.Ok)
   }
 
   test("a decoy CTE in a sibling branch NEVER legalizes an out-of-scope " +
