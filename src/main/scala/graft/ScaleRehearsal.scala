@@ -652,18 +652,26 @@ object ScaleRehearsal {
           val sec = p.durationMs.get("triggerExecution").toDouble / 1000.0
           val stateRows = p.stateOperators.headOption
             .map(_.numRowsTotal).getOrElse(-1L)
-          (p.batchId, p.numInputRows, sec, stateRows)
+          // bytes, not just rows: the designs differ in state PER ROW
+          // (MinHash stores 8 hex-slot signatures per doc across ~6×
+          // more buckets; the embedding path stores whole float vectors
+          // per bucket member), so rows alone understate the memory
+          // claim an operator sizes executors against
+          val stateBytes = p.stateOperators.headOption
+            .map(_.memoryUsedBytes).getOrElse(-1L)
+          (p.batchId, p.numInputRows, sec, stateRows, stateBytes)
         }
-      val bj = batches.map { case (id, rows0, sec, st) =>
+      val bj = batches.map { case (id, rows0, sec, st, sb) =>
         val rps = if (sec > 0) rows0 / sec else 0.0
         s"""{"batch":$id,"rows":$rows0,"sec":${f"$sec%.3f"},""" +
-          s""""rows_per_sec":${f"$rps%.0f"},"state_rows":$st}"""
+          s""""rows_per_sec":${f"$rps%.0f"},"state_rows":$st,""" +
+          s""""state_bytes":$sb}"""
       }.mkString("[", ",", "]")
       // rate ratio last/first: ~1.0 = flat ingest cost while state grew
       // by the whole corpus; the median of the last 3 vs first batch
       // damps one-off GC noise (batch 0 also pays JIT warmup, so read the
       // per-batch series, not just the ratio)
-      val rates = batches.map { case (_, r, s0, _) =>
+      val rates = batches.map { case (_, r, s0, _, _) =>
         if (s0 > 0) r / s0 else 0.0 }
       val rateRatio =
         if (rates.length >= 2 && rates.head > 0) {
