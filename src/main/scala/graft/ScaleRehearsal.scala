@@ -619,6 +619,11 @@ object ScaleRehearsal {
       org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(s"$scratch/stream_ckpt_$name"))
       val srcDir = s"$scratch/$srcTag"
+      // steady_* files are a PROBE, not corpus: left behind they would
+      // join the next run's ramp feed (mtime-ordered) and double-count
+      Option(new java.io.File(srcDir).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("steady_"))
+        .foreach(f => org.apache.commons.io.FileUtils.deleteQuietly(f))
       var schema: org.apache.spark.sql.types.StructType = null
       if (!new java.io.File(srcDir).exists()) {
         val corpus = chunkSource()
@@ -645,7 +650,25 @@ object ScaleRehearsal {
       val q = pipeline(stream)
         .writeStream.format("noop")
         .option("checkpointLocation", s"$scratch/stream_ckpt_$name").start()
-      try q.processAllAvailable() finally q.stop()
+      val steadyChunks = 2
+      try {
+        q.processAllAvailable()
+        // STEADY-STATE probe: with every bucket at its design occupancy,
+        // re-feed the first 2 chunks as new files and measure those
+        // batches — the within-ramp rate decline (buckets filling from
+        // empty) is paid once per deployment; what a long-lived ingest
+        // pipeline actually runs at is THIS rate. Re-delivered ids are
+        // admission-guarded (mid != id), so the probe measures pairing
+        // work against full buckets without growing state.
+        for (k <- 0 until steadyChunks) {
+          val src = new java.io.File(srcDir, f"chunk_$k%02d.parquet")
+          val dst = new java.io.File(srcDir, f"steady_$k%02d.parquet")
+          java.nio.file.Files.copy(src.toPath, dst.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          dst.setLastModified(1000000L * (streamChunks + k + 1))
+        }
+        q.processAllAvailable()
+      } finally q.stop()
       val batches = q.recentProgress.toSeq
         .filter(_.numInputRows > 0).sortBy(_.batchId)
         .map { p =>
@@ -667,20 +690,30 @@ object ScaleRehearsal {
           s""""rows_per_sec":${f"$rps%.0f"},"state_rows":$st,""" +
           s""""state_bytes":$sb}"""
       }.mkString("[", ",", "]")
-      // rate ratio last/first: ~1.0 = flat ingest cost while state grew
-      // by the whole corpus; the median of the last 3 vs first batch
-      // damps one-off GC noise (batch 0 also pays JIT warmup, so read the
-      // per-batch series, not just the ratio)
-      val rates = batches.map { case (_, r, s0, _, _) =>
+      // rate ratio last/first over the RAMP batches: ~1.0 = flat ingest
+      // cost while state grew by the whole corpus; the median of the
+      // last 3 vs batch 0 damps one-off GC noise (batch 0 also pays JIT
+      // warmup, so read the per-batch series, not just the ratio). The
+      // steady probe batches report separately: steady_rows_per_sec is
+      // the rate at design occupancy, the number a long-lived pipeline
+      // runs at after the one-time fill ramp.
+      val (ramp, steady) = batches.splitAt(streamChunks)
+      val rates = ramp.map { case (_, r, s0, _, _) =>
         if (s0 > 0) r / s0 else 0.0 }
       val rateRatio =
         if (rates.length >= 2 && rates.head > 0) {
           val tail3 = rates.takeRight(3).sorted
           tail3(tail3.length / 2) / rates.head
         } else 0.0
+      val steadyRps = {
+        val rs = steady.map { case (_, r, s0, _, _) =>
+          if (s0 > 0) r / s0 else 0.0 }.sorted
+        if (rs.isEmpty) 0.0 else rs(rs.length / 2)
+      }
       s"""{"metric":"streaming_rehearsal","mult":$mult,""" +
         s""""workload":"$name","chunks":$streamChunks,""" +
         s""""rate_last_over_first":${f"$rateRatio%.2f"},""" +
+        s""""steady_rows_per_sec":${f"$steadyRps%.0f"},""" +
         s""""batches":$bj,"sf":"$sfDir"}"""
     }
     // All three stateful ingest designs measured: the 64-bit banded
