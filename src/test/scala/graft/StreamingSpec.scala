@@ -772,6 +772,61 @@ class StreamingSpec extends SparkSpec {
       "late scaled copies must pair with their batch-1 originals via state")
   }
 
+  test("streaming embedding near-dedup at a NON-DEFAULT width matches the " +
+      "batch path (the rehearsal's widthForMult regime)") {
+    // The 60× ingest rehearsal drives detectEmbedding at 14 bits — not
+    // the default 8 — so batch/stream parity must hold for the
+    // width-PARAMETERIZED signature and probe generation too: a drift in
+    // sigExprN/probesExpr at any width ≠ Planes would pass the default
+    // parity test above and silently diverge at scale.
+    import graft.streaming.StreamingDedup
+    val bits = 12
+    val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val late = e.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        expr("transform(embedding, x -> CAST(x * 2 AS FLOAT))").as("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_embdup_w12")
+    def stage(part: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_edw_$name")
+      part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dst = dir.resolve(s"$name.parquet")
+      java.nio.file.Files.copy(f, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    stage(e, "0_base", 1000000L)
+    stage(late, "1_late", 2000000L)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    val q = StreamingDedup.detectEmbedding(stream, bits = bits)
+      .toDF().writeStream.outputMode("append")
+      .format("memory").queryName("embdup_w12_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("embdup_w12_out")
+      .select(col("a"), col("b"), round(col("cos"), 6).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(streamed.length == streamed.distinct.length,
+      "emission must be exactly-once per pair at width 12")
+    val truth = ops.Similarity.embeddingNearDup(
+        e.unionByName(late), "vec_id", "embedding",
+        bits = bits, minCos = 0.9)
+      .select(col("a"), col("b"), round(col("cos"), 6).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(streamed.toSet == truth.toSet,
+      s"width-12 streaming pairs must equal the width-12 batch LSH: " +
+        s"missing=${truth.toSet -- streamed.toSet}, " +
+        s"extra=${streamed.toSet -- truth.toSet}")
+    // the scaled twins are signature-invariant at ANY width, so the
+    // cross-batch state carry must still surface them
+    assert(streamed.exists { case (a, b, _) => a < 100000L && b >= 100000L },
+      "late scaled copies must pair with their originals at width 12")
+  }
+
   test("streaming ingest projections drop dirty rows instead of wedging") {
     // poison rows (null/non-numeric id, null text, null embedding) must
     // be filtered by the stateless projections — under ANSI casts and
