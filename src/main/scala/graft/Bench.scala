@@ -21,11 +21,19 @@ object Bench {
     *    spiked. A transient burst whose rows all healed reads
     *    contended=0; a box loaded the whole time keeps its retry
     *    canaries high and stays contended=1. */
+  /** THE spike threshold: 3× the main-pass canary min. One definition —
+    * the heal-pass flagging, the contention verdict, the emitted
+    * spike_threshold field, and (via that field) bench_diff.py all read
+    * this; a second derivation anywhere reintroduces the basis drift the
+    * r10 review closed. */
+  private[graft] def spikeThreshold(mainCanaries: Seq[Double]): Double =
+    if (mainCanaries.nonEmpty) 3 * mainCanaries.min else 0.0
+
   private[graft] def contentionVerdict(
       mainCanaries: Seq[Double],
       postHealCanaries: Iterable[Double]): (Int, Int, Double) = {
     val cMin0 = if (mainCanaries.nonEmpty) mainCanaries.min else 0.0
-    val threshold = 3 * cMin0
+    val threshold = spikeThreshold(mainCanaries)
     val stillSpiked =
       if (cMin0 > 0) postHealCanaries.count(_ > threshold) else 0
     val n = postHealCanaries.size
@@ -157,16 +165,16 @@ object Bench {
     var healed = 0
     // ONE spike threshold for everything downstream: the heal-pass
     // flagging here, the contended verdict below, and bench_diff.py's
-    // row exclusion all read 3× the MAIN-pass canary min. (Deriving the
-    // verdict or the exclusion from the post-heal series min instead —
-    // heal canaries can be lower if the box quieted — would exclude rows
-    // the heal pass never retried and retroactively flip verdicts.)
+    // row exclusion all read spikeThreshold(mainCanaries) — the single
+    // definition the verdict function also uses. (Deriving the verdict
+    // or the exclusion from the post-heal series min instead — heal
+    // canaries can be lower if the box quieted — would exclude rows the
+    // heal pass never retried and retroactively flip verdicts.)
     val mainCanaries = canaries.toVector // heal-pass samples appended after
-    val cMin0 = if (mainCanaries.nonEmpty) mainCanaries.min else 0.0
-    val spikeThreshold = 3 * cMin0
-    if (cMin0 > 0) {
+    val spikeThr = spikeThreshold(mainCanaries)
+    if (spikeThr > 0) {
       val flagged = runOrder.filter { case (n, _) =>
-        canaryBefore(n) > spikeThreshold }
+        canaryBefore(n) > spikeThr }
       for ((name, fn) <- flagged) {
         clearResidue()
         val c = canaryTime()
@@ -211,7 +219,7 @@ object Bench {
       s"""{"workload":"q_group_agg","min":${r3(cMin)},"median":${r3(cMed)},""" +
         s""""max":${r3(cMax)},"contended":$contended,""" +
         s""""spiked_samples":$stillSpiked,"healed":$healed,""" +
-        s""""spike_threshold":${r3(spikeThreshold)},""" +
+        s""""spike_threshold":${r3(spikeThr)},""" +
         s""""series":${canaries.map(r3).mkString("[", ",", "]")}}"""
     // canary_before: each query's immediately-preceding canary, keyed by
     // qid — a contaminated row is mechanically excludable (bench_diff.py

@@ -42,6 +42,9 @@ import org.apache.spark.sql.functions._
 object ScaleRehearsal {
   private val IdStride = 100000000L // replica k ids = base + k·stride
   private val PlantBase = 9000000000L
+  // steady-probe ids: clear of every replica (≤ 59·IdStride + base ≈
+  // 5.9e9) and the plant family (9e9..)
+  private val ProbeIdOffset = 20000000000L
 
   /** The embed_dedup_wide width rule — one source for the batch workload
     * and the streaming embedding_ingest row (a drifted copy would make
@@ -54,7 +57,9 @@ object ScaleRehearsal {
 
   private def jsonStr(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-      .replaceAll("[\\n\\r\\t]", " ") + "\""
+      // ALL control chars (not just \n\r\t): one raw U+0000-001F in an
+      // exception message would make the error line unparseable JSON
+      .replaceAll("\\p{Cntrl}", " ") + "\""
 
   /** Replica k of the base corpus: ids offset, every word suffixed so the
     * shingle space is disjoint from all other replicas. k = 0 is the base
@@ -137,11 +142,17 @@ object ScaleRehearsal {
     spark.sparkContext.setLogLevel("WARN")
 
     // ---- synthesize the mult× corpus into a scratch documents.parquet ----
-    // keyed by (mult, sf): the stream-source chunk dirs below are built
-    // once and reused, so a scratch keyed by mult alone would feed a
-    // different-sf run chunks from the previous corpus while labeling the
-    // output line with the new sf
-    val sfTag = new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+    // keyed by (mult, FULL sf path): the stream-source chunk dirs below
+    // are built once and reused, so a scratch keyed by mult alone would
+    // feed a different-sf run chunks from the previous corpus while
+    // labeling the output line with the new sf — and keying by basename
+    // alone would collide two corpora sharing a leaf name (/a/sf0.1 vs
+    // /b/sf0.1), the same bug one directory level up. String.hashCode is
+    // spec-pinned, so the tag is stable across JVMs.
+    val sfCanon = new java.io.File(sfDir).getCanonicalPath
+    val sfTag =
+      new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9.]", "_") +
+        "_" + (sfCanon.hashCode.toLong & 0xffffffffL).toHexString
     val scratch = new java.io.File(
       sys.props("java.io.tmpdir"), s"graft_scale_x${mult}_$sfTag").getAbsolutePath
     val bigDir = s"$scratch/corpus"
@@ -651,21 +662,42 @@ object ScaleRehearsal {
         .writeStream.format("noop")
         .option("checkpointLocation", s"$scratch/stream_ckpt_$name").start()
       val steadyChunks = 2
+      var rampCutoff = Long.MaxValue
       try {
         q.processAllAvailable()
+        rampCutoff = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
         // STEADY-STATE probe: with every bucket at its design occupancy,
-        // re-feed the first 2 chunks as new files and measure those
-        // batches — the within-ramp rate decline (buckets filling from
-        // empty) is paid once per deployment; what a long-lived ingest
-        // pipeline actually runs at is THIS rate. Re-delivered ids are
-        // admission-guarded (mid != id), so the probe measures pairing
-        // work against full buckets without growing state.
+        // feed the first 2 chunks' CONTENT under FRESH ids (+ProbeIdOffset)
+        // and measure those batches — the within-ramp rate decline
+        // (buckets filling from empty) is paid once per deployment; what
+        // a long-lived pipeline runs at is THIS rate. Fresh ids matter:
+        // a re-delivered id short-circuits at the already-a-member check
+        // BEFORE the verification loop in the simhash/minhash paths, so
+        // re-feeding identical rows would measure a cheaper code path
+        // than a real arrival pays (self-review find) — the probe rows
+        // must be NEW docs whose content lands in full buckets, paying
+        // the full pairing + admission cost, which also means probe
+        // batches DO grow state by their own rows.
+        // Staged atomically: the file source is actively polling srcDir
+        // between the two processAllAvailable calls, so the file must
+        // appear with its final bytes AND synthetic mtime in one step —
+        // a half-copied footer fails the microbatch, and a file listed
+        // with a present-day mtime before setLastModified runs would
+        // push SeenFilesMap's purge boundary past the other probe file.
         for (k <- 0 until steadyChunks) {
-          val src = new java.io.File(srcDir, f"chunk_$k%02d.parquet")
-          val dst = new java.io.File(srcDir, f"steady_$k%02d.parquet")
-          java.nio.file.Files.copy(src.toPath, dst.toPath,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          dst.setLastModified(1000000L * (streamChunks + k + 1))
+          val tmp = s"$scratch/steady_tmp_$k"
+          chunkSource()
+            .filter(pmod(col(idCol), lit(streamChunks.toLong)) === k)
+            .withColumn(idCol, col(idCol) + lit(ProbeIdOffset))
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          val f = new java.io.File(tmp).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          f.setLastModified(1000000L * (streamChunks + k + 1))
+          // no REPLACE_EXISTING: leftovers were cleaned at workload start,
+          // and combining it with ATOMIC_MOVE is implementation-specific
+          java.nio.file.Files.move(f.toPath,
+            new java.io.File(srcDir, f"steady_$k%02d.parquet").toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         }
         q.processAllAvailable()
       } finally q.stop()
@@ -696,8 +728,11 @@ object ScaleRehearsal {
       // warmup, so read the per-batch series, not just the ratio). The
       // steady probe batches report separately: steady_rows_per_sec is
       // the rate at design occupancy, the number a long-lived pipeline
-      // runs at after the one-time fill ramp.
-      val (ramp, steady) = batches.splitAt(streamChunks)
+      // runs at after the one-time fill ramp. Split on the batchId
+      // recorded BEFORE the probe files were staged, not on position —
+      // a zero-row ramp batch (filtered out above) would otherwise
+      // shift a probe batch into the ramp set.
+      val (ramp, steady) = batches.partition(_._1 <= rampCutoff)
       val rates = ramp.map { case (_, r, s0, _, _) =>
         if (s0 > 0) r / s0 else 0.0 }
       val rateRatio =
@@ -705,10 +740,13 @@ object ScaleRehearsal {
           val tail3 = rates.takeRight(3).sorted
           tail3(tail3.length / 2) / rates.head
         } else 0.0
+      // LOWER median: with 2 probe samples the upper-median index would
+      // report the max — a systematically optimistic number; the lower
+      // one is the conservative sizing input
       val steadyRps = {
         val rs = steady.map { case (_, r, s0, _, _) =>
           if (s0 > 0) r / s0 else 0.0 }.sorted
-        if (rs.isEmpty) 0.0 else rs(rs.length / 2)
+        if (rs.isEmpty) 0.0 else rs((rs.length - 1) / 2)
       }
       s"""{"metric":"streaming_rehearsal","mult":$mult,""" +
         s""""workload":"$name","chunks":$streamChunks,""" +

@@ -25,7 +25,13 @@ def load(path):
     may be empty/None for pre-r9 artifacts. Prefers the artifact's own
     "spike_threshold" (3x the MAIN-pass canary min — the same basis the
     in-process heal flagging used); falls back to 3x load_canary.min for
-    older artifacts, whose series had no heal samples to skew the min."""
+    older artifacts. The fallback is best-effort: pre-heal artifacts had
+    no heal samples in the series, but the r10 healed generation that
+    predates the explicit field (healed>0, no spike_threshold) computed
+    its min over main+heal samples, so a post-quiet heal retry can shrink
+    the fallback threshold below the main-pass basis and conservatively
+    exclude a few extra rows — acceptable for a diff tool, and the reason
+    the field exists going forward."""
     raw = open(path).read()
     d = None
     try:
