@@ -12,7 +12,8 @@ import graft.engine.SqlGuard
   * named — generators, EXISTS/IN/scalar subqueries, higher-order lambdas,
   * HAVING, inline VALUES tables, TVF arguments, TABLESAMPLE, grouping
   * sets, DISTRIBUTE BY, PIVOT/UNPIVOT, correlated LATERAL subqueries,
-  * join hints) plants exactly ONE poison — a banned
+  * join hints, aggregate FILTER clauses, LIMIT expressions) plants
+  * exactly ONE poison — a banned
   * function, a non-allowlisted function, an unknown table, or a
   * non-allowlisted TVF — at a random expression/relation position and
   * asserts the verdict is NEVER Ok; the same skeletons rendered benign
@@ -298,11 +299,33 @@ class SqlGuardFuzzSpec extends SparkSpec {
         "REPARTITION(4)")
     } yield s"SELECT /*+ $h */ ($e) AS out1 FROM $rel"
 
+    // aggregate FILTER (WHERE ...) — the predicate hangs on
+    // AggregateExpression.filter, a dedicated expression slot NEXT TO
+    // (not inside) the function's argument list; a traversal that only
+    // scans arguments would skip it
+    val aggFiltered = for {
+      hit <- slots(3)
+      agg <- exprSlot(d, at(hit, 0))
+      pred <- exprSlot(d, at(hit, 1))
+      rel <- relation(d, at(hit, 2))
+    } yield s"SELECT sum($agg) FILTER (WHERE ($pred) IS NOT NULL) AS s " +
+      s"FROM $rel"
+
+    // LIMIT holds a FULL expression at parse time (foldability is an
+    // analysis-time rule) — GlobalLimit/LocalLimit sit above the Sort,
+    // outside every SELECT/WHERE clause scan
+    val limited = for {
+      hit <- slots(2)
+      e <- exprSlot(d, at(hit, 0))
+      sel <- exprSlot(d, at(hit, 1))
+    } yield s"SELECT $sel AS out1 FROM df ORDER BY a " +
+      s"LIMIT abs(coalesce(CAST(($e) AS INT), 1))"
+
     if (depth <= 0) simple
     else Gen.oneOf(simple, grouped, joined, cte, setop, lateral,
       namedWindow, existsq, inq, scalarSub, valuesTab, tvfArgs,
       sampled, groupingSets, distributed, pivoted, unpivoted,
-      lateralJoin, hinted)
+      lateralJoin, hinted, aggFiltered, limited)
   }
 
   private def verdict(sql: String,
@@ -520,6 +543,51 @@ class SqlGuardFuzzSpec extends SparkSpec {
     // guard that can tell the two apart.
     assert(verdict("SELECT system.session.x FROM df", None) == SqlGuard.Ok)
     assert(verdict("SELECT session.x FROM df", None) == SqlGuard.Ok)
+  }
+
+  test("expression holders OFF the argument list — aggregate FILTER, " +
+      "WITHIN GROUP order, named arguments, sample row counts, " +
+      "LIMIT/OFFSET — are walked") {
+    // Each of these clauses stores its expression somewhere other than a
+    // plain child argument list: AggregateExpression.filter, the
+    // SortOrder under an ordered-set aggregate, NamedArgumentExpression's
+    // value, the sample/limit count above the Sort. All must reject a
+    // poison exactly like a SELECT-list position would.
+    for (sql <- Seq(
+        "SELECT sum(a) FILTER (WHERE current_user() IS NOT NULL) AS s FROM df",
+        "SELECT sum(a) FILTER (WHERE (SELECT max(x) FROM secrets) > 0) AS s FROM df",
+        "SELECT count(a) FILTER (WHERE transform(array(1), x -> x + " +
+          "(current_user())) IS NOT NULL) AS s FROM df",
+        "SELECT percentile_cont(0.5) WITHIN GROUP " +
+          "(ORDER BY length(current_user())) AS p FROM df",
+        "SELECT listagg(a, ',') WITHIN GROUP " +
+          "(ORDER BY length(current_user())) AS l FROM df",
+        "SELECT mask('x', lowerChar => substr(current_user(), 1, 1)) AS m FROM df",
+        "SELECT a FROM df TABLESAMPLE (length(current_user()) ROWS)",
+        "SELECT a FROM df LIMIT abs(length(current_user()))",
+        "SELECT a FROM df LIMIT (SELECT max(x) FROM secrets)",
+        "SELECT a FROM df LIMIT 5 OFFSET length(current_user())",
+        "SELECT a FROM df CLUSTER BY length(current_user())");
+        mode <- Seq(None, allowMode)) {
+      assert(verdict(sql, mode) != SqlGuard.Ok,
+        s"holder expression was Ok (mode=${mode.isDefined}): $sql")
+    }
+    // positive controls under deny mode (WITHIN GROUP aggregates and mask
+    // are not in the allowlist — allow-mode rejection reasons for those
+    // are function-level, asserted via the loop above)
+    for (sql <- Seq(
+        "SELECT sum(a) FILTER (WHERE a > 0) AS s FROM df",
+        "SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY a) AS p FROM df",
+        "SELECT mask('x', lowerChar => 'q') AS m FROM df",
+        "SELECT a FROM df TABLESAMPLE (5 ROWS)",
+        "SELECT a FROM df LIMIT 5 OFFSET 2"))
+      assert(verdict(sql, None) == SqlGuard.Ok, s"benign holder rejected: $sql")
+    // and the two that stay legal in allowlist mode
+    for (sql <- Seq(
+        "SELECT sum(a) FILTER (WHERE a > 0) AS s FROM df",
+        "SELECT a FROM df LIMIT 5 OFFSET 2"))
+      assert(verdict(sql, allowMode) == SqlGuard.Ok,
+        s"benign holder rejected under allowlist: $sql")
   }
 
   test("a decoy CTE in a sibling branch NEVER legalizes an out-of-scope " +
