@@ -7,6 +7,14 @@ import org.apache.spark.sql.SparkSession
   * scan/agg/join/window code paths first so measured numbers are
   * steady-state rather than first-query codegen+classloading noise. */
 object Bench {
+  /** THE spike threshold: 3× the main-pass canary min. One definition —
+    * the heal-pass flagging, the contention verdict, the emitted
+    * spike_threshold field, and (via that field) bench_diff.py all read
+    * this; a second derivation anywhere reintroduces the basis drift the
+    * r10 review closed. */
+  private[graft] def spikeThreshold(mainCanaries: Seq[Double]): Double =
+    if (mainCanaries.nonEmpty) 3 * mainCanaries.min else 0.0
+
   /** The contention verdict, pure so the semantics the stress runs
     * validated stay pinned by spec: returns (contended, spikedRows,
     * spikeThreshold).
@@ -21,14 +29,6 @@ object Bench {
     *    spiked. A transient burst whose rows all healed reads
     *    contended=0; a box loaded the whole time keeps its retry
     *    canaries high and stays contended=1. */
-  /** THE spike threshold: 3× the main-pass canary min. One definition —
-    * the heal-pass flagging, the contention verdict, the emitted
-    * spike_threshold field, and (via that field) bench_diff.py all read
-    * this; a second derivation anywhere reintroduces the basis drift the
-    * r10 review closed. */
-  private[graft] def spikeThreshold(mainCanaries: Seq[Double]): Double =
-    if (mainCanaries.nonEmpty) 3 * mainCanaries.min else 0.0
-
   private[graft] def contentionVerdict(
       mainCanaries: Seq[Double],
       postHealCanaries: Iterable[Double]): (Int, Int, Double) = {
