@@ -1150,4 +1150,91 @@ class StreamingSpec extends SparkSpec {
       assert(c - m(t) <= n.toDouble / k, s"undercount bound violated for $t")
     }
   }
+
+  test("stateful dedup parity holds under the RocksDB state store " +
+      "provider (the 100 TB deployment configuration)") {
+    // Every stateful parity test above runs on the default HDFS-backed
+    // (in-memory) provider; DESIGN.md's scale story says "at 100 TB the
+    // state store is RocksDB on local disk". That swap must be
+    // semantics-free: flatMapGroupsWithState reads/writes state through
+    // the provider interface, so the SAME ingest pipeline under
+    // RocksDBStateStoreProvider must emit the SAME cross-microbatch
+    // pairs. The provider is a session conf read at stream START, so it
+    // applies to this query only and is restored after.
+    import graft.streaming.StreamingDedup
+    val raw = Tables.documents(spark, sf).select("doc_id", "text")
+      .filter(col("doc_id") < 300)
+    val mutated = raw.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        regexp_replace(col("text"), "^[^ ]+", "zzz").as("text"))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_rocksdb_stream")
+    def stage(part: org.apache.spark.sql.DataFrame, name: String,
+        mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_rdb_$name")
+      part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = java.nio.file.Files.list(tmp)
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      val dst = dir.resolve(s"$name.parquet")
+      java.nio.file.Files.copy(f, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    stage(raw, "0_base", 1000000L)
+    stage(mutated, "1_mutated", 2000000L)
+
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      val q = StreamingDedup.detectSimhash(stream).toDF()
+        .writeStream.outputMode("append")
+        .format("memory").queryName("rocksdb_stream_out").start()
+      try {
+        q.processAllAvailable()
+        assert(q.recentProgress.map(_.batchId).distinct.length >= 2,
+          "split input must actually produce multiple microbatches")
+        // the provider actually engaged: the state operator reports
+        // RocksDB-specific metrics the HDFS provider does not emit
+        val custom = q.recentProgress.flatMap(p =>
+          p.stateOperators.headOption.map(_.customMetrics.keySet()))
+          .flatMap(_.toArray.map(_.toString))
+        assert(custom.exists(_.toLowerCase.contains("rocksdb")),
+          s"state operator must report RocksDB metrics, saw: " +
+            custom.distinct.mkString(", "))
+      } finally q.stop()
+    } finally prevProv match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+
+    val streamed = spark.table("rocksdb_stream_out")
+      .select("a", "b", "hamming").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    val bb = StreamingDedup.withSimhashBandKeys(
+      raw.unionByName(mutated), "doc_id", "text")
+    val x = bb.select(col("band"), col("bkey"), col("doc_id").as("a"),
+      col("sig").as("sa"))
+    val y = bb.select(col("band"), col("bkey"), col("doc_id").as("b"),
+      col("sig").as("sb"))
+    val truth = x.join(y, Seq("band", "bkey")).filter(col("a") < col("b"))
+      .withColumn("hamming", expr(
+        "aggregate(sequence(1, 64), 0, (acc, i) -> acc + " +
+          "IF(substring(sa, i, 1) = substring(sb, i, 1), 0, 1))"))
+      .filter(col("hamming") <= 3)
+      .select("a", "b", "hamming").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    assert(streamed == truth,
+      s"RocksDB-backed pairs must equal the batch self-join: " +
+        s"missing=${truth -- streamed}, extra=${streamed -- truth}")
+    assert(streamed.exists { case (a, b, _) => a < 100000L && b >= 100000L },
+      "cross-microbatch pairs must survive the provider swap")
+  }
 }
