@@ -77,6 +77,10 @@ object Bench {
       // moved the number (r9 review finding; ScaleRehearsal already
       // cleared it for the same reason)
       ops.TextAnalysis.clearCaches()
+      // bloom probe functions + broadcasts from decontamination passes:
+      // UUID-named per call, invisible to the persistent-RDD sweep, and
+      // 2+ timed runs × a full suite would accumulate hundreds
+      ops.Curation.clearCaches(spark)
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))

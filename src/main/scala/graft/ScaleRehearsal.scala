@@ -227,6 +227,7 @@ object ScaleRehearsal {
     def clearResidue(): Unit = {
       ops.Dedup.clearCaches()
       ops.TextAnalysis.clearCaches() // memoized BPE merges must re-train
+      ops.Curation.clearCaches(spark) // bloom probe functions + broadcasts
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))

@@ -69,7 +69,15 @@ object Curation {
 
   /** PUBLIC API — count and scrub emails/URLs/phones in `textCol`:
     * appends `n_emails`/`n_urls`/`n_phones` and a `redacted` column.
-    * Row-local; at any scale this runs at scan speed. */
+    * Row-local; at any scale this runs at scan speed.
+    *
+    * Counts are INDEPENDENT per-category matches on the ORIGINAL text,
+    * while redaction applies the replacements in sequence (email → URL →
+    * phone) — so text where categories overlap (a phone number inside a
+    * URL path, an email inside a URL) counts once per matching category
+    * but redacts under whichever placeholder lands first. Audits should
+    * reconcile counts against the original text, not against placeholder
+    * occurrences in `redacted`. */
   def redactPii(df: org.apache.spark.sql.DataFrame, textCol: String): org.apache.spark.sql.DataFrame =
     df.withColumn("n_emails",
         size(regexp_extract_all(col(textCol), lit(emailRe), lit(0))))
@@ -85,13 +93,23 @@ object Curation {
           phoneRe, "<PHONE>"))
 
   /** PUBLIC API — greedy sequence packing, the pre-training batching step:
-    * pack items into fixed token-budget sequences. Exact greedy packing is
+    * pack items into token-budget sequences. Exact greedy packing is
     * inherently sequential, so the scalable form shards by id residue and
     * packs greedily WITHIN shards: the running token sum is a window
     * partitioned by bucket, and the pack id is the budget quotient of the
-    * tokens before each item. `buckets` bounds the parallelism — it
-    * defaults to the session's shuffle parallelism so the window stage
-    * scales with the cluster instead of capping at a constant. Output:
+    * tokens before each item — contiguous-chunk semantics, so the item
+    * that STRADDLES a budget boundary belongs to the pack it starts in
+    * and `pack_tokens` may exceed `budget` by up to that one item (the
+    * bound OpsSpec pins; trainers that need a hard cap truncate the
+    * straddler, the standard document-packing trade). First-fit packing
+    * that closes a pack on overflow would be sequential per shard — a
+    * driver loop at scale — for a marginally tighter fit. `buckets`
+    * bounds the parallelism — it defaults to the session's shuffle
+    * parallelism so the window stage scales with the cluster instead of
+    * capping at a constant. Numeric ids shard by residue (deterministic,
+    * oracle-checkable); non-numeric ids (UUIDs, URLs) shard by xxhash64 —
+    * a plain long cast would turn every such id into the SAME null bucket
+    * and serialize the corpus through one window partition. Output:
     * (bucket, pack_id, n_docs, pack_tokens); deterministic given
     * (idCol, tokenCol). */
   def packSequences(df: org.apache.spark.sql.DataFrame, idCol: String,
@@ -99,10 +117,15 @@ object Curation {
       buckets: Int = 0): org.apache.spark.sql.DataFrame = {
     val b = if (buckets > 0) buckets
       else df.sparkSession.sessionState.conf.numShufflePartitions
+    val idIsNumeric = df.schema(idCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val bucket =
+      if (idIsNumeric) pmod(col(idCol).cast("long"), lit(b.toLong))
+      else pmod(xxhash64(col(idCol)), lit(b.toLong))
     val w = Window.partitionBy("bucket").orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, -1)
     df.select(col(idCol),
-        pmod(col(idCol).cast("long"), lit(b.toLong)).as("bucket"),
+        bucket.as("bucket"),
         col(tokenCol).cast("long").as("n_tokens"))
       .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
       .withColumn("pack_id",
@@ -111,19 +134,75 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("pack_tokens"))
   }
 
+  /** Per-session ledger of bloom probe registrations: (function name,
+    * broadcast) pairs [[registerBloom]] created. Each decontamination
+    * pass registers a UUID-named temp function holding a broadcast of
+    * the full serialized bitset; without a release hook a long-lived
+    * session accumulates both (review finding). [[clearCaches]] drains
+    * the ledger — call it when the frames returned by earlier
+    * decontaminate() calls are no longer live. */
+  private val bloomLedger = scala.collection.concurrent.TrieMap
+    .empty[SparkSession,
+      List[(String, org.apache.spark.broadcast.Broadcast[Array[Byte]])]]
+
+  /** Build a bloom filter over xxhash64 of `shingles.shingle`, broadcast
+    * the serialized bytes, register a session-unique probe function, and
+    * return its name. The single home of the zero-row guard:
+    * `stat.bloomFilter`'s aggregate returns a null buffer on zero input
+    * rows and NPEs deserializing it, so an empty shingle set substitutes
+    * an explicit empty filter — matches nothing, the correct semantics
+    * (the guard lived only in q_contamination_bloom's inline copy before,
+    * leaving the public API to crash on an empty eval set — review
+    * finding). */
+  private def registerBloom(s: SparkSession, shingles: DataFrame,
+      expected: Long, fpp: Double): String = {
+    val bloom =
+      if (expected <= 0L)
+        org.apache.spark.util.sketch.BloomFilter.create(100L, fpp)
+      else shingles.select(xxhash64(col("shingle")).as("h"))
+        .stat.bloomFilter("h", expected, fpp)
+    val bc = s.sparkContext.broadcast(
+      graft.functions.BloomFunctions.serialize(bloom))
+    val fname = "graft_bloom_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    graft.functions.BloomFunctions.registerBroadcast(s, fname, bc)
+    bloomLedger.updateWith(s) {
+      case Some(l) => Some((fname, bc) :: l)
+      case None => Some(List((fname, bc)))
+    }
+    fname
+  }
+
+  /** Release every bloom probe function and broadcast [[registerBloom]]
+    * created for `session`. Frames returned by earlier decontaminate()
+    * calls stop being executable after this — release between pipeline
+    * runs, not mid-plan (same contract as the other ops' clearCaches). */
+  def clearCaches(session: SparkSession): Unit =
+    bloomLedger.remove(session).getOrElse(Nil).foreach { case (fname, bc) =>
+      session.sessionState.functionRegistry.dropFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(fname))
+      bc.destroy()
+    }
+
   /** PUBLIC API — benchmark decontamination: remove from `df` every row
     * whose `textCol` shares at least one 3-word shingle with `evalDf`'s
-    * `evalTextCol`. Scale shape: the EVAL side (small by nature) is
-    * shingled, counted driver-side to size a bloom filter over its
-    * xxhash64 values, and the corpus is prefiltered by the row-local
-    * codegen'd broadcast-bloom probe — a few bit-tests per row, no join,
-    * no shuffle of the corpus — before an exact broadcast join on the tiny
-    * surviving fraction removes bloom false positives. Blooms have no
-    * false negatives, so the result is exactly the broadcast-join answer
-    * at a fraction of the cost when the eval set is large. The filter
-    * bytes travel as a BROADCAST, not a plan literal: the plan stays flat
-    * (a handle, not megabytes of bitset) and executors fetch the bytes
-    * once each, regardless of task count. */
+    * `evalTextCol`. Scale shape: the EVAL side (small by nature — it must
+    * fit a broadcast regardless) is shingled, counted driver-side to size
+    * a bloom filter over its xxhash64 values, and the corpus is
+    * prefiltered by the row-local codegen'd broadcast-bloom probe — a few
+    * bit-tests per row, no join, no shuffle of the corpus — before an
+    * exact broadcast join on the tiny surviving fraction removes bloom
+    * false positives. Blooms have no false negatives, so the result is
+    * exactly the broadcast-join answer at a fraction of the cost when the
+    * eval set is large. The filter bytes travel as a BROADCAST, not a
+    * plan literal: the plan stays flat (a handle, not megabytes of
+    * bitset) and executors fetch the bytes once each, regardless of task
+    * count. The eval shingle set is collected to a local relation once
+    * its cache has served the count and the bloom build — the returned
+    * plan's exact join reads the local rows, so the shingling never
+    * recomputes at action time and no cache outlives this call. Call
+    * [[clearCaches]] when returned frames are no longer live to release
+    * the bloom broadcasts. */
   def decontaminate(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, evalDf: org.apache.spark.sql.DataFrame,
       evalTextCol: String, fpp: Double = 0.01): org.apache.spark.sql.DataFrame = {
@@ -131,24 +210,31 @@ object Curation {
     val trainSh = Dedup.shinglesOf(
       df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
       .distinct()
+    // per-row ids, not a constant: shinglesOf's FanOut hash-partitions by
+    // doc_id, and lit(0L) would collapse the fan-out into ONE partition —
+    // strictly worse than not fanning at all (review finding). The ids
+    // are dropped right after the explode, so their values never reach
+    // the output.
     val evalSh = Dedup.shinglesOf(
-      evalDf.select(lit(0L).as("doc_id"), col(evalTextCol).as("text")))
+      evalDf.select(monotonically_increasing_id().as("doc_id"),
+        col(evalTextCol).as("text")))
       .select("shingle").distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bloom = evalSh.select(xxhash64(col("shingle")).as("h"))
-      .stat.bloomFilter("h", math.max(evalSh.count(), 1L), fpp)
-    val bc = s.sparkContext.broadcast(
-      graft.functions.BloomFunctions.serialize(bloom))
-    val fname = "graft_bloom_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
-    graft.functions.BloomFunctions.registerBroadcast(s, fname, bc)
+    val nEval = evalSh.count()
+    val fname = registerBloom(s, evalSh, nEval, fpp)
+    // materialize the eval shingles locally while the cache is hot: the
+    // returned plan is lazy, so an unpersist here with a cache-dependent
+    // plan would recompute the whole eval shingling at action time
+    // (review finding) — and never unpersisting would leak the cache.
+    // The set fits by the same argument as the broadcast join it feeds.
+    import s.implicits._
+    val evalLocal = evalSh.as[String].collect().toSeq.toDF("shingle")
+    evalSh.unpersist(blocking = false)
     val contaminated = trainSh
       .filter(call_function(fname, xxhash64(col("shingle"))))
-      .join(broadcast(evalSh), Seq("shingle"))
+      .join(broadcast(evalLocal), Seq("shingle"))
       .select(col("doc_id").as(idCol)).distinct()
-    val out = df.join(contaminated, Seq(idCol), "left_anti")
-    evalSh.unpersist(blocking = false)
-    out
+    df.join(contaminated, Seq(idCol), "left_anti")
   }
 
   /** PUBLIC API — temperature-scaled source resampling, the standard
@@ -169,8 +255,15 @@ object Curation {
     require(temperature >= 1.0, "temperature must be >= 1")
     val bySource = df.groupBy(sourceCol).agg(count(lit(1)).as("_n_before"))
     val minCount = bySource.agg(min("_n_before").as("_m"))
-    val rate = pow(col("_m").cast("double") / col("_n_before"),
-      lit(1.0 - 1.0 / temperature))
+    // T=2 (the common default, and the oracle-verified path) computes the
+    // exponent 0.5 as an explicit sqrt: pow(x, 0.5) is not guaranteed to
+    // be the correctly-rounded sqrt, and a 1-ulp difference at an integer
+    // boundary of 65536·rate would flip a threshold digit across engines.
+    // Other temperatures need pow, whose cross-engine determinism is
+    // platform-correctly-rounded in practice but not IEEE-guaranteed.
+    val e = 1.0 - 1.0 / temperature
+    val frac = col("_m").cast("double") / col("_n_before")
+    val rate = if (e == 0.5) sqrt(frac) else pow(frac, lit(e))
     // rate ≥ 1 means keep-all: 'g' sorts after 'f', so it compares greater
     // than any 4-hex-digit md5 prefix — exact, unlike capping at 0xffff
     // (which silently drops the ~1/65536 of ids whose prefix is 'ffff')
@@ -379,20 +472,13 @@ object Curation {
       val evalSet = sh.filter(col("doc_id") < 20).select("shingle").distinct()
       val train = sh.filter(col("doc_id") >= 20)
       val fpp = 0.01
-      // stat.bloomFilter's aggregate returns a null buffer on zero input
-      // rows and NPEs deserializing it — guard with a limit-1 probe and
-      // substitute an empty filter (matches nothing, the correct
-      // semantics for an empty eval set)
-      val bloom =
-        if (evalSet.isEmpty)
-          org.apache.spark.util.sketch.BloomFilter.create(100000L, fpp)
-        else evalSet.select(xxhash64(col("shingle")).as("h"))
-          .stat.bloomFilter("h", 100000L, fpp)
-      val bc = s.sparkContext.broadcast(
-        graft.functions.BloomFunctions.serialize(bloom))
-      val fname = "graft_bloom_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
-      graft.functions.BloomFunctions.registerBroadcast(s, fname, bc)
+      // shared bloom lifecycle (build + zero-row guard + broadcast +
+      // probe registration) — the inline copy had drifted from the
+      // public decontaminate(), leaving the empty-eval NPE guard in only
+      // one of the two (review finding). Sizing stays the qid's fixed
+      // 100000 so the fp-bound verdict keeps its calibrated basis.
+      val fname = registerBloom(s, evalSet,
+        if (evalSet.isEmpty) 0L else 100000L, fpp)
       val prefiltered = train
         .filter(call_function(fname, xxhash64(col("shingle"))))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -550,14 +636,22 @@ object Curation {
       val docs = Tables.documents(s, d)
       val bySource = docs.groupBy("source").agg(count(lit(1)).as("n_before"))
       val minCount = bySource.agg(min("n_before").as("m"))
-      // cap at 0xffff: the smallest source computes 65536 (5 hex digits),
-      // which a 4-char lpad would silently TRUNCATE to '1000' — keeping
-      // 1/16th of the source that should keep everything
+      // rate ≥ 1 (the smallest source computes exactly 65536) maps to the
+      // 'g' sentinel — it sorts after every 4-hex-digit prefix, so the
+      // source that should keep everything keeps EVERYTHING. The earlier
+      // least(65535) cap silently dropped the ~1/65536 of its ids whose
+      // prefix is 'ffff' (and a bare 4-char lpad would have truncated
+      // 65536's five hex digits to '1000' — 1/16th); the sentinel is the
+      // same keep-all rule temperatureSample uses, so the two mixing
+      // surfaces agree at the boundary.
       val thresholds = bySource.crossJoin(broadcast(minCount))
         .select(col("source"), col("n_before"),
-          lpad(lower(hex(least(lit(65535L),
-            floor(lit(65536.0) * col("m") / col("n_before")).cast("long")))),
-            4, "0").as("thresh"))
+          when(floor(lit(65536.0) * col("m") / col("n_before")) >= 65536L,
+            lit("g"))
+            .otherwise(lpad(lower(hex(
+              floor(lit(65536.0) * col("m") / col("n_before")).cast("long"))),
+              4, "0"))
+            .as("thresh"))
       docs.join(broadcast(thresholds), "source")
         .filter(expr("substring(md5(CAST(doc_id AS STRING)), 1, 4)") < col("thresh"))
         .groupBy("source", "n_before")
@@ -570,11 +664,14 @@ object Curation {
     // Temperature-scaled source resampling (T=2): keep rate
     // sqrt(min_count/count) per source, so surviving counts are ∝ √c_i —
     // the standard multilingual-mix reweighting between "keep everything"
-    // (T=1) and q_source_balance's uniform flattening (T=∞). Same
-    // deterministic hash-threshold membership and broadcast-threshold scale
-    // shape as q_source_balance; the qid writes the T=2 rate as sqrt
-    // explicitly so both engines evaluate the identical IEEE operation
-    // (pow(x, 0.5) is not guaranteed to be the correctly-rounded sqrt).
+    // (T=1) and q_source_balance's uniform flattening (T=∞). The qid
+    // routes through the PUBLIC temperatureSample so the oracle checks
+    // the path library users call — the two had drifted (the API's
+    // rate≥1 keep-all sentinel vs an inline least(65535) cap that
+    // silently dropped the ~1/65536 of smallest-source ids whose hash
+    // prefix is 'ffff'; review finding). T=2 evaluates the rate as an
+    // explicit sqrt inside the API (pow(x, 0.5) is not guaranteed to be
+    // the correctly-rounded sqrt).
     "q_sample_temperature" -> ((s, d) => {
       // the shipped sources are uniform (25 docs each), which would make
       // reweighting a no-op — derive a deterministically SKEWED mix label
@@ -584,17 +681,9 @@ object Curation {
         when(col("doc_id") % 500 < 250, "big")
           .when(col("doc_id") % 500 < 400, "mid").otherwise("small"))
       val bySource = docs.groupBy("mix_src").agg(count(lit(1)).as("n_before"))
-      val minCount = bySource.agg(min("n_before").as("m"))
-      val thresholds = bySource.crossJoin(broadcast(minCount))
-        .select(col("mix_src"), col("n_before"),
-          lpad(lower(hex(least(lit(65535L),
-            floor(lit(65536.0) *
-              sqrt(col("m").cast("double") / col("n_before"))).cast("long")))),
-            4, "0").as("thresh"))
-      docs.join(broadcast(thresholds), "mix_src")
-        .filter(expr("substring(md5(CAST(doc_id AS STRING)), 1, 4)") < col("thresh"))
-        .groupBy("mix_src", "n_before")
-        .agg(count(lit(1)).as("n_after"))
+      temperatureSample(docs, "doc_id", "mix_src", temperature = 2.0)
+        .groupBy("mix_src").agg(count(lit(1)).as("n_after"))
+        .join(broadcast(bySource), "mix_src")
         .select(col("mix_src"), col("n_before"), col("n_after"),
           round(col("n_after").cast("double") / col("n_before"), 4).as("kept_frac"))
         .orderBy("mix_src")
@@ -898,7 +987,8 @@ object Curation {
       ("WITH bysrc AS (SELECT source, count(*) AS n_before FROM documents GROUP BY source), " +
         "mn AS (SELECT min(n_before) AS m FROM bysrc), " +
         "th AS (SELECT source, n_before, " +
-        "lpad(lower(to_hex(least(65535, CAST(floor(65536.0 * mn.m / n_before) AS BIGINT)))), 4, '0') AS thresh " +
+        "CASE WHEN CAST(floor(65536.0 * mn.m / n_before) AS BIGINT) >= 65536 THEN 'g' " +
+        "ELSE lpad(lower(to_hex(CAST(floor(65536.0 * mn.m / n_before) AS BIGINT))), 4, '0') END AS thresh " +
         "FROM bysrc CROSS JOIN mn), " +
         "kept AS (SELECT d.source, th.n_before, count(*) AS n_after " +
         "FROM documents d JOIN th ON d.source = th.source " +
@@ -925,7 +1015,8 @@ object Curation {
         "bysrc AS (SELECT mix_src, count(*) AS n_before FROM dm GROUP BY mix_src), " +
         "mn AS (SELECT min(n_before) AS m FROM bysrc), " +
         "th AS (SELECT mix_src, n_before, " +
-        "lpad(lower(to_hex(least(65535, CAST(floor(65536.0 * sqrt(CAST(mn.m AS DOUBLE) / n_before)) AS BIGINT)))), 4, '0') AS thresh " +
+        "CASE WHEN CAST(floor(65536.0 * sqrt(CAST(mn.m AS DOUBLE) / n_before)) AS BIGINT) >= 65536 THEN 'g' " +
+        "ELSE lpad(lower(to_hex(CAST(floor(65536.0 * sqrt(CAST(mn.m AS DOUBLE) / n_before)) AS BIGINT))), 4, '0') END AS thresh " +
         "FROM bysrc CROSS JOIN mn), " +
         "kept AS (SELECT d.mix_src, th.n_before, count(*) AS n_after " +
         "FROM dm d JOIN th ON d.mix_src = th.mix_src " +

@@ -348,6 +348,26 @@ class ApiSpec extends SparkSpec {
       s"doc 1 shares 'the quick brown'/'quick brown fox' with eval: $kept")
   }
 
+  test("decontaminate is total on an empty eval set and releases its " +
+      "blooms via clearCaches") {
+    // stat.bloomFilter NPEs on a zero-row aggregate; the guard lived only
+    // in q_contamination_bloom's inline copy until the r10 review — the
+    // public API must be a clean no-op on an empty benchmark
+    val train = Seq(
+      (1L, "some perfectly ordinary training text with several words here"),
+      (2L, "another clean document about spark and scala goes right here"))
+      .toDF("id", "txt")
+    val out = ops.Curation.decontaminate(train, "id", "txt",
+      Seq.empty[String].toDF("question"), "question")
+    assert(out.count() == 2L, "empty eval set must remove nothing")
+    // and the session ledger releases what the calls registered: after
+    // clearCaches the probe functions are gone from the registry
+    ops.Curation.clearCaches(spark)
+    val leftover = spark.sessionState.functionRegistry.listFunction()
+      .filter(_.funcName.startsWith("graft_bloom_"))
+    assert(leftover.isEmpty, s"bloom probes leaked: $leftover")
+  }
+
   test("decontaminate ships the bloom as a broadcast, not a plan literal") {
     // a deliberately large eval set: with the old lit() form the filter
     // bytes would ride in the plan and grow with it; the broadcast form
