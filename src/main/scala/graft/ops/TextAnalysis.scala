@@ -181,15 +181,15 @@ object TextAnalysis {
       val scored = Tables.documents(s, d).select(
         (col("doc_id") +: col("lang") +:
           langWords.map { case (l, ws) => expr(score(ws, "size")).as(s"s_$l") }): _*)
-      scored.select(col("doc_id"),
+      scored.select(col("doc_id"), col("lang"),
           col("s_de"), col("s_en"), col("s_es"), col("s_fr"),
           expr("CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de' " +
             "WHEN s_en >= s_es AND s_en >= s_fr THEN 'en' " +
-            "WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END").as("pred"),
-          expr("CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de' " +
-            "WHEN s_en >= s_es AND s_en >= s_fr THEN 'en' " +
-            "WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END" +
-            " = lang").as("correct"))
+            "WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END").as("pred"))
+        // one copy of the argmax: correct derives from pred, so a tie-order
+        // edit cannot silently apply to one of two identical CASE blocks
+        .select(col("doc_id"), col("s_de"), col("s_en"), col("s_es"),
+          col("s_fr"), col("pred"), (col("pred") === col("lang")).as("correct"))
         .orderBy("doc_id")
     }),
 
@@ -445,11 +445,15 @@ object TextAnalysis {
       val exact = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
       exact.crossJoin(sketch)
         .filter(col("cnt") > col("n") / lit(k.toDouble))
+        // try_element_at, not element_at: under Spark 4's default ANSI
+        // mode a missing map key THROWS — which would crash the query on
+        // exactly the broken-sketch regression the in_sketch=0 verdict
+        // exists to surface (review finding)
         .select(col("term"), col("cnt"), col("n").as("n_terms"),
-          element_at(col("mg"), col("term")).isNotNull.cast("int")
+          expr("try_element_at(mg, term)").isNotNull.cast("int")
             .as("in_sketch"),
-          (coalesce(element_at(col("mg"), col("term")), lit(0L)) <= col("cnt")
-            && col("cnt") - coalesce(element_at(col("mg"), col("term")), lit(0L))
+          (coalesce(expr("try_element_at(mg, term)"), lit(0L)) <= col("cnt")
+            && col("cnt") - coalesce(expr("try_element_at(mg, term)"), lit(0L))
               <= col("n") / lit(k.toDouble)).cast("int").as("bound_ok"))
         .orderBy(desc("cnt"), asc("term"))
     }),
@@ -474,10 +478,12 @@ object TextAnalysis {
       exact.join(sk, "source")
         .filter(col("cnt") > col("n") / lit(k.toDouble))
         .select(col("source"), col("term"), col("cnt"),
-          element_at(col("mg"), col("term")).isNotNull.cast("int")
+          // try_element_at: same ANSI missing-key rationale as
+          // q_heavy_hitters
+          expr("try_element_at(mg, term)").isNotNull.cast("int")
             .as("in_sketch"),
-          (coalesce(element_at(col("mg"), col("term")), lit(0L)) <= col("cnt")
-            && col("cnt") - coalesce(element_at(col("mg"), col("term")), lit(0L))
+          (coalesce(expr("try_element_at(mg, term)"), lit(0L)) <= col("cnt")
+            && col("cnt") - coalesce(expr("try_element_at(mg, term)"), lit(0L))
               <= col("n") / lit(k.toDouble)).cast("int").as("bound_ok"))
         .orderBy(asc("source"), desc("cnt"), asc("term"))
     }),
@@ -545,8 +551,15 @@ object TextAnalysis {
           col("stop_hits") >= 3 && col("alpha_ratio") >= 0.75)
         .select("doc_id", "text")
       val chunks = chunkStride(kept, "doc_id", "text")
+      // ×10000, not ×1000: the words_ok gate admits up to 10000 words →
+      // 1249 chunks, so a ×1000 key COLLIDED doc N's chunk 1000 with doc
+      // N+1's chunk 0 — duplicate cids make the pack window tie-ordered
+      // (nondeterministic vs the oracle) and mis-attribute chunks (review
+      // finding). 10000 > max chunk_id keeps (doc, chunk) injective;
+      // precondition |doc_id| < 2^63/10⁴ ≈ 9.2e14, comfortable for any
+      // row-numbered corpus id space.
       Curation.packSequences(
-          chunks.select((col("doc_id") * 1000 + col("chunk_id")).as("cid"),
+          chunks.select((col("doc_id") * 10000 + col("chunk_id")).as("cid"),
             col("n_tokens")),
           "cid", "n_tokens", 256L, 16)
         .select(col("bucket"), col("pack_id"),
@@ -587,10 +600,12 @@ object TextAnalysis {
     // count — the per-character explode happens on the vocabulary, never
     // on the 100 TB token stream.
     "q_bpe_pairs" -> ((s, d) => {
-      val words = Tables.documents(s, d)
-        .select(explode(
-          expr("filter(split(text, ' '), x -> length(x) > 0)")).as("w"))
-      val wc = words.groupBy("w").agg(count(lit(1)).as("c"))
+      // named to NOT shadow the object-level `words` expression string —
+      // the shadow forced an inline duplicate of the tokenization that a
+      // future edit to the shared definition would silently miss
+      val wordRows = Tables.documents(s, d)
+        .select(explode(expr(words)).as("w"))
+      val wc = wordRows.groupBy("w").agg(count(lit(1)).as("c"))
       wc.filter(length(col("w")) >= 2)
         .select(explode(expr(
           "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
@@ -627,8 +642,12 @@ object TextAnalysis {
         .join(uni.select(col("t").as("t2"), col("c").as("c_b")), Seq("t2"))
         .crossJoin(broadcast(tot))
         .select(col("t1"), col("t2"), col("c_ab"), col("c_a"), col("c_b"),
+          // c_a·c_b in DOUBLE: Zipf-head unigram counts at 100 TB reach
+          // ~1e12, whose BIGINT product (~1e24) overflows int64 and under
+          // ANSI mode aborts the query for exactly the most frequent
+          // pairs — the double product loses ulps, not the query
           round(log(col("n").cast("double") * col("c_ab")
-            / (col("c_a") * col("c_b"))), 4).as("pmi"))
+            / (col("c_a").cast("double") * col("c_b"))), 4).as("pmi"))
         .orderBy(desc("pmi"), desc("c_ab"), asc("t1"), asc("t2"))
         .limit(20)
     }),
@@ -653,15 +672,23 @@ object TextAnalysis {
           sum(col("x") * col("y")).as("sxy"),
           sum(col("x") * col("x")).as("sxx"),
           sum(col("y") * col("y")).as("syy"))
-        .withColumn("sl", (col("n") * col("sxy") - col("sx") * col("sy"))
-          / (col("n") * col("sxx") - col("sx") * col("sx")))
+        // zero denominators (all-equal counts → syy degenerate; n=1 →
+        // sxx degenerate) must yield NULL, not NaN: DuckDB's `/` returns
+        // NULL on a zero divisor while Spark's ANSI double division
+        // returns NaN — the one value that hash-diverges between engines
+        // on a degenerate corpus (review finding)
+        .withColumn("sld", col("n") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("r2d",
+          col("sld") * (col("n") * col("syy") - col("sy") * col("sy")))
+        .withColumn("sl", when(col("sld") =!= 0.0,
+          (col("n") * col("sxy") - col("sx") * col("sy")) / col("sld")))
         .select(col("n").as("n_terms"),
           round(col("sl"), 4).as("slope"),
           round((col("sy") - col("sl") * col("sx")) / col("n"), 4)
             .as("intercept"),
-          round(pow(col("n") * col("sxy") - col("sx") * col("sy"), 2)
-            / ((col("n") * col("sxx") - col("sx") * col("sx"))
-              * (col("n") * col("syy") - col("sy") * col("sy"))), 4)
+          round(when(col("r2d") =!= 0.0,
+            pow(col("n") * col("sxy") - col("sx") * col("sy"), 2)
+              / col("r2d")), 4)
             .as("r2"))
     }),
 
@@ -791,8 +818,14 @@ object TextAnalysis {
       s"FROM (SELECT c, list_filter(string_split(seq, '|'), x -> length(x) > 0) AS sy " +
       s"FROM v${i - 1}) WHERE len(sy) >= 2) GROUP BY pair), " +
       s"t$i AS (SELECT pair, freq FROM p$i ORDER BY freq DESC, pair LIMIT 1), " +
-      s"v$i AS (SELECT w, c, replace(replace(replace(seq, $rw), $rw), $rw) AS seq " +
-      s"FROM v${i - 1}, t$i)"
+      // LEFT JOIN ON true, not a comma cross join: when the merges
+      // exhaust before round 5 (tiny vocabulary), t$i is EMPTY and a
+      // cross join would wipe v$i — and every later vocabulary — to zero
+      // rows, failing parity against Spark's early-stop trainer (review
+      // finding); with no winning pair the round is a no-op rewrite
+      s"v$i AS (SELECT w, c, CASE WHEN pair IS NULL THEN seq " +
+      s"ELSE replace(replace(replace(seq, $rw), $rw), $rw) END AS seq " +
+      s"FROM v${i - 1} LEFT JOIN t$i ON true)"
   }
 
   /** Shared WITH prefix for the two BPE oracles: char-encoded vocabulary +
@@ -820,14 +853,18 @@ object TextAnalysis {
         "n AS (SELECT count(*) AS n FROM terms), " +
         "exact AS (SELECT term, count(*) AS cnt FROM terms GROUP BY term) " +
         "SELECT term, cnt, n.n AS n_terms, 1 AS in_sketch, 1 AS bound_ok " +
-        "FROM exact, n WHERE cnt > n.n / 256.0 " +
+        // defaultK interpolated, not hardcoded: a k bump must move both
+        // engines' thresholds together or verification fails with no
+        // code-level hint why (review finding)
+        s"FROM exact, n WHERE cnt > n.n / ${graft.functions.HeavyHittersAgg.defaultK}.0 " +
         "ORDER BY cnt DESC, term ASC"),
     "q_heavy_hitters_grouped" ->
       (s"WITH terms AS (SELECT source, unnest($duckWords) AS term FROM documents), " +
         "n AS (SELECT source, count(*) AS n FROM terms GROUP BY source), " +
         "exact AS (SELECT source, term, count(*) AS cnt FROM terms GROUP BY source, term) " +
         "SELECT exact.source, term, cnt, 1 AS in_sketch, 1 AS bound_ok " +
-        "FROM exact JOIN n ON exact.source = n.source WHERE cnt > n.n / 256.0 " +
+        "FROM exact JOIN n ON exact.source = n.source " +
+        s"WHERE cnt > n.n / ${graft.functions.HeavyHittersAgg.defaultK}.0 " +
         "ORDER BY exact.source ASC, cnt DESC, term ASC"),
     "q_bpe_pairs" ->
       ("WITH words AS (SELECT unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS w FROM documents), " +
@@ -933,7 +970,7 @@ object TextAnalysis {
         "FROM dw WHERE len(w) >= 2), " +
         "pc AS (SELECT t1, t2, count(*) AS c_ab FROM pr GROUP BY 1, 2 HAVING count(*) >= 20) " +
         "SELECT t1, t2, c_ab, ca.c AS c_a, cb.c AS c_b, " +
-        "round(ln(n * 1.0 * c_ab / (ca.c * cb.c)), 4) AS pmi " +
+        "round(ln(n * 1.0 * c_ab / (ca.c * 1.0 * cb.c)), 4) AS pmi " +
         "FROM pc JOIN uc ca ON pc.t1 = ca.t JOIN uc cb ON pc.t2 = cb.t, tot " +
         "ORDER BY pmi DESC, c_ab DESC, t1, t2 LIMIT 20"),
     "q_zipf_fit" ->
@@ -1063,8 +1100,8 @@ object TextAnalysis {
         "ch AS (SELECT doc_id, CAST(i AS INTEGER) AS chunk_id, " +
         "least(16, CAST(len(w) AS INTEGER) - CAST(i AS INTEGER) * 8) AS n_tokens " +
         "FROM (SELECT doc_id, w, unnest(generate_series(0, (greatest(len(w) - 16, 0) + 7) // 8)) AS i FROM kept)), " +
-        "t AS (SELECT (doc_id * 1000 + chunk_id) AS cid, " +
-        "(doc_id * 1000 + chunk_id) % 16 AS bucket, CAST(n_tokens AS BIGINT) AS n_tokens FROM ch), " +
+        "t AS (SELECT (doc_id * 10000 + chunk_id) AS cid, " +
+        "(doc_id * 10000 + chunk_id) % 16 AS bucket, CAST(n_tokens AS BIGINT) AS n_tokens FROM ch), " +
         "c AS (SELECT cid, bucket, n_tokens, " +
         "coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY cid " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM t) " +

@@ -1204,6 +1204,43 @@ class OpsSpec extends SparkSpec {
     assert(b.getAs[Double]("mae") >= 0.0 && b.getAs[Double]("mape") >= 0.0)
   }
 
+  test("zipf_fit: degenerate all-equal counts yield NULL, never NaN") {
+    // all-distinct words → every top-100 count is 1 → syy term is 0 →
+    // r2's denominator is exactly 0. Spark's ANSI double division gives
+    // NaN there while DuckDB's `/` gives NULL — the one value that
+    // hash-diverges between the engines, so the query must emit the
+    // explicit NULL (r10 review finding)
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_zipf_degen").toString
+    (0L until 8L).toSeq.map(i => (i, s"uniq${i}a uniq${i}b uniq${i}c", "en",
+        "src", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val z = SparkEntry.queries("q_zipf_fit")(spark, dir).collect().head
+    // constant y over varying x: slope is a legitimate 0/nonzero = 0.0 in
+    // both engines; only r2's denominator (the zero y-variance term) hits
+    // 0/0
+    assert(z.getAs[Double]("slope") == 0.0,
+      s"slope is 0/nonzero = 0.0 on a constant-count corpus, got $z")
+    assert(z.isNullAt(z.fieldIndex("r2")),
+      s"r2 must be NULL on a constant-count corpus, got $z")
+
+    // single distinct term: x-variance is ALSO zero → slope and r2 both
+    // hit 0/0 and must be NULL
+    val dir1 = java.nio.file.Files
+      .createTempDirectory("graft_zipf_degen1").toString
+    Seq((0L, "same same same", "en", "src", 14L),
+        (1L, "same same", "en", "src", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir1/documents.parquet")
+    val z1 = SparkEntry.queries("q_zipf_fit")(spark, dir1).collect().head
+    assert(z1.getAs[Long]("n_terms") == 1L)
+    assert(z1.isNullAt(z1.fieldIndex("slope")) &&
+      z1.isNullAt(z1.fieldIndex("r2")),
+      s"one-term corpus must yield NULL slope and r2, got $z1")
+  }
+
   test("join_overlap: canonical pairs with positive, bounded overlap") {
     val rows = q("q_join_overlap").collect()
     assert(rows.nonEmpty && rows.length <= 20)
