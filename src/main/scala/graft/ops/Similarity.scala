@@ -113,14 +113,22 @@ object Similarity {
 
   private def normed(s: SparkSession, d: String): DataFrame = {
     graft.functions.FloatDotProduct.register(s)
-    Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
-      expr("sqrt(dot_f(embedding, embedding))").as("nrm"))
+    // null embeddings carry no geometry — excluded here so every consumer
+    // agrees; a ZERO norm becomes a NULL norm via nullif, because under
+    // Spark 4's default ANSI mode cos = dot/(na·nb) with a 0 denominator
+    // THROWS DIVIDE_BY_ZERO (verified live) while DuckDB's `/` yields
+    // NULL — the nullif makes both engines exclude zero vectors
+    // identically instead of one crashing (review finding)
+    Tables.embeddings(s, d)
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"),
+        expr("nullif(sqrt(dot_f(embedding, embedding)), 0.0D)").as("nrm"))
   }
 
   private val duckNormed =
     "n AS (SELECT vec_id, embedding, " +
-      "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm " +
-      "FROM embeddings)"
+      "nullif(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 0.0) AS nrm " +
+      "FROM embeddings WHERE embedding IS NOT NULL)"
 
   /** The first 16 corpus vectors as deterministic coarse centroids (a real
     * index would k-means them — the bucketing mechanics are identical and
@@ -137,8 +145,18 @@ object Similarity {
   private[ops] def ivfAssign(df: DataFrame, cents: DataFrame,
       idCol: String): DataFrame =
     df.crossJoin(broadcast(cents))
+      // nullif: a zero centroid norm must not ANSI-crash the division;
+      // + 0.0 canonicalizes a rounded -0.0 (Spark's struct compare
+      // distinguishes the two zeros, DuckDB's ORDER BY does not — same
+      // fix q_embed_centroids already carries)
       .withColumn("csim",
-        round(expr("dot_f(embedding, ec)") / (col("nrm") * col("nc")), 6))
+        round(expr("dot_f(embedding, ec)")
+          / expr("nullif(nrm * nc, 0.0D)"), 6) + lit(0.0))
+      // NULL csim (null/zero-norm vector or centroid) must not win the
+      // argmin: min(struct) sorts a NULL field FIRST (verified live), the
+      // opposite of the oracle's csim DESC nulls-last — one null centroid
+      // would otherwise capture the whole corpus into a single cell
+      .filter(col("csim").isNotNull)
       .groupBy(idCol)
       .agg(min(struct((-col("csim")).as("neg"), col("cid"),
         col("embedding"), col("nrm"))).as("m"))
@@ -164,9 +182,11 @@ object Similarity {
   private[graft] def fitCentroidsOn(n: DataFrame, k: Int): Seq[(Long, Array[Float])] = {
     import org.apache.spark.ml.clustering.KMeans
     val feats = n
-      // null embeddings carry no geometry (array_to_vector NPEs) —
-      // they can be neither centroids nor assigned, drop from the fit
-      .filter(col("embedding").isNotNull)
+      // null embeddings carry no geometry (array_to_vector NPEs) — they
+      // can be neither centroids nor assigned; a NULL norm (zero vector,
+      // see normed's nullif) has no direction to fit either and its
+      // x/nrm features would be NULL — drop both from the fit
+      .filter(col("embedding").isNotNull && col("nrm").isNotNull)
       .withColumn("features",
         org.apache.spark.ml.functions.array_to_vector(
           expr("transform(embedding, x -> CAST(CAST(x AS DOUBLE) / nrm AS FLOAT))")))
@@ -240,10 +260,21 @@ object Similarity {
     val width = if (bits > 0) bits else autoBits(df.count())
     val s = df.sparkSession
     graft.functions.FloatDotProduct.register(s)
+    // persisted: BOTH self-join sides (and their per-element signature
+    // folds — the dominant per-row cost) would otherwise recompute the
+    // whole scan+norm+signature pipeline from lineage (review finding).
+    // The cache lives as long as the returned lazy plan; Spark evicts
+    // LRU, and session-level sweeps (Bench clearResidue,
+    // spark.catalog.clearCache) release it explicitly.
+    // nullif: a zero-norm vector must yield a NULL cosine (excluded by
+    // the >= filter) in BOTH engines, not an ANSI DIVIDE_BY_ZERO crash.
     val n = df.select(col(idCol).cast("long").as("vec_id"),
         col(vecCol).as("embedding"))
-      .withColumn("nrm", expr("sqrt(dot_f(embedding, embedding))"))
+      .filter(col("embedding").isNotNull)
+      .withColumn("nrm",
+        expr("nullif(sqrt(dot_f(embedding, embedding)), 0.0D)"))
       .withColumn("sig", expr(sigExprN("spark", width)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = n.select(col("vec_id").as("a"), col("embedding").as("ea"),
       col("nrm").as("na"),
       explode(expr(probesExpr("sig", "spark", width))).as("sig"))
@@ -611,6 +642,9 @@ object Similarity {
         "0D, (a, v) -> a + v)"
       val pqCodes = nsub.join(broadcast(pqCb), Seq("m"))
         .withColumn("l2", round(expr(pqL2), 6))
+        // a NULL l2 (null-embedding codeword) must not win the argmin —
+        // min(struct) sorts NULL first, the oracle's ORDER BY l2 last
+        .filter(col("l2").isNotNull)
         .groupBy("vec_id", "m")
         .agg(min(struct(col("l2"), col("cid"))).as("mn"))
         .select(col("vec_id").as("b"), col("m"), col("mn.cid").as("code"))
@@ -749,6 +783,9 @@ object Similarity {
         "0D, (a, v) -> a + v)"
       val codes = sub.join(broadcast(cb), Seq("m"))
         .withColumn("l2", round(expr(l2), 6))
+        // NULL l2 must not win the argmin (struct-min is nulls-first,
+        // the oracle's ORDER BY l2 is nulls-last)
+        .filter(col("l2").isNotNull)
         .groupBy("vec_id", "m")
         .agg(min(struct(col("l2"), col("cid"))).as("mn"))
         .select(col("vec_id").as("b"), col("m"), col("mn.cid").as("code"))
@@ -793,7 +830,12 @@ object Similarity {
         .filter(col("rank") <= 5)
         .groupBy("q", "true_label", "nl").agg(count(lit(1)).as("votes"))
         .groupBy("q", "true_label")
-        .agg(min(struct((-col("votes")).as("nv"), col("nl"))).as("m"))
+        // the null-flag field makes the vote tie-break NULLS-LAST: a
+        // NULL neighbor label must only win with strictly MORE votes,
+        // matching the oracle's ORDER BY votes DESC, nl (nulls last) —
+        // bare min(struct) would prefer NULL on ties (nulls-first)
+        .agg(min(struct((-col("votes")).as("nv"),
+          col("nl").isNull.cast("int").as("nl_null"), col("nl"))).as("m"))
         .select(col("q"), col("m.nl").as("pred_label"),
           (-col("m.nv")).as("votes"), col("true_label"),
           (col("m.nl") === col("true_label")).as("correct"))
@@ -897,10 +939,11 @@ object Similarity {
         "FROM scored) " +
         "SELECT q, rank, neighbor, cos FROM ranked WHERE rank <= 3 ORDER BY q, rank"),
     "q_dedup_embedding_wide" ->
-      ("WITH nw AS (SELECT vec_id, embedding, " +
-        "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm " +
-        "FROM embeddings), " +
-        s"sigs AS (SELECT vec_id, embedding, nrm, ${sigExprN("duck", 12)} AS sig FROM nw), " +
+      // reuses duckNormed instead of re-declaring the norm CTE under
+      // another alias — the zero-norm/null-embedding guards must not
+      // have to be maintained in two spellings (review finding)
+      (s"WITH $duckNormed, " +
+        s"sigs AS (SELECT vec_id, embedding, nrm, ${sigExprN("duck", 12)} AS sig FROM n), " +
         "probed AS (SELECT vec_id, embedding, nrm, " +
         s"unnest(${probesExpr("sig", "duck", 12)}) AS psig FROM sigs), " +
         "raw AS (SELECT q.vec_id AS a, c.vec_id AS b, " +
@@ -911,8 +954,11 @@ object Similarity {
     // the independent re-derivation of autoBits: max(8, min(24,
     // floor(log2(n/2)))) over whatever corpus count the driver ships
     "q_dedup_embedding_auto" ->
+      // GREATEST(count, 2): DuckDB's log2(0) raises instead of returning
+      // NULL/-inf, so a zero-row corpus would crash the oracle while the
+      // Scala autoBits guards with max(n, 2) (review finding)
       ("SELECT count(*) AS n_corpus, " +
-        "CAST(GREATEST(8, LEAST(24, CAST(floor(log2(count(*) / 2.0)) AS INTEGER))) AS INTEGER) AS bits_used " +
+        "CAST(GREATEST(8, LEAST(24, CAST(floor(log2(GREATEST(count(*), 2) / 2.0)) AS INTEGER))) AS INTEGER) AS bits_used " +
         "FROM embeddings"),
     "q_ann_recall" -> {
       def dotOf(a: String, b: String) =
@@ -987,7 +1033,10 @@ object Similarity {
         "ORDER BY variant"
     },
     "q_embed_pca" ->
-      ("SELECT (SELECT count(*) FROM embeddings) AS n_vecs, 8 AS k, " +
+      // count the null-filtered rows the fit actually sees — the Spark
+      // side's n_vecs is post-filter, so counting raw rows would break
+      // parity on any corpus with null embeddings (review finding)
+      ("SELECT (SELECT count(*) FROM embeddings WHERE embedding IS NOT NULL) AS n_vecs, 8 AS k, " +
         "1 AS orth_ok, 1 AS var_monotone, 1 AS var_bounded, " +
         "1 AS proj_bounded, 1 AS capture_monotone"),
     "q_ann_pq" -> {
