@@ -81,6 +81,7 @@ object Bench {
       // UUID-named per call, invisible to the persistent-RDD sweep, and
       // 2+ timed runs × a full suite would accumulate hundreds
       ops.Curation.clearCaches(spark)
+      ops.Graph.clearCaches() // memoized persisted edge list
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))

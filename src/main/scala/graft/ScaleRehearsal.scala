@@ -228,6 +228,7 @@ object ScaleRehearsal {
       ops.Dedup.clearCaches()
       ops.TextAnalysis.clearCaches() // memoized BPE merges must re-train
       ops.Curation.clearCaches(spark) // bloom probe functions + broadcasts
+      ops.Graph.clearCaches() // memoized persisted edge list
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
@@ -280,22 +281,10 @@ object ScaleRehearsal {
           col("o_orderkey") === col("l_orderkey"))
         .select("c", "sk").distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val deg = e0.groupBy("sk").agg(count(lit(1)).as("deg"))
-      val half = e0.select(col("c"), col("sk").as("s1"))
-        .join(e0.select(col("c"), col("sk").as("s2")), Seq("c"))
-        .filter(col("s1") < col("s2"))
-        .groupBy("s1", "s2").agg(count(lit(1)).as("shared"))
-        .join(broadcast(deg.select(col("sk").as("s1"), col("deg").as("d1"))), Seq("s1"))
-        .join(broadcast(deg.select(col("sk").as("s2"), col("deg").as("d2"))), Seq("s2"))
-        .select(col("s1"), col("s2"),
-          round(col("shared") * lit(1000000L).cast("double")
-            / (col("d1") + col("d2") - col("shared"))).cast("long").as("jac"))
-      val byItem = org.apache.spark.sql.expressions.Window
-        .partitionBy("s1").orderBy(desc("jac"), asc("s2"))
-      half.union(
-          half.select(col("s2").as("s1"), col("s1").as("s2"), col("jac")))
-        .withColumn("rk", row_number().over(byItem))
-        .filter(col("rk") <= 20).drop("rk")
+      // the SAME matrix build the qids serve (Graph.itemSims) — this was
+      // an inline copy that had already drifted from the probe qid's
+      // (review finding); the rehearsal must measure the shipped shape
+      ops.Graph.itemSims(e0)
         .write.mode("overwrite").bucketBy(8, "s1").sortBy("s1")
         .option("path", s"$scratch/serve_$tag").saveAsTable(tbl)
       e0.unpersist(blocking = false)

@@ -29,11 +29,73 @@ object Graph {
       .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
       .distinct()
 
+  /** ONE persisted copy of the edge list per (session, dir) — before this
+    * memo, q_recommend, q_recommend_probe, and q_copurchase_sim each
+    * persisted their own copy with no in-query unpersist possible (the
+    * returned plans are lazy), so a multi-query session pinned the same
+    * data three times (review finding). Cleared by [[clearCaches]], which
+    * Bench/ScaleRehearsal's clearResidue call between timed runs — so
+    * per-query bench numbers still pay the build. */
+  private val edgeCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), org.apache.spark.sql.DataFrame]
+
+  private def cachedPairs(s: SparkSession, d: String) =
+    edgeCache.getOrElseUpdate((s, d), custSuppPairs(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Drop the driver-side edge memo (the persisted RDDs themselves are
+    * swept by the callers' catalog/persistent-RDD clears). */
+  def clearCaches(): Unit = edgeCache.clear()
+
+  /** The top-20 item-item micro-Jaccard similarity matrix over a
+    * (c, sk) edge list — the single home of the item-CF matrix build
+    * shared by q_recommend (score+serve in one query), q_recommend_probe
+    * (build+bucket+probe), and ScaleRehearsal's recommend_serve workload;
+    * the three inline copies had already begun to drift (review finding).
+    * Micro-Jaccard is an exact INTEGER (round to 0 decimals is tie-exact
+    * in both engines) so downstream score sums cannot straddle a rounding
+    * boundary; the top-20 per-item truncation is the standard item-CF cut
+    * that keeps the matrix linear in the item dimension (measured:
+    * 51 s → 8.7 s at sf0.1). Deterministic (jac desc, partner asc). */
+  private[graft] def itemSims(e0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val deg = e0.groupBy("sk").agg(count(lit(1)).as("deg"))
+    val half = e0.select(col("c"), col("sk").as("s1"))
+      .join(e0.select(col("c"), col("sk").as("s2")), Seq("c"))
+      .filter(col("s1") < col("s2"))
+      .groupBy("s1", "s2").agg(count(lit(1)).as("shared"))
+      .join(broadcast(deg.select(col("sk").as("s1"), col("deg").as("d1"))), Seq("s1"))
+      .join(broadcast(deg.select(col("sk").as("s2"), col("deg").as("d2"))), Seq("s2"))
+      .select(col("s1"), col("s2"),
+        round(col("shared") * lit(1000000L).cast("double")
+          / (col("d1") + col("d2") - col("shared"))).cast("long").as("jac"))
+    val byItem = org.apache.spark.sql.expressions.Window
+      .partitionBy("s1").orderBy(desc("jac"), asc("s2"))
+    half.union(
+        half.select(col("s2").as("s1"), col("s1").as("s2"), col("jac")))
+      .withColumn("rk", row_number().over(byItem))
+      .filter(col("rk") <= 20).drop("rk")
+  }
+
+  /** Oracle twin of [[itemSims]] — one string, spliced into both
+    * recommend oracles (they had drifted-prone verbatim copies). Expects
+    * an `e0(c, sk)` CTE in scope. */
+  private val simsCtes: String =
+    "deg AS (SELECT sk, count(*) AS deg FROM e0 GROUP BY sk), " +
+      "half AS (SELECT a.sk AS s1, b.sk AS s2, " +
+      "CAST(round(count(*) * 1000000.0 / (d1.deg + d2.deg - count(*))) AS BIGINT) AS jac " +
+      "FROM e0 a JOIN e0 b ON a.c = b.c AND a.sk < b.sk " +
+      "JOIN deg d1 ON a.sk = d1.sk JOIN deg d2 ON b.sk = d2.sk " +
+      "GROUP BY a.sk, b.sk, d1.deg, d2.deg), " +
+      "sims AS (SELECT s1, s2, jac FROM (SELECT *, row_number() OVER " +
+      "(PARTITION BY s1 ORDER BY jac DESC, s2) AS rk FROM " +
+      "(SELECT s1, s2, jac FROM half " +
+      "UNION ALL SELECT s2, s1, jac FROM half)) WHERE rk <= 20)"
+
   /** The purchase graph: one undirected edge per DISTINCT
     * (customer, supplier) pair that shares an order line, run as two
     * directed edges. Node ids are 'c<custkey>' / 's<suppkey>'. */
   private def purchaseEdges(s: SparkSession, d: String) = {
-    val e0 = custSuppPairs(s, d)
+    val e0 = cachedPairs(s, d)
     e0.select(concat(lit("c"), col("c")).as("src"),
         concat(lit("s"), col("sk")).as("dst"))
       .union(e0.select(concat(lit("s"), col("sk")).as("src"),
@@ -107,31 +169,15 @@ object Graph {
     // Scores are sums of exact micro-Jaccard INTEGERS divided once at the
     // end, so values and rank order are engine-deterministic.
     "q_recommend" -> ((s, d) => {
-      val e0 = custSuppPairs(s, d)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val deg = e0.groupBy("sk").agg(count(lit(1)).as("deg"))
-      val half = e0.select(col("c"), col("sk").as("s1"))
-        .join(e0.select(col("c"), col("sk").as("s2")), Seq("c"))
-        .filter(col("s1") < col("s2"))
-        .groupBy("s1", "s2").agg(count(lit(1)).as("shared"))
-        .join(broadcast(deg.select(col("sk").as("s1"), col("deg").as("d1"))), Seq("s1"))
-        .join(broadcast(deg.select(col("sk").as("s2"), col("deg").as("d2"))), Seq("s2"))
-        .select(col("s1"), col("s2"),
-          // micro-Jaccard as an exact INTEGER so downstream score sums
-          // cannot straddle a rounding boundary across engines
-          round(col("shared") * lit(1000000L).cast("double")
-            / (col("d1") + col("d2") - col("shared"))).cast("long").as("jac"))
-      // keep only each item's TOP-20 most similar partners — the standard
-      // item-CF truncation: without it every supplier scores against ~all
-      // others and the scoring join blows up quadratically in the
-      // dimension (measured: 51 s → 8.7 s at sf0.1 — the rest is the one-off item-item matrix build); deterministic
-      // (jac desc, partner asc) cut
-      val byItem = org.apache.spark.sql.expressions.Window
-        .partitionBy("s1").orderBy(desc("jac"), asc("s2"))
-      val sims = half.union(
-        half.select(col("s2").as("s1"), col("s1").as("s2"), col("jac")))
-        .withColumn("rk", row_number().over(byItem))
-        .filter(col("rk") <= 20).drop("rk")
+      val e0 = cachedPairs(s, d)
+      val sims = itemSims(e0)
+      // broadcast(sims) is the right call while the top-20-truncated
+      // matrix (20 rows per supplier) stays under the broadcast cap —
+      // true for any supplier dimension up to ~10⁷. Past that (the 1e9-
+      // supplier regime) a forced broadcast ABORTS at Spark's 8 GB hint
+      // cap; the serving shape there is q_recommend_probe's bucketed
+      // index join, which moves only the batch side. The hint is scoped
+      // to the dimension claim, not an unconditional 100 TB contract.
       val scored = e0.join(broadcast(sims),
           col("sk") === col("s1"))
         .groupBy(col("c"), col("s2").as("rec"))
@@ -174,58 +220,54 @@ object Graph {
       val wh = new java.io.File(new java.io.File(sys.props("java.io.tmpdir")),
         s"graft_rec_idx_$tag").getAbsolutePath
       val idxTbl = s"graft_rec_sims_$tag"
-      val e0 = custSuppPairs(s, d)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val deg = e0.groupBy("sk").agg(count(lit(1)).as("deg"))
-      val half = e0.select(col("c"), col("sk").as("s1"))
-        .join(e0.select(col("c"), col("sk").as("s2")), Seq("c"))
-        .filter(col("s1") < col("s2"))
-        .groupBy("s1", "s2").agg(count(lit(1)).as("shared"))
-        .join(broadcast(deg.select(col("sk").as("s1"), col("deg").as("d1"))), Seq("s1"))
-        .join(broadcast(deg.select(col("sk").as("s2"), col("deg").as("d2"))), Seq("s2"))
-        .select(col("s1"), col("s2"),
-          round(col("shared") * lit(1000000L).cast("double")
-            / (col("d1") + col("d2") - col("shared"))).cast("long").as("jac"))
-      val byItem = org.apache.spark.sql.expressions.Window
-        .partitionBy("s1").orderBy(desc("jac"), asc("s2"))
-      half.union(
-          half.select(col("s2").as("s1"), col("s1").as("s2"), col("jac")))
-        .withColumn("rk", row_number().over(byItem))
-        .filter(col("rk") <= 20).drop("rk")
-        .write.mode("overwrite").bucketBy(8, "s1")
-        .option("path", s"$wh/sims").saveAsTable(idxTbl)
-      val batch = e0.filter(pmod(col("c"), lit(37L)) === 5)
-      val joined = s.table(idxTbl).hint("merge")
-        .join(batch, col("sk") === col("s1"))
-      joined.queryExecution.toRdd.foreach(_ => ())
-      val finalPlan = joined.queryExecution.executedPlan.toString
-        .split("== Initial Plan ==")(0)
-      val matrixExchanges = finalPlan
-        .split(java.util.regex.Pattern.quote("Exchange hashpartitioning(s1"), -1)
-        .length - 1
-      val verdict =
-        if (matrixExchanges == 0 && finalPlan.contains("Bucketed: true")) 1 else 0
-      val scored = joined
-        .groupBy(col("c"), col("s2").as("rec"))
-        // decimal(38,0) sum: same overflow rationale as q_recommend
-        .agg((sum(col("jac").cast("decimal(38,0)")) / lit(1000000.0))
-          .as("score"),
-          count(lit(1)).as("n_paths"))
-        .join(batch.select(col("c"), col("sk").as("rec")),
-          Seq("c", "rec"), "left_anti")
-      val top = org.apache.spark.sql.expressions.Window.partitionBy("c")
-        .orderBy(desc("score"), desc("n_paths"), asc("rec"))
-      val out = scored.withColumn("rnk", row_number().over(top))
-        .filter(col("rnk") <= 3)
-        .select(col("c").as("custkey"), col("rnk"), col("rec"),
-          col("score"), col("n_paths"),
-          lit(verdict).as("matrix_side_exchange_free"))
-        .orderBy("custkey", "rnk")
-        .localCheckpoint(true)
-      e0.unpersist(blocking = false)
-      s.sql(s"DROP TABLE IF EXISTS $idxTbl")
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
-      out
+      val e0 = cachedPairs(s, d)
+      // try/finally, not post-hoc cleanup: a failure anywhere between the
+      // saveAsTable and the eager localCheckpoint (executor OOM, disk
+      // full) would otherwise leak the uuid-named catalog table and the
+      // tmp-dir parquet for the rest of the session — Verify catches the
+      // Throwable and keeps running the remaining queries (review
+      // finding). The eager checkpoint makes `out` independent of the
+      // dropped table, so the finally is safe on the happy path too.
+      try {
+        itemSims(e0)
+          // sortBy(s1) writes each bucket pre-sorted on the join key so
+          // the probe's sort-merge join reads the matrix side without a
+          // per-probe sort — the shape ScaleRehearsal's recommend_serve
+          // already used (the two copies had drifted; review finding)
+          .write.mode("overwrite").bucketBy(8, "s1").sortBy("s1")
+          .option("path", s"$wh/sims").saveAsTable(idxTbl)
+        val batch = e0.filter(pmod(col("c"), lit(37L)) === 5)
+        val joined = s.table(idxTbl).hint("merge")
+          .join(batch, col("sk") === col("s1"))
+        joined.queryExecution.toRdd.foreach(_ => ())
+        val finalPlan = joined.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0)
+        val matrixExchanges = finalPlan
+          .split(java.util.regex.Pattern.quote("Exchange hashpartitioning(s1"), -1)
+          .length - 1
+        val verdict =
+          if (matrixExchanges == 0 && finalPlan.contains("Bucketed: true")) 1 else 0
+        val scored = joined
+          .groupBy(col("c"), col("s2").as("rec"))
+          // decimal(38,0) sum: same overflow rationale as q_recommend
+          .agg((sum(col("jac").cast("decimal(38,0)")) / lit(1000000.0))
+            .as("score"),
+            count(lit(1)).as("n_paths"))
+          .join(batch.select(col("c"), col("sk").as("rec")),
+            Seq("c", "rec"), "left_anti")
+        val top = org.apache.spark.sql.expressions.Window.partitionBy("c")
+          .orderBy(desc("score"), desc("n_paths"), asc("rec"))
+        scored.withColumn("rnk", row_number().over(top))
+          .filter(col("rnk") <= 3)
+          .select(col("c").as("custkey"), col("rnk"), col("rec"),
+            col("score"), col("n_paths"),
+            lit(verdict).as("matrix_side_exchange_free"))
+          .orderBy("custkey", "rnk")
+          .localCheckpoint(true)
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $idxTbl")
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+      }
     }),
 
     // Triangle census of the co-purchase projection — the standard
@@ -238,7 +280,7 @@ object Graph {
     // the canonical a<b<c wedge-close join — the MapReduce triangle
     // algorithm — touches ≤ 25 wedges per node. Exact integers.
     "q_triangles" -> ((s, d) => {
-      val e0 = custSuppPairs(s, d)
+      val e0 = cachedPairs(s, d)
       val pairs = e0.select(col("c"), col("sk").as("s1"))
         .join(e0.select(col("c"), col("sk").as("s2")), Seq("c"))
         .filter(col("s1") < col("s2"))
@@ -273,8 +315,7 @@ object Graph {
     // degrees broadcast back onto the bounded pair table; Jaccard is
     // exact-integer set algebra over distinct counts, rounded 6 dp.
     "q_copurchase_sim" -> ((s, d) => {
-      val e0 = custSuppPairs(s, d)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val e0 = cachedPairs(s, d)
       val deg = e0.groupBy("sk").agg(count(lit(1)).as("deg"))
       val pairs = e0.select(col("c"), col("sk").as("s1"))
         .join(e0.select(col("c"), col("sk").as("s2")), Seq("c"))
@@ -284,8 +325,16 @@ object Graph {
         .join(broadcast(deg.select(col("sk").as("s1"), col("deg").as("d1"))), Seq("s1"))
         .join(broadcast(deg.select(col("sk").as("s2"), col("deg").as("d2"))), Seq("s2"))
         .select(col("s1"), col("s2"), col("shared"),
-          round(col("shared").cast("double")
-            / (col("d1") + col("d2") - col("shared")), 6).as("jaccard"))
+          // micro-Jaccard then ONE exact division — round(x, 6) on the
+          // raw ratio is the half-up-on-string (Spark) vs binary-scaled
+          // (DuckDB) mismatch q_recommend's jac documents: a decimal tie
+          // at the 6th place can round differently per engine, and the
+          // checker compares exact repr (review finding). Round to 0
+          // decimals is tie-exact in both; the long/1e6 division is then
+          // bit-identical IEEE.
+          (round(col("shared") * lit(1000000.0)
+            / (col("d1") + col("d2") - col("shared"))).cast("long")
+            / lit(1000000.0)).as("jaccard"))
         .orderBy(desc("jaccard"), desc("shared"), asc("s1"), asc("s2"))
         .limit(20)
     })
@@ -339,16 +388,7 @@ object Graph {
     "q_recommend" ->
       ("WITH e0 AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sk " +
         "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
-        "deg AS (SELECT sk, count(*) AS deg FROM e0 GROUP BY sk), " +
-        "half AS (SELECT a.sk AS s1, b.sk AS s2, " +
-        "CAST(round(count(*) * 1000000.0 / (d1.deg + d2.deg - count(*))) AS BIGINT) AS jac " +
-        "FROM e0 a JOIN e0 b ON a.c = b.c AND a.sk < b.sk " +
-        "JOIN deg d1 ON a.sk = d1.sk JOIN deg d2 ON b.sk = d2.sk " +
-        "GROUP BY a.sk, b.sk, d1.deg, d2.deg), " +
-        "sims AS (SELECT s1, s2, jac FROM (SELECT *, row_number() OVER " +
-        "(PARTITION BY s1 ORDER BY jac DESC, s2) AS rk FROM " +
-        "(SELECT s1, s2, jac FROM half " +
-        "UNION ALL SELECT s2, s1, jac FROM half)) WHERE rk <= 20), " +
+        simsCtes + ", " +
         "scored AS (SELECT e.c, s.s2 AS rec, sum(jac) / 1000000.0 AS score, " +
         "count(*) AS n_paths FROM e0 e JOIN sims s ON e.sk = s.s1 " +
         "GROUP BY e.c, s.s2), " +
@@ -361,16 +401,7 @@ object Graph {
     "q_recommend_probe" ->
       ("WITH e0 AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sk " +
         "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
-        "deg AS (SELECT sk, count(*) AS deg FROM e0 GROUP BY sk), " +
-        "half AS (SELECT a.sk AS s1, b.sk AS s2, " +
-        "CAST(round(count(*) * 1000000.0 / (d1.deg + d2.deg - count(*))) AS BIGINT) AS jac " +
-        "FROM e0 a JOIN e0 b ON a.c = b.c AND a.sk < b.sk " +
-        "JOIN deg d1 ON a.sk = d1.sk JOIN deg d2 ON b.sk = d2.sk " +
-        "GROUP BY a.sk, b.sk, d1.deg, d2.deg), " +
-        "sims AS (SELECT s1, s2, jac FROM (SELECT *, row_number() OVER " +
-        "(PARTITION BY s1 ORDER BY jac DESC, s2) AS rk FROM " +
-        "(SELECT s1, s2, jac FROM half " +
-        "UNION ALL SELECT s2, s1, jac FROM half)) WHERE rk <= 20), " +
+        simsCtes + ", " +
         "batch AS (SELECT * FROM e0 WHERE c % 37 = 5), " +
         "scored AS (SELECT b.c, s.s2 AS rec, sum(jac) / 1000000.0 AS score, " +
         "count(*) AS n_paths FROM batch b JOIN sims s ON b.sk = s.s1 " +
@@ -389,7 +420,8 @@ object Graph {
         "pairs AS (SELECT a.sk AS s1, b.sk AS s2, count(*) AS shared " +
         "FROM e0 a JOIN e0 b ON a.c = b.c AND a.sk < b.sk GROUP BY 1, 2) " +
         "SELECT s1, s2, shared, " +
-        "round(shared * 1.0 / (d1.deg + d2.deg - shared), 6) AS jaccard " +
+        // micro-jaccard / 1e6, mirroring the Spark side's tie-exact form
+        "CAST(round(shared * 1000000.0 / (d1.deg + d2.deg - shared)) AS BIGINT) / 1000000.0 AS jaccard " +
         "FROM pairs JOIN deg d1 ON pairs.s1 = d1.sk " +
         "JOIN deg d2 ON pairs.s2 = d2.sk " +
         "ORDER BY jaccard DESC, shared DESC, s1, s2 LIMIT 20")
