@@ -216,7 +216,11 @@ object Analytics {
         .select(col("o_orderkey"),
           year(col("o_orderdate")).as("yr"),
           month(col("o_orderdate")).as("mo"),
-          round(log(col("o_totalprice")), 6).as("ln_price"),
+          // when-guard BOTH engines: Spark's log() quietly NULLs a
+          // non-positive price but DuckDB's ln() RAISES, which would turn
+          // one dirty row into a whole-oracle abort
+          round(when(col("o_totalprice") > 0, log(col("o_totalprice"))), 6)
+            .as("ln_price"),
           datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
             .as("epoch_days"),
           (col("o_orderpriority") === "1-URGENT").cast("int").as("urgent"))
@@ -316,21 +320,11 @@ object Analytics {
     // engine-deterministic; the per-user funnel depth is then a single
     // max aggregate.
     "q_funnel" -> ((s, d) => {
-      val look = Window.partitionBy("user_id")
-        .orderBy(col("ts").asc, col("event_id").asc)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val h6 = expr("INTERVAL 6 HOURS")
-      val e = Tables.events(s, d)
-        .withColumn("last_view",
-          max(when(col("event_type") === "view", col("ts"))).over(look))
-        .withColumn("good_click",
-          when(col("event_type") === "click"
-            && col("ts") <= col("last_view") + h6, col("ts")))
-        .withColumn("last_click", max(col("good_click")).over(look))
+      val e = funnelQualified(s, d)
       e.groupBy("user_id")
         .agg(max(
           when(col("event_type") === "purchase"
-            && col("ts") <= col("last_click") + h6, 3)
+            && col("ts") <= col("last_click") + funnelH6, 3)
             .when(col("good_click").isNotNull, 2)
             .when(col("event_type") === "view", 1)
             .otherwise(0)).as("stage"))
@@ -347,24 +341,14 @@ object Analytics {
     // integer latencies — interpolation on identical integers is
     // engine-identical under the 4 dp round).
     "q_funnel_time" -> ((s, d) => {
-      val look = Window.partitionBy("user_id")
-        .orderBy(col("ts").asc, col("event_id").asc)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val h6 = expr("INTERVAL 6 HOURS")
-      val e = Tables.events(s, d)
-        .withColumn("last_view",
-          max(when(col("event_type") === "view", col("ts"))).over(look))
-        .withColumn("good_click",
-          when(col("event_type") === "click"
-            && col("ts") <= col("last_view") + h6, col("ts")))
-        .withColumn("last_click", max(col("good_click")).over(look))
+      val e = funnelQualified(s, d)
       val clickLat = e.filter(col("good_click").isNotNull)
         .select(lit("view_to_click").as("stage"),
           expr("(unix_micros(CAST(good_click AS TIMESTAMP)) - " +
             "unix_micros(CAST(last_view AS TIMESTAMP))) div 1000000")
             .as("lat"))
       val purchLat = e.filter(col("event_type") === "purchase"
-          && col("ts") <= col("last_click") + h6)
+          && col("ts") <= col("last_click") + funnelH6)
         .select(lit("click_to_purchase").as("stage"),
           expr("(unix_micros(CAST(ts AS TIMESTAMP)) - " +
             "unix_micros(CAST(last_click AS TIMESTAMP))) div 1000000")
@@ -517,7 +501,12 @@ object Analytics {
       val stats = li.groupBy("grp")
         .agg(avg("x").as("mu"), stddev_samp(col("x")).as("sigma"))
       li.join(broadcast(stats), "grp")
-        .withColumn("z", (col("x") - col("mu")) / col("sigma"))
+        // nullif-guard: a constant group has sigma = 0.0, and ANSI double
+        // 0/0 is NaN on Spark but NULL in DuckDB (the known divergence
+        // class) — a NULL sigma (n=1 group) already NULL-propagates
+        // identically in both
+        .withColumn("z",
+          (col("x") - col("mu")) / expr("nullif(sigma, 0.0D)"))
         .groupBy("grp")
         .agg(count(lit(1)).as("n"),
           (round(avg("z"), 4) + lit(0.0)).as("mean_z"),
@@ -599,8 +588,11 @@ object Analytics {
         .select(col("n"), col("n_cells"),
           ((col("n_seg") - 1) * (col("n_prio") - 1)).cast("long").as("dof"),
           round(col("chi2raw"), 4).as("chi2"),
-          round(sqrt(col("chi2raw") / (col("n")
-            * least(col("n_seg") - 1, col("n_prio") - 1))), 4).as("cramers_v"))
+          // nullif: a 1×K (or K×1) contingency table zeroes the dof
+          // factor — NULL in both engines, not Spark-NaN-vs-DuckDB-NULL
+          round(sqrt(col("chi2raw") / expr(
+            "nullif(CAST(n * least(n_seg - 1, n_prio - 1) AS DOUBLE), 0.0D)")),
+            4).as("cramers_v"))
     }),
 
     // Winsorization — outlier capping at the global [p01, p99] band, the
@@ -699,7 +691,9 @@ object Analytics {
           sum((col("vt") - col("mu")) * (col("v0") - col("mu"))).as("num"))
         .crossJoin(broadcast(denom))
         .select(col("k"), col("n_pairs"),
-          round(col("num") / col("den"), 4).as("acf"))
+          // nullif: a constant series has den exactly 0.0 — Spark's ANSI
+          // 0/0 would be NaN where DuckDB's is NULL
+          round(col("num") / expr("nullif(den, 0.0D)"), 4).as("acf"))
         .orderBy("k")
     }),
 
@@ -823,16 +817,26 @@ object Analytics {
           datediff(col("now").cast("date"), col("last_ts").cast("date"))
             .as("rec"),
           col("freq"), col("monetary"))
-      val cuts = base.agg(
+      // rec (days) and freq (event counts) have BOUNDED distinct values,
+      // so the percentile() aggregate's value-count map stays small; but
+      // monetary is effectively unique per user — its map is
+      // |users|-cardinality merged on one reducer, the exact death mode
+      // q_boxplot_stats documents (review finding). Monetary cut points
+      // go through the distributed-sort exact path instead; percentile()
+      // and exactCont compute the same linear-interpolated value, so the
+      // oracle is unchanged.
+      val rfCuts = base.agg(
         round(expr("percentile(rec, 0.25)"), 6).as("r1"),
         round(expr("percentile(rec, 0.5)"), 6).as("r2"),
         round(expr("percentile(rec, 0.75)"), 6).as("r3"),
         round(expr("percentile(freq, 0.25)"), 6).as("f1"),
         round(expr("percentile(freq, 0.5)"), 6).as("f2"),
-        round(expr("percentile(freq, 0.75)"), 6).as("f3"),
-        round(expr("percentile(monetary, 0.25)"), 6).as("m1"),
-        round(expr("percentile(monetary, 0.5)"), 6).as("m2"),
-        round(expr("percentile(monetary, 0.75)"), 6).as("m3"))
+        round(expr("percentile(freq, 0.75)"), 6).as("f3"))
+      val mCuts = Quantiles.exactCont(base, col("monetary"), Seq.empty,
+          Seq(("m1", 0.25), ("m2", 0.5), ("m3", 0.75)))
+        .select(round(col("m1"), 6).as("m1"), round(col("m2"), 6).as("m2"),
+          round(col("m3"), 6).as("m3"))
+      val cuts = rfCuts.crossJoin(mCuts)
       def bucket(c: org.apache.spark.sql.Column, q: String) =
         lit(1) + (c > col(s"${q}1")).cast("int") +
           (c > col(s"${q}2")).cast("int") + (c > col(s"${q}3")).cast("int")
@@ -868,7 +872,7 @@ object Analytics {
         .join(bi.select(col("o"), col("sk").as("s2")), Seq("o"))
         .filter(col("s1") < col("s2"))
         .groupBy("s1", "s2").agg(count(lit(1)).as("supp_ab"))
-      pairs
+      val out = pairs
         .join(broadcast(supp.select(col("sk").as("s1"), col("supp").as("supp_a"))), Seq("s1"))
         .join(broadcast(supp.select(col("sk").as("s2"), col("supp").as("supp_b"))), Seq("s2"))
         .crossJoin(broadcast(tot))
@@ -885,6 +889,13 @@ object Analytics {
               .cast("double"), 6).as("lift"))
         .orderBy(desc("lift"), desc("supp_ab"), asc("s1"), asc("s2"))
         .limit(20)
+        // eager top-20 materialization so the basket cache can release
+        // NOW: the lazy return previously pinned the persist for the rest
+        // of the session (no unpersist point; review finding) — same
+        // pattern as q_recommend_probe
+        .localCheckpoint(true)
+      bi.unpersist(blocking = false)
+      out
     }),
 
     // Seasonality profile — per-event-type hour-of-day activity shape,
@@ -1049,6 +1060,28 @@ object Analytics {
     })
   )
 
+  private def funnelH6 = expr("INTERVAL 6 HOURS")
+
+  /** The funnel qualification windows, shared by q_funnel and
+    * q_funnel_time — the two previously carried verbatim copies of this
+    * 11-line prelude, and the latency query's "q_funnel's exact
+    * qualification windows" promise was enforced only by keeping them
+    * manually in sync (review finding). One user_id shuffle feeds both
+    * lookback windows; the (ts, event_id) order makes same-timestamp
+    * handling engine-deterministic. */
+  private def funnelQualified(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val look = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .withColumn("last_view",
+        max(when(col("event_type") === "view", col("ts"))).over(look))
+      .withColumn("good_click",
+        when(col("event_type") === "click"
+          && col("ts") <= col("last_view") + funnelH6, col("ts")))
+      .withColumn("last_click", max(col("good_click")).over(look))
+  }
+
   /** Shared by the two quality-classifier variants: rule-label the corpus
     * (gopher signals, all row-local), fit the LR distillation on the md5
     * train split, and score the held-out rows with a NATIVE margin
@@ -1066,14 +1099,22 @@ object Analytics {
     val words = "filter(split(text, ' '), x -> length(x) > 0)"
     val stops = "('the', 'a', 'of', 'and', 'to')"
     val labeled = Tables.documents(s, d).select(col("doc_id"),
-        expr(s"CAST(size($words) AS DOUBLE)").as("f_words"),
-        // coalesce(.../nullif, 0): a zero-word / zero-char doc has
-        // well-defined worst-quality features (0.0) rather than an ANSI
-        // divide-by-zero — the fit and the margin stay defined on dirty
-        // corpora, and real corpora are unchanged (denominators > 0)
+        // coalesce EVERY feature, not just the ratio ones: a NULL text
+        // makes size(split(NULL)) NULL, so an unguarded f_words/f_stop
+        // gave those rows margin = NULL with label = 0.0 — the exact
+        // variant's (margin > 0) === label comparison then dropped them
+        // from n_correct while the binned twin counted the same rows as
+        // correct negatives, breaking the same-fit-same-verdicts twin
+        // contract (review finding). With all four features coalesced, a
+        // null/zero-word doc has well-defined worst-quality features
+        // (0.0) rather than an ANSI divide-by-zero or a NULL margin —
+        // the fit and the margin stay defined on dirty corpora, and real
+        // corpora are unchanged (denominators > 0)
+        expr(s"coalesce(CAST(size($words) AS DOUBLE), 0.0)").as("f_words"),
         expr(s"coalesce(round(aggregate($words, CAST(0 AS BIGINT), (a, x) -> a + length(x)) " +
           s"/ CAST(nullif(size($words), 0) AS DOUBLE), 4), 0.0)").as("f_wlen"),
-        expr(s"CAST(size(filter($words, w -> w IN $stops)) AS DOUBLE)").as("f_stop"),
+        expr(s"coalesce(CAST(size(filter($words, w -> w IN $stops)) AS DOUBLE), 0.0)")
+          .as("f_stop"),
         expr("coalesce(round(CAST(graft_alpha_count(text) AS DOUBLE) / nullif(length(text), 0), 4), 0.0)")
           .as("f_alpha"))
       .withColumn("label",
@@ -1210,7 +1251,7 @@ object Analytics {
     "q_features" ->
       ("SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS yr, " +
         "CAST(month(o_orderdate) AS INTEGER) AS mo, " +
-        "round(ln(o_totalprice), 6) AS ln_price, " +
+        "round(CASE WHEN o_totalprice > 0 THEN ln(o_totalprice) END, 6) AS ln_price, " +
         "CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS epoch_days, " +
         "CAST(o_orderpriority = '1-URGENT' AS INTEGER) AS urgent " +
         "FROM orders ORDER BY o_orderkey"),
@@ -1309,7 +1350,7 @@ object Analytics {
         "round(g, 4) AS global_mean FROM enc, prior ORDER BY segment"),
     "q_standardize" ->
       ("WITH li AS (SELECT l_returnflag AS grp, l_extendedprice AS x FROM lineitem), " +
-        "st AS (SELECT grp, avg(x) AS mu, stddev_samp(x) AS sigma FROM li GROUP BY 1) " +
+        "st AS (SELECT grp, avg(x) AS mu, nullif(stddev_samp(x), 0.0) AS sigma FROM li GROUP BY 1) " +
         "SELECT li.grp, count(*) AS n, " +
         "round(avg((x - mu) / sigma), 4) + 0.0 AS mean_z, " +
         "round(stddev_samp((x - mu) / sigma), 4) AS std_z, " +
@@ -1354,7 +1395,7 @@ object Analytics {
         "SELECT n, n_cells, " +
         "CAST((n_seg - 1) * (n_prio - 1) AS BIGINT) AS dof, " +
         "round(chi2raw, 4) AS chi2, " +
-        "round(sqrt(chi2raw / (n * least(n_seg - 1, n_prio - 1))), 4) AS cramers_v " +
+        "round(sqrt(chi2raw / nullif(n * least(n_seg - 1, n_prio - 1), 0)), 4) AS cramers_v " +
         "FROM agg"),
     "q_winsorize" ->
       ("WITH li AS (SELECT l_returnflag AS grp, l_extendedprice AS x FROM lineitem), " +
@@ -1393,7 +1434,7 @@ object Analytics {
         "CROSS JOIN (SELECT unnest(generate_series(1, 10)) AS k) k " +
         "JOIN idx b ON b.t = a.t - k.k) " +
         "SELECT k, count(*) AS n_pairs, " +
-        "round(sum((vt - mu) * (v0 - mu)) / den, 4) AS acf " +
+        "round(sum((vt - mu) * (v0 - mu)) / nullif(den, 0.0), 4) AS acf " +
         "FROM lagged, m, den GROUP BY k, den ORDER BY k"),
     "q_backtest_sma" ->
       ("WITH daily AS (SELECT CAST(ts AS DATE) AS day, round(sum(value), 2) AS v " +

@@ -298,7 +298,10 @@ class PlanSpec extends SparkSpec {
     "q_interleave" -> "1-row source-count aggregate broadcast",
     "q_target_encode" -> "1-row global-prior aggregate broadcast",
     "q_rfm" -> "1-row now + 1-row quartile cut-point frames broadcast",
-    "q_basket_lift" -> "1-row basket-total aggregate broadcast",
+    // q_basket_lift's 1-row basket-total broadcast BNLJ is no longer
+    // visible to this sweep: the qid eagerly checkpoints its top-20 so
+    // the basket cache can release (r10 leak fix) — the returned plan is
+    // the checkpoint scan, and the build plan executes inside the builder
     "q_survival_km" -> "1-row observation-end + user-total broadcasts",
     "q_winsorize" -> "1-row percentile cut-point frame broadcast",
     "q_cooccur_pmi" -> "1-row corpus-token-total aggregate broadcast",
