@@ -23,6 +23,16 @@ import graft.Tables.Q
   */
 object Aggregates {
 
+  /** Exact-decimal money sum / mean rendered to the rounded double both
+    * dialects emit — ONE definition for Spark and the oracle (the Spark
+    * side previously inlined seven verbatim copies; review finding).
+    * `format` with the column name; referenced from the query lambdas at
+    * call time, so declaration order vs `queries` is immaterial. */
+  private val decSum =
+    "round(CAST(sum(CAST(%s AS DECIMAL(18,2))) AS DOUBLE), 2)"
+  private val decAvg =
+    "round(CAST(sum(CAST(%s AS DECIMAL(18,2))) AS DOUBLE) / count(%s), 4)"
+
   val queries: Map[String, Q] = Map(
     // TPC-H Q1-shaped pricing summary: the flagship grouped aggregate.
     "q_group_agg" -> ((s, d) =>
@@ -30,20 +40,16 @@ object Aggregates {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          expr("round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)")
-            .as("sum_qty"),
-          expr("round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)")
-            .as("sum_base_price"),
+          expr(decSum.format("l_quantity")).as("sum_qty"),
+          expr(decSum.format("l_extendedprice")).as("sum_base_price"),
           expr("round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE), 2)")
             .as("sum_disc_price"),
           expr("round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) * CAST(1 + l_tax AS DECIMAL(18,2))) AS DOUBLE), 2)")
             .as("sum_charge"),
-          expr("round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity), 4)")
-            .as("avg_qty"),
-          expr("round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice), 4)")
+          expr(decAvg.format("l_quantity", "l_quantity")).as("avg_qty"),
+          expr(decAvg.format("l_extendedprice", "l_extendedprice"))
             .as("avg_price"),
-          expr("round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(l_discount), 4)")
-            .as("avg_disc"),
+          expr(decAvg.format("l_discount", "l_discount")).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
 
@@ -84,8 +90,14 @@ object Aggregates {
           .agg(count(lit(1)).as("n"),
             expr("sum(CAST(value AS DECIMAL(18,2)))").as("v"))
       val full = roll(li)
-      val merged = roll(li.filter(col("is_hist")))
-        .unionByName(roll(li.filter(!col("is_hist"))))
+      // ONE grouped pass over (event_type, day, is_hist) yields both
+      // split rollups — the previous roll(hist) ∪ roll(!hist) scanned
+      // (and re-hashed the md5 split key over) the events twice (review
+      // finding); `full` stays an independent raw scan so the
+      // partials-merge-to-full comparison is not vacuous
+      val merged = li.groupBy("event_type", "day", "is_hist")
+        .agg(count(lit(1)).as("n"),
+          expr("sum(CAST(value AS DECIMAL(18,2)))").as("v"))
         .groupBy("event_type", "day")
         .agg(sum("n").as("n"), sum("v").as("v"))
       val joined = full
@@ -198,10 +210,7 @@ object Aggregates {
           count(lit(1)).as("n_orders"))
         .orderBy("o_orderstatus")),
 
-    // approx_unique → HLL sketch. No SQL oracle (approximate); the driver
-    // records a rows-only check. The exact count rides along so the result
-    // itself documents the sketch's error at this scale.
-    // HLL sketch vs exact distinct. HLL estimates differ across engines, so
+    // approx_unique → HLL sketch vs exact distinct. HLL estimates differ across engines, so
     // the oracle can't compare the estimate itself — instead the query
     // emits the exact count plus its OWN tolerance verdict (|approx-exact|
     // ≤ 5% with rsd=0.01 ⇒ ~5σ margin), and the oracle asserts the verdict
@@ -219,20 +228,21 @@ object Aggregates {
             <= col("exact_parts") * 0.05).cast("int").as("within_5pct"))),
 
     // first/last by explicit event-time order (polars first/last are
-    // physical-order ops; Spark needs the declared sort key — SURVEY §7.4.1).
-    "q_first_last" -> ((s, d) => {
-      val wAsc = Window.partitionBy("user_id")
-        .orderBy(col("ts").asc, col("event_id").asc)
-      val wDesc = Window.partitionBy("user_id")
-        .orderBy(col("ts").desc, col("event_id").desc)
+    // physical-order ops; Spark needs the declared sort key — SURVEY
+    // §7.4.1). min_by/max_by over the (ts, event_id) struct: one
+    // partial+final aggregate with NO per-partition sort — the previous
+    // form ran two opposite-order row_number windows plus a regroup over
+    // the same shuffle (review finding). (ts, event_id) is unique per
+    // user, so the argmin/argmax pick is deterministic.
+    "q_first_last" -> ((s, d) =>
       Tables.events(s, d)
-        .select(col("user_id"), col("event_type"),
-          row_number().over(wAsc).as("ra"), row_number().over(wDesc).as("rd"))
         .groupBy("user_id")
-        .agg(max(when(col("ra") === 1, col("event_type"))).as("first_type"),
-          max(when(col("rd") === 1, col("event_type"))).as("last_type"))
-        .orderBy("user_id")
-    }),
+        .agg(
+          min_by(col("event_type"), struct(col("ts"), col("event_id")))
+            .as("first_type"),
+          max_by(col("event_type"), struct(col("ts"), col("event_id")))
+            .as("last_type"))
+        .orderBy("user_id")),
 
     // agg_list (polars groupby().agg(pl.col(..).list())) — rendered as a
     // sorted CSV string so the oracle hash is order-stable (SURVEY §7.4.6).
@@ -286,13 +296,12 @@ object Aggregates {
     "q_describe" -> ((s, d) =>
       Tables.lineitem(s, d)
         .agg(count(col("l_quantity")).as("n_qty"),
-          expr("round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity), 4)")
-            .as("mean_qty"),
+          expr(decAvg.format("l_quantity", "l_quantity")).as("mean_qty"),
           round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
           min(col("l_quantity")).as("min_qty"),
           max(col("l_quantity")).as("max_qty"),
           count(col("l_extendedprice")).as("n_price"),
-          expr("round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice), 4)")
+          expr(decAvg.format("l_extendedprice", "l_extendedprice"))
             .as("mean_price"),
           round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
           min(col("l_extendedprice")).as("min_price"),
@@ -306,11 +315,6 @@ object Aggregates {
           round(corr(col("l_quantity"), col("l_discount")), 6).as("corr_qty_disc"),
           round(corr(col("l_extendedprice"), col("l_discount")), 6).as("corr_price_disc")))
   )
-
-  private val decSum =
-    "round(CAST(sum(CAST(%s AS DECIMAL(18,2))) AS DOUBLE), 2)"
-  private val decAvg =
-    "round(CAST(sum(CAST(%s AS DECIMAL(18,2))) AS DOUBLE) / count(%s), 4)"
 
   val oracle: Map[String, String] = Map(
     "q_rollup" ->

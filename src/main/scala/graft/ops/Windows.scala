@@ -26,6 +26,12 @@ object Windows {
   private def byUser = Window.partitionBy("user_id")
     .orderBy(col("ts").asc, col("event_id").asc)
 
+  /** The canonical per-user RUNNING frame — one definition so a future
+    * tiebreak change moves every consumer together (q_sessionize carried
+    * its own verbatim copy of the spec; review finding). */
+  private def byUserRun =
+    byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
   val queries: Map[String, Q] = Map(
     // expr.over(keys): deviation from the group mean, broadcast to rows.
     "q_window_over" -> ((s, d) =>
@@ -81,7 +87,7 @@ object Windows {
 
     // cumsum / cummax / cumcount.
     "q_cumsum" -> ((s, d) => {
-      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val run = byUserRun
       Tables.events(s, d)
         .select(col("event_id"),
           round(sum("value").over(run), 4).as("cum_sum"),
@@ -129,10 +135,17 @@ object Windows {
     // compare against the identical constants.
     "q_qcut_cutpoints" -> ((s, d) => {
       val o = Tables.orders(s, d)
-      val cuts = o.groupBy("o_orderstatus")
-        .agg(round(expr("percentile(o_totalprice, 0.25)"), 4).as("c1"),
-          round(expr("percentile(o_totalprice, 0.5)"), 4).as("c2"),
-          round(expr("percentile(o_totalprice, 0.75)"), 4).as("c3"))
+      // distributed-sort exact quantiles, NOT the percentile() aggregate:
+      // o_totalprice is continuous, so the aggregate's per-group
+      // value-count map is |orders|-sized and merges on one reducer — the
+      // death mode Quantiles.scala documents, on the query advertised as
+      // the PRIMARY scale path (review finding). exactCont interpolates
+      // identically, so the oracle is unchanged.
+      val cuts = Quantiles.exactCont(o, col("o_totalprice"),
+          Seq("o_orderstatus"),
+          Seq(("c1", 0.25), ("c2", 0.5), ("c3", 0.75)))
+        .select(col("o_orderstatus"), round(col("c1"), 4).as("c1"),
+          round(col("c2"), 4).as("c2"), round(col("c3"), 4).as("c3"))
       o.join(broadcast(cuts), Seq("o_orderstatus"))
         .select(col("o_orderkey"), col("o_orderstatus"),
           when(col("o_totalprice") <= col("c1"), 1)
@@ -147,10 +160,9 @@ object Windows {
     // user serves both the lag and the running session counter; the
     // per-session rollup is an ordinary partial+final aggregate.
     "q_sessionize" -> ((s, d) => {
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val run = byUserRun
       val us = (c: org.apache.spark.sql.Column) => unix_micros(c.cast("timestamp"))
-      val prev = lag(col("ts"), 1).over(w)
+      val prev = lag(col("ts"), 1).over(byUser)
       val isStart = when(prev.isNull ||
         us(col("ts")) - us(prev) > 1800000000L, 1L).otherwise(0L)
       Tables.events(s, d)
@@ -344,7 +356,7 @@ object Windows {
     "q_interpolate" -> ((s, d) => {
       val masked = when(col("event_type") === "view", lit(null))
         .otherwise(col("value"))
-      val back = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val back = byUserRun
       val fwd = byUser.rowsBetween(Window.currentRow, Window.unboundedFollowing)
       Tables.events(s, d)
         .select(col("user_id"), col("ts"), col("event_id"), masked.as("v"),
@@ -371,7 +383,7 @@ object Windows {
     "q_ffill" -> ((s, d) => {
       val masked = when(col("event_type") === "view", lit(null))
         .otherwise(col("value"))
-      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val run = byUserRun
       val fwd = byUser.rowsBetween(Window.currentRow, Window.unboundedFollowing)
       Tables.events(s, d)
         .select(col("event_id"),
@@ -489,8 +501,13 @@ object Windows {
         "sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) + 0 END AS auto_corr " +
         "FROM m ORDER BY event_id"),
     "q_rolling_ewm" ->
-      ("WITH h AS (SELECT event_id, list(value) OVER (PARTITION BY user_id " +
-        "ORDER BY ts, event_id ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS l " +
+      // list_filter strips NULL history values: Spark's collect_list
+      // DROPS nulls while DuckDB's list() KEEPS them, so on a corpus with
+      // null values the weights and len(l) would diverge (review finding;
+      // the frame still counts null ROWS identically in both engines)
+      ("WITH h AS (SELECT event_id, list_filter(list(value) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), " +
+        "x -> x IS NOT NULL) AS l " +
         "FROM events) " +
         "SELECT event_id, CAST(len(l) AS INTEGER) AS n_hist, " +
         "round(list_sum(list_transform(generate_series(1, len(l)), " +
