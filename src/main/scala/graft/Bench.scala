@@ -81,7 +81,11 @@ object Bench {
       // UUID-named per call, invisible to the persistent-RDD sweep, and
       // 2+ timed runs × a full suite would accumulate hundreds
       ops.Curation.clearCaches(spark)
-      ops.Graph.clearCaches() // memoized persisted edge list
+      ops.Graph.clearCaches() // memoized persisted edge list + sims matrix
+      // per-call LSH signature persists (embeddingNearDup) — the ledger
+      // drain releases the driver-side references the catalog sweep below
+      // can't see (unpersist is idempotent, so double-release is fine)
+      ops.Similarity.clearPersists(spark)
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))

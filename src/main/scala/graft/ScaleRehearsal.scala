@@ -228,7 +228,8 @@ object ScaleRehearsal {
       ops.Dedup.clearCaches()
       ops.TextAnalysis.clearCaches() // memoized BPE merges must re-train
       ops.Curation.clearCaches(spark) // bloom probe functions + broadcasts
-      ops.Graph.clearCaches() // memoized persisted edge list
+      ops.Graph.clearCaches() // memoized persisted edge list + sims matrix
+      ops.Similarity.clearPersists(spark) // per-call LSH signature persists
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))

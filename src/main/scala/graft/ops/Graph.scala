@@ -39,13 +39,42 @@ object Graph {
   private val edgeCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), org.apache.spark.sql.DataFrame]
 
+  /** ONE persisted copy of the top-20 item-CF similarity matrix per
+    * (session, dir) — q_recommend and q_recommend_probe both consume the
+    * identical [[itemSims]] build (the single most expensive shared stage
+    * in the graph family, ~6 s at sf0.1), so a Verify session used to pay
+    * it twice (r10 verdict task). Same lifecycle as [[edgeCache]]: evicted
+    * + unpersisted by [[clearCaches]], which Bench's clearResidue calls
+    * between timed runs so per-query numbers still pay the build. */
+  private val simsCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), org.apache.spark.sql.DataFrame]
+
   private def cachedPairs(s: SparkSession, d: String) =
     edgeCache.getOrElseUpdate((s, d), custSuppPairs(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
-  /** Drop the driver-side edge memo (the persisted RDDs themselves are
-    * swept by the callers' catalog/persistent-RDD clears). */
-  def clearCaches(): Unit = edgeCache.clear()
+  private def cachedSims(s: SparkSession, d: String) =
+    simsCache.getOrElseUpdate((s, d), itemSims(cachedPairs(s, d))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private def graphCaches = Seq(edgeCache, simsCache)
+
+  /** Drop and UNPERSIST every session's memoized edge list + sims matrix
+    * (the global sweep a single-session bench wants). Eviction is atomic
+    * per key — remove then unpersist the removed value — the same
+    * orphan-proof order Dedup.clearCaches uses. */
+  def clearCaches(): Unit =
+    graphCaches.foreach(m => m.keys.foreach(k =>
+      m.remove(k).foreach(_.unpersist(blocking = false))))
+
+  /** Evict only `session`'s memo entries (the long-lived-JVM seam,
+    * matching Curation/Dedup's session-scoped contract): a server creating
+    * a session per job calls this at job end, and one tenant's
+    * end-of-run no longer discards another live session's memo or leaks
+    * entries for stopped sessions (review finding). */
+  def clearCaches(session: SparkSession): Unit =
+    graphCaches.foreach(m => m.keys.filter(_._1 eq session).foreach(k =>
+      m.remove(k).foreach(_.unpersist(blocking = false))))
 
   /** The top-20 item-item micro-Jaccard similarity matrix over a
     * (c, sk) edge list — the single home of the item-CF matrix build
@@ -170,7 +199,7 @@ object Graph {
     // end, so values and rank order are engine-deterministic.
     "q_recommend" -> ((s, d) => {
       val e0 = cachedPairs(s, d)
-      val sims = itemSims(e0)
+      val sims = cachedSims(s, d)
       // broadcast(sims) is the right call while the top-20-truncated
       // matrix (20 rows per supplier) stays under the broadcast cap —
       // true for any supplier dimension up to ~10⁷. Past that (the 1e9-
@@ -229,7 +258,7 @@ object Graph {
       // finding). The eager checkpoint makes `out` independent of the
       // dropped table, so the finally is safe on the happy path too.
       try {
-        itemSims(e0)
+        cachedSims(s, d)
           // sortBy(s1) writes each bucket pre-sorted on the join key so
           // the probe's sort-merge join reads the matrix side without a
           // per-probe sort — the shape ScaleRehearsal's recommend_serve

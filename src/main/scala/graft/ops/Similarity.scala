@@ -41,9 +41,38 @@ object Similarity {
   def clearCaches(): Unit = centroidCache.clear()
 
   /** Session-scoped eviction (values are driver-side centroid arrays —
-    * only the map entry pinning a stopped session needs dropping). */
-  def clearCaches(session: SparkSession): Unit =
+    * only the map entry pinning a stopped session needs dropping). Also
+    * drains the session's persist ledger. */
+  def clearCaches(session: SparkSession): Unit = {
     centroidCache.keys.filter(_._1 eq session).foreach(centroidCache.remove)
+    clearPersists(session)
+  }
+
+  /** Per-session ledger of MEMORY_AND_DISK persists pinned by returned
+    * lazy plans ([[embeddingNearDup]]'s signature stage) — without it
+    * every public call pinned another cache entry until a session-wide
+    * catalog sweep, the same per-call leak pattern the Curation bloom
+    * ledger closed (review finding). Drained by [[clearPersists]] /
+    * [[clearCaches]](session); unpersist is idempotent, so a blanket
+    * `spark.catalog.clearCache()` having already dropped the blocks is
+    * fine — the drain then just releases the driver-side references. */
+  private val persistLedger = scala.collection.concurrent.TrieMap
+    .empty[SparkSession, List[DataFrame]]
+
+  private def trackPersist(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    persistLedger.updateWith(p.sparkSession) {
+      cur => Some(p :: cur.getOrElse(Nil)) }
+    p
+  }
+
+  /** Unpersist and drop every ledgered persist for `session`. Separate
+    * from [[clearCaches]]() on purpose: Bench's clearResidue must release
+    * per-call persists WITHOUT evicting the memoized KMeans centroids
+    * (q_ann_ivf_kmeans's deterministic fit-once steady state). */
+  def clearPersists(session: SparkSession): Unit =
+    persistLedger.remove(session).getOrElse(Nil)
+      .foreach(_.unpersist(blocking = false))
 
   /** Deterministic ±1 hyperplane components: sign of the first hex digit of
     * md5("p:d"). Reproducible anywhere md5 exists. */
@@ -260,21 +289,21 @@ object Similarity {
     val width = if (bits > 0) bits else autoBits(df.count())
     val s = df.sparkSession
     graft.functions.FloatDotProduct.register(s)
-    // persisted: BOTH self-join sides (and their per-element signature
-    // folds — the dominant per-row cost) would otherwise recompute the
-    // whole scan+norm+signature pipeline from lineage (review finding).
-    // The cache lives as long as the returned lazy plan; Spark evicts
-    // LRU, and session-level sweeps (Bench clearResidue,
-    // spark.catalog.clearCache) release it explicitly.
+    // persisted (via the session ledger): BOTH self-join sides (and their
+    // per-element signature folds — the dominant per-row cost) would
+    // otherwise recompute the whole scan+norm+signature pipeline from
+    // lineage (review finding). The cache lives as long as the returned
+    // lazy plan; Spark evicts LRU, and the ledger drain (clearPersists /
+    // Bench clearResidue) or spark.catalog.clearCache releases it
+    // explicitly — without the ledger every call leaked one entry.
     // nullif: a zero-norm vector must yield a NULL cosine (excluded by
     // the >= filter) in BOTH engines, not an ANSI DIVIDE_BY_ZERO crash.
-    val n = df.select(col(idCol).cast("long").as("vec_id"),
+    val n = trackPersist(df.select(col(idCol).cast("long").as("vec_id"),
         col(vecCol).as("embedding"))
       .filter(col("embedding").isNotNull)
       .withColumn("nrm",
         expr("nullif(sqrt(dot_f(embedding, embedding)), 0.0D)"))
-      .withColumn("sig", expr(sigExprN("spark", width)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("sig", expr(sigExprN("spark", width))))
     val a = n.select(col("vec_id").as("a"), col("embedding").as("ea"),
       col("nrm").as("na"),
       explode(expr(probesExpr("sig", "spark", width))).as("sig"))
@@ -450,6 +479,11 @@ object Similarity {
         .crossJoin(broadcast(ivfCents(n)))
         .withColumn("csim",
           round(expr("dot_f(embedding, ec)") / (col("nrm") * col("nc")), 6))
+        // a zero-norm query has NULL csim against every centroid — it has
+        // no cell affinity at all, so drop it like ivfAssign drops corpus
+        // vectors (and like the oracle's asgn filter), instead of fanning
+        // it into 2 arbitrary cells that emit NULL-cos neighbor rows
+        .filter(col("csim").isNotNull)
         .withColumn("rk", row_number().over(qw))
         .filter(col("rk") <= 2)
         .select(col("vec_id").as("q"), col("embedding").as("eq"),
@@ -502,6 +536,8 @@ object Similarity {
         val qs = n.filter(qFilter).crossJoin(broadcast(kcents))
           .withColumn("csim",
             round(expr("dot_f(embedding, ec)") / (col("nrm") * col("nc")), 6))
+          // same zero-norm-query drop as q_ann_ivf_probe2 (no cell affinity)
+          .filter(col("csim").isNotNull)
           .withColumn("rk", row_number().over(qw))
           .filter(col("rk") <= probes)
           .select(col("vec_id").as("q"), col("embedding").as("eq"),
@@ -614,6 +650,8 @@ object Similarity {
         n.filter(col("vec_id") < 30).crossJoin(broadcast(ivfCents(n)))
           .withColumn("csim",
             round(expr("dot_f(embedding, ec)") / (col("nrm") * col("nc")), 6))
+          // same zero-norm-query drop as q_ann_ivf_probe2 (no cell affinity)
+          .filter(col("csim").isNotNull)
           .withColumn("rk", row_number().over(qw)).filter(col("rk") <= 2)
           .select(col("vec_id").as("q"), col("embedding").as("eq"),
             col("nrm").as("nq"), col("cid")),
@@ -893,12 +931,18 @@ object Similarity {
         "round(list_sum(list_transform(list_zip(embedding, q), p -> abs(CAST(p[1] AS DOUBLE) - p[2] * scale / 127))) / len(embedding), 6) AS mae " +
         "FROM qz ORDER BY vec_id"),
     "q_ann_ivf" ->
+      // csim IS NOT NULL mirrors ivfAssign's guard: a zero-norm vector
+      // (NULL nrm) or zero-norm centroid yields a NULL cosine, and Spark
+      // drops those rows before the argmin — without the filter the
+      // oracle still dealt such a vector a cell via row_number over an
+      // all-NULL ordering and emitted NULL-cos neighbor rows (r10 ADVICE)
       (s"WITH $duckNormed, " +
         "cents AS (SELECT vec_id AS cid, embedding AS ec, nrm AS nc FROM n WHERE vec_id < 16), " +
-        "asgn AS (SELECT v.vec_id, v.embedding, v.nrm, c.cid, " +
-        "row_number() OVER (PARTITION BY v.vec_id ORDER BY " +
-        "round(list_sum(list_transform(list_zip(v.embedding, c.ec), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (v.nrm * c.nc), 6) DESC, c.cid) AS rk " +
-        "FROM n v, cents c), " +
+        "asgn AS (SELECT vec_id, embedding, nrm, cid, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rk FROM " +
+        "(SELECT v.vec_id, v.embedding, v.nrm, c.cid, " +
+        "round(list_sum(list_transform(list_zip(v.embedding, c.ec), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (v.nrm * c.nc), 6) AS csim " +
+        "FROM n v, cents c) WHERE csim IS NOT NULL), " +
         "cell AS (SELECT vec_id, embedding, nrm, cid FROM asgn WHERE rk = 1), " +
         "scored AS (SELECT q.vec_id AS q, c2.vec_id AS neighbor, " +
         "round(list_sum(list_transform(list_zip(q.embedding, c2.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (q.nrm * c2.nrm), 6) AS cos " +
@@ -908,12 +952,16 @@ object Similarity {
         "FROM scored) " +
         "SELECT q, rank, neighbor, cos FROM ranked WHERE rank <= 3 ORDER BY q, rank"),
     "q_ann_ivf_probe2" ->
+      // csim IS NOT NULL: same zero-norm guard as q_ann_ivf's asgn — it
+      // also covers the QUERY side (qcell), whose Spark twin filters
+      // csim.isNotNull before its probe-2 window for the same reason
       (s"WITH $duckNormed, " +
         "cents AS (SELECT vec_id AS cid, embedding AS ec, nrm AS nc FROM n WHERE vec_id < 16), " +
-        "asgn AS (SELECT v.vec_id, v.embedding, v.nrm, c.cid, " +
-        "row_number() OVER (PARTITION BY v.vec_id ORDER BY " +
-        "round(list_sum(list_transform(list_zip(v.embedding, c.ec), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (v.nrm * c.nc), 6) DESC, c.cid) AS rk " +
-        "FROM n v, cents c), " +
+        "asgn AS (SELECT vec_id, embedding, nrm, cid, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rk FROM " +
+        "(SELECT v.vec_id, v.embedding, v.nrm, c.cid, " +
+        "round(list_sum(list_transform(list_zip(v.embedding, c.ec), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (v.nrm * c.nc), 6) AS csim " +
+        "FROM n v, cents c) WHERE csim IS NOT NULL), " +
         "cell AS (SELECT vec_id, embedding, nrm, cid FROM asgn WHERE rk = 1), " +
         "qcell AS (SELECT vec_id, embedding, nrm, cid FROM asgn WHERE rk <= 2 AND vec_id < 30), " +
         "scored AS (SELECT q.vec_id AS q, c2.vec_id AS neighbor, " +
@@ -972,10 +1020,13 @@ object Similarity {
         "row_number() OVER (PARTITION BY q ORDER BY cos DESC, b) AS rank FROM bsc) WHERE rank <= 3), " +
         // IVF cells (first-16 centroids, argmin assignment)
         "cents AS (SELECT vec_id AS cid, embedding, nrm AS nc FROM n WHERE vec_id < 16), " +
-        "asgn AS (SELECT v.vec_id, v.embedding, v.nrm, c.cid, " +
-        "row_number() OVER (PARTITION BY v.vec_id ORDER BY " +
-        s"round(${dotOf("v", "c")} / (v.nrm * c.nc), 6) DESC, c.cid) AS rk " +
-        "FROM n v, cents c), " +
+        // csim IS NOT NULL: the zero-norm guard mirrored from ivfAssign
+        // (same reasoning as the q_ann_ivf / q_ann_ivf_probe2 oracles)
+        "asgn AS (SELECT vec_id, embedding, nrm, cid, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rk FROM " +
+        "(SELECT v.vec_id, v.embedding, v.nrm, c.cid, " +
+        s"round(${dotOf("v", "c")} / (v.nrm * c.nc), 6) AS csim " +
+        "FROM n v, cents c) WHERE csim IS NOT NULL), " +
         "cell AS (SELECT vec_id, embedding, nrm, cid FROM asgn WHERE rk = 1), " +
         "qcell AS (SELECT vec_id, embedding, nrm, cid FROM asgn WHERE rk <= 2 AND vec_id < 30), " +
         "sc1 AS (SELECT q.vec_id AS q, c2.vec_id AS b, " +

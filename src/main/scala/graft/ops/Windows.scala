@@ -146,7 +146,14 @@ object Windows {
           Seq(("c1", 0.25), ("c2", 0.5), ("c3", 0.75)))
         .select(col("o_orderstatus"), round(col("c1"), 4).as("c1"),
           round(col("c2"), 4).as("c2"), round(col("c3"), 4).as("c3"))
-      o.join(broadcast(cuts), Seq("o_orderstatus"))
+      // LEFT join: exactCont omits a group whose values are ALL NULL (it
+      // never enters the sort — documented at its return), and an inner
+      // join would then silently drop every order in that group; the
+      // oracle's grouped percentile() keeps a NULL-cuts row for it. With
+      // the left join those orders see NULL cuts, every `<=` comparison
+      // is NULL, and they fall through to bucket 4 — exactly the
+      // otherwise-branch the oracle takes (r10 ADVICE finding).
+      o.join(broadcast(cuts), Seq("o_orderstatus"), "left")
         .select(col("o_orderkey"), col("o_orderstatus"),
           when(col("o_totalprice") <= col("c1"), 1)
             .when(col("o_totalprice") <= col("c2"), 2)

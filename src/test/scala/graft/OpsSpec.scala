@@ -1241,6 +1241,62 @@ class OpsSpec extends SparkSpec {
       s"one-term corpus must yield NULL slope and r2, got $z1")
   }
 
+  test("ann_ivf: zero-norm and null embeddings excluded, never NULL cos") {
+    // vec_id 7 is the all-zero vector — deliberately inside BOTH the
+    // centroid range (< 16: exercises the NULL-nc centroid guard) and the
+    // query range (< 30: exercises the query-side csim drop); vec_id 8 is
+    // a null embedding. Neither may appear as q or neighbor, and no
+    // emitted cosine may be NULL — the exact parity contract the oracles'
+    // `csim IS NOT NULL` asgn filter mirrors (r10 ADVICE finding).
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_degen").toString
+    val rows = (0L until 40L).map { i =>
+      val emb: Option[Seq[Float]] =
+        if (i == 8L) None
+        else if (i == 7L) Some(Seq.fill(64)(0.0f))
+        else Some((0 until 64).map(j => math.sin(i * 131.0 + j).toFloat))
+      (i, emb, (i % 8).toInt)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    for (qid <- Seq("q_ann_ivf", "q_ann_ivf_probe2")) {
+      val out = SparkEntry.queries(qid)(spark, dir).collect()
+      assert(out.nonEmpty, s"$qid must still return neighbors")
+      val banned = Set(7L, 8L)
+      assert(!out.exists(r => banned(r.getAs[Long]("q")) ||
+          banned(r.getAs[Long]("neighbor"))),
+        s"$qid must exclude zero-norm/null vectors entirely")
+      assert(out.forall(r => !r.isNullAt(r.fieldIndex("cos"))),
+        s"$qid must never emit a NULL cosine")
+    }
+  }
+
+  test("qcut_cutpoints: an all-NULL-price group keeps its rows, bucket 4") {
+    // exactCont omits a group whose values are all NULL; the cuts join
+    // must be LEFT so those orders survive with NULL cuts and fall
+    // through to bucket 4 — DuckDB's grouped percentile() keeps a
+    // NULL-cuts row and takes the same otherwise branch (r10 ADVICE).
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_qcut_degen").toString
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = (0L until 20L).map { i =>
+      val status = if (i < 5) "X" else if (i < 12) "F" else "O"
+      val price: Option[Double] =
+        if (status == "X") None else Some(100.0 + i)
+      (i, i % 7, status, price, ts, "1-URGENT")
+    }
+    rows.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("q_qcut_cutpoints")(spark, dir).collect()
+    assert(out.length == 20, "no order may be dropped by the cuts join")
+    val x = out.filter(_.getAs[String]("o_orderstatus") == "X")
+    assert(x.length == 5 && x.forall(_.getAs[Int]("quartile") == 4),
+      "all-NULL-price group falls through to bucket 4 (oracle parity)")
+  }
+
   test("join_overlap: canonical pairs with positive, bounded overlap") {
     val rows = q("q_join_overlap").collect()
     assert(rows.nonEmpty && rows.length <= 20)
