@@ -40,8 +40,11 @@ object SqlGuard {
     "UnresolvedRelation", "SubqueryAlias", "OneRowRelation",
     "UnresolvedInlineTable", "ResolvedInlineTable", "LocalRelation",
     "UnresolvedTableValuedFunction", "UnresolvedTVFAliases", "Range",
-    // joins / set ops
+    // joins / set ops (Except/Intersect override nodeName to append
+    // " All" for their ALL variants — r11 acceptance-suite finding:
+    // EXCEPT ALL failed closed as an unaudited statement kind)
     "Join", "LateralJoin", "Union", "Except", "Intersect",
+    "Except All", "Intersect All",
     // CTEs / subquery plumbing
     "UnresolvedWith", "With", "UnresolvedSubqueryColumnAliases",
     "CTERelationRef", "Sample",
@@ -49,6 +52,12 @@ object SqlGuard {
     "WithWindowDefinition", "Pivot", "Unpivot", "Generate",
     // DISTRIBUTE BY / CLUSTER BY — a shuffle directive, read-only
     "RepartitionByExpression",
+    // |> pipe syntax: a per-stage wrapper that desugars to ordinary query
+    // nodes at analysis; its child plans and expressions are walked like
+    // any other node, and the fuzz suite pins that pipe-stage poisons
+    // (unknown tables, banned functions, poisoned subqueries) still
+    // reject (r11 acceptance-suite finding: benign pipes failed closed)
+    "PipeOperator",
     // hints are advisory only
     "UnresolvedHint")
 
@@ -112,10 +121,11 @@ object SqlGuard {
     "md5", "sha", "sha1", "sha2", "hash", "xxhash64", "crc32", "base64",
     "unbase64", "hex", "unhex", "encode", "decode", "to_binary",
     "to_char", "to_varchar", "to_number", "try_to_binary", "try_to_number",
-    // null / conditional
+    // null / conditional (`between`: Spark 4 parses a BETWEEN b AND c to
+    // UnresolvedFunction("between") — r11 acceptance-suite finding)
     "coalesce", "nullif", "nullifzero", "zeroifnull", "nvl", "nvl2",
     "ifnull", "if", "isnull", "isnotnull", "nanvl", "equal_null",
-    "try_cast", "typeof", "assert_true", "raise_error",
+    "try_cast", "typeof", "assert_true", "raise_error", "between",
     // dates / times (current_* here are time, not environment identity)
     "current_date", "curdate", "current_timestamp", "now", "localtimestamp",
     "date_add", "dateadd", "date_sub", "datediff", "date_diff",
@@ -160,7 +170,11 @@ object SqlGuard {
     "reflect", "java_method", "input_file_name", "input_file_block_start",
     "input_file_block_length", "current_user", "user", "session_user",
     "current_catalog", "current_database", "current_schema",
-    "current_timezone", "version")
+    "current_timezone", "version",
+    // Spark 4's try_* wrapper over CallMethodViaReflection — identical
+    // reflective reach (getenv/getProperty), just NULL-on-error; banning
+    // only reflect/java_method left this alias executable (r11 fuzz find)
+    "try_reflect")
 
   /** The subset of [[bannedFunctions]] that Spark's literal-function
     * fallback also resolves from a BARE single-part attribute (no parens):

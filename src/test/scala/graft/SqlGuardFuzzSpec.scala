@@ -608,4 +608,146 @@ class SqlGuardFuzzSpec extends SparkSpec {
     assert(verdict("SELECT a FROM (WITH secrets AS (SELECT 1 AS a) " +
       "SELECT a FROM secrets) dz", None) == SqlGuard.Ok)
   }
+
+  // ------------------------------------------------ r11: new surfaces
+
+  test("DML and commands are pinned Rejected: MERGE/UPDATE/DELETE/INSERT " +
+      "and the DDL/session-command families, on legal AND unknown targets") {
+    // every write/DDL statement must land on a Command (or outside the
+    // node allowlist) — pinned here so a parser that someday gives MERGE
+    // a non-Command node fails THIS test instead of silently validating
+    val dml = Seq(
+      "MERGE INTO df USING t2 ON df.a = t2.a WHEN MATCHED THEN UPDATE SET a = 1",
+      "MERGE INTO df USING t2 ON df.a = t2.a WHEN NOT MATCHED THEN INSERT (a) VALUES (t2.a)",
+      "MERGE INTO df USING (SELECT a FROM t2) s ON df.a = s.a WHEN MATCHED THEN DELETE",
+      "MERGE INTO secrets USING df ON secrets.a = df.a WHEN MATCHED THEN DELETE",
+      "UPDATE df SET a = 1 WHERE b > 0",
+      "UPDATE df SET a = current_user()",
+      "UPDATE secrets SET a = 1",
+      "DELETE FROM df WHERE a > 0",
+      "DELETE FROM secrets",
+      "INSERT INTO df VALUES (1, 2)",
+      "INSERT INTO df SELECT a, b FROM t2",
+      "INSERT OVERWRITE TABLE df SELECT a FROM t2",
+      "INSERT INTO secrets VALUES (1)",
+      "TRUNCATE TABLE df",
+      "CREATE TABLE newt AS SELECT a FROM df",
+      "CREATE OR REPLACE TEMPORARY VIEW v1 AS SELECT a FROM df",
+      "DROP TABLE df",
+      "ALTER TABLE df ADD COLUMNS (z INT)",
+      "ANALYZE TABLE df COMPUTE STATISTICS",
+      "REFRESH TABLE df",
+      "CACHE TABLE df",
+      "UNCACHE TABLE df",
+      "SET spark.sql.shuffle.partitions = 1",
+      "DECLARE v1 INT DEFAULT 5",
+      "SET VARIABLE v1 = (SELECT max(a) FROM df)",
+      "SHOW TABLES",
+      "DESCRIBE TABLE df",
+      "EXPLAIN SELECT a FROM df",
+      "CALL cat.proc(1)")
+    for (sql <- dml; mode <- Seq(None, allowMode)) {
+      val v = verdict(sql, mode)
+      assert(v != SqlGuard.Ok, s"DML/command was Ok (mode=${mode.isDefined}): $sql")
+    }
+  }
+
+  test("try_reflect is banned like reflect, at every fuzzed expression " +
+      "position (Spark 4's try_* wrapper keeps the reflective reach)") {
+    val p = "try_reflect('java.lang.System', 'getenv', 'PATH')"
+    (0 until 60).foreach { i =>
+      val sql = sample(query(3, PExpr(p)), 25000L + i)
+      for (mode <- Seq(None, allowMode))
+        assert(verdict(sql, mode) != SqlGuard.Ok,
+          s"try_reflect slipped through (mode=${mode.isDefined}):\n$sql")
+    }
+    // the harmless try_* arithmetic family stays legal in BOTH modes —
+    // the ban is the reflective member, not the prefix
+    for (sql <- Seq(
+        "SELECT try_add(a, 1), try_subtract(a, 1), try_multiply(a, 2) FROM df",
+        "SELECT try_divide(a, b), try_mod(a, b) FROM df",
+        "SELECT try_cast(a AS INT), try_to_number(s, '999') FROM df",
+        "SELECT try_element_at(array(1, 2), 5) AS e FROM df",
+        "SELECT try_to_date(s), try_to_timestamp(s) FROM df");
+        mode <- Seq(None, allowMode))
+      assert(verdict(sql, mode) == SqlGuard.Ok,
+        s"harmless try_* rejected (mode=${mode.isDefined}): $sql")
+  }
+
+  test("named function arguments (fn(x => v)): the value slot is walked " +
+      "like any expression position") {
+    // NamedArgumentExpression holds its value one level down — a poison
+    // there must reject; subquery poisons in the value must be walked too
+    val shapes: Seq[String => String] = Seq(
+      p => s"SELECT mask(s, lowerChar => substr(($p), 1, 1)) AS m FROM df",
+      p => s"SELECT mask(s, upperChar => 'X', otherChar => substr(($p), 1, 1)) AS m FROM df",
+      p => s"SELECT count(*) FROM df HAVING count(mask('x', lowerChar => substr(($p), 1, 1))) > 0")
+    for (shape <- shapes) {
+      bannedExprs.foreach { p =>
+        assert(verdict(shape(p), None) != SqlGuard.Ok,
+          s"banned in named-arg value slipped through: ${shape(p)}")
+      }
+      assert(verdict(shape("(SELECT max(a) FROM secrets)"), None)
+        != SqlGuard.Ok, "unknown table in named-arg subquery slipped through")
+      assert(verdict(shape("(SELECT max(x) FROM sql_keywords())"), None)
+        != SqlGuard.Ok, "unlisted TVF in named-arg subquery slipped through")
+    }
+    // positive control: benign named args parse + validate (deny mode;
+    // mask is off the curated allowlist by design)
+    assert(verdict("SELECT mask(s, lowerChar => 'q') AS m FROM df", None)
+      == SqlGuard.Ok)
+  }
+
+  test("collation clauses: COLLATE'd expressions are walked; collation " +
+      "never hides a poison") {
+    val shapes: Seq[String => String] = Seq(
+      p => s"SELECT (($p)) COLLATE UNICODE_CI AS c FROM df",
+      p => s"SELECT CAST(($p) AS STRING COLLATE UTF8_LCASE) AS c FROM df",
+      p => s"SELECT a FROM df WHERE (($p)) COLLATE UTF8_LCASE = 'x'",
+      p => s"SELECT a FROM df ORDER BY (($p)) COLLATE UNICODE_CI",
+      p => s"SELECT collation(($p) COLLATE UTF8_LCASE) AS c FROM df")
+    for (shape <- shapes) {
+      bannedExprs.foreach { p =>
+        assert(verdict(shape(p), None) != SqlGuard.Ok,
+          s"banned under COLLATE slipped through: ${shape(p)}")
+      }
+      assert(verdict(shape("(SELECT max(a) FROM secrets)"), None)
+        != SqlGuard.Ok, "unknown table under COLLATE slipped through")
+    }
+    // benign collation is legal (deny mode; collate fns are off-list)
+    for (sql <- Seq(
+        "SELECT s COLLATE UNICODE_CI AS c FROM df",
+        "SELECT a FROM df ORDER BY s COLLATE UTF8_LCASE",
+        "SELECT CAST(s AS STRING COLLATE UNICODE_CI) AS c FROM df"))
+      assert(verdict(sql, None) == SqlGuard.Ok, s"benign COLLATE rejected: $sql")
+  }
+
+  test("variant functions and variant_explode: argument positions walked, " +
+      "benign variant surface legal under deny mode") {
+    val shapes: Seq[String => String] = Seq(
+      p => s"SELECT parse_json(concat('{}', ($p))) AS v FROM df",
+      p => s"SELECT variant_get(parse_json(js), concat('$$.', ($p)), 'int') AS g FROM df",
+      p => s"SELECT try_variant_get(try_parse_json(($p)), '$$.a', 'int') AS g FROM df",
+      p => s"SELECT v FROM variant_explode(parse_json(concat('[1]', ($p))))",
+      p => s"SELECT schema_of_variant(parse_json(($p))) AS sch FROM df")
+    for (shape <- shapes) {
+      bannedExprs.foreach { p =>
+        assert(verdict(shape(p), None) != SqlGuard.Ok,
+          s"banned in variant arg slipped through: ${shape(p)}")
+      }
+      assert(verdict(shape("(SELECT max(a) FROM secrets)"), None)
+        != SqlGuard.Ok, "unknown table in variant arg slipped through")
+      assert(verdict(shape("(SELECT max(x) FROM sql_keywords())"), None)
+        != SqlGuard.Ok, "unlisted TVF in variant arg slipped through")
+    }
+    // the benign semi-structured surface is deny-mode legal (variant fns
+    // are deterministic and env-free; the TVF is on the allowedTvfs list)
+    for (sql <- Seq(
+        "SELECT parse_json('{\"a\": 1}') AS v FROM df",
+        "SELECT variant_get(parse_json(js), '$.a', 'int') AS a FROM df",
+        "SELECT * FROM variant_explode(parse_json('[1, 2]'))",
+        "SELECT is_variant_null(try_parse_json(js)) AS n FROM df"))
+      assert(verdict(sql, None) == SqlGuard.Ok,
+        s"benign variant surface rejected: $sql")
+  }
 }
