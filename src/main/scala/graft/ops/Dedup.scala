@@ -643,7 +643,17 @@ object Dedup {
     * consumed); Spark can also reap it via
     * `spark.cleaner.referenceTracking.cleanCheckpoints`. */
   def connectedComponents(pairs: DataFrame,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None): DataFrame =
+    connectedComponents(pairs, checkpointDir, _ => ())
+
+  /** [[connectedComponents]] with a per-round plan probe: `roundPlanProbe`
+    * receives each round's FINAL (post-AQE) executed-plan string right
+    * after the round materializes. Test seam (PlanSpec pins the
+    * no-edge-reshuffle-per-round property through it); the public
+    * two-arg overload passes a no-op. */
+  private[graft] def connectedComponents(pairs: DataFrame,
+      checkpointDir: Option[String],
+      roundPlanProbe: String => Unit): DataFrame = {
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
     def cp(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager = true)
@@ -659,8 +669,19 @@ object Dedup {
     // carrying a CollectMetrics observation) then executes exactly once —
     // not once per union branch — and observed metrics can't double-count
     val p = cp(pairs.select(col("a"), col("b")))
+    // repartition BY dst before the checkpoint — the q_pagerank move
+    // (Graph.scala): every min-label round joins `edges` on dst, and a
+    // checkpoint of the raw union carries unknown partitioning, so each
+    // round re-shuffled the FULL edge table (the largest frame in the
+    // loop — one exchange per round, and one more AQE replan per round
+    // feeding the clean-run timing variance the r10 verdict flagged).
+    // Dataset.checkpoint preserves the physical partitioning on its
+    // LogicalRDD, so after this one-time shuffle every round's join
+    // moves only the (node, label) table; PlanSpec pins it per round
+    // through roundPlanProbe.
     val edges = cp(p.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(p.select(col("b").as("src"), col("a").as("dst"))))
+      .unionByName(p.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("dst")))
     free(p)
     // seed with min(id, min neighbor) — the first propagation round fused
     // into initialization as one aggregate (edges are symmetric, so every
@@ -682,12 +703,17 @@ object Dedup {
       // carry the previous label through as `old` so the convergence
       // check reads the checkpointed result directly — no extra
       // join-with-labels job per round
-      val next = cp(jump
+      val roundDf = jump
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nmin"), col("label")),
             coalesce(col("jl"), col("label"))).as("label"),
-          col("label").as("old")))
+          col("label").as("old"))
+      val next = cp(roundDf)
+      // probe the PRE-checkpoint frame: the eager cp above executed its
+      // plan, so this reads the round's FINAL AQE plan (cp's return value
+      // is just the checkpoint-RDD scan and would show nothing)
+      roundPlanProbe(roundDf.queryExecution.executedPlan.toString)
       changed = next.filter(col("label") =!= col("old")).count()
       // the previous round's checkpoint blocks are dead once `next` is
       // materialized and compared — free them now instead of letting one

@@ -510,4 +510,44 @@ class PlanSpec extends SparkSpec {
           s"iteration re-shuffled the cached edge frame on src#$id")
     } finally spark.conf.set(key, old)
   }
+
+  test("connectedComponents rounds: the edge table never re-shuffles and " +
+      "the pair chain never re-runs (q_dedup_clusters iteration pin)") {
+    // the q_pagerank pin, extended to the CC loop behind q_dedup_clusters/
+    // q_dedup_keep_best/q_split_leakage (r11 verdict task 1): edges are
+    // repartitioned by dst ONCE before their checkpoint, so each min-label
+    // round's neighbor join must inherit that partitioning and move only
+    // the (node, label) table — and the upstream pair-build chain (a file
+    // scan here; the banding+verify chain in production) must have
+    // executed exactly once, at checkpoint time, never inside a round.
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cc_plan").toString
+    // a 64-node chain: pointer jumping needs several rounds to converge,
+    // so the probe sees multiple per-round plans
+    (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
+      .write.mode("overwrite").parquet(dir)
+    val pairs = spark.read.parquet(dir)
+    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    val got = ops.Dedup.connectedComponents(pairs, None, plans += _)
+    assert(got.select("cluster_id").distinct().count() == 1,
+      "the chain is one component")
+    assert(got.count() == 64)
+    assert(plans.nonEmpty, "at least one round must have run")
+    for (p <- plans) {
+      val fin = p.split("== Initial Plan ==")(0)
+      assert(!fin.contains("FileScan"),
+        s"a round re-ran the pair-build chain:\n$fin")
+      // the edges checkpoint scans as ExistingRDD[src#X, dst#Y]; no
+      // exchange in the round may key on that Y — the one-time
+      // repartition before the checkpoint is the only dst movement
+      val dstIds = "Scan ExistingRDD\\[src#(\\d+)L?, ?dst#(\\d+)".r
+        .findAllMatchIn(fin).map(_.group(2)).toSet
+      assert(dstIds.nonEmpty, s"edges RDD scan not found in round plan:\n$fin")
+      for (id <- dstIds)
+        assert(!fin.contains(s"Exchange hashpartitioning(dst#$id"),
+          s"a round re-shuffled the edge table on dst#$id:\n$fin")
+    }
+    org.apache.spark.sql.graftshim.GraftDataset.freeLocalCheckpoint(got)
+  }
 }

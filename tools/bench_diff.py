@@ -14,10 +14,31 @@ rows were timed next to a host-load spike and read as fake regressions
 (the r8 driver artifact: 212 s for a 1.2 s query, canary at 12.5 s).
 """
 import json
+import os
 import re
 import sys
 
 SPIKE_RATIO = 3.0
+# a flagged ratio is "within noise" when it stays inside 1 + NOISE_SIGMA*CV
+# of the query's measured clean-to-clean coefficient of variation
+NOISE_SIGMA = 3.0
+
+
+def load_cv():
+    """Per-query clean-run CV table (VARIANCE.json, committed by the
+    round-11 variance audit: N clean Bench runs of the slow/iterative
+    subset). Keyed lookups let the diff separate 'moved beyond measured
+    noise' from 'within the band two equally clean runs already span' —
+    without it every AQE-replan wobble on the iterative family reads as
+    a regression (r10 verdict: q_dedup_clusters 3.2s vs 6.2s across two
+    CLEAN runs)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "..", "VARIANCE.json")
+    try:
+        with open(path) as f:
+            return {q: v["cv"] for q, v in json.load(f)["qids"].items()}
+    except (OSError, json.JSONDecodeError, KeyError):
+        return {}
 
 
 def load(path):
@@ -84,10 +105,30 @@ def main():
         print("added:  ", " ".join(sorted(only_new)))
     flagged = [(new[q] / old[q], q) for q in common
                if new[q] > old[q] * thr and new[q] > 0.3]
-    for r, q in sorted(flagged, reverse=True):
-        print(f"  {q:30s} {old[q]:7.2f}s -> {new[q]:7.2f}s  x{r:.1f}")
+    cv = load_cv()
+    beyond = [(r, q) for r, q in flagged
+              if r > 1 + NOISE_SIGMA * cv.get(q, 0.0)]
+    within = [(r, q) for r, q in flagged
+              if r <= 1 + NOISE_SIGMA * cv.get(q, 0.0)]
+    if beyond:
+        print(f"regressed beyond x{thr} AND beyond measured clean-run "
+              f"noise (1 + {NOISE_SIGMA}*CV):")
+        for r, q in sorted(beyond, reverse=True):
+            band = 1 + NOISE_SIGMA * cv.get(q, 0.0)
+            print(f"  {q:30s} {old[q]:7.2f}s -> {new[q]:7.2f}s  x{r:.1f}"
+                  f"  (noise band x{band:.2f})")
+    if within:
+        print(f"moved beyond x{thr} but WITHIN the clean-to-clean noise "
+              "band for that query (VARIANCE.json) — not claimable as a "
+              "regression:")
+        for r, q in sorted(within, reverse=True):
+            band = 1 + NOISE_SIGMA * cv.get(q, 0.0)
+            print(f"  {q:30s} {old[q]:7.2f}s -> {new[q]:7.2f}s  x{r:.1f}"
+                  f"  (noise band x{band:.2f})")
     if not flagged:
         print(f"no query regressed beyond x{thr} (ignoring <0.3s)")
+    if not cv:
+        print("(no VARIANCE.json CV table found — noise split skipped)")
 
 
 if __name__ == "__main__":

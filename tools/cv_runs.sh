@@ -1,0 +1,28 @@
+#!/bin/bash
+# N clean Bench runs over the variance-suspect qid subset, for the
+# per-query CV table (round-11 verdict task 1). Raw `java -cp` so sbt's
+# project lock stays free for test authoring; flags mirror build.sbt's
+# jdk17AddOpens + javaOptions.
+set -u
+N="${1:-6}"
+OUT="${2:-/tmp/cv}"
+QIDS="${QIDS:-q_recommend,q_recommend_probe,q_dedup_clusters,q_pagerank,q_dedup_report,q_triangles,q_copurchase_sim,q_split_leakage,q_ann_recall,q_dedup_keep_best,q_derive,q_describe,q_markov_eval,q_minhash_calibration}"
+mkdir -p "$OUT"
+ADD_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic \
+         sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+CP="target/scala-2.13/classes:/opt/spark/jars/*"
+for i in $(seq 1 "$N"); do
+  # alternate order seeds so order effects average out across runs
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+  SPARK_GRAFT_ONLY="$QIDS" SPARK_GRAFT_ORDER_SEED="$i" \
+  SPARK_GRAFT_BENCH_OUT="$OUT/run_$i.json" \
+  java $ADD_OPENS -Xmx48g -Dspark.ui.enabled=false \
+    -Dspark.sql.session.timeZone=UTC \
+    -cp "$CP" graft.Bench > "$OUT/run_$i.log" 2>&1
+  echo "run $i done: $(date +%T)"
+done
+echo ALL_DONE
