@@ -511,4 +511,176 @@ object StreamingDedup {
       idCol: String = "vec_id", vecCol: String = "embedding",
       tau: Double = 0.95): Dataset[SemVerdict] =
     semVerdicts(assignClusters(vecs, centers, idCol, vecCol), tau)
+
+  // ---------------------------------------------------------------------
+  // Generation compaction (r11 verdict task 3) — bounded state for
+  // LONG-LIVED ingest.
+  //
+  // The r10 rehearsal measured the scale-killer-in-waiting of the pure
+  // stateful designs: MinHash state grows linearly with everything ever
+  // ingested (~500 MB at 60× and climbing), and the embedding path's
+  // per-arrival rate declines monotonically as buckets fill. The fix is
+  // the standard LSM move: run ingest in GENERATIONS. Within a
+  // generation the stateful paths above detect pairs exactly as before;
+  // at a generation boundary the operator COMPACTS the generation's rows
+  // into a bucketed static index table (the q_simhash_index /
+  // q_dedup_index machinery) and restarts the stream with a FRESH
+  // checkpoint (empty state). The next generation then detects
+  //   - new-vs-new (same generation): the stateful path, state bounded
+  //     by ONE generation's corpus;
+  //   - new-vs-history: a stream-static equi-join against the bucketed
+  //     index — the index side never shuffles (bucketed on the join
+  //     key), only the microbatch moves, and lookup cost is independent
+  //     of how many generations history holds.
+  // The two pair sources are DISJOINT by construction (a doc is either
+  // in this generation's state or in the compacted index, never both —
+  // the fresh-checkpoint restart is the caller's contract), so the union
+  // double-counts nothing and cross-boundary parity with the batch path
+  // holds exactly (StreamingSpec pins it).
+  // ---------------------------------------------------------------------
+
+  /** Append `docs`' banded simhash rows to the compacted-history table
+    * (created on first call), bucketed + sorted on the bucket key so
+    * every later generation's [[simhashPairsWithIndex]] join reads it
+    * with zero index-side exchange. Hot buckets are capped at
+    * `maxBucket` members per compaction call (ascending doc_id — the
+    * same first-N-admitted semantics the online cap enforces), bounding
+    * the cross-join fan-out a boilerplate bucket could cause. Returns
+    * the reloaded table. */
+  def compactSimhashIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String, table: String, buckets: Int = 8,
+      maxBucket: Int = graft.ops.Dedup.defaultMaxBucket): DataFrame = {
+    val s = docs.sparkSession
+    writeCapped(withBandKeysCapped(
+        withSimhashBandKeys(docs, idCol, textCol), maxBucket),
+      path, table, buckets)
+    s.table(table)
+  }
+
+  /** Append `docs`' banded MinHash rows to the compacted-history table —
+    * same contract as [[compactSimhashIndex]]. */
+  def compactMinhashIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String, table: String, buckets: Int = 8,
+      maxBucket: Int = graft.ops.Dedup.defaultMaxBucket): DataFrame = {
+    val s = docs.sparkSession
+    writeCapped(withBandKeysCapped(
+        withBandKeys(docs, idCol, textCol), maxBucket),
+      path, table, buckets)
+    s.table(table)
+  }
+
+  /** Append `vecs`' exact-signature rows (the identity probe only — one
+    * row per vector) to the compacted-history table, bucketed on the
+    * signature. Same contract as [[compactSimhashIndex]]; the cap keys
+    * on the exact signature. */
+  def compactEmbeddingIndex(vecs: DataFrame, idCol: String, vecCol: String,
+      bits: Int, path: String, table: String, buckets: Int = 8,
+      maxBucket: Int = graft.ops.Dedup.defaultMaxBucket): DataFrame = {
+    val s = vecs.sparkSession
+    val own = withProbeKeys(vecs, idCol, vecCol, bits)
+      .filter(col("own"))
+      .select(col("gkey").as("bkey"), col("vec_id"), col("embedding"),
+        col("nrm"))
+    val capped = own
+      .withColumn("_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("bkey").orderBy("vec_id")))
+      .filter(col("_rk") <= maxBucket).drop("_rk")
+    writeCapped(capped, path, table, buckets)
+    s.table(table)
+  }
+
+  /** First-`maxBucket`-per-bucket cap, ascending doc_id (one offline
+    * window per compaction — a batch job, not the ingest hot path). */
+  private def withBandKeysCapped(banded: DataFrame, maxBucket: Int) =
+    banded.withColumn("_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "bkey").orderBy("doc_id")))
+      .filter(col("_rk") <= maxBucket).drop("_rk")
+
+  private def writeCapped(df: DataFrame, path: String, table: String,
+      buckets: Int): Unit =
+    df.write.mode("append").bucketBy(buckets, "bkey").sortBy("bkey")
+      .option("path", path).saveAsTable(table)
+
+  private val packedHamming =
+    "CAST(bit_count(CAST(conv(substring(sig, 1, 32), 2, 10) AS BIGINT) ^ " +
+      "CAST(conv(substring(i_sig, 1, 32), 2, 10) AS BIGINT)) + " +
+      "bit_count(CAST(conv(substring(sig, 33, 32), 2, 10) AS BIGINT) ^ " +
+      "CAST(conv(substring(i_sig, 33, 32), 2, 10) AS BIGINT)) AS INT)"
+
+  /** [[simhashPairs]] plus the cross-generation index join: in-generation
+    * pairs from the stateful path, history pairs from a stream-static
+    * equi-join on (band, bkey) against the compacted index (exact packed
+    * popcount-of-xor Hamming verified on candidates only, like the batch
+    * path). `index` is [[compactSimhashIndex]]'s table; ingest this
+    * generation against a FRESH checkpoint, or state/index overlap will
+    * duplicate pairs. Emits the same (a, b, hamming, band) shape —
+    * cross-band duplicates of one (a, b) stay the caller's downstream
+    * distinct, same stance as the stateful path. */
+  def simhashPairsWithIndex(banded: DataFrame, index: DataFrame,
+      maxHamming: Int = 3,
+      maxBucket: Int = graft.ops.Dedup.defaultMaxBucket,
+      capFired: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
+    val idx = index.select(col("band"), col("bkey"),
+      col("doc_id").as("i_doc"), col("sig").as("i_sig"))
+    val cross = banded.join(idx, Seq("band", "bkey"))
+      .filter(col("doc_id") =!= col("i_doc"))
+      .withColumn("hamming", expr(packedHamming))
+      .filter(col("hamming") <= maxHamming)
+      .select(least(col("doc_id"), col("i_doc")).as("a"),
+        greatest(col("doc_id"), col("i_doc")).as("b"),
+        col("hamming"), col("band"))
+    simhashPairs(banded, maxHamming, maxBucket, capFired).toDF()
+      .unionByName(cross)
+  }
+
+  /** [[nearDupPairs]] plus the cross-generation index join — MinHash
+    * agreement estimated slot-wise on (band, bkey) candidates, same
+    * contract as [[simhashPairsWithIndex]]. */
+  def nearDupPairsWithIndex(banded: DataFrame, index: DataFrame,
+      minEst: Double = 0.5,
+      maxBucket: Int = graft.ops.Dedup.defaultMaxBucket,
+      capFired: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
+    val idx = index.select(col("band"), col("bkey"),
+      col("doc_id").as("i_doc"), col("sig").as("i_sig"))
+    val cross = banded.join(idx, Seq("band", "bkey"))
+      .filter(col("doc_id") =!= col("i_doc"))
+      .withColumn("est", expr(
+        "size(filter(zip_with(sig, i_sig, (x, y) -> x = y), v -> v)) / 8.0D"))
+      .filter(col("est") >= minEst)
+      .select(least(col("doc_id"), col("i_doc")).as("a"),
+        greatest(col("doc_id"), col("i_doc")).as("b"),
+        col("est"), col("band"))
+    nearDupPairs(banded, minEst, maxBucket, capFired).toDF()
+      .unionByName(cross)
+  }
+
+  /** [[embeddingPairs]] plus the cross-generation index join: the
+    * arriving side's bits+1 probe rows equi-join the index's EXACT
+    * signatures, so a Hamming≤1 pair still matches in exactly one probe —
+    * the stateful path's exactly-once property carries over; exact cosine
+    * (the codegen'd dot_f kernel) verified on candidates only. Same
+    * fresh-checkpoint contract as [[simhashPairsWithIndex]]. */
+  def embeddingPairsWithIndex(probed: Dataset[ProbedVec], index: DataFrame,
+      minCos: Double = 0.9,
+      maxBucket: Int = graft.ops.Dedup.defaultMaxBucket,
+      capFired: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
+    graft.functions.FloatDotProduct.register(probed.sparkSession)
+    val idx = index.select(col("bkey").as("gkey"),
+      col("vec_id").as("i_vec"), col("embedding").as("i_emb"),
+      col("nrm").as("i_nrm"))
+    val cross = probed.toDF().join(idx, Seq("gkey"))
+      .filter(col("vec_id") =!= col("i_vec"))
+      .withColumn("cos",
+        expr("dot_f(embedding, i_emb)") / (col("nrm") * col("i_nrm")))
+      .filter(col("cos") >= minCos)
+      .select(least(col("vec_id"), col("i_vec")).as("a"),
+        greatest(col("vec_id"), col("i_vec")).as("b"), col("cos"))
+    embeddingPairs(probed, minCos, maxBucket, capFired).toDF()
+      .unionByName(cross)
+  }
 }

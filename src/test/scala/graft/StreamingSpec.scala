@@ -1237,4 +1237,218 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exists { case (a, b, _) => a < 100000L && b >= 100000L },
       "cross-microbatch pairs must survive the provider swap")
   }
+
+  // ------------------------------------------------------------------
+  // Generation compaction (r11 task 3): parity across the boundary.
+  // Each test ingests generation 1 with the plain stateful path, then
+  // COMPACTS it into the bucketed index table, restarts with a fresh
+  // checkpoint (empty state), ingests generation 2 with the
+  // index-joined variant, and asserts gen1 ∪ gen2 pairs equal the batch
+  // ground truth over the FULL corpus — the cross-boundary pairs can
+  // only come from the index join, so a lost compaction shows up as
+  // missing pairs, a state/index overlap as extras.
+  // ------------------------------------------------------------------
+
+  private def stageOne(dir: java.nio.file.Path,
+      part: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft_st_$name")
+    part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val f = java.nio.file.Files.list(tmp)
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    val dst = dir.resolve(s"$name.parquet")
+    java.nio.file.Files.copy(f, dst)
+    java.nio.file.Files.setLastModifiedTime(dst,
+      java.nio.file.attribute.FileTime.fromMillis(mtime))
+  }
+
+  test("simhash compaction boundary: gen1 (stateful) + compact + gen2 " +
+      "(index-joined, fresh state) == batch over the full corpus") {
+    import graft.streaming.StreamingDedup
+    val raw = Tables.documents(spark, sf).select("doc_id", "text")
+    val mutated = raw.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        regexp_replace(col("text"), "^[^ ]+", "zzz").as("text"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val idxTbl = s"graft_shc_idx_$tag"
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_shc_idx").toString
+    try {
+      // generation 1: plain stateful ingest
+      val dir1 = java.nio.file.Files.createTempDirectory("graft_shc_g1")
+      stageOne(dir1, raw, "0_base", 1000000L)
+      val s1 = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir1.toString)
+      val q1 = StreamingDedup.detectSimhash(s1).toDF()
+        .writeStream.outputMode("append")
+        .format("memory").queryName("shc_g1").start()
+      try q1.processAllAvailable() finally q1.stop()
+      // compaction: gen1's banded rows land in the bucketed index table
+      val index = StreamingDedup.compactSimhashIndex(
+        raw, "doc_id", "text", s"$idxPath/idx", idxTbl)
+      // generation 2: FRESH checkpoint/state, stateful + index join
+      val dir2 = java.nio.file.Files.createTempDirectory("graft_shc_g2")
+      stageOne(dir2, mutated, "0_mut", 1000000L)
+      val s2 = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir2.toString)
+      val q2 = StreamingDedup.simhashPairsWithIndex(
+          StreamingDedup.withSimhashBandKeys(s2, "doc_id", "text"), index)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("shc_g2").start()
+      try q2.processAllAvailable() finally q2.stop()
+
+      val streamed = spark.table("shc_g1").select("a", "b", "hamming")
+        .unionByName(spark.table("shc_g2").select("a", "b", "hamming"))
+        .distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val bb = StreamingDedup.withSimhashBandKeys(
+        raw.unionByName(mutated), "doc_id", "text")
+      val x = bb.select(col("band"), col("bkey"), col("doc_id").as("a"),
+        col("sig").as("sa"))
+      val y = bb.select(col("band"), col("bkey"), col("doc_id").as("b"),
+        col("sig").as("sb"))
+      val truth = x.join(y, Seq("band", "bkey")).filter(col("a") < col("b"))
+        .withColumn("hamming", expr(
+          "aggregate(sequence(1, 64), 0, (acc, i) -> acc + " +
+            "IF(substring(sa, i, 1) = substring(sb, i, 1), 0, 1))"))
+        .filter(col("hamming") <= 3)
+        .select("a", "b", "hamming").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(streamed == truth,
+        s"compacted two-generation pairs must equal the batch self-join: " +
+          s"missing=${truth -- streamed}, extra=${streamed -- truth}")
+      assert(streamed.exists { case (a, b, _) => a < 100000L && b >= 100000L },
+        "cross-boundary pairs must surface through the compacted index")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $idxTbl")
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(idxPath))
+    }
+  }
+
+  test("minhash compaction boundary: gen1 + compact + gen2 == batch") {
+    import graft.streaming.StreamingDedup
+    val raw = Tables.documents(spark, sf).select("doc_id", "text")
+    val mutated = raw.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        regexp_replace(col("text"), "^[^ ]+", "zzz").as("text"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val idxTbl = s"graft_mhc_idx_$tag"
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_mhc_idx").toString
+    try {
+      val dir1 = java.nio.file.Files.createTempDirectory("graft_mhc_g1")
+      stageOne(dir1, raw, "0_base", 1000000L)
+      val s1 = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir1.toString)
+      val q1 = StreamingDedup.detect(s1).toDF()
+        .writeStream.outputMode("append")
+        .format("memory").queryName("mhc_g1").start()
+      try q1.processAllAvailable() finally q1.stop()
+      val index = StreamingDedup.compactMinhashIndex(
+        raw, "doc_id", "text", s"$idxPath/idx", idxTbl)
+      val dir2 = java.nio.file.Files.createTempDirectory("graft_mhc_g2")
+      stageOne(dir2, mutated, "0_mut", 1000000L)
+      val s2 = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir2.toString)
+      val q2 = StreamingDedup.nearDupPairsWithIndex(
+          StreamingDedup.withBandKeys(s2, "doc_id", "text"), index)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("mhc_g2").start()
+      try q2.processAllAvailable() finally q2.stop()
+
+      val streamed = spark.table("mhc_g1").select("a", "b", "est")
+        .unionByName(spark.table("mhc_g2").select("a", "b", "est"))
+        .distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val bb = StreamingDedup.withBandKeys(
+        raw.unionByName(mutated), "doc_id", "text")
+      val x = bb.select(col("band"), col("bkey"), col("doc_id").as("a"),
+        col("sig").as("sa"))
+      val y = bb.select(col("band"), col("bkey"), col("doc_id").as("b"),
+        col("sig").as("sb"))
+      val truth = x.join(y, Seq("band", "bkey")).filter(col("a") < col("b"))
+        .withColumn("est", expr(
+          "CAST(size(filter(zip_with(sa, sb, (p, q) -> p = q), m -> m)) AS DOUBLE) / 8"))
+        .filter(col("est") >= 0.5)
+        .select("a", "b", "est").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed == truth,
+        s"compacted two-generation pairs must equal the batch self-join: " +
+          s"missing=${truth -- streamed}, extra=${streamed -- truth}")
+      assert(streamed.exists { case (a, b, _) => a < 100000L && b >= 100000L },
+        "cross-boundary pairs must surface through the compacted index")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $idxTbl")
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(idxPath))
+    }
+  }
+
+  test("embedding compaction boundary: gen1 + compact + gen2 == batch " +
+      "multi-probe LSH, still exactly-once") {
+    import graft.streaming.StreamingDedup
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val late = e.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        expr("transform(embedding, x -> CAST(x * 2 AS FLOAT))").as("embedding"))
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val bits = ops.Similarity.Planes
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val idxTbl = s"graft_emc_idx_$tag"
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_emc_idx").toString
+    try {
+      val dir1 = java.nio.file.Files.createTempDirectory("graft_emc_g1")
+      stageOne(dir1, e, "0_base", 1000000L)
+      val s1 = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir1.toString)
+      val q1 = StreamingDedup.detectEmbedding(s1, bits = bits).toDF()
+        .writeStream.outputMode("append")
+        .format("memory").queryName("emc_g1").start()
+      try q1.processAllAvailable() finally q1.stop()
+      val index = StreamingDedup.compactEmbeddingIndex(
+        e, "vec_id", "embedding", bits, s"$idxPath/idx", idxTbl)
+      val dir2 = java.nio.file.Files.createTempDirectory("graft_emc_g2")
+      stageOne(dir2, late, "0_late", 1000000L)
+      val s2 = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir2.toString)
+      val q2 = StreamingDedup.embeddingPairsWithIndex(
+          StreamingDedup.withProbeKeys(s2, "vec_id", "embedding", bits)
+            .as[StreamingDedup.ProbedVec], index)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("emc_g2").start()
+      try q2.processAllAvailable() finally q2.stop()
+
+      val streamed = spark.table("emc_g1")
+        .select(col("a"), col("b"), round(col("cos"), 6).as("c"))
+        .unionByName(spark.table("emc_g2")
+          .select(col("a"), col("b"), round(col("cos"), 6).as("c")))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(streamed.length == streamed.distinct.length,
+        "emission must stay exactly-once per pair across the boundary " +
+          "(probes hit exact index signatures — one match per pair)")
+      val truth = ops.Similarity.embeddingNearDup(
+          e.unionByName(late), "vec_id", "embedding",
+          bits = bits, minCos = 0.9)
+        .select(col("a"), col("b"), round(col("cos"), 6).as("c"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(streamed.toSet == truth.toSet,
+        s"compacted two-generation pairs must equal the batch LSH: " +
+          s"missing=${truth.toSet -- streamed.toSet}, " +
+          s"extra=${streamed.toSet -- truth.toSet}")
+      assert(streamed.exists { case (a, b, _) => a < 100000L && b >= 100000L },
+        "cross-boundary pairs must surface through the compacted index")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $idxTbl")
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(idxPath))
+    }
+  }
 }
