@@ -179,6 +179,13 @@ class GuardAcceptanceSpec extends SparkSpec {
     "SELECT truth, pred, count(*) AS n FROM df GROUP BY truth, pred ORDER BY truth, pred",
     "SELECT c AS grp, percentile(a, 0.25) AS q1, percentile(a, 0.5) AS med, percentile(a, 0.75) AS q3, min(a) AS lo, max(a) AS hi FROM df GROUP BY c",
     "SELECT b AS value, count(*) AS n FROM df GROUP BY b ORDER BY n DESC, value LIMIT 20",
+    // statement forms without a SELECT keyword (still pure reads)
+    "TABLE df",
+    "VALUES (1, 'a'), (2, 'b')",
+    // ORDER BY ALL / null-safe equality / :: cast shorthand (Spark 4)
+    "SELECT a, b FROM df ORDER BY ALL",
+    "SELECT a FROM df WHERE a <=> b",
+    "SELECT a :: DOUBLE AS d, b :: STRING AS s2 FROM df",
     // pipe syntax desugars to ordinary read-only nodes
     "FROM df |> WHERE a > 1 |> SELECT a, b",
     "FROM df |> SELECT a, b + 1 AS y |> WHERE y > 2 |> LIMIT 10",
