@@ -1388,6 +1388,60 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("compacting an EMPTY generation is safe: the index join over an " +
+      "empty index changes nothing, and empty compaction does not fail") {
+    // degenerate boundary: an operator may compact on a schedule even if
+    // a generation ingested nothing (quiet pipeline). The empty compact
+    // must still create a readable (empty) index table, and
+    // simhashPairsWithIndex over it must emit exactly the plain
+    // stateful pair set.
+    import graft.streaming.StreamingDedup
+    val raw = Tables.documents(spark, sf).select("doc_id", "text")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val idxTbl = s"graft_emp_idx_$tag"
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_emp_idx").toString
+    try {
+      val index = StreamingDedup.compactSimhashIndex(
+        raw.filter(col("doc_id") < 0), "doc_id", "text",
+        s"$idxPath/idx", idxTbl)
+      assert(index.count() == 0, "empty generation compacts to empty index")
+      val dir = java.nio.file.Files.createTempDirectory("graft_emp_g")
+      stageOne(dir, raw, "0_base", 1000000L)
+      val st = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      val q = StreamingDedup.simhashPairsWithIndex(
+          StreamingDedup.withSimhashBandKeys(st, "doc_id", "text"), index)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("emp_idx_out").start()
+      try q.processAllAvailable() finally q.stop()
+      val withEmptyIdx = spark.table("emp_idx_out")
+        .select("a", "b", "hamming").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      // plain stateful truth over the same single-generation corpus
+      val bb = StreamingDedup.withSimhashBandKeys(raw, "doc_id", "text")
+      val x = bb.select(col("band"), col("bkey"), col("doc_id").as("a"),
+        col("sig").as("sa"))
+      val y = bb.select(col("band"), col("bkey"), col("doc_id").as("b"),
+        col("sig").as("sb"))
+      val truth = x.join(y, Seq("band", "bkey")).filter(col("a") < col("b"))
+        .withColumn("hamming", expr(
+          "aggregate(sequence(1, 64), 0, (acc, i) -> acc + " +
+            "IF(substring(sa, i, 1) = substring(sb, i, 1), 0, 1))"))
+        .filter(col("hamming") <= 3)
+        .select("a", "b", "hamming").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(withEmptyIdx == truth,
+        "an empty index must leave the stateful pair set unchanged")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $idxTbl")
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(idxPath))
+    }
+  }
+
   test("embedding compaction boundary: gen1 + compact + gen2 == batch " +
       "multi-probe LSH, still exactly-once") {
     import graft.streaming.StreamingDedup
