@@ -644,16 +644,17 @@ object Dedup {
     * `spark.cleaner.referenceTracking.cleanCheckpoints`. */
   def connectedComponents(pairs: DataFrame,
       checkpointDir: Option[String] = None): DataFrame =
-    connectedComponents(pairs, checkpointDir, _ => ())
+    connectedComponents(pairs, checkpointDir, None)
 
-  /** [[connectedComponents]] with a per-round plan probe: `roundPlanProbe`
-    * receives each round's FINAL (post-AQE) executed-plan string right
-    * after the round materializes. Test seam (PlanSpec pins the
-    * no-edge-reshuffle-per-round property through it); the public
-    * two-arg overload passes a no-op. */
+  /** [[connectedComponents]] with a per-round plan probe: when present,
+    * `roundPlanProbe` receives each round's FINAL (post-AQE)
+    * executed-plan string right after the round materializes. Test seam
+    * (PlanSpec pins the no-edge-reshuffle-per-round property through
+    * it); an Option so the production path (None, via the public
+    * two-arg overload) never pays the per-round plan-toString render. */
   private[graft] def connectedComponents(pairs: DataFrame,
       checkpointDir: Option[String],
-      roundPlanProbe: String => Unit): DataFrame = {
+      roundPlanProbe: Option[String => Unit]): DataFrame = {
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
     def cp(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager = true)
@@ -713,7 +714,7 @@ object Dedup {
       // probe the PRE-checkpoint frame: the eager cp above executed its
       // plan, so this reads the round's FINAL AQE plan (cp's return value
       // is just the checkpoint-RDD scan and would show nothing)
-      roundPlanProbe(roundDf.queryExecution.executedPlan.toString)
+      roundPlanProbe.foreach(_(roundDf.queryExecution.executedPlan.toString))
       changed = next.filter(col("label") =!= col("old")).count()
       // the previous round's checkpoint blocks are dead once `next` is
       // materialized and compared — free them now instead of letting one

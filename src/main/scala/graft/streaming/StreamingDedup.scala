@@ -543,16 +543,19 @@ object StreamingDedup {
     * (created on first call), bucketed + sorted on the bucket key so
     * every later generation's [[simhashPairsWithIndex]] join reads it
     * with zero index-side exchange. Hot buckets are capped at
-    * `maxBucket` members per compaction call (ascending doc_id — the
-    * same first-N-admitted semantics the online cap enforces), bounding
-    * the cross-join fan-out a boilerplate bucket could cause. Returns
-    * the reloaded table. */
+    * `maxBucket` members TOTAL across all compactions (ascending doc_id
+    * within a call — the same first-N-admitted semantics the online cap
+    * enforces; earlier generations' admissions count against the
+    * budget, so a boilerplate bucket's cross-join fan-out stays bounded
+    * by `maxBucket` regardless of how many generations a long-lived
+    * ingest compacts). Returns the reloaded table. */
   def compactSimhashIndex(docs: DataFrame, idCol: String, textCol: String,
       path: String, table: String, buckets: Int = 8,
       maxBucket: Int = graft.ops.Dedup.defaultMaxBucket): DataFrame = {
     val s = docs.sparkSession
-    writeCapped(withBandKeysCapped(
-        withSimhashBandKeys(docs, idCol, textCol), maxBucket),
+    writeCapped(capAgainstExisting(
+        withSimhashBandKeys(docs, idCol, textCol),
+        Seq("band", "bkey"), "doc_id", maxBucket, s, table),
       path, table, buckets)
     s.table(table)
   }
@@ -563,8 +566,9 @@ object StreamingDedup {
       path: String, table: String, buckets: Int = 8,
       maxBucket: Int = graft.ops.Dedup.defaultMaxBucket): DataFrame = {
     val s = docs.sparkSession
-    writeCapped(withBandKeysCapped(
-        withBandKeys(docs, idCol, textCol), maxBucket),
+    writeCapped(capAgainstExisting(
+        withBandKeys(docs, idCol, textCol),
+        Seq("band", "bkey"), "doc_id", maxBucket, s, table),
       path, table, buckets)
     s.table(table)
   }
@@ -581,22 +585,37 @@ object StreamingDedup {
       .filter(col("own"))
       .select(col("gkey").as("bkey"), col("vec_id"), col("embedding"),
         col("nrm"))
-    val capped = own
-      .withColumn("_rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("bkey").orderBy("vec_id")))
-      .filter(col("_rk") <= maxBucket).drop("_rk")
-    writeCapped(capped, path, table, buckets)
+    writeCapped(
+      capAgainstExisting(own, Seq("bkey"), "vec_id", maxBucket, s, table),
+      path, table, buckets)
     s.table(table)
   }
 
-  /** First-`maxBucket`-per-bucket cap, ascending doc_id (one offline
-    * window per compaction — a batch job, not the ingest hot path). */
-  private def withBandKeysCapped(banded: DataFrame, maxBucket: Int) =
-    banded.withColumn("_rk", row_number().over(
+  /** First-N-per-bucket cap with the admission budget charged against
+    * what earlier compactions already wrote: rank this call's rows
+    * ascending `idCol` within each bucket (one offline window per
+    * compaction — a batch job, not the ingest hot path), then admit only
+    * ranks ≤ `maxBucket − already-in-table`. The existing per-bucket
+    * counts (one small row per bucket) are materialized eagerly so the
+    * append never reads the table it is writing. */
+  private def capAgainstExisting(rows: DataFrame, keys: Seq[String],
+      idCol: String, maxBucket: Int, s: SparkSession, table: String)
+      : DataFrame = {
+    val ranked = rows.withColumn("_rk", row_number().over(
         org.apache.spark.sql.expressions.Window
-          .partitionBy("band", "bkey").orderBy("doc_id")))
-      .filter(col("_rk") <= maxBucket).drop("_rk")
+          .partitionBy(keys.map(col): _*).orderBy(idCol)))
+    if (!s.catalog.tableExists(table)) {
+      ranked.filter(col("_rk") <= maxBucket).drop("_rk")
+    } else {
+      val have = s.table(table).groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("_have"))
+        .localCheckpoint(true) // snapshot BEFORE the self-append starts
+      ranked.join(have, keys, "left")
+        .filter(col("_rk") <= lit(maxBucket.toLong)
+          - coalesce(col("_have"), lit(0L)))
+        .drop("_rk", "_have")
+    }
+  }
 
   private def writeCapped(df: DataFrame, path: String, table: String,
       buckets: Int): Unit =
@@ -615,7 +634,14 @@ object StreamingDedup {
     * popcount-of-xor Hamming verified on candidates only, like the batch
     * path). `index` is [[compactSimhashIndex]]'s table; ingest this
     * generation against a FRESH checkpoint, or state/index overlap will
-    * duplicate pairs. Emits the same (a, b, hamming, band) shape —
+    * duplicate pairs. CALLER CONTRACT — unique ids per generation: the
+    * stateful side suppresses a doc_id re-delivered in a later
+    * microbatch (its bucket state remembers it), but the index join is
+    * stateless and would re-emit that doc's (doc, history) pairs once
+    * per delivery, so an at-least-once source must be deduplicated on
+    * doc_id upstream (e.g. `dropDuplicates("doc_id")` with a watermark)
+    * before this operator — the exactly-once pair claim holds for
+    * exactly-once arrivals. Emits the same (a, b, hamming, band) shape —
     * cross-band duplicates of one (a, b) stay the caller's downstream
     * distinct, same stance as the stateful path. */
   def simhashPairsWithIndex(banded: DataFrame, index: DataFrame,

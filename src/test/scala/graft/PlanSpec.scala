@@ -529,7 +529,7 @@ class PlanSpec extends SparkSpec {
       .write.mode("overwrite").parquet(dir)
     val pairs = spark.read.parquet(dir)
     val plans = scala.collection.mutable.ArrayBuffer.empty[String]
-    val got = ops.Dedup.connectedComponents(pairs, None, plans += _)
+    val got = ops.Dedup.connectedComponents(pairs, None, Some(plans += _))
     assert(got.select("cluster_id").distinct().count() == 1,
       "the chain is one component")
     assert(got.count() == 64)

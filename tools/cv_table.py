@@ -27,11 +27,16 @@ def main():
     for path in sorted(glob.glob(f"{indir}/run_*.json")):
         d = json.loads(open(path).read())
         lc = d.get("load_canary", {})
-        thr = lc.get("spike_threshold") or (3 * lc.get("min", 0))
+        # explicit None checks: a null canary min must not TypeError, and
+        # an explicit spike_threshold of 0 must be honored, not replaced
+        thr = lc.get("spike_threshold")
+        if thr is None:
+            mn = lc.get("min")
+            thr = 3 * mn if mn else None  # no canary data -> no exclusion
         cb = d.get("canary_before", {})
         kept = dropped = 0
         for q, t in d["queries"].items():
-            if thr and cb.get(q, 0) > thr:
+            if thr is not None and cb.get(q, 0) > thr:
                 dropped += 1
                 continue
             samples.setdefault(q, []).append(t)
