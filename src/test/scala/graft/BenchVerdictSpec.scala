@@ -65,4 +65,61 @@ class BenchVerdictSpec extends AnyFunSuite {
     assert(Bench.contentionVerdict(flat, Nil)._1 == 0)
     assert(Bench.contentionVerdict(Nil, Seq(9.9))._1 == 0)
   }
+
+  // ---- renderLine: the tail-survivable output layout (r11 verdict task
+  // 2 — every driver BENCH_r*.json so far kept only the last ~2,000
+  // chars of the line, losing the verdict fields that sat at the head)
+
+  private def mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** 231-query-shaped fixture: enough rows that the map alone overflows
+    * a 2,000-char tail window, like the real suite. */
+  private def bigLine: String = {
+    val results = (1 to 231).map(i => (f"q_fixture_$i%03d", 0.5 + i * 0.01))
+    val canaries = Seq.fill(231)(0.2)
+    val cb = results.map { case (k, _) => (k, 0.2) }
+    Bench.renderLine("/root/testdata/sf0.1", results, canaries, canaries,
+      cb, healed = 0)
+  }
+
+  test("renderLine emits one valid JSON line with the contract fields") {
+    val line = bigLine
+    assert(!line.contains("\n"))
+    val root = mapper.readTree(line)
+    assert(root.get("metric").asText() == "total")
+    assert(root.get("unit").asText() == "sec")
+    assert(root.get("queries").size() == 231)
+    assert(root.get("load_canary").get("contended").asInt() == 0)
+    assert(math.abs(root.get("value").asDouble()
+      - root.get("summary").get("total").asDouble()) < 1e-9)
+  }
+
+  test("any 2,000-char tail window preserves a complete, parseable " +
+      "summary verdict") {
+    val line = bigLine
+    assert(line.length > 4000, "fixture must actually overflow the window")
+    val tail = line.takeRight(2000)
+    val idx = tail.lastIndexOf("\"summary\":")
+    assert(idx >= 0, "summary must sit inside the last 2,000 chars")
+    val summary = mapper.readTree(
+      tail.substring(idx + "\"summary\":".length).stripSuffix("}"))
+    assert(summary.get("rows").asInt() == 231)
+    assert(summary.get("contended").asInt() == 0)
+    assert(summary.get("healed").asInt() == 0)
+    assert(summary.get("spike_threshold").asDouble() > 0)
+    assert(summary.get("full_path").asText() == "BENCH_FULL.json")
+  }
+
+  test("the summary digest is the sha256 prefix of the exact queries-map " +
+      "text, so a kept full artifact is authenticatable from the tail") {
+    val line = bigLine
+    val qStart = line.indexOf("\"queries\":") + "\"queries\":".length
+    val qEnd = line.indexOf("}", qStart) + 1
+    val qs = line.substring(qStart, qEnd)
+    val want = mapper.readTree(line).get("summary")
+      .get("queries_sha256_16").asText()
+    val got = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(qs.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    assert(got == want)
+  }
 }

@@ -70,13 +70,69 @@ def load(path):
         if thr is None and lc.get("min"):
             thr = SPIKE_RATIO * lc["min"]
     else:
-        # truncated tail: regex out whatever survived. canary_before and
-        # queries share the "qid":sec shape, so take the LAST occurrence
-        # per qid (queries prints last / closest to the kept tail).
+        # truncated tail. Since r12 the line ENDS with a complete ~300-char
+        # "summary" object carrying the verdict plus a 16-hex sha256 prefix
+        # of the exact `"queries":{...}` text — if a committed full artifact
+        # (BENCH_FULL.json next to this file or in the repo root) hashes to
+        # the same digest, it IS this run: load the complete map from it.
+        full = recover_from_summary(raw, path)
+        if full is not None:
+            return full
+        # pre-r12 tail (no summary): regex out whatever survived.
+        # canary_before and queries share the "qid":sec shape, so take the
+        # LAST occurrence per qid (queries prints last / closest to the
+        # kept tail).
         queries = {m.group(1): float(m.group(2))
                    for m in re.finditer(r'"(q_\w+)":([0-9.]+)', raw)}
         cb, thr = {}, None
     return queries, cb, thr
+
+
+def recover_from_summary(raw, path):
+    """Parse the line-ending summary object out of a truncated tail; on a
+    digest match against a sibling/repo BENCH_FULL.json, return that full
+    artifact's (queries, canary_before, spike_threshold). With a summary
+    but no matching full artifact, fall back to the summary's own
+    spike_threshold with whatever query rows the tail kept."""
+    idx = raw.rfind('"summary":')
+    if idx < 0:
+        return None
+    s = raw[idx + len('"summary":'):].strip()
+    if s.endswith("}}"):  # drop the line's outer closing brace
+        s = s[:-1]
+    try:
+        summary = json.loads(s)
+    except json.JSONDecodeError:
+        return None
+    want = summary.get("queries_sha256_16")
+    here = os.path.dirname(os.path.abspath(path))
+    repo = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+    for cand in (os.path.join(here, summary.get("full_path", "")),
+                 os.path.join(repo, summary.get("full_path", ""))):
+        try:
+            fraw = open(cand).read()
+        except OSError:
+            continue
+        m = re.search(r'"queries":(\{[^{}]*\})', fraw)
+        if not m or not want:
+            continue
+        import hashlib
+        got = hashlib.sha256(m.group(1).encode()).hexdigest()[:16]
+        if got == want:
+            print(f"[{os.path.basename(path)}] truncated tail: digest "
+                  f"{want} matches {cand} — using its full map")
+            d = json.loads(fraw)
+            lc = d.get("load_canary", {})
+            thr = lc.get("spike_threshold")
+            if thr is None and lc.get("min"):
+                thr = SPIKE_RATIO * lc["min"]
+            return d["queries"], d.get("canary_before", {}), thr
+    # summary survived but no authenticated full artifact: keep the tail's
+    # rows and at least the true threshold (no canary_before -> no
+    # per-row exclusion, same as the pre-r12 fallback)
+    queries = {m.group(1): float(m.group(2))
+               for m in re.finditer(r'"(q_\w+)":([0-9.]+)', raw[:idx])}
+    return queries, {}, summary.get("spike_threshold")
 
 
 def spiked_qids(cb, thr):
