@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // a 200+-query suite compiles thousands of generated classes; the JVM
+  // default 240m code cache fills and starts FLUSHING compiled methods,
+  // which lands multi-second random slowdowns on whichever query runs
+  // next (the r12 variance root cause — DESIGN.md "bench variance")
+  "-XX:ReservedCodeCacheSize=512m",
 )

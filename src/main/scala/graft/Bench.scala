@@ -55,6 +55,12 @@ object Bench {
       // nanosAsLong is enabled on demand by Tables.eventsRaw, only when
       // events.ts is actually TIMESTAMP(NANOS)
       .config("spark.ui.enabled", "false")
+      // the default 100-entry codegen cache thrashes under a 200+-query
+      // suite: every timed run re-pays Janino compilation and C2 warmup
+      // of brand-new classes, whose cost depends on JVM-global JIT/code-
+      // cache state — the r12 variance root cause (DESIGN.md). A session
+      // serving this many distinct queries holds them all.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -120,6 +126,7 @@ object Bench {
     // sweep (the one-JSON-line contract is unchanged)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty) // empty/blank env var means the full suite
     val selected = only match {
       case Some(set) => SparkEntry.queries.filter { case (k, _) => set(k) }
       case None => SparkEntry.queries

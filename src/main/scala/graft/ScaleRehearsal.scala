@@ -145,6 +145,8 @@ object ScaleRehearsal {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // many-workload JVM: same codegen-cache sizing rationale as Bench
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (stateStore == "rocksdb")
@@ -906,35 +908,42 @@ object ScaleRehearsal {
         .replace("-", "").take(8)
       val idxTbl = s"graft_cmp_idx_$runTag"
       val idxPath = s"$scratch/cmp_idx_$runTag"
-      val nGens = compactChunks / genSize
       // (gen, batchId, rows, sec, stateRows, stateBytes)
       val allBatches = scala.collection.mutable.ArrayBuffer
         .empty[(Int, Long, Long, Double, Long, Long)]
       val compactSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
+      // r12 (r11 verdict task 3): the generation boundary is DECIDED BY
+      // THE POLICY at runtime, not scheduled by this harness. The state-
+      // row threshold is calibrated off the first batch (aiming ~genSize
+      // chunks per generation when state grows roughly linearly per
+      // chunk), then StreamingDedup.CompactionPolicy runs the recipe in
+      // its scaladoc: fire → stop → compact → fresh checkpoint → resume
+      // with the index join.
+      var policy: streaming.StreamingDedup.CompactionPolicy = null
+      val genChunks = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var gen = 0
       try {
         var index: DataFrame = null
-        for (g <- 0 until nGens) {
-          // per-generation polled dir holding ONLY this generation's
-          // chunks; fresh checkpoint = fresh (empty) state
-          val genDir = new java.io.File(s"$scratch/${srcTag}_gen$g")
+        var batchesThisGen = 0
+        var genFirstChunk = 0
+        var genDir: java.io.File = null
+        var q: org.apache.spark.sql.streaming.StreamingQuery = null
+        def startGen(): Unit = {
+          genDir = new java.io.File(s"$scratch/${srcTag}_pgen$gen")
           org.apache.commons.io.FileUtils.deleteQuietly(genDir)
           genDir.mkdirs()
-          for (k <- g * genSize until (g + 1) * genSize) {
-            val srcF = new java.io.File(cacheDir, f"chunk_$k%02d.parquet")
-            val dst = new java.io.File(genDir, srcF.getName)
-            java.nio.file.Files.copy(srcF.toPath, dst.toPath)
-            dst.setLastModified(1000000L * (k + 1))
-          }
-          val ckpt = s"$scratch/cmp_ckpt_${name}_$g"
+          val ckpt = s"$scratch/cmp_ckpt_${name}_$gen"
           org.apache.commons.io.FileUtils.deleteQuietly(
             new java.io.File(ckpt))
           val stream = spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", "1").parquet(genDir.toString)
-          val out = if (g == 0) statefulPipeline(stream)
+          val out = if (gen == 0) statefulPipeline(stream)
             else indexedPipeline(stream, index)
-          val q = out.writeStream.format("noop")
+          q = out.writeStream.format("noop")
             .option("checkpointLocation", ckpt).start()
-          try q.processAllAvailable() finally q.stop()
+          batchesThisGen = 0
+        }
+        def drainProgress(): Unit =
           q.recentProgress.toSeq.filter(_.numInputRows > 0)
             .sortBy(_.batchId).foreach { p =>
               val sec =
@@ -943,21 +952,49 @@ object ScaleRehearsal {
                 .map(_.numRowsTotal).getOrElse(-1L)
               val sb = p.stateOperators.headOption
                 .map(_.memoryUsedBytes).getOrElse(-1L)
-              allBatches += ((g, p.batchId, p.numInputRows, sec, st, sb))
+              allBatches += ((gen, p.batchId, p.numInputRows, sec, st, sb))
             }
+        def closeGen(lastChunk: Int): Unit = {
+          q.stop()
+          drainProgress()
+          genChunks += (lastChunk - genFirstChunk + 1)
           // boundary compaction, timed (the operator's maintenance cost)
           val t0 = System.nanoTime()
           val genCorpus = chunkSource().filter(
             pmod(col(idCol), lit(compactChunks.toLong))
-              .between(g * genSize, (g + 1) * genSize - 1))
+              .between(genFirstChunk, lastChunk))
           index = compactGen(genCorpus, s"$idxPath/idx", idxTbl)
           compactSecs += (System.nanoTime() - t0) / 1e9
+          gen += 1
+          genFirstChunk = lastChunk + 1
+        }
+        startGen()
+        for (k <- 0 until compactChunks) {
+          val srcF = new java.io.File(cacheDir, f"chunk_$k%02d.parquet")
+          val dst = new java.io.File(genDir, srcF.getName)
+          java.nio.file.Files.copy(srcF.toPath, dst.toPath)
+          dst.setLastModified(1000000L * (k + 1))
+          q.processAllAvailable()
+          batchesThisGen += 1
+          if (policy == null) {
+            // calibrate once, off the first batch's observed state rows
+            val s0 = Option(q.lastProgress)
+              .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+            policy = streaming.StreamingDedup.CompactionPolicy(
+              maxStateRows = math.max(1L, s0 * genSize))
+          }
+          if (k == compactChunks - 1) closeGen(k)
+          else if (policy.shouldCompact(q.lastProgress, batchesThisGen)) {
+            closeGen(k)
+            startGen()
+          }
         }
       } finally {
         spark.sql(s"DROP TABLE IF EXISTS $idxTbl")
         org.apache.commons.io.FileUtils.deleteQuietly(
           new java.io.File(idxPath))
       }
+      val nGens = gen
       val rates = allBatches.map { case (_, _, r, s0, _, _) =>
         if (s0 > 0) r / s0 else 0.0 }
       val rateRatio =
@@ -980,7 +1017,10 @@ object ScaleRehearsal {
       }.mkString("[", ",", "]")
       s"""{"metric":"streaming_rehearsal","mult":$mult,""" +
         s""""workload":"$name","chunks":$compactChunks,""" +
-        s""""generations":$nGens,"gen_size":$genSize,""" +
+        s""""generations":$nGens,"gen_size_target":$genSize,""" +
+        s""""gen_chunks":${genChunks.mkString("[", ",", "]")},""" +
+        s""""policy_max_state_rows":${
+          Option(policy).map(_.maxStateRows).getOrElse(-1L)},""" +
         s""""state_store":"$stateStore",""" +
         s""""rate_last_over_first":${f"$rateRatio%.2f"},""" +
         s""""rate_gen_medians":${genMedians.map(v => f"$v%.0f")

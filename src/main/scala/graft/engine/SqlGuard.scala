@@ -183,6 +183,26 @@ object SqlGuard {
   private val bareLiteralFunctions =
     Set("current_user", "user", "session_user")
 
+  /** Session-variable namespace check (r11 verdict task 5): Spark
+    * resolves an otherwise-unresolvable attribute `v` / `session.v` /
+    * `system.session.v` as a SQL session variable — a read channel into
+    * whatever the HOST session DECLAREd (DECLARE/SET VARIABLE themselves
+    * are Commands and already rejected, so generated SQL cannot create
+    * variables, but it could read pre-existing ones through the explicit
+    * namespace). The guard has view names but not schemas, so it cannot
+    * tell a real `session.field` struct access from the variable
+    * fallback — same stance as [[bareLiteralFunctions]]: fail closed on
+    * the ADDRESSABLE namespace forms and tell the caller to qualify
+    * (`df.session.field` resolves the column and passes). Bare 1-part
+    * names stay legal — banning every possible column name is absurd,
+    * and that channel only exists if the host declared a variable whose
+    * name shadows no column, which the engine's own sessions never do. */
+  private def isVariableNamespace(parts: Seq[String]): Boolean = {
+    val lc = parts.map(_.toLowerCase)
+    (lc.length == 3 && lc(0) == "system" && lc(1) == "session") ||
+      (lc.length == 2 && lc(0) == "session")
+  }
+
   def parse(spark: SparkSession, sql: String): Either[String, LogicalPlan] =
     try Right(spark.sessionState.sqlParser.parsePlan(sql))
     catch {
@@ -257,6 +277,14 @@ object SqlGuard {
 
       p match {
         case r: UnresolvedRelation =>
+          // STREAM(t) / STREAM t parses to the SAME UnresolvedRelation
+          // node with isStreaming=true (r12 fuzz find: the name-only
+          // check validated a streaming read of an allowed view) — the
+          // guard surface is batch analytics, so streaming reads fail
+          // closed regardless of the relation name
+          if (r.isStreaming)
+            return Some(Rejected("streaming relation not allowed: " +
+              r.multipartIdentifier.mkString(".")))
           val name = r.multipartIdentifier.mkString(".").toLowerCase
           if (!scope.contains(name))
             return Some(Rejected(s"unknown table: $name " +
@@ -300,19 +328,37 @@ object SqlGuard {
             rejection = Some(Rejected(s"function not in allowlist: $n"))
         }
       }
+      // shared by UnresolvedAttribute AND UnresolvedNamedLambdaVariable:
+      // inside a lambda body the parser wraps EVERY attribute (not just
+      // the lambda's own arguments) as a lambda variable, and the
+      // analyzer rewrites unmatched ones back to plain attributes — so a
+      // bare identity keyword or a variable-namespace reference inside
+      // `transform(arr, x -> ...)` resolves exactly like the top-level
+      // form (r12 fuzz find: the lambda wrapping skipped both checks)
+      def checkAttrParts(parts: Seq[String]): Unit = {
+        if (parts.length == 1 &&
+            bareLiteralFunctions.contains(parts.head.toLowerCase))
+          rejection = Some(Rejected(
+            s"bare identity keyword not allowed: ${parts.head.toLowerCase} " +
+              "(resolves to the function when no such column exists; " +
+              "alias the column if one does)"))
+        else if (isVariableNamespace(parts))
+          rejection = Some(Rejected(
+            s"session-variable namespace not allowed: " +
+              s"${parts.mkString(".")} " +
+              "(resolves to a SQL session variable when no such column " +
+              "exists; qualify the column with its table/alias if one does)"))
+      }
       exprRoots.foreach(_.foreach { e =>
         if (rejection.isEmpty) e match {
           case d if d.nodeName == "ExpressionWithUnresolvedIdentifier" =>
             rejection = Some(Rejected(
               "deferred IDENTIFIER() not allowed: name not statically checkable"))
-          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-              if a.nameParts.length == 1 &&
-                bareLiteralFunctions.contains(a.nameParts.head.toLowerCase) =>
-            rejection = Some(Rejected(
-              s"bare identity keyword not allowed: " +
-                s"${a.nameParts.head.toLowerCase} " +
-                "(resolves to the function when no such column exists; " +
-                "alias the column if one does)"))
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            checkAttrParts(a.nameParts)
+          case lv: org.apache.spark.sql.catalyst.expressions
+              .UnresolvedNamedLambdaVariable =>
+            checkAttrParts(lv.nameParts)
           case f: UnresolvedFunction =>
             checkFnName(f.nameParts.mkString(".").toLowerCase)
           case g: UnresolvedGenerator =>

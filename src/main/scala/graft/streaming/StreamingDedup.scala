@@ -539,6 +539,60 @@ object StreamingDedup {
   // holds exactly (StreamingSpec pins it).
   // ---------------------------------------------------------------------
 
+  /** WHEN to compact — the production trigger for the generation
+    * machinery below (r11 verdict task 3: the boundary was previously
+    * the caller's fixed-schedule job). A pure predicate over the state
+    * metrics Structured Streaming already publishes on every microbatch
+    * (`StreamingQueryProgress.stateOperators`): fire when total state
+    * rows or bytes cross a threshold, but never before
+    * `minBatchesPerGeneration` batches (a floor so a threshold
+    * misconfigured below one batch's state can't thrash
+    * compact-per-batch).
+    *
+    * RESTART RECIPE (the caller's loop; ScaleRehearsal's
+    * runCompactingWorkload is the reference implementation and
+    * StreamingSpec pins parity):
+    *   1. run the generation's stream (stateful path for generation 0,
+    *      [[simhashPairsWithIndex]] / [[nearDupPairsWithIndex]] /
+    *      [[embeddingPairsWithIndex]] after) and AFTER EACH microbatch
+    *      ask `policy.shouldCompact(query.lastProgress, batchesThisGen)`;
+    *   2. when it fires: STOP the stream (between batches — `q.stop()`
+    *      after `processAllAvailable`, or from a
+    *      StreamingQueryListener.onQueryProgress signal);
+    *   3. compact the generation's corpus into the bucketed history
+    *      index ([[compactSimhashIndex]] & friends — idempotent cap
+    *      against existing contents);
+    *   4. resume with a FRESH checkpoint (empty state) and the
+    *      *WithIndex pipeline joining the reloaded index table.
+    * The fresh checkpoint is what makes the state/index sides disjoint
+    * (a doc is in this generation's state XOR the compacted index), so
+    * parity with the batch path survives every boundary. */
+  final case class CompactionPolicy(
+      maxStateRows: Long = Long.MaxValue,
+      maxStateBytes: Long = Long.MaxValue,
+      minBatchesPerGeneration: Int = 1) {
+    require(maxStateRows > 0 && maxStateBytes > 0 &&
+      minBatchesPerGeneration >= 1, "thresholds must be positive")
+
+    /** The pure core (spec-pinned): fire iff past the batch floor AND
+      * either metric crossed its threshold. */
+    def shouldCompact(stateRows: Long, stateBytes: Long,
+        batchesThisGeneration: Int): Boolean =
+      batchesThisGeneration >= minBatchesPerGeneration &&
+        (stateRows >= maxStateRows || stateBytes >= maxStateBytes)
+
+    /** Progress-reading face: sums across state operators (the dedup
+      * pipelines run one, but a caller may compose more). Null progress
+      * (no batch yet) never fires. */
+    def shouldCompact(
+        progress: org.apache.spark.sql.streaming.StreamingQueryProgress,
+        batchesThisGeneration: Int): Boolean =
+      progress != null && shouldCompact(
+        progress.stateOperators.map(_.numRowsTotal).sum,
+        progress.stateOperators.map(_.memoryUsedBytes).sum,
+        batchesThisGeneration)
+  }
+
   /** Append `docs`' banded simhash rows to the compacted-history table
     * (created on first call), bucketed + sorted on the bucket key so
     * every later generation's [[simhashPairsWithIndex]] join reads it

@@ -195,6 +195,42 @@ class GuardAcceptanceSpec extends SparkSpec {
     "SELECT a COLLATE UNICODE_CI AS ci FROM df",
     "SELECT startswith(s COLLATE UTF8_LCASE, 'abc') AS p FROM df",
     "SELECT CAST(s AS STRING COLLATE UNICODE_CI) AS cs FROM df",
+    // --- legal twins of the r12 rejection classes (scripting, session
+    //     variables, streaming, function DDL) — the batch-analytic shapes
+    //     a user actually wants stay legal while the namespace rejects
+    // session-ish NAMES are not the session-variable NAMESPACE
+    "SELECT session_id FROM df",
+    "SELECT df.session.field FROM df", // qualified struct access: escape hatch
+    "SELECT sessions.a FROM df AS sessions",
+    "SELECT a AS session FROM df",
+    "SELECT s.a, s.b FROM df s WHERE s.a > 0",
+    // sessionization the BATCH way (session_window is allowlisted)
+    "SELECT session_window(ts, '5 minutes') AS sw, count(*) AS n FROM df GROUP BY 1",
+    "SELECT window(ts, '10 seconds') AS w, count(*) AS n FROM df GROUP BY 1",
+    "SELECT window_time(window(ts, '1 hour')) AS wt FROM df GROUP BY window(ts, '1 hour')",
+    // multi-statement INTENT expressed as one legal statement (the
+    // scripting twins: what BEGIN...END users actually need)
+    "WITH step1 AS (SELECT a, b FROM df WHERE a > 0), " +
+      "step2 AS (SELECT a, sum(b) AS s FROM step1 GROUP BY a) " +
+      "SELECT * FROM step2 WHERE s > 10",
+    "SELECT CASE WHEN (SELECT max(a) FROM df) > 0 THEN 1 ELSE 2 END AS branch",
+    "WITH v1 AS (SELECT max(a) AS mx FROM df) SELECT df.a FROM df, v1 WHERE df.a > v1.mx - 10",
+    // the function surface a CREATE FUNCTION user wants, inline
+    "SELECT a * a AS sq FROM df",
+    "SELECT transform(arr, x -> x * x) AS sqs FROM df",
+    // more everyday analytics breadth (corpus floor is now 150)
+    "SELECT a, b FROM df WHERE (a, b) IN (SELECT a, x FROM t2)",
+    // Spark has no quantified comparisons (= ANY / > ALL); the
+    // equivalent legal spellings:
+    "SELECT a FROM df WHERE a IN (SELECT a FROM t2)",
+    "SELECT a FROM df WHERE a > (SELECT max(a) FROM t2 WHERE x < 0)",
+    "SELECT count(*) FILTER (WHERE a IS NULL) AS n_null, count(*) AS n FROM df",
+    "SELECT bit_and(a) AS ba, bit_or(a) AS bo, bit_xor(a) AS bx FROM df",
+    "SELECT a DIV 10 AS bucket, count(*) AS n FROM df GROUP BY 1",
+    "SELECT a % 7 AS m, -a AS neg, +a AS pos FROM df",
+    "SELECT * FROM df WHERE ts >= DATE '2024-01-01' AND ts < TIMESTAMP '2024-07-01 00:00:00'",
+    "SELECT array_agg(DISTINCT a) AS uniq FROM df",
+    "SELECT a, sum(b) AS s FROM df GROUP BY a WITH ROLLUP",
     // multi-poison-free kitchen sink: CTE + window + join + grouping
     "WITH base AS (SELECT df.a, t2.x, df.ts FROM df JOIN t2 ON df.a = t2.a) " +
       "SELECT a, x, avg(x) OVER (PARTITION BY a ORDER BY ts ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS r " +
@@ -240,10 +276,14 @@ class GuardAcceptanceSpec extends SparkSpec {
     "SELECT spark_partition_id() AS pid FROM df",
     // the collation() FUNCTION is off the curated list (the COLLATE
     // clause itself is an expression node — legal both modes, above)
-    "SELECT collation(s COLLATE UTF8_LCASE) AS coll FROM df")
+    "SELECT collation(s COLLATE UTF8_LCASE) AS coll FROM df",
+    // r12 additions: deterministic aggregates/math off the curated list
+    "SELECT a, max_by(b, c) AS best, min_by(b, c) AS worst FROM df GROUP BY a",
+    "SELECT hypot(a, b) AS h FROM df",
+    "SELECT try_sum(a) AS s, try_avg(a) AS m FROM df")
 
-  test("acceptance corpus has >= 100 statements") {
-    assert(legalBoth.size + legalDenyOnly.size >= 100,
+  test("acceptance corpus has >= 150 statements") {
+    assert(legalBoth.size + legalDenyOnly.size >= 150,
       s"corpus too small: ${legalBoth.size} + ${legalDenyOnly.size}")
   }
 
@@ -292,7 +332,20 @@ class GuardAcceptanceSpec extends SparkSpec {
       ("SELECT IDENTIFIER('abs')(a) FROM df",
         "deferred IDENTIFIER() function: same fail-closed stance"),
       ("SELECT try_reflect('java.lang.Math', 'abs', a) FROM df",
-        "try_reflect is reflective reach even on harmless targets"))
+        "try_reflect is reflective reach even on harmless targets"),
+      // r12 classes (legal twins live in legalBoth above)
+      ("SELECT session.v FROM df",
+        "session-variable namespace: resolves to a host-declared SQL " +
+          "variable when no such column exists; qualify a real struct " +
+          "column as df.session.v"),
+      ("SELECT system.session.v FROM df",
+        "session-variable namespace (fully qualified form)"),
+      ("BEGIN SELECT a FROM df; END",
+        "SQL scripting block: unaudited statement kind, fail closed"),
+      ("SELECT * FROM STREAM(df)",
+        "streaming relation: the guard surface is batch-only"),
+      ("CREATE TEMPORARY FUNCTION f AS 'com.example.Udf'",
+        "UDF registration is arbitrary-code reach (Command gate)"))
     for ((sql, why) <- intended; mode <- Seq(None, allowMode)) {
       assert(check(sql, mode) != SqlGuard.Ok,
         s"intended rejection was Ok ($why): $sql")

@@ -532,17 +532,17 @@ class SqlGuardFuzzSpec extends SparkSpec {
       assert(verdict(sql, mode) != SqlGuard.Ok,
         s"time-travel clause was Ok: $sql")
     }
-    // session-variable references: PINNED AS ACCEPTED (the documented
-    // residual, DESIGN.md r10). `system.session.x` is a multi-part
-    // UnresolvedAttribute the guard cannot distinguish from a struct
-    // column path; variables resolve BELOW column precedence, DECLARE is
-    // a Command (rejected), so a leak needs a host-declared variable AND
-    // a view lacking a samename column — rejecting all session.* paths
-    // would break genuine struct columns named `session`, a worse trade.
-    // This pin is intent, not oversight: flip it only with a schema-aware
-    // guard that can tell the two apart.
-    assert(verdict("SELECT system.session.x FROM df", None) == SqlGuard.Ok)
-    assert(verdict("SELECT session.x FROM df", None) == SqlGuard.Ok)
+    // session-variable references: the r10 pin accepted these because
+    // rejecting session.* paths would break struct columns named
+    // `session` — r12 FLIPPED that pin: qualifying through the view
+    // (df.session.x) resolves the same column and passes, so the
+    // fail-closed rejection costs only an alias, not the column (the
+    // escape hatch the r10 rationale lacked). The flip is pinned in the
+    // dedicated r12 session-variable test below; here keep the escape
+    // hatch itself pinned.
+    assert(verdict("SELECT system.session.x FROM df", None) != SqlGuard.Ok)
+    assert(verdict("SELECT session.x FROM df", None) != SqlGuard.Ok)
+    assert(verdict("SELECT df.session.x FROM df", None) == SqlGuard.Ok)
   }
 
   test("expression holders OFF the argument list — aggregate FILTER, " +
@@ -749,5 +749,144 @@ class SqlGuardFuzzSpec extends SparkSpec {
         "SELECT is_variant_null(try_parse_json(js)) AS n FROM df"))
       assert(verdict(sql, None) == SqlGuard.Ok,
         s"benign variant surface rejected: $sql")
+  }
+
+  // ------------------------------------------------ r12: new surfaces
+
+  test("SQL scripting blocks (BEGIN...END) are pinned not-Ok in both " +
+      "modes — legal bodies, DECLARE/SET inside, control flow, labels") {
+    // Spark 4's SQL scripting is a separate statement kind the guard has
+    // not audited: whether a given script fails at parsePlan (scripts go
+    // through parseScript) or lands on an unlisted node, the verdict must
+    // be a CAUGHT rejection, never Ok and never a thrown error.
+    val bodies = Seq(
+      "SELECT a FROM df;",
+      "SELECT a FROM df; SELECT b FROM t2;",
+      "DECLARE v1 INT DEFAULT 5; SELECT v1;",
+      "DECLARE v1 INT; SET VAR v1 = (SELECT max(a) FROM df); SELECT v1;",
+      "SET VARIABLE v1 = 1; SELECT a FROM df WHERE a > v1;",
+      "IF (SELECT max(a) FROM df) > 0 THEN SELECT 1; ELSE SELECT 2; END IF;",
+      "WHILE 1 = 0 DO SELECT a FROM df; END WHILE;",
+      "REPEAT SELECT a FROM df; UNTIL 1 = 1 END REPEAT;",
+      "FOR r AS SELECT a FROM df DO SELECT r.a; END FOR;",
+      "LOOP SELECT 1; END LOOP;",
+      "BEGIN SELECT a FROM df; END;", // nested block
+      "SELECT current_user();", // poisoned body must reject a fortiori
+      "SELECT a FROM secrets;",
+      "EXECUTE IMMEDIATE 'SELECT 1';",
+      "DECLARE c CURSOR FOR SELECT a FROM df; OPEN c;",
+      "SIGNAL SQLSTATE '45000';")
+    val wrappers: Seq[String => String] = Seq(
+      b => s"BEGIN $b END",
+      b => s"lbl: BEGIN $b END lbl",
+      b => s"BEGIN DECLARE tmp INT DEFAULT 0; $b END",
+      b => s"BEGIN BEGIN $b END; END")
+    for (body <- bodies; wrap <- wrappers; mode <- Seq(None, allowMode)) {
+      val sql = wrap(body)
+      val v = verdict(sql, mode)
+      assert(v != SqlGuard.Ok,
+        s"scripting block was Ok (mode=${mode.isDefined}):\n$sql")
+    }
+  }
+
+  test("function-DDL commands are pinned Rejected: CREATE [TEMPORARY] " +
+      "FUNCTION / DROP FUNCTION / SHOW FUNCTIONS hit the Command gate") {
+    // UDF registration via SQL is arbitrary-code reach (a jar/class of
+    // the attacker's choosing) — must stay behind the fail-closed
+    // Command rejection forever; pinned on legal AND unknown names
+    val ddl = Seq(
+      "CREATE TEMPORARY FUNCTION f AS 'com.example.Udf'",
+      "CREATE OR REPLACE TEMPORARY FUNCTION f AS 'com.example.Udf'",
+      "CREATE TEMPORARY FUNCTION f AS 'com.example.Udf' USING JAR '/tmp/x.jar'",
+      "CREATE FUNCTION cat.db.f AS 'com.example.Udf'",
+      "CREATE FUNCTION f AS 'com.example.Udf' USING FILE '/etc/passwd'",
+      "CREATE OR REPLACE FUNCTION sq(x INT) RETURNS INT RETURN x * x",
+      "CREATE FUNCTION tbl_f(x INT) RETURNS TABLE (y INT) RETURN SELECT x",
+      "DROP FUNCTION f",
+      "DROP TEMPORARY FUNCTION IF EXISTS f",
+      "SHOW USER FUNCTIONS",
+      "SHOW FUNCTIONS LIKE 'current*'",
+      "DESCRIBE FUNCTION current_user",
+      "REFRESH FUNCTION f")
+    for (sql <- ddl; mode <- Seq(None, allowMode))
+      assert(verdict(sql, mode) != SqlGuard.Ok,
+        s"function DDL was Ok (mode=${mode.isDefined}): $sql")
+  }
+
+  test("session-variable namespace references are rejected at every " +
+      "expression position; qualified column access stays legal") {
+    // DECLARE/SET VARIABLE are Commands (already pinned), but READING a
+    // host-declared variable needs no command: system.session.v and
+    // session.v resolve as variables when no column matches. The guard
+    // cannot see schemas, so the addressable namespace fails closed.
+    val varRefs = Seq("system.session.v", "SYSTEM.SESSION.v",
+      "session.v", "SESSION.secret", "system.session.api_key")
+    val shapes: Seq[String => String] = Seq(
+      r => s"SELECT $r FROM df",
+      r => s"SELECT a FROM df WHERE b = $r",
+      r => s"SELECT a FROM df ORDER BY $r",
+      r => s"SELECT sum(a) FROM df GROUP BY b HAVING max(b) > $r",
+      r => s"SELECT row_number() OVER (PARTITION BY $r ORDER BY a) FROM df",
+      r => s"SELECT (SELECT max(a) FROM t2 WHERE t2.b = $r) FROM df",
+      r => s"SELECT transform(array(1), x -> x + $r) FROM df",
+      r => s"SELECT a FROM df LIMIT $r")
+    for (r <- varRefs; shape <- shapes; mode <- Seq(None, allowMode)) {
+      val sql = shape(r)
+      assert(verdict(sql, mode) != SqlGuard.Ok,
+        s"variable-namespace ref was Ok (mode=${mode.isDefined}): $sql")
+    }
+    // qualified struct/column access keeps its escape hatch, and tables
+    // merely NAMED LIKE the namespace stay legal
+    for (sql <- Seq(
+        "SELECT df.session.field FROM df", // 3-part starting at the view
+        "SELECT s.a FROM df s",
+        "SELECT sessions.a FROM df AS sessions", // 'sessions' != 'session'
+        "SELECT session_id FROM df", // 1-part names never match
+        "SELECT a AS session FROM df")) // output alias, not a reference
+      assert(verdict(sql, None) == SqlGuard.Ok,
+        s"legal qualified access over-rejected: $sql")
+  }
+
+  test("streaming relations, WATERMARK clauses, and streaming TVFs " +
+      "never validate Ok — batch-only guard surface") {
+    // the engine's generated-SQL surface is batch analytics over
+    // registered views; anything that parses to a streaming read (or a
+    // new streaming clause we have not audited) must fail closed —
+    // caught rejection or parse error, never Ok, never a crash
+    val streaming = Seq(
+      "SELECT * FROM STREAM(df)",
+      "SELECT * FROM STREAM df",
+      "SELECT * FROM STREAM(df) WATERMARK ts DELAY OF INTERVAL 10 SECONDS",
+      "SELECT a FROM STREAM(secrets)",
+      "SELECT * FROM STREAM(range(10))",
+      "SELECT window(ts, '10 seconds'), count(*) FROM STREAM(df) GROUP BY 1",
+      "SELECT * FROM changes(df, 'earliest')",
+      "SELECT * FROM table_changes('df', 0)",
+      "SELECT * FROM read_stream('df')",
+      "SELECT * FROM stream_read('df')")
+    for (sql <- streaming; mode <- Seq(None, allowMode)) {
+      val v = verdict(sql, mode)
+      assert(v != SqlGuard.Ok,
+        s"streaming surface was Ok (mode=${mode.isDefined}): $sql")
+    }
+  }
+
+  test("poisons inside scripting blocks still reject when fuzzed: a " +
+      "script wrapper never launders a poison (60 sampled skeletons)") {
+    // belt and braces over the scripting pin: even if a future parser
+    // version makes parsePlan accept scripts, a poisoned body must still
+    // land on the poison rejection or the node gate — sampled across the
+    // full query grammar, wrapped in a block
+    (0 until 60).foreach { i =>
+      val poison =
+        if (i % 3 == 0) PExpr(bannedExprs(i % bannedExprs.length))
+        else if (i % 3 == 1) PTable
+        else PTvf
+      val inner = sample(query(3, poison), 37000L + i)
+      val sql = s"BEGIN $inner; END"
+      for (mode <- Seq(None, allowMode))
+        assert(verdict(sql, mode) != SqlGuard.Ok,
+          s"script-wrapped poison was Ok (mode=${mode.isDefined}):\n$sql")
+    }
   }
 }

@@ -1388,6 +1388,122 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("CompactionPolicy semantics: thresholds, the batch floor, and " +
+      "null progress") {
+    import graft.streaming.StreamingDedup.CompactionPolicy
+    val p = CompactionPolicy(maxStateRows = 1000, maxStateBytes = 1 << 20,
+      minBatchesPerGeneration = 2)
+    assert(!p.shouldCompact(999L, 100L, 5), "below both thresholds")
+    assert(p.shouldCompact(1000L, 100L, 2), "row threshold fires at >=")
+    assert(p.shouldCompact(10L, 1 << 20, 2), "byte threshold fires alone")
+    assert(!p.shouldCompact(5000L, 1 << 21, 1),
+      "the batch floor suppresses a first-batch fire (no thrashing)")
+    assert(!p.shouldCompact(
+      null: org.apache.spark.sql.streaming.StreamingQueryProgress, 9),
+      "no progress yet never fires")
+    intercept[IllegalArgumentException](CompactionPolicy(maxStateRows = 0))
+  }
+
+  test("policy-driven compaction: the CompactionPolicy trigger (not the " +
+      "test) decides the generation boundary; parity holds across " +
+      "however many generations it cuts") {
+    import graft.streaming.StreamingDedup
+    val raw = Tables.documents(spark, sf).select("doc_id", "text")
+    val nChunks = 4
+    val chunks = (0 until nChunks).map(k =>
+      raw.filter(pmod(col("doc_id"), lit(nChunks.toLong)) === k))
+    // threshold calibrated off chunk 0's bucket-group count (state rows =
+    // one per (band, bkey) group), so the trigger fires mid-run at any
+    // sf — the TEST never hardcodes a boundary index
+    val g0 = StreamingDedup.withBandKeys(chunks(0), "doc_id", "text")
+      .select("band", "bkey").distinct().count()
+    val policy = StreamingDedup.CompactionPolicy(maxStateRows = g0 * 3 / 2)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val idxTbl = s"graft_pol_idx_$tag"
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_pol_idx").toString
+    val pairs = scala.collection.mutable.Set.empty[(Long, Long, Double)]
+    val boundaryStateRows = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var gen = 0
+    try {
+      var index: org.apache.spark.sql.DataFrame = null
+      var batchesThisGen = 0
+      val genChunks =
+        scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+      var dir = java.nio.file.Files.createTempDirectory(s"graft_pol_g$gen")
+      def start() = {
+        val src = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+        val out = if (gen == 0) StreamingDedup.detect(src).toDF()
+          else StreamingDedup.nearDupPairsWithIndex(
+            StreamingDedup.withBandKeys(src, "doc_id", "text"), index)
+        out.writeStream.outputMode("append")
+          .format("memory").queryName(s"pol_g$gen").start()
+      }
+      def drain(): Unit = {
+        spark.table(s"pol_g$gen").select("a", "b", "est").distinct()
+          .collect()
+          .foreach(r => pairs += ((r.getLong(0), r.getLong(1), r.getDouble(2))))
+      }
+      var q = start()
+      for ((chunk, k) <- chunks.zipWithIndex) {
+        stageOne(dir, chunk, f"c$k%02d", 1000000L * (k + 1))
+        q.processAllAvailable()
+        batchesThisGen += 1
+        genChunks += chunk
+        // THE SEAM UNDER TEST: the restart recipe runs iff the policy
+        // fires (step 1 of the CompactionPolicy scaladoc recipe)
+        if (k < nChunks - 1 &&
+            policy.shouldCompact(q.lastProgress, batchesThisGen)) {
+          boundaryStateRows +=
+            q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+          q.stop() // step 2: stop between batches
+          drain()
+          index = StreamingDedup.compactMinhashIndex( // step 3: compact
+            genChunks.reduce(_ unionByName _), "doc_id", "text",
+            s"$idxPath/idx", idxTbl)
+          gen += 1 // step 4: fresh checkpoint/state + index join
+          batchesThisGen = 0
+          genChunks.clear()
+          dir = java.nio.file.Files.createTempDirectory(s"graft_pol_g$gen")
+          q = start()
+        }
+      }
+      q.stop()
+      drain()
+      assert(gen >= 1, "the policy never fired — threshold calibration " +
+        s"is off (g0=$g0, maxStateRows=${policy.maxStateRows})")
+      for (r <- boundaryStateRows)
+        assert(r >= policy.maxStateRows,
+          s"a boundary was cut below the policy threshold: $r")
+      // parity over the FULL corpus, same ground truth as the fixed-
+      // boundary tests — correct across however many cuts were made
+      val bb = StreamingDedup.withBandKeys(raw, "doc_id", "text")
+      val x = bb.select(col("band"), col("bkey"), col("doc_id").as("a"),
+        col("sig").as("sa"))
+      val y = bb.select(col("band"), col("bkey"), col("doc_id").as("b"),
+        col("sig").as("sb"))
+      val truth = x.join(y, Seq("band", "bkey")).filter(col("a") < col("b"))
+        .withColumn("est", expr(
+          "CAST(size(filter(zip_with(sa, sb, (p, q) -> p = q), m -> m)) AS DOUBLE) / 8"))
+        .filter(col("est") >= 0.5)
+        .select("a", "b", "est").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pairs.toSet == truth,
+        s"policy-cut generations must equal the batch self-join: " +
+          s"missing=${truth -- pairs}, extra=${pairs.toSet -- truth}")
+      assert(truth.exists { case (a, b, _) => a % nChunks != b % nChunks },
+        "ground truth must contain cross-chunk pairs, or the index join " +
+          "was never exercised")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $idxTbl")
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(idxPath))
+    }
+  }
+
   test("compacting an EMPTY generation is safe: the index join over an " +
       "empty index changes nothing, and empty compaction does not fail") {
     // degenerate boundary: an operator may compact on a schedule even if

@@ -16,11 +16,16 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
 done
 CP="target/scala-2.13/classes:/opt/spark/jars/*"
 for i in $(seq 1 "$N"); do
-  # alternate order seeds so order effects average out across runs
+  # alternate order seeds so order effects average out across runs;
+  # QIDS=all runs the FULL suite (one sample per qid per JVM — the same
+  # basis as the driver's graded bench, which is what the CV table gates)
+  ONLY_ENV=""
+  [ "$QIDS" != "all" ] && ONLY_ENV="$QIDS"
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
-  SPARK_GRAFT_ONLY="$QIDS" SPARK_GRAFT_ORDER_SEED="$i" \
+  SPARK_GRAFT_ONLY="$ONLY_ENV" SPARK_GRAFT_ORDER_SEED="$i" \
   SPARK_GRAFT_BENCH_OUT="$OUT/run_$i.json" \
-  java $ADD_OPENS -Xmx48g -Dspark.ui.enabled=false \
+  java $ADD_OPENS -Xmx48g -XX:ReservedCodeCacheSize=512m \
+    -Dspark.ui.enabled=false \
     -Dspark.sql.session.timeZone=UTC \
     -cp "$CP" graft.Bench > "$OUT/run_$i.log" 2>&1
   echo "run $i done: $(date +%T)"
