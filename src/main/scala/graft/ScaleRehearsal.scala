@@ -585,6 +585,27 @@ object ScaleRehearsal {
       (name, t1, tN, tN / t1)
     }
 
+    // Work-level scaling probe (r12): candidate-pair COUNTS for the
+    // width-scaled embedding dedup — deterministic, JVM-context-free,
+    // the quantity the DESIGN claims linear (n · occupancy with
+    // occupancy pinned by the width rule). Wall-clock of the same stage
+    // swings 2-4× with JIT/GC context (DESIGN.md "Round 12"), so scaling
+    // verdicts for this family read the count line, not the time row.
+    if (sys.env.get("SPARK_GRAFT_EMBED_CAND").contains("1")) {
+      val w = widthForMult(mult)
+      def cand(dir: String, bits: Int): Long = {
+        clearResidue()
+        ops.Similarity.embeddingCandidates(
+          Tables.embeddings(spark, dir), "vec_id", "embedding", bits).count()
+      }
+      val c1 = cand(sfDir, w)
+      val cN = cand(bigDir, w)
+      println(s"""{"metric":"embed_cand","mult":$mult,"bits":$w,""" +
+        s""""cand_x1":$c1,"cand_xN":$cN,""" +
+        s""""cand_ratio":${f"${cN.toDouble / math.max(c1, 1L)}%.2f"},""" +
+        s""""sf":"$sfDir"}""")
+    }
+
     // ---- scale-correctness verdicts on the mult× corpus ----
     // (skipped under a workload filter — iteration runs time, full runs judge)
     val (ovB, ovD, capFired, onePlantSplit) =

@@ -285,7 +285,19 @@ object Similarity {
     * candidates only. Returns (a, b, cos) with a < b, distinct across
     * probes. */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
-      bits: Int = 0, minCos: Double = 0.9): DataFrame = {
+      bits: Int = 0, minCos: Double = 0.9): DataFrame =
+    embeddingCandidates(df, idCol, vecCol, bits)
+      .withColumn("cos", expr("dot_f(ea, eb)") / (col("na") * col("nb")))
+      .filter(col("cos") >= minCos)
+      .select(col("a"), col("b"), col("cos")).distinct()
+
+  /** The candidate-pair stage of [[embeddingNearDup]] BEFORE cosine
+    * verification — the deterministic work measure of the LSH design
+    * (candidate count ∝ n · occupancy; wall time of the same stage swings
+    * 2-4× with JVM context, DESIGN.md "Round 12"). Exposed for the scale
+    * rehearsal's work-level scaling probe. */
+  private[graft] def embeddingCandidates(df: DataFrame, idCol: String,
+      vecCol: String, bits: Int = 0): DataFrame = {
     val width = if (bits > 0) bits else autoBits(df.count())
     val s = df.sparkSession
     graft.functions.FloatDotProduct.register(s)
@@ -310,9 +322,6 @@ object Similarity {
     val b = n.select(col("vec_id").as("b"), col("embedding").as("eb"),
       col("nrm").as("nb"), col("sig"))
     a.join(b, Seq("sig")).filter(col("a") < col("b"))
-      .withColumn("cos", expr("dot_f(ea, eb)") / (col("na") * col("nb")))
-      .filter(col("cos") >= minCos)
-      .select(col("a"), col("b"), col("cos")).distinct()
   }
 
   /** PUBLIC API — SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
