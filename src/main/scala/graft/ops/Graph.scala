@@ -27,6 +27,28 @@ object Graph {
           col("l_orderkey")),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+      // ONE exchange keyed on c, then a partition-local distinct:
+      // HashPartitioning(c) satisfies the distinct's ClusteredDistribution
+      // on {c, sk} (subset rule), so no second exchange — and the cached
+      // edge list comes out PARTITIONED BY CUSTOMER, which every consumer
+      // joins/aggregates on: the shared-customer self-joins (itemSims,
+      // q_triangles, q_copurchase_sim) become exchange-free, and
+      // q_recommend's per-(c, rec) score aggregate + top-3 window run
+      // partition-local instead of shuffling the 20×-expanded score rows
+      // (measured: the scoring exchange alone carried 677 MB / 11.1 M rows
+      // at sf0.1 — guide §2.3 "aggregate before you shuffle", §2.4 "two
+      // operations keyed the same way share one exchange"). Raw-vs-
+      // distinct rows differ ~2% here, so shuffling pre-distinct rows
+      // costs nothing next to the removed exchanges. The count is pinned
+      // to the session's slot count (scale-adaptive — cluster cores, not a
+      // constant): the exchange itself is small (~13 MB at sf0.1), so AQE
+      // would coalesce it to ONE partition and serialize every downstream
+      // consumer — the 20×-fanout scoring aggregate and the self-join pair
+      // expansion would run single-threaded (measured: +3.1 s single-task
+      // job). An explicit N keeps the cached edge list spread across all
+      // slots, which is what a persisted, repeatedly-scanned working set
+      // wants (guide §2.5 note on partition counts vs parallelism).
+      .repartition(s.sparkContext.defaultParallelism, col("c"))
       .distinct()
 
   /** ONE persisted copy of the edge list per (session, dir) — before this
@@ -88,19 +110,29 @@ object Graph {
     * 51 s → 8.7 s at sf0.1). Deterministic (jac desc, partner asc). */
   private[graft] def itemSims(e0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val deg = e0.groupBy("sk").agg(count(lit(1)).as("deg"))
-    val half = e0.select(col("c"), col("sk").as("s1"))
+    // SYMMETRIC pair aggregation (s1 =!= s2), not "s1 < s2 then union the
+    // swap": the union form evaluated the entire self-join + pair-count
+    // subtree ONCE PER BRANCH (AQE materialized both 117 MB partial-agg
+    // exchanges concurrently — no runtime exchange reuse across the union;
+    // measured 2 × 103 MB shuffle writes and ~44 s duplicated task time at
+    // sf0.1). One s1≠s2 pass shuffles the same total bytes but runs the
+    // join and md5-free pair kernel once (guide §2.4: remove shuffles/
+    // duplicate subtree evaluation outright). Values are identical: shared
+    // and the jac formula are symmetric in (s1, s2), and the top-20 window
+    // ordering (jac DESC, s2 ASC) never compared rows across the old
+    // branches anyway. With e0 hash-partitioned on c (custSuppPairs), the
+    // self-join itself is exchange-free.
+    val byItem = org.apache.spark.sql.expressions.Window
+      .partitionBy("s1").orderBy(desc("jac"), asc("s2"))
+    e0.select(col("c"), col("sk").as("s1"))
       .join(e0.select(col("c"), col("sk").as("s2")), Seq("c"))
-      .filter(col("s1") < col("s2"))
+      .filter(col("s1") =!= col("s2"))
       .groupBy("s1", "s2").agg(count(lit(1)).as("shared"))
       .join(broadcast(deg.select(col("sk").as("s1"), col("deg").as("d1"))), Seq("s1"))
       .join(broadcast(deg.select(col("sk").as("s2"), col("deg").as("d2"))), Seq("s2"))
       .select(col("s1"), col("s2"),
         round(col("shared") * lit(1000000L).cast("double")
           / (col("d1") + col("d2") - col("shared"))).cast("long").as("jac"))
-    val byItem = org.apache.spark.sql.expressions.Window
-      .partitionBy("s1").orderBy(desc("jac"), asc("s2"))
-    half.union(
-        half.select(col("s2").as("s1"), col("s1").as("s2"), col("jac")))
       .withColumn("rk", row_number().over(byItem))
       .filter(col("rk") <= 20).drop("rk")
   }
@@ -122,14 +154,24 @@ object Graph {
 
   /** The purchase graph: one undirected edge per DISTINCT
     * (customer, supplier) pair that shares an order line, run as two
-    * directed edges. Node ids are 'c<custkey>' / 's<suppkey>'. */
+    * directed edges. Node ids are LONG-encoded — customer `custkey` as
+    * +custkey, supplier `suppkey` as -(suppkey+1) (injective, both key
+    * spaces are non-negative) — instead of the previous 'c<k>'/'s<k>'
+    * concat strings: every downstream shuffle, degree aggregate, and
+    * per-iteration rank join then hashes/compares an 8-byte long rather
+    * than building and moving a string per edge row (guide §2.3 "narrower
+    * types"; measured ~35 s of the pagerank/degree_dist task time was the
+    * string-keyed aggregates). [[nodeName]] reconstructs the public
+    * 'c…'/'s…' label at output time only. */
   private def purchaseEdges(s: SparkSession, d: String) = {
     val e0 = cachedPairs(s, d)
-    e0.select(concat(lit("c"), col("c")).as("src"),
-        concat(lit("s"), col("sk")).as("dst"))
-      .union(e0.select(concat(lit("s"), col("sk")).as("src"),
-        concat(lit("c"), col("c")).as("dst")))
+    e0.select(col("c").as("src"), (-col("sk") - 1).as("dst"))
+      .union(e0.select((-col("sk") - 1).as("src"), col("c").as("dst")))
   }
+
+  /** Public node label of a long-encoded node id (output-time only). */
+  private def nodeName(n: org.apache.spark.sql.Column) =
+    when(n >= 0, concat(lit("c"), n)).otherwise(concat(lit("s"), -n - 1))
 
   val queries: Map[String, Q] = Map(
     // PageRank, 3 power iterations, damping 0.85 — influence scoring over
@@ -154,8 +196,12 @@ object Graph {
       // (InMemoryTableScan preserves outputPartitioning), so iterations
       // shuffle only the small (node, rank) table, which is the actual
       // "edges never move" contract claimed above
+      // explicit slot-count N for the same reason as custSuppPairs: the
+      // edge exchange is small at bench SF, and an AQE-coalesced
+      // repartition(col) would leave every iteration's join running on
+      // one or two partitions
       val withDeg = edges.join(deg, "src")
-        .repartition(col("src"))
+        .repartition(s.sparkContext.defaultParallelism, col("src"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       var ranks = deg.select(col("src").as("node"), lit(SCALE).as("pr"))
       // damping intermediate in DECIMAL(38,0) (oracle: DuckDB HUGEINT):
@@ -171,7 +217,11 @@ object Graph {
             .as("pr"))
           .select(col("dst").as("node"), col("pr"))
       }
-      ranks.orderBy(desc("pr"), asc("node")).limit(50)
+      // reconstruct the public string label only for the bounded output;
+      // ordering is on the LABEL (ties on pr break by string order, same
+      // as the oracle)
+      ranks.select(nodeName(col("node")).as("node"), col("pr"))
+        .orderBy(desc("pr"), asc("node")).limit(50)
     }),
 
     // Degree distribution of the purchase graph, split by node side — the
@@ -183,7 +233,10 @@ object Graph {
     "q_degree_dist" -> ((s, d) =>
       purchaseEdges(s, d)
         .groupBy("src").agg(count(lit(1)).as("deg"))
-        .groupBy(substring(col("src"), 1, 1).as("side"), col("deg"))
+        // side off the long-encoded id (sign bit), not a substring of a
+        // rebuilt label — the histogram never touches a string
+        .groupBy(when(col("src") >= 0, lit("c")).otherwise(lit("s"))
+          .as("side"), col("deg"))
         .agg(count(lit(1)).as("n_nodes"))
         .orderBy("side", "deg")),
 
@@ -213,14 +266,17 @@ object Graph {
         // no round(): the sum is an exact integer, so the single division
         // is already bit-identical across engines — and round()'s
         // half-up-on-string vs half-even-on-binary mismatch would bite.
-        // decimal(38,0), not long: jac ≤ 1e6 micro-units, so a 64-bit sum
-        // wraps once one (customer, rec) group exceeds ~9.2e12 paths —
-        // unlikely but not PROVEN impossible at 100 TB (path count is the
-        // customer's degree, unbounded by any truncation here); 38 digits
-        // make the sum exact at any scale, and the final double division
-        // is value-identical to the long path below 2^53
-        .agg((sum(col("jac").cast("decimal(38,0)")) / lit(1000000.0))
-          .as("score"),
+        // sum as LONG, not decimal(38,0) (r12): the per-group path count
+        // is the customer's distinct-supplier degree — bounded by the
+        // supplier DIMENSION, not corpus size — so with jac ≤ 1e6 the sum
+        // wraps only past 9.2e12 paths in ONE (customer, rec) group, i.e.
+        // a customer owning 9.2 trillion distinct catalog items; the
+        // decimal path guarded an impossible case while costing a
+        // non-fast-path Decimal add per expanded row (measured: the
+        // scoring stage's dominant CPU at sf0.1). Below 2^53 the final
+        // double division is bit-identical to the decimal path (and both
+        // representations round the same integer above it).
+        .agg((sum(col("jac")) / lit(1000000.0)).as("score"),
           count(lit(1)).as("n_paths"))
         .join(e0.select(col("c"), col("sk").as("rec")),
           Seq("c", "rec"), "left_anti")
@@ -278,9 +334,8 @@ object Graph {
           if (matrixExchanges == 0 && finalPlan.contains("Bucketed: true")) 1 else 0
         val scored = joined
           .groupBy(col("c"), col("s2").as("rec"))
-          // decimal(38,0) sum: same overflow rationale as q_recommend
-          .agg((sum(col("jac").cast("decimal(38,0)")) / lit(1000000.0))
-            .as("score"),
+          // long sum: same dimension-bounded-path rationale as q_recommend
+          .agg((sum(col("jac")) / lit(1000000.0)).as("score"),
             count(lit(1)).as("n_paths"))
           .join(batch.select(col("c"), col("sk").as("rec")),
             Seq("c", "rec"), "left_anti")
@@ -310,15 +365,18 @@ object Graph {
     // algorithm — touches ≤ 25 wedges per node. Exact integers.
     "q_triangles" -> ((s, d) => {
       val e0 = cachedPairs(s, d)
-      val pairs = e0.select(col("c"), col("sk").as("s1"))
-        .join(e0.select(col("c"), col("sk").as("s2")), Seq("c"))
-        .filter(col("s1") < col("s2"))
-        .groupBy("s1", "s2").agg(count(lit(1)).as("shared"))
-        .filter(col("shared") >= 2)
+      // symmetric s1≠s2 pair aggregation, same rationale as itemSims: the
+      // old "s1 < s2 then union the swap" evaluated the self-join + pair
+      // count once per union branch (2 × 104 MB shuffle writes measured at
+      // sf0.1); one symmetric pass halves the join work for identical
+      // values, and the top-5 window keys directly off the aggregate.
       val byNode = org.apache.spark.sql.expressions.Window
         .partitionBy("u").orderBy(desc("shared"), asc("v"))
-      val edges = pairs.select(col("s1").as("u"), col("s2").as("v"), col("shared"))
-        .union(pairs.select(col("s2").as("u"), col("s1").as("v"), col("shared")))
+      val edges = e0.select(col("c"), col("sk").as("u"))
+        .join(e0.select(col("c"), col("sk").as("v")), Seq("c"))
+        .filter(col("u") =!= col("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 2)
         .withColumn("rk", row_number().over(byNode))
         .filter(col("rk") <= 5)
         .select(least(col("u"), col("v")).as("s1"),
