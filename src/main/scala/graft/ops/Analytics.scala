@@ -867,10 +867,20 @@ object Analytics {
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val tot = bi.agg(countDistinct("o").as("n_orders"))
+      // persisted: supp feeds TWO broadcast joins whose BroadcastExchange
+      // subtrees differ by projection (no exchange reuse) — the aggregate
+      // over the basket table previously ran twice (measured 13.4 s +
+      // 9.9 s task time at sf0.1; guide §2.4 duplicated subtrees).
+      // Dimension-sized; released with `bi` below.
       val supp = bi.groupBy("sk").agg(count(lit(1)).as("supp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // raw pairs shuffled once by s1 (Graph.itemSims rationale: partial
+      // counts reduce ~nothing inside o-partitions, so the exchange
+      // carries narrower rows and the aggregate runs once)
       val pairs = bi.select(col("o"), col("sk").as("s1"))
         .join(bi.select(col("o"), col("sk").as("s2")), Seq("o"))
         .filter(col("s1") < col("s2"))
+        .repartition(s.sparkContext.defaultParallelism, col("s1"))
         .groupBy("s1", "s2").agg(count(lit(1)).as("supp_ab"))
       val out = pairs
         .join(broadcast(supp.select(col("sk").as("s1"), col("supp").as("supp_a"))), Seq("s1"))
@@ -894,6 +904,7 @@ object Analytics {
         // of the session (no unpersist point; review finding) — same
         // pattern as q_recommend_probe
         .localCheckpoint(true)
+      supp.unpersist(blocking = false)
       bi.unpersist(blocking = false)
       out
     }),

@@ -721,21 +721,36 @@ object Dedup {
       val jump = labels
         .join(labels.select(col("id").as("label"), col("label").as("jl")),
           Seq("label"), "left")
-      // carry the previous label through as `old` so the convergence
-      // check reads the checkpointed result directly — no extra
-      // join-with-labels job per round
+      // the convergence count rides the checkpoint materialization as a
+      // CollectMetrics observation (r12): the previous shape carried the
+      // old label through the checkpoint and ran a second
+      // filter(label≠old).count() job over it per round — one extra
+      // pass + one extra job + barrier every round, and one extra column
+      // in every round's checkpoint blocks. The observed sum is computed
+      // on exactly the rows the checkpoint writes, so the loop spends ONE
+      // job per round (guide §1/§2: don't compute things twice; the
+      // at-scale effect is one fewer full scan of the label table per
+      // round).
+      val obs = org.apache.spark.sql.Observation()
       val roundDf = jump
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nmin"), col("label")),
             coalesce(col("jl"), col("label"))).as("label"),
           col("label").as("old"))
+        .observe(obs,
+          sum((col("label") =!= col("old")).cast("long")).as("changed"))
+        .select(col("id"), col("label"))
       val next = cp(roundDf)
       // probe the PRE-checkpoint frame: the eager cp above executed its
       // plan, so this reads the round's FINAL AQE plan (cp's return value
       // is just the checkpoint-RDD scan and would show nothing)
       roundPlanProbe.foreach(_(roundDf.queryExecution.executedPlan.toString))
-      changed = next.filter(col("label") =!= col("old")).count()
+      // sum over an empty label table is NULL — treat as converged
+      changed = obs.get.get("changed") match {
+        case Some(v: Long) => v
+        case _ => 0L
+      }
       // the previous round's checkpoint blocks are dead once `next` is
       // materialized and compared — free them now instead of letting one
       // generation per round pile up in block-manager storage
@@ -1504,8 +1519,14 @@ object Dedup {
     // is why the radius widens via banding rather than width alone.
     "q_dedup_report" -> ((s, d) => {
       graft.functions.TextTokenize.register(s)
+      // persisted MINUS the text column: all four consumers (the 1-row
+      // total and the three per-method drop joins) need only
+      // (doc_id, tok), and each previously re-scanned the corpus and
+      // re-ran the token-count kernel (guide §2.3 project early / §2.4
+      // duplicated subtrees). Released by clearResidue's sweep.
       val tokc = textCorpus(s, d)
-        .withColumn("tok", expr("graft_token_count(text)"))
+        .select(col("doc_id"), expr("graft_token_count(text)").as("tok"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val total = tokc.agg(count(lit(1)).as("n_docs"))
       val keepIds = textCorpus(s, d)
         .groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("doc_id"))

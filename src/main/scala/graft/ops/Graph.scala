@@ -109,7 +109,15 @@ object Graph {
     * that keeps the matrix linear in the item dimension (measured:
     * 51 s → 8.7 s at sf0.1). Deterministic (jac desc, partner asc). */
   private[graft] def itemSims(e0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // the degree table feeds TWO broadcast joins below; each
+    // BroadcastExchange materializes its own subtree (the projections
+    // differ, so no exchange reuse), which ran this aggregate — a full
+    // pass over the cached edge list — twice (measured 19.3 s + 7.8 s
+    // task time at sf0.1). Persisted, the second broadcast build reads
+    // the dimension-sized cache instead (guide §2.4: duplicated subtrees).
+    // Released by the session-wide persistent-RDD sweep in clearResidue.
     val deg = e0.groupBy("sk").agg(count(lit(1)).as("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // SYMMETRIC pair aggregation (s1 =!= s2), not "s1 < s2 then union the
     // swap": the union form evaluated the entire self-join + pair-count
     // subtree ONCE PER BRANCH (AQE materialized both 117 MB partial-agg
@@ -122,11 +130,30 @@ object Graph {
     // ordering (jac DESC, s2 ASC) never compared rows across the old
     // branches anyway. With e0 hash-partitioned on c (custSuppPairs), the
     // self-join itself is exchange-free.
+    //
+    // ONE exchange keyed on s1 serves the pair count AND the top-20
+    // window (r12): the measured partial aggregate achieved ~no reduction
+    // (206 MB shuffled ≈ the raw pair rows — within a c-partition almost
+    // every (s1, s2) is unique), so shuffling the raw (s1, s2) pairs by
+    // s1 moves FEWER bytes (no partial-count column), runs the hash
+    // aggregate once instead of partial+final over the same 11 M rows,
+    // and HashPartitioning(s1) satisfies both the groupBy(s1, s2)
+    // clustering (subset rule) and the window's partitionBy(s1) — the
+    // 7.7 MB window exchange disappears (guide §2.3 shuffle fewer bytes,
+    // §2.4 two operations keyed the same way share one exchange).
+    // Explicit slot-count N, not AQE: the downstream stage's cost is
+    // pair-row CPU, which AQE's byte-based coalescing misjudges (~150 MB
+    // advisory-coalesces to ~3 tasks and serializes the aggregate).
+    // Skew: s1 is the supplier DIMENSION (uniform in this corpus; keys ≫
+    // slots at any scale) — a genuinely hot item would make this the
+    // salting case of guide §2.5.
     val byItem = org.apache.spark.sql.expressions.Window
       .partitionBy("s1").orderBy(desc("jac"), asc("s2"))
+    val n = e0.sparkSession.sparkContext.defaultParallelism
     e0.select(col("c"), col("sk").as("s1"))
       .join(e0.select(col("c"), col("sk").as("s2")), Seq("c"))
       .filter(col("s1") =!= col("s2"))
+      .repartition(n, col("s1"))
       .groupBy("s1", "s2").agg(count(lit(1)).as("shared"))
       .join(broadcast(deg.select(col("sk").as("s1"), col("deg").as("d1"))), Seq("s1"))
       .join(broadcast(deg.select(col("sk").as("s2"), col("deg").as("d2"))), Seq("s2"))
@@ -188,7 +215,14 @@ object Graph {
     // global sort).
     "q_pagerank" -> ((s, d) => {
       val edges = purchaseEdges(s, d)
+      // deg is consumed TWICE (the withDeg join build and the rank-table
+      // init) and each consumer evaluated the full union+aggregate over
+      // the edge list independently (measured: the two heaviest stages of
+      // the query, ~20 s task time each at sf0.1). Persisted, the second
+      // consumer reads the node-dimension-sized cache (guide §2.4);
+      // released by clearResidue's persistent-RDD sweep.
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // repartition BY src before persisting: the degree join broadcasts
       // (deg is dimension-sized), so without this the cached edge list
       // carries scan partitioning and every iteration re-shuffles it —
@@ -375,6 +409,11 @@ object Graph {
       val edges = e0.select(col("c"), col("sk").as("u"))
         .join(e0.select(col("c"), col("sk").as("v")), Seq("c"))
         .filter(col("u") =!= col("v"))
+        // one u-keyed exchange of the RAW pairs serves the count
+        // aggregate AND the top-5 window (itemSims rationale: the partial
+        // aggregate reduced ~nothing — 203 MB ≈ raw — so this both
+        // narrows the shuffle rows and drops the window's own exchange)
+        .repartition(s.sparkContext.defaultParallelism, col("u"))
         .groupBy("u", "v").agg(count(lit(1)).as("shared"))
         .filter(col("shared") >= 2)
         .withColumn("rk", row_number().over(byNode))
@@ -403,10 +442,18 @@ object Graph {
     // exact-integer set algebra over distinct counts, rounded 6 dp.
     "q_copurchase_sim" -> ((s, d) => {
       val e0 = cachedPairs(s, d)
+      // persisted for the same two-broadcast-consumers reason as itemSims
       val deg = e0.groupBy("sk").agg(count(lit(1)).as("deg"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // raw pairs shuffled ONCE by s1 (itemSims rationale: the partial
+      // aggregate achieves ~no reduction within c-partitions, so this
+      // exchange carries fewer bytes than partially-counted (s1,s2,cnt)
+      // rows, and the aggregate runs once); the final top-20 is a
+      // TakeOrdered — no further exchange either way
       val pairs = e0.select(col("c"), col("sk").as("s1"))
         .join(e0.select(col("c"), col("sk").as("s2")), Seq("c"))
         .filter(col("s1") < col("s2"))
+        .repartition(s.sparkContext.defaultParallelism, col("s1"))
         .groupBy("s1", "s2").agg(count(lit(1)).as("shared"))
       pairs
         .join(broadcast(deg.select(col("sk").as("s1"), col("deg").as("d1"))), Seq("s1"))

@@ -494,12 +494,15 @@ class PlanSpec extends SparkSpec {
       val finalPlan = full.split("(?m)^\\+- == Initial Plan ==")(0)
       assert(finalPlan.contains("TakeOrderedAndProject"),
         "top-50 must be a bounded heap, not a global sort")
-      // each of the 3 BSP iterations must read the CACHE (the edge build
-      // never re-runs)...
-      val scanIds = "InMemoryTableScan \\[src#(\\d+)".r
+      // each of the 3 BSP iterations must read the EDGE cache (the edge
+      // build never re-runs). Match on the (src, dst, …) column pair so
+      // the r12 degree-table cache — (src, deg) only — doesn't count:
+      // its two reads are the deduped broadcast/init subtree, not
+      // iterations.
+      val scanIds = "InMemoryTableScan \\[src#(\\d+)L?, dst#".r
         .findAllMatchIn(finalPlan).map(_.group(1)).toSet
       assert(scanIds.size == 3,
-        s"expected 3 cache reads (one per iteration), got $scanIds")
+        s"expected 3 edge-cache reads (one per iteration), got $scanIds")
       // ...and the runtime plan must contain NO exchange keyed on any
       // cache-output src attribute: the one-time repartition inside the
       // persisted plan is the only src movement, iterations inherit it
