@@ -317,6 +317,29 @@ class PlanSpec extends SparkSpec {
     // q_semdedup
   )
 
+  test("itemSims: ONE pair exchange serves the count aggregate AND the " +
+      "top-20 window (r12 raw-pairs-by-s1 shape)") {
+    // the r12 shape: raw (s1, s2) pairs repartition once by s1; the
+    // count aggregate's clustering (subset rule) and the window's
+    // partitionBy(s1) both ride that exchange. A second
+    // hashpartitioning(s1…) exchange means the window re-shuffled the
+    // sims table; a hashpartitioning(s1, s2) exchange means the
+    // aggregate stopped riding the repartition.
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val e0 = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (2L, 12L),
+      (3L, 11L), (3L, 12L)).toDF("c", "sk")
+      .repartition(spark.sparkContext.defaultParallelism, col("c"))
+    val p = ops.Graph.itemSims(e0).queryExecution.executedPlan.toString
+    val s1Exchanges = "Exchange hashpartitioning\\(s1#\\d+L?, \\d+\\)".r
+      .findAllIn(p).length
+    assert(s1Exchanges == 1,
+      s"expected exactly one s1-keyed exchange (pairs → agg+window), got $s1Exchanges:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(s1#") ||
+      !"hashpartitioning\\(s1#\\d+L?, s2#".r.findFirstIn(p).isDefined,
+      s"the pair aggregate must not add its own (s1, s2) exchange:\n$p")
+  }
+
   test("q_cdc_apply: latest-wins is one partial+final aggregate — no window, no self-join") {
     val p = plan("q_cdc_apply")
     assert(countOccurrences(p, "HashAggregate") +
