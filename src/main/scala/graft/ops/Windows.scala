@@ -105,6 +105,16 @@ object Windows {
         .orderBy("l_linenumber", "l_extendedprice", "l_discount")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.lineitem(s, d)
+        // ONE range exchange on l_orderkey serves the window AND the final
+        // global sort: RangePartitioning(l_orderkey) clusters equal keys
+        // into one partition (satisfies the window's ClusteredDistribution)
+        // and is an ordering prefix of the output sort, so the orderBy
+        // below becomes a partition-local sort — no second exchange, and
+        // the range sampler reads the bare scan instead of re-executing
+        // the window subtree (the old plan's hash exchange + range
+        // exchange computed the window twice: once for boundary sampling,
+        // once for real).
+        .repartitionByRange(col("l_orderkey"))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
           col("l_discount"),
           round(exp(sum(log(lit(1) + col("l_discount"))).over(byOrder)), 6)
@@ -173,6 +183,14 @@ object Windows {
       val isStart = when(prev.isNull ||
         us(col("ts")) - us(prev) > 1800000000L, 1L).otherwise(0L)
       Tables.events(s, d)
+        // ONE range exchange on user_id serves the windows, the
+        // per-session aggregate (ClusteredDistribution({user_id,
+        // session_id}) — ordering exprs are a subset), and the final
+        // (user_id, session_id) sort, which becomes partition-local
+        // (q_cumprod rationale: the old hash exchange + final range
+        // exchange also re-executed the window subtree for the range
+        // sampler).
+        .repartitionByRange(col("user_id"))
         .withColumn("is_start", isStart)
         .withColumn("session_id", sum("is_start").over(run))
         .groupBy("user_id", "session_id")
@@ -195,6 +213,10 @@ object Windows {
       val w = Window.partitionBy("user_id", "event_type")
         .orderBy("ts", "event_id")
       Tables.events(s, d)
+        // ONE range exchange serving window + final sort (q_cumprod
+        // rationale); the output sort's leading keys are exactly the
+        // window partition keys.
+        .repartitionByRange(col("user_id"), col("event_type"))
         .select(col("user_id"), col("event_type"), col("event_id"),
           col("ts").as("valid_from"),
           lead(col("ts"), 1).over(w).as("valid_to"),
@@ -211,6 +233,14 @@ object Windows {
       val w = Window.partitionBy("l_orderkey")
         .orderBy("l_linenumber", "l_extendedprice", "l_discount", "l_quantity")
       Tables.lineitem(s, d)
+        // ONE range exchange on l_orderkey serving the window and the
+        // final (l_orderkey, rn) sort (q_cumprod rationale). The
+        // WindowGroupLimit heap moves above the exchange, but total rows
+        // shuffled are unchanged: the old shape's partial heap halved the
+        // hash exchange and then the rn<=2 output paid a SECOND full range
+        // exchange (plus the range sampler re-executing the window+filter
+        // subtree) — same bytes over two barriers instead of one.
+        .repartitionByRange(col("l_orderkey"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 2)
         .select("l_orderkey", "rn", "l_linenumber", "l_extendedprice")
