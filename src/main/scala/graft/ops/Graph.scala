@@ -149,12 +149,28 @@ object Graph {
     // salting case of guide §2.5.
     val byItem = org.apache.spark.sql.expressions.Window
       .partitionBy("s1").orderBy(desc("jac"), asc("s2"))
+    // The raw pair rides the exchange as ONE packed long (r12 verdict
+    // task 1a): p = s1·2³² + s2. Both ids are supplier keys — non-negative
+    // and < 2³¹ for any supplier dimension up to SF ~2·10⁵ (TPC-H suppkey
+    // = SF·10⁴), so the packing is injective and p never overflows or
+    // goes negative. The exchange row narrows from two longs to one
+    // (24 B → 16 B UnsafeRow; measured 172 MB → 140 MB lz4-compressed
+    // shuffle bytes on the pair stage; guide §2.3 narrower types). Partition key stays s1
+    // (= shiftright(p, 32)): HashPartitioning on it still serves the
+    // pair-count aggregate (grouping {s1, p} ⊇ partition expr) AND —
+    // via the aggregate's alias-aware output partitioning — the top-20
+    // window's partitionBy(s1), so the one-exchange shape of r12 is
+    // preserved (plan-pinned by PlanSpec).
     val n = e0.sparkSession.sparkContext.defaultParallelism
     e0.select(col("c"), col("sk").as("s1"))
       .join(e0.select(col("c"), col("sk").as("s2")), Seq("c"))
       .filter(col("s1") =!= col("s2"))
-      .repartition(n, col("s1"))
-      .groupBy("s1", "s2").agg(count(lit(1)).as("shared"))
+      .select((shiftleft(col("s1"), 32) + col("s2")).as("p"))
+      .repartition(n, shiftright(col("p"), 32))
+      .groupBy(shiftright(col("p"), 32).as("s1"), col("p"))
+      .agg(count(lit(1)).as("shared"))
+      .select(col("s1"), col("p").bitwiseAND(lit(0xFFFFFFFFL)).as("s2"),
+        col("shared"))
       .join(broadcast(deg.select(col("sk").as("s1"), col("deg").as("d1"))), Seq("s1"))
       .join(broadcast(deg.select(col("sk").as("s2"), col("deg").as("d2"))), Seq("s2"))
       .select(col("s1"), col("s2"),
@@ -348,24 +364,25 @@ object Graph {
       // finding). The eager checkpoint makes `out` independent of the
       // dropped table, so the finally is safe on the happy path too.
       try {
-        cachedSims(s, d)
-          // sortBy(s1) writes each bucket pre-sorted on the join key so
-          // the probe's sort-merge join reads the matrix side without a
-          // per-probe sort — the shape ScaleRehearsal's recommend_serve
-          // already used (the two copies had drifted; review finding)
+        // stream the sims build STRAIGHT into the bucketed writer (r12
+        // verdict task 1b): inside this query the matrix is consumed
+        // exactly once — the probe joins the TABLE, never the frame — so
+        // the old cachedSims persist only added a block-cache write+read
+        // between the build and the writer. A sims memo another query
+        // already filled is still reused; this query just no longer
+        // populates it (Bench clears memos per timed run anyway, and a
+        // Verify-session q_recommend builds its own on demand).
+        //
+        // sortBy(s1) writes each bucket pre-sorted on the join key so
+        // the probe's sort-merge join reads the matrix side without a
+        // per-probe sort — the shape ScaleRehearsal's recommend_serve
+        // already used (the two copies had drifted; review finding)
+        simsCache.get((s, d)).getOrElse(itemSims(e0))
           .write.mode("overwrite").bucketBy(8, "s1").sortBy("s1")
           .option("path", s"$wh/sims").saveAsTable(idxTbl)
         val batch = e0.filter(pmod(col("c"), lit(37L)) === 5)
         val joined = s.table(idxTbl).hint("merge")
           .join(batch, col("sk") === col("s1"))
-        joined.queryExecution.toRdd.foreach(_ => ())
-        val finalPlan = joined.queryExecution.executedPlan.toString
-          .split("== Initial Plan ==")(0)
-        val matrixExchanges = finalPlan
-          .split(java.util.regex.Pattern.quote("Exchange hashpartitioning(s1"), -1)
-          .length - 1
-        val verdict =
-          if (matrixExchanges == 0 && finalPlan.contains("Bucketed: true")) 1 else 0
         val scored = joined
           .groupBy(col("c"), col("s2").as("rec"))
           // long sum: same dimension-bounded-path rationale as q_recommend
@@ -375,13 +392,32 @@ object Graph {
             Seq("c", "rec"), "left_anti")
         val top = org.apache.spark.sql.expressions.Window.partitionBy("c")
           .orderBy(desc("score"), desc("n_paths"), asc("rec"))
-        scored.withColumn("rnk", row_number().over(top))
+        val pre = scored.withColumn("rnk", row_number().over(top))
           .filter(col("rnk") <= 3)
           .select(col("c").as("custkey"), col("rnk"), col("rec"),
-            col("score"), col("n_paths"),
-            lit(verdict).as("matrix_side_exchange_free"))
+            col("score"), col("n_paths"))
           .orderBy("custkey", "rnk")
-          .localCheckpoint(true)
+        // ONE execution (r12 shape drained the probe join a FIRST full
+        // time just to finalize its AQE plan for the verdict, then the
+        // checkpoint re-ran it inside the real query — measured ~0.7 s of
+        // duplicated join/scan task time at sf0.1). The probe join is a
+        // subtree of the executed final plan, so the verdict reads THAT:
+        // every other exchange in this query keys on (c, …) or (sk, …),
+        // never s1 — the only way "Exchange hashpartitioning(s1" can
+        // appear is a matrix-side re-shuffle, exactly what the verdict
+        // must catch.
+        val out = pre.localCheckpoint(true)
+        val finalPlan = pre.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0)
+        val matrixExchanges = finalPlan
+          .split(java.util.regex.Pattern.quote("Exchange hashpartitioning(s1"), -1)
+          .length - 1
+        val verdict =
+          if (matrixExchanges == 0 && finalPlan.contains("Bucketed: true")) 1 else 0
+        // appended AFTER the checkpoint: a literal projection over the
+        // checkpointed (already sorted) RDD — row order and the published
+        // column order (verdict last) are unchanged
+        out.withColumn("matrix_side_exchange_free", lit(verdict))
       } finally {
         s.sql(s"DROP TABLE IF EXISTS $idxTbl")
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
@@ -412,10 +448,17 @@ object Graph {
         // one u-keyed exchange of the RAW pairs serves the count
         // aggregate AND the top-5 window (itemSims rationale: the partial
         // aggregate reduced ~nothing — 203 MB ≈ raw — so this both
-        // narrows the shuffle rows and drops the window's own exchange)
-        .repartition(s.sparkContext.defaultParallelism, col("u"))
-        .groupBy("u", "v").agg(count(lit(1)).as("shared"))
+        // narrows the shuffle rows and drops the window's own exchange);
+        // pair packed into ONE long for the exchange (itemSims packing
+        // rationale + bounds: supplier keys < 2³¹)
+        .select((shiftleft(col("u"), 32) + col("v")).as("p"))
+        .repartition(s.sparkContext.defaultParallelism,
+          shiftright(col("p"), 32))
+        .groupBy(shiftright(col("p"), 32).as("u"), col("p"))
+        .agg(count(lit(1)).as("shared"))
         .filter(col("shared") >= 2)
+        .select(col("u"), col("p").bitwiseAND(lit(0xFFFFFFFFL)).as("v"),
+          col("shared"))
         .withColumn("rk", row_number().over(byNode))
         .filter(col("rk") <= 5)
         .select(least(col("u"), col("v")).as("s1"),
@@ -453,8 +496,14 @@ object Graph {
       val pairs = e0.select(col("c"), col("sk").as("s1"))
         .join(e0.select(col("c"), col("sk").as("s2")), Seq("c"))
         .filter(col("s1") < col("s2"))
-        .repartition(s.sparkContext.defaultParallelism, col("s1"))
-        .groupBy("s1", "s2").agg(count(lit(1)).as("shared"))
+        // packed-pair exchange, itemSims rationale + bounds
+        .select((shiftleft(col("s1"), 32) + col("s2")).as("p"))
+        .repartition(s.sparkContext.defaultParallelism,
+          shiftright(col("p"), 32))
+        .groupBy(shiftright(col("p"), 32).as("s1"), col("p"))
+        .agg(count(lit(1)).as("shared"))
+        .select(col("s1"), col("p").bitwiseAND(lit(0xFFFFFFFFL)).as("s2"),
+          col("shared"))
       pairs
         .join(broadcast(deg.select(col("sk").as("s1"), col("deg").as("d1"))), Seq("s1"))
         .join(broadcast(deg.select(col("sk").as("s2"), col("deg").as("d2"))), Seq("s2"))

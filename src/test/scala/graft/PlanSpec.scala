@@ -317,13 +317,15 @@ class PlanSpec extends SparkSpec {
     // q_semdedup
   )
 
-  test("itemSims: ONE pair exchange serves the count aggregate AND the " +
-      "top-20 window (r12 raw-pairs-by-s1 shape)") {
-    // the r12 shape: raw (s1, s2) pairs repartition once by s1; the
-    // count aggregate's clustering (subset rule) and the window's
-    // partitionBy(s1) both ride that exchange. A second
-    // hashpartitioning(s1…) exchange means the window re-shuffled the
-    // sims table; a hashpartitioning(s1, s2) exchange means the
+  test("itemSims: ONE packed-pair exchange serves the count aggregate AND " +
+      "the top-20 window (r13 packed-long shape)") {
+    // the r13 shape: pairs packed into ONE long (p = s1·2³² + s2) and
+    // repartitioned once by shiftright(p, 32) (= s1); the count
+    // aggregate's clustering (its grouping keys include the partition
+    // expression) and the window's partitionBy(s1) — via the aggregate's
+    // alias-aware output partitioning — both ride that exchange. ANY
+    // s1-keyed exchange means the window re-shuffled the sims table (the
+    // alias mapping broke); a second shiftright exchange means the
     // aggregate stopped riding the repartition.
     import org.apache.spark.sql.functions.col
     import spark.implicits._
@@ -331,13 +333,13 @@ class PlanSpec extends SparkSpec {
       (3L, 11L), (3L, 12L)).toDF("c", "sk")
       .repartition(spark.sparkContext.defaultParallelism, col("c"))
     val p = ops.Graph.itemSims(e0).queryExecution.executedPlan.toString
-    val s1Exchanges = "Exchange hashpartitioning\\(s1#\\d+L?, \\d+\\)".r
-      .findAllIn(p).length
-    assert(s1Exchanges == 1,
-      s"expected exactly one s1-keyed exchange (pairs → agg+window), got $s1Exchanges:\n$p")
-    assert(!p.contains("Exchange hashpartitioning(s1#") ||
-      !"hashpartitioning\\(s1#\\d+L?, s2#".r.findFirstIn(p).isDefined,
-      s"the pair aggregate must not add its own (s1, s2) exchange:\n$p")
+    val packedExchanges =
+      "Exchange hashpartitioning\\(shiftright\\(p#\\d+L?, 32\\), \\d+\\)".r
+        .findAllIn(p).length
+    assert(packedExchanges == 1,
+      s"expected exactly one packed-pair exchange (pairs → agg+window), got $packedExchanges:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(s1#"),
+      s"no s1-keyed exchange may remain (window must ride the aggregate's alias-aware partitioning):\n$p")
   }
 
   test("q_cdc_apply: latest-wins is one partial+final aggregate — no window, no self-join") {
