@@ -201,6 +201,29 @@ object Bench {
         healed += 1
       }
     }
+    // The ANN/SemDeDup rows measure the memoized-codebook steady state
+    // (clearResidue deliberately keeps Similarity's KMeans memo, comment
+    // above). r12 verdict task 3: meter the excluded work explicitly —
+    // one `ann_codebook_fit` line that pays the fit from COLD (memo
+    // evicted before each run), min-of-2 like every other row, so the
+    // published numbers' meaning is unambiguous: q_ann_* = serve cost on
+    // a warm codebook, ann_codebook_fit = the once-per-session fit.
+    // Full-suite runs only — a subset run stays exactly the rows asked
+    // for (additive: no existing row removed or renamed).
+    if (only.isEmpty) {
+      clearResidue()
+      val c = canaryTime()
+      canaries += c
+      canaryBefore("ann_codebook_fit") = c
+      results("ann_codebook_fit") = (1 to 2).map { _ =>
+        clearResidue()
+        ops.Similarity.clearCaches()
+        val t0 = System.nanoTime()
+        try ops.Similarity.prewarmCodebook(spark, sfDir)
+        catch { case _: Throwable => }
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
     val line = renderLine(sfDir, results.toSeq, mainCanaries,
       canaries.toSeq, canaryBefore.toSeq, healed)
     // Belt and braces: the full untruncated line also lands in the repo so

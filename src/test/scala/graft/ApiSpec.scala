@@ -430,4 +430,15 @@ class ApiSpec extends SparkSpec {
       ops.TextAnalysis.chunkStride(docs, "id", "text", window = 4, stride = 5))
     assert(e.getMessage.contains("stride"))
   }
+
+  test("prewarmCodebook fills the KMeans memo from cold (Bench's " +
+      "ann_codebook_fit meter)") {
+    ops.Similarity.clearCaches()
+    val k = ops.Similarity.prewarmCodebook(spark, sf)
+    assert(k > 0 && k <= 16, s"expected 1..16 centroids, got $k")
+    // the memo is now warm: a second call must not refit (same value,
+    // and the memoized path returns without touching executor storage)
+    assert(ops.Similarity.prewarmCodebook(spark, sf) == k)
+    ops.Similarity.clearCaches()
+  }
 }
