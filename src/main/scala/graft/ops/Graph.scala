@@ -237,7 +237,19 @@ object Graph {
       // the query, ~20 s task time each at sf0.1). Persisted, the second
       // consumer reads the node-dimension-sized cache (guide §2.4);
       // released by clearResidue's persistent-RDD sweep.
-      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      //
+      // r13: built PER SIDE instead of aggregating the doubled union —
+      // a customer's out-degree is its row count in e0 (an aggregate that
+      // rides the cached edge list's HashPartitioning(c) with NO
+      // exchange), a supplier's is its e0 count by sk (one dimension-
+      // sized partial-agg exchange). Same values, half the rows through
+      // the degree aggregate, one cache pass per side instead of the
+      // two-pass union feeding a shuffled groupBy (guide §2.3/§2.4).
+      val e0 = cachedPairs(s, d)
+      val deg = e0.groupBy("c").agg(count(lit(1)).as("deg"))
+        .select(col("c").as("src"), col("deg"))
+        .union(e0.groupBy("sk").agg(count(lit(1)).as("deg"))
+          .select((-col("sk") - 1).as("src"), col("deg")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // repartition BY src before persisting: the degree join broadcasts
       // (deg is dimension-sized), so without this the cached edge list
