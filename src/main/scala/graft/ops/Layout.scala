@@ -65,18 +65,27 @@ object Layout {
         .option("path", s"$wh/li_bkt").saveAsTable(liTbl)
       val joined = s.table(ordersTbl).hint("merge")
         .join(s.table(liTbl), col("o_orderkey") === col("l_orderkey"))
-      // drain the join so AQE finalizes, then read the verdict off the
-      // final plan only (strip the "Initial Plan" section AQE appends)
-      joined.queryExecution.toRdd.foreach(_ => ())
-      val finalPlan = joined.queryExecution.executedPlan.toString
-        .split("== Initial Plan ==")(0)
-      val exchanges = countOccurrences(finalPlan, "Exchange")
-      val out = joined.groupBy("o_orderstatus")
+      // ONE execution (the r12 shape drained the bare join a first full
+      // time just to finalize its AQE plan for the verdict, then the
+      // checkpoint re-ran it inside the real query — the q_recommend_probe
+      // fix, guide §1.4). The join is a subtree of the executed final
+      // plan; the only other exchange there keys on o_orderstatus (the
+      // report aggregate), so the verdict checks exactly the property the
+      // demonstration makes: no exchange on either JOIN key + both scans
+      // bucketed.
+      val pre = joined.groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n_orders"), sum("n_lines").as("total_lines"),
           round(sum("o_totalprice"), 2).as("total_price"))
-        .withColumn("exchange_free", lit(if (exchanges == 0) 1 else 0))
         .orderBy("o_orderstatus")
-        .localCheckpoint(true)
+      val out0 = pre.localCheckpoint(true)
+      val finalPlan = pre.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      val joinKeyExchanges =
+        countOccurrences(finalPlan, "Exchange hashpartitioning(o_orderkey") +
+          countOccurrences(finalPlan, "Exchange hashpartitioning(l_orderkey")
+      val out = out0.withColumn("exchange_free",
+        lit(if (joinKeyExchanges == 0 && finalPlan.contains("Bucketed: true")) 1
+          else 0))
       s.sql(s"DROP TABLE IF EXISTS $ordersTbl")
       s.sql(s"DROP TABLE IF EXISTS $liTbl")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
@@ -134,18 +143,24 @@ object Layout {
         .write.mode("overwrite").parquet(clusteredPath)
       li.repartition(8, col("l_orderkey"))
         .write.mode("overwrite").parquet(scatteredPath)
-      def filesTouched(path: String) =
-        s.read.parquet(path)
-          .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
-          .select(input_file_name().as("f"))
-          .agg(countDistinct(col("f")).as("n"))
-      val stats = s.read.parquet(clusteredPath)
+      // ONE filtered scan of the clustered layout computes the row stats
+      // AND its contributing-file count (the r12 shape scanned it twice:
+      // once for stats, once for input_file_name — guide §1.4 don't
+      // compute things twice); only the scattered layout needs its own
+      // scan, whose whole point is counting touched files
+      val cl = s.read.parquet(clusteredPath)
         .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        // input_file_name() is non-deterministic: project it first, then
+        // aggregate the projected column
+        .select(col("l_quantity"), input_file_name().as("f"))
         .agg(count(lit(1)).as("n_rows"),
-          round(sum("l_quantity"), 2).as("total_qty"))
-      stats
-        .crossJoin(filesTouched(clusteredPath).withColumnRenamed("n", "nc"))
-        .crossJoin(filesTouched(scatteredPath).withColumnRenamed("n", "ns"))
+          round(sum("l_quantity"), 2).as("total_qty"),
+          countDistinct(col("f")).as("nc"))
+      val scat = s.read.parquet(scatteredPath)
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .select(input_file_name().as("f"))
+        .agg(countDistinct(col("f")).as("ns"))
+      cl.crossJoin(scat)
         .select(col("n_rows"), col("total_qty"),
           (col("nc") < col("ns") && col("nc") <= 2).cast("int")
             .as("clustered_skips_files"))
@@ -191,15 +206,18 @@ object Layout {
       def box(df: DataFrame) = df
         .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi &&
           col("l_quantity") >= 41)
-      def filesTouched(path: String) =
-        box(s.read.parquet(path))
-          .select(input_file_name().as("f"))
-          .agg(countDistinct(col("f")).as("n"))
-      box(s.read.parquet(zPath))
+      // one box-scan of the z-ordered layout serves stats AND its
+      // file count (q_layout_prune rationale)
+      val zs = box(s.read.parquet(zPath))
+        // non-deterministic input_file_name() projected before the agg
+        .select(col("l_extendedprice"), input_file_name().as("f"))
         .agg(count(lit(1)).as("n_rows"),
-          round(sum("l_extendedprice"), 2).as("total_price"))
-        .crossJoin(filesTouched(zPath).withColumnRenamed("n", "nz"))
-        .crossJoin(filesTouched(scatteredPath).withColumnRenamed("n", "ns"))
+          round(sum("l_extendedprice"), 2).as("total_price"),
+          countDistinct(col("f")).as("nz"))
+      val scat = box(s.read.parquet(scatteredPath))
+        .select(input_file_name().as("f"))
+        .agg(countDistinct(col("f")).as("ns"))
+      zs.crossJoin(scat)
         .select(col("n_rows"), col("total_price"),
           (col("nz") < col("ns")).cast("int").as("zorder_skips_files"))
     }),
@@ -221,24 +239,39 @@ object Layout {
       val smallPath = scratch(s"compact_small_$tag")
       val bigPath = scratch(s"compact_big_$tag")
       val docs = Tables.documents(s, d).select("doc_id", "text", "source")
-      docs.repartition(64).write.mode("overwrite").parquet(smallPath)
-      val small = s.read.parquet(smallPath)
-      val nRows = small.count()
+      // the source-side row count AND content digest ride the pathological
+      // write as an Observation (the q_observe pattern, guide §1.4): the
+      // r12 shape paid a separate count() job over smallPath to size the
+      // rewrite plus a THIRD full corpus scan just to digest the original
+      // rows — both now collected on the rows already streaming through
+      // the first write, zero extra scans.
+      val obs = org.apache.spark.sql.Observation(
+        "compact_src_" + tag)
+      docs.repartition(64)
+        .observe(obs, count(lit(1)).as("n0"),
+          expr("bit_xor(xxhash64(doc_id, text, source))").as("dg0"))
+        .write.mode("overwrite").parquet(smallPath)
+      val nRows = obs.get("n0").asInstanceOf[Long]
+      // bit_xor over zero rows is NULL — normalize so the empty-corpus
+      // comparison below stays an exact match (read-back digest is NULL
+      // too) without tripping ANSI null semantics in the verdict
+      val dg0 = Option(obs.get("dg0")).map(_.asInstanceOf[Long])
       val rowsPerFile = 4096L
       val target = math.max(1L, (nRows + rowsPerFile - 1) / rowsPerFile).toInt
-      small.repartition(target).write.mode("overwrite").parquet(bigPath)
+      s.read.parquet(smallPath).repartition(target)
+        .write.mode("overwrite").parquet(bigPath)
       def nFiles(p: String): Int =
         Option(new java.io.File(p).listFiles).map(
           _.count(_.getName.endsWith(".parquet"))).getOrElse(0)
-      def digest(df: DataFrame) = df.agg(count(lit(1)).as("n"),
-        expr("bit_xor(xxhash64(doc_id, text, source))").as("dg"))
-      val out = digest(s.read.parquet(bigPath))
-        .crossJoin(digest(docs).select(col("n").as("n0"), col("dg").as("dg0")))
+      val out = s.read.parquet(bigPath)
+        .agg(count(lit(1)).as("n"),
+          expr("bit_xor(xxhash64(doc_id, text, source))").as("dg"))
         .select(col("n").as("n_docs"),
           lit(nFiles(smallPath)).as("files_before"),
           lit(nFiles(bigPath)).as("files_after"),
-          (col("n") === col("n0") && col("dg") === col("dg0")).cast("int")
-            .as("content_match"))
+          (col("n") === lit(nRows) &&
+            coalesce(col("dg"), lit(0L)) === lit(dg0.getOrElse(0L)))
+            .cast("int").as("content_match"))
         .localCheckpoint(true)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(smallPath))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(bigPath))
